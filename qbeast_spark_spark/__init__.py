@@ -1,0 +1,50 @@
+"""qbeast_spark_spark — a PySpark-native analytics engine with the query and
+data-processing capabilities of Qbeast-io/qbeast-spark (reference read-only at
+/root/reference), built Spark-first from public APIs.
+
+Public surface (SURVEY.md §7.0):
+
+    import qbeast_spark_spark as qss
+    qss.write(df, path, columns_to_index=["a", "b"], cube_size=5000)
+    qt = qss.QbeastTable.for_path(spark, path)
+    qt.to_df();  qt.sample(0.01);  qt.read(filters=[("a", ">=", 10)])
+    qt.index_metrics();  qt.revisions()
+"""
+
+from .core.cube import CubeId
+from .core.revision import Revision, DEFAULT_CUBE_SIZE
+from .core.weight import fraction_to_weight, weight_to_fraction
+from .sources.reader import QbeastTable, read_qbeast
+from .sources.writer import write_qbeast
+
+__version__ = "0.1.0"
+
+
+def _register_pickle_by_value() -> None:
+    """Ship this package's executor-side closures by value so Spark Python
+    workers never need the package importable on their own PYTHONPATH (the
+    usual failure mode of a driver-only library on a real cluster)."""
+    import sys
+
+    try:
+        from pyspark import cloudpickle
+    except ImportError:  # pragma: no cover - pyspark always present here
+        return
+    for name, mod in list(sys.modules.items()):
+        if name == __name__ or name.startswith(__name__ + "."):
+            try:
+                cloudpickle.register_pickle_by_value(mod)
+            except Exception:
+                pass
+
+
+_register_pickle_by_value()
+
+write = write_qbeast
+read = read_qbeast
+
+__all__ = [
+    "CubeId", "Revision", "DEFAULT_CUBE_SIZE", "QbeastTable",
+    "write", "read", "write_qbeast", "read_qbeast",
+    "fraction_to_weight", "weight_to_fraction",
+]

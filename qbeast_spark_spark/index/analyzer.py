@@ -1,0 +1,224 @@
+"""OTree analysis: cube-domain estimation (distributed) + cube-weight
+computation and rollup (driver-side, O(#cubes)).
+
+Re-expression of the reference two-pass analyzer
+(/root/reference/core/src/main/scala/io/qbeast/spark/index/OTreeDataAnalyzer.scala:67-212)
+and the rollup grouping (core/src/main/scala/io/qbeast/core/writer/ —
+Rollup.scala:56-76) in Spark-first form:
+
+job 1  min/max/count stats          -> plain DataFrame aggregate
+job 2  per-partition domain sketch  -> mapInArrow (NumPy) + groupBy().sum()
+driver cube weights + rollup        -> pure Python over ~#cubes entries
+"""
+
+from __future__ import annotations
+
+import math
+from typing import Dict, List, Optional, Tuple
+
+import numpy as np
+
+from ..core.cube import max_depth_for_dims
+from ..core.revision import Revision
+from ..core.weight import INT_MIN, INT_MAX, RANGE
+from .vectorized import LevelMap, simulate_domains
+
+__all__ = [
+    "WEIGHT_COL", "NORM_PREFIX",
+    "MIN_GROUP_CUBE_SIZE", "DOMAIN_BUFFER_CAPACITY",
+    "with_index_columns", "estimate_cube_domains", "compute_cube_weights",
+    "compute_rollup", "build_level_map", "group_cube_size",
+]
+
+WEIGHT_COL = "_qbeast_weight"
+NORM_PREFIX = "_qbeast_norm_"
+
+MIN_GROUP_CUBE_SIZE = 30          # CubeDomainsBuilder.scala:23
+DOMAIN_BUFFER_CAPACITY = 100_000  # config.scala:30-34
+
+
+def with_index_columns(df, revision: Revision):
+    """Append the weight (murmur3 seed-42 == F.hash, QbeastMurmur3Hash
+    parity) and per-dimension normalized coordinate columns — all JVM-side
+    expressions inside whole-stage codegen."""
+    from pyspark.sql import functions as F
+
+    cols = {WEIGHT_COL: F.hash(*[F.col(c) for c in revision.column_names])}
+    for i, (spec, tr) in enumerate(zip(revision.column_specs,
+                                       revision.transformations)):
+        ctype = revision.column_types[i]
+        cols[f"{NORM_PREFIX}{i}"] = tr.spark_column(spec.name, ctype).cast("double")
+    return df.withColumns(cols)
+
+
+def group_cube_size(desired_cube_size: int, num_elements: int,
+                    buffer_capacity: int = DOMAIN_BUFFER_CAPACITY) -> int:
+    """CubeDomainsBuilder.estimateGroupCubeSize (CubeDomainsBuilder.scala:40-48)."""
+    num_groups = max(1, math.ceil(num_elements / buffer_capacity))
+    return max(MIN_GROUP_CUBE_SIZE, desired_cube_size // num_groups)
+
+
+def estimate_cube_domains(prepared_df, revision: Revision, num_elements: int,
+                          buffer_capacity: int = DOMAIN_BUFFER_CAPACITY
+                          ) -> Dict[Tuple[int, int], float]:
+    """Distributed pass: per-partition weight-ordered domain simulation over
+    the normalized coords, then a tiny groupBy().sum() shuffle (one row per
+    discovered cube — KBs, not data-sized). Returns {(depth, path): domain}."""
+    import pyarrow as pa
+    from pyspark.sql import functions as F
+
+    dims = revision.dims
+    gcs = group_cube_size(revision.desired_cube_size, num_elements,
+                          buffer_capacity)
+    max_depth = max_depth_for_dims(dims)
+    norm_cols = [f"{NORM_PREFIX}{i}" for i in range(dims)]
+    out_schema = "depth int, path long, domain long"
+
+    def sketch(batches):
+        buf_pts: List[np.ndarray] = []
+        buf_w: List[np.ndarray] = []
+        buffered = 0
+
+        def flush():
+            nonlocal buf_pts, buf_w, buffered
+            if not buffered:
+                return None
+            pts = np.concatenate(buf_pts)
+            ws = np.concatenate(buf_w)
+            buf_pts, buf_w, buffered = [], [], 0
+            triples = simulate_domains(pts, ws, gcs, dims, max_depth)
+            if not triples:
+                return None
+            arr = np.array(triples, dtype=np.int64).reshape(-1, 3)
+            return pa.RecordBatch.from_arrays(
+                [pa.array(arr[:, 0].astype(np.int32)), pa.array(arr[:, 1]),
+                 pa.array(arr[:, 2])],
+                names=["depth", "path", "domain"])
+
+        for batch in batches:
+            tbl = pa.Table.from_batches([batch])
+            pts = np.column_stack([
+                tbl.column(c).to_numpy(zero_copy_only=False) for c in norm_cols
+            ])
+            ws = tbl.column(WEIGHT_COL).to_numpy(zero_copy_only=False).astype(np.int64)
+            buf_pts.append(pts)
+            buf_w.append(ws)
+            buffered += len(ws)
+            if buffered >= buffer_capacity:  # bound executor memory
+                res = flush()
+                if res is not None:
+                    yield res
+        res = flush()
+        if res is not None:
+            yield res
+
+    sketch_df = (
+        prepared_df.select([WEIGHT_COL] + norm_cols)
+        .mapInArrow(sketch, out_schema)
+        .groupBy("depth", "path")
+        .agg(F.sum("domain").alias("domain"))
+    )
+    rows = sketch_df.collect()
+    return {(r["depth"], r["path"]): float(r["domain"]) for r in rows}
+
+
+def compute_cube_weights(domains: Dict[Tuple[int, int], float],
+                         desired_cube_size: int,
+                         existing_weights: Optional[Dict[Tuple[int, int], int]] = None
+                         ) -> Dict[Tuple[int, int], int]:
+    """Driver pass (OTreeDataAnalyzer.estimateUpdatedCubeWeights:141-212):
+    top-down per level, maxWeight(c) = maxWeight(parent) + cubeSize/domain(c)
+    in normalized-fraction space; leaves (domain <= cubeSize) get 1.0.
+
+    Returns int32-domain weights {(depth, path): weight_int}.
+    """
+    dims_mask_cache: Dict[int, int] = {}
+    fractions: Dict[Tuple[int, int], float] = {}
+    out: Dict[Tuple[int, int], int] = {}
+    for (depth, path) in sorted(domains, key=lambda k: (k[0], k[1])):
+        domain = domains[(depth, path)]
+        if depth == 0:
+            parent_f = 0.0
+        else:
+            # parent path: clear this level's bits. dims is implicit: the
+            # parent key must exist — domains always include every ancestor.
+            parent_key = _parent_key(depth, path, domains)
+            parent_f = fractions.get(parent_key, 0.0)
+        if domain <= 0:
+            f = 1.0
+        else:
+            f = parent_f + desired_cube_size / domain
+        f = min(1.0, f)
+        fractions[(depth, path)] = f
+        w = INT_MIN + int(round(f * RANGE))
+        out[(depth, path)] = min(INT_MAX, w)
+    if existing_weights:
+        # Appends: never loosen an existing cube's bound — reuse the smaller
+        # weight so previously written blocks stay consistent.
+        for k, w in existing_weights.items():
+            if k in out:
+                out[k] = min(out[k], w)
+            else:
+                out[k] = w
+    return out
+
+
+def _parent_key(depth: int, path: int,
+                domains: Dict[Tuple[int, int], float]) -> Tuple[int, int]:
+    # dims is unknown here; recover the parent by masking trailing bit-groups
+    # for every plausible dims — but callers always pass complete ancestor
+    # chains, so try the direct computation first for each dims 1..8.
+    for dims in range(1, 9):
+        mask = (1 << (dims * (depth - 1))) - 1
+        cand = (depth - 1, path & mask)
+        if cand in domains:
+            return cand
+    return (depth - 1, 0)
+
+
+def cube_element_counts(domains: Dict[Tuple[int, int], float], dims: int
+                        ) -> Dict[Tuple[int, int], float]:
+    """Estimated rows stored in each cube = own domain minus children domains."""
+    counts = dict(domains)
+    for (depth, path), dom in domains.items():
+        if depth == 0:
+            continue
+        mask = (1 << (dims * (depth - 1))) - 1
+        pk = (depth - 1, path & mask)
+        if pk in counts:
+            counts[pk] -= dom
+    return {k: max(0.0, v) for k, v in counts.items()}
+
+
+def compute_rollup(domains: Dict[Tuple[int, int], float], dims: int,
+                   desired_cube_size: int) -> Dict[Tuple[int, int], int]:
+    """Rollup.compute (Rollup.scala:56-76): bottom-up, cubes with fewer than
+    desiredCubeSize estimated rows merge into their parent; each resulting
+    group becomes one output file. Returns {(depth,path): file_id}."""
+    counts = cube_element_counts(domains, dims)
+    sizes = dict(counts)
+    target: Dict[Tuple[int, int], Tuple[int, int]] = {}
+    for key in sorted(sizes, key=lambda k: (-k[0], k[1])):
+        depth, path = key
+        if depth > 0 and sizes[key] < desired_cube_size:
+            mask = (1 << (dims * (depth - 1))) - 1
+            pk = (depth - 1, path & mask)
+            if pk in sizes:
+                sizes[pk] += sizes[key]
+                target[key] = pk
+                continue
+        target[key] = key
+
+    def resolve(k: Tuple[int, int]) -> Tuple[int, int]:
+        while target.get(k, k) != k:
+            k = target[k]
+        return k
+
+    roots = sorted({resolve(k) for k in sizes})
+    file_ids = {r: i for i, r in enumerate(roots)}
+    return {k: file_ids[resolve(k)] for k in sizes}
+
+
+def build_level_map(cube_weights: Dict[Tuple[int, int], int],
+                    cube_files: Dict[Tuple[int, int], int]) -> LevelMap:
+    return LevelMap.build(cube_weights, cube_files)

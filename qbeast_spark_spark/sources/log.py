@@ -1,0 +1,192 @@
+"""Self-contained transactional metadata log for qbeast tables.
+
+The reference stores index metadata inside the Delta log (AddFile tags +
+table configuration — /root/reference/delta/src/main/scala/io/qbeast/spark/
+delta/DeltaQbeastFileUtils.scala:59-226, DeltaMetadataWriter.scala:162-228).
+delta-spark is not available in this environment, so this engine keeps the
+same *logical* model — versioned commits of {added files + per-cube Blocks,
+removed files, revision JSON, table properties} — in its own append-only JSON
+log under ``<table>/_qbeast_log/``.
+
+Scale notes: the log is metadata-only — O(#files + #cubes) per commit, never
+O(rows). Snapshot construction replays the commit list on the driver; at
+100 TB with desiredCubeSize=5M that is ~10^5 entries, trivially held in
+memory (same order as Delta's own snapshot state).
+
+Commits are atomic via exclusive-create (O_EXCL) of ``NNNNNNNNNNNN.json``;
+a concurrent writer losing the race retries with the next version, matching
+the reference's optimistic-retry loop (IndexedTable.scala:355-368).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+from dataclasses import dataclass, field
+from typing import Any, Dict, List, Optional
+
+from ..core.revision import Revision
+
+__all__ = ["Block", "IndexFile", "Snapshot", "CommitLog"]
+
+LOG_DIR = "_qbeast_log"
+
+
+@dataclass
+class Block:
+    """Contiguous run of one cube's records inside one file
+    (Block.scala:32-44)."""
+
+    cube: str  # "depth:path_hex"
+    min_weight: int
+    max_weight: int
+    count: int
+
+    def to_json(self) -> Dict[str, Any]:
+        return {"cube": self.cube, "minWeight": self.min_weight,
+                "maxWeight": self.max_weight, "elementCount": self.count}
+
+    @staticmethod
+    def from_json(o: Dict[str, Any]) -> "Block":
+        return Block(o["cube"], o["minWeight"], o["maxWeight"], o["elementCount"])
+
+
+@dataclass
+class IndexFile:
+    """A parquet file + its Blocks (QbeastFiles.scala:51-83)."""
+
+    path: str  # relative to the table root
+    size: int
+    rows: int
+    revision_id: int
+    blocks: List[Block] = field(default_factory=list)
+
+    def to_json(self) -> Dict[str, Any]:
+        return {"path": self.path, "size": self.size, "rows": self.rows,
+                "revisionID": self.revision_id,
+                "blocks": [b.to_json() for b in self.blocks]}
+
+    @staticmethod
+    def from_json(o: Dict[str, Any]) -> "IndexFile":
+        return IndexFile(o["path"], o["size"], o["rows"], o["revisionID"],
+                         [Block.from_json(b) for b in o.get("blocks", [])])
+
+
+@dataclass
+class Snapshot:
+    """Materialized table state at a log version (QbeastSnapshot.scala:30-174)."""
+
+    table_path: str
+    version: int = -1
+    files: Dict[str, IndexFile] = field(default_factory=dict)
+    revisions: Dict[int, Revision] = field(default_factory=dict)
+    schema_json: Optional[str] = None
+    properties: Dict[str, str] = field(default_factory=dict)
+    # per revision: cube -> assigned max weight (min-merged across commits)
+    cube_weights: Dict[int, Dict[str, int]] = field(default_factory=dict)
+    # per revision: cube -> accumulated domain estimate (sum across commits)
+    cube_domains: Dict[int, Dict[str, float]] = field(default_factory=dict)
+
+    @property
+    def is_initial(self) -> bool:
+        return self.version < 0
+
+    def latest_revision(self) -> Optional[Revision]:
+        indexed = [r for rid, r in self.revisions.items() if rid > 0]
+        if not indexed:
+            return None
+        return max(indexed, key=lambda r: r.revision_id)
+
+    def file_paths(self) -> List[str]:
+        return [os.path.join(self.table_path, p) for p in self.files]
+
+    def all_blocks(self) -> List[tuple]:
+        """[(file_path_rel, revision_id, Block)] across the snapshot."""
+        out = []
+        for f in self.files.values():
+            for b in f.blocks:
+                out.append((f.path, f.revision_id, b))
+        return out
+
+
+class CommitLog:
+    def __init__(self, table_path: str) -> None:
+        self.table_path = table_path
+        self.log_dir = os.path.join(table_path, LOG_DIR)
+
+    def exists(self) -> bool:
+        return os.path.isdir(self.log_dir)
+
+    def _versions(self) -> List[int]:
+        if not self.exists():
+            return []
+        out = []
+        for name in os.listdir(self.log_dir):
+            if name.endswith(".json"):
+                try:
+                    out.append(int(name[:-5]))
+                except ValueError:
+                    continue
+        return sorted(out)
+
+    def snapshot(self) -> Snapshot:
+        snap = Snapshot(self.table_path)
+        for v in self._versions():
+            with open(os.path.join(self.log_dir, f"{v:012d}.json")) as fh:
+                commit = json.load(fh)
+            for p in commit.get("remove", []):
+                snap.files.pop(p, None)
+            for fo in commit.get("add", []):
+                f = IndexFile.from_json(fo)
+                snap.files[f.path] = f
+            for rid_s, robj in commit.get("revisions", {}).items():
+                snap.revisions[int(rid_s)] = Revision.from_json(robj)
+            for rid_s, weights in commit.get("cubeWeights", {}).items():
+                dst = snap.cube_weights.setdefault(int(rid_s), {})
+                for cube, w in weights.items():
+                    dst[cube] = min(dst.get(cube, w), w)
+            for rid_s, doms in commit.get("cubeDomains", {}).items():
+                dst_d = snap.cube_domains.setdefault(int(rid_s), {})
+                for cube, d in doms.items():
+                    dst_d[cube] = dst_d.get(cube, 0.0) + d
+            if commit.get("schema") is not None:
+                snap.schema_json = commit["schema"]
+            snap.properties.update(commit.get("properties", {}))
+            snap.version = v
+        return snap
+
+    def commit(self, *, add: List[IndexFile] = (), remove: List[str] = (),
+               revisions: Dict[int, Revision] = None, schema_json: str = None,
+               properties: Dict[str, str] = None, data_change: bool = True,
+               cube_weights: Dict[int, Dict[str, int]] = None,
+               cube_domains: Dict[int, Dict[str, float]] = None,
+               max_retries: int = 10) -> int:
+        """Atomically append one commit; returns the committed version."""
+        os.makedirs(self.log_dir, exist_ok=True)
+        payload = {
+            "timestamp": int(time.time() * 1000),
+            "dataChange": bool(data_change),
+            "add": [f.to_json() for f in add],
+            "remove": list(remove),
+            "revisions": {str(k): r.to_json() for k, r in (revisions or {}).items()},
+            "cubeWeights": {str(k): v for k, v in (cube_weights or {}).items()},
+            "cubeDomains": {str(k): v for k, v in (cube_domains or {}).items()},
+            "schema": schema_json,
+            "properties": dict(properties or {}),
+        }
+        body = json.dumps(payload, sort_keys=True).encode()
+        last_err = None
+        for _ in range(max_retries):
+            versions = self._versions()
+            next_v = (versions[-1] + 1) if versions else 0
+            target = os.path.join(self.log_dir, f"{next_v:012d}.json")
+            try:
+                fd = os.open(target, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+            except FileExistsError as e:  # lost the race; re-read and retry
+                last_err = e
+                continue
+            with os.fdopen(fd, "wb") as fh:
+                fh.write(body)
+            return next_v
+        raise RuntimeError(f"commit failed after {max_retries} retries: {last_err}")

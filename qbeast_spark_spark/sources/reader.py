@@ -1,0 +1,269 @@
+"""Read path: plain read (R4), sample->filter rewrite + sampling file
+pruning (R1/R2), and multi-dimensional range file pruning (R3).
+
+Re-expression of /root/reference/src/main/scala/io/qbeast/internal/rules/
+SampleRule.scala:44-107, core/.../strategies/SamplingListFilesStrategy.scala:38-58
+and core/.../query/{QueryExecutor,QuerySpecBuilder}.scala, with one structural
+simplification: block selection is a flat vectorized scan over the block
+metadata (O(#blocks) on the driver, ~rows/desiredCubeSize entries — at 100 TB
+with the 5M default that is ~10^5, far below driver limits), instead of a
+tree DFS. Selection predicates are identical, so the pruned file set matches.
+
+Row-level exactness always comes from residual Spark filters (the sampling
+hash predicate / the user's WHERE); pruning only shrinks the file list.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+from typing import Any, Dict, List, Optional, Sequence, Tuple
+
+import numpy as np
+
+from ..core.revision import Revision
+from ..core.transform import HashTransformation, literal_to_number
+from ..core.weight import fraction_to_weight
+from ..index.vectorized import cube_ranges
+from .log import CommitLog, Snapshot
+
+__all__ = ["QbeastTable", "FilterTuple", "read_qbeast"]
+
+# (column, op, value) — the declarative pushdown surface (mirrors pyarrow /
+# DataSourceV2 filter tuples; SURVEY.md §2.1 R3 design note).
+FilterTuple = Tuple[str, str, Any]
+
+_OPS = {">", ">=", "<", "<=", "=", "==", "in"}
+
+
+def _parse_cube(s: str) -> Tuple[int, int]:
+    d, _, p = s.partition(":")
+    return int(d), int(p or "0", 16)
+
+
+class QbeastTable:
+    """User facade (QbeastTable.scala:127-221 analogue)."""
+
+    def __init__(self, spark, path: str) -> None:
+        self.spark = spark
+        self.path = path
+        self.log = CommitLog(path)
+        self._snapshot: Optional[Snapshot] = None
+
+    @staticmethod
+    def for_path(spark, path: str) -> "QbeastTable":
+        return QbeastTable(spark, path)
+
+    # -- snapshot access ----------------------------------------------------
+
+    def snapshot(self, refresh: bool = False) -> Snapshot:
+        if self._snapshot is None or refresh:
+            self._snapshot = self.log.snapshot()
+        return self._snapshot
+
+    def revisions(self) -> List[Revision]:
+        return sorted(self.snapshot(refresh=True).revisions.values(),
+                      key=lambda r: r.revision_id)
+
+    def schema(self):
+        from pyspark.sql import types as T
+
+        sj = self.snapshot().schema_json
+        return T.StructType.fromJson(json.loads(sj)) if sj else None
+
+    def file_paths(self) -> List[str]:
+        return self.snapshot(refresh=True).file_paths()
+
+    # -- reads --------------------------------------------------------------
+
+    def _df_for_files(self, rel_paths: Sequence[str]):
+        schema = self.schema()
+        if not rel_paths:
+            return self.spark.createDataFrame([], schema)
+        paths = [os.path.join(self.path, p) for p in rel_paths]
+        reader = self.spark.read
+        if schema is not None:
+            reader = reader.schema(schema)
+        return reader.parquet(*paths)
+
+    def to_df(self):
+        """R4 — plain read of every live file."""
+        snap = self.snapshot(refresh=True)
+        return self._df_for_files(list(snap.files.keys()))
+
+    def sample(self, fraction: float, lower_bound: float = 0.0):
+        """R1+R2 — deterministic sample: prune files by block weight range,
+        then apply the exact residual hash-range predicate per row.
+
+        Statistically valid because weights are murmur3-uniform; identical
+        semantics to the reference's SampleRule rewrite."""
+        from pyspark.sql import functions as F
+
+        if not (0.0 <= lower_bound < fraction <= 1.0):
+            if fraction >= 1.0:
+                return self.to_df()
+            raise ValueError(f"invalid sample range [{lower_bound}, {fraction})")
+        snap = self.snapshot(refresh=True)
+        w_to = fraction_to_weight(fraction)
+        w_from = fraction_to_weight(lower_bound)
+
+        selected = []
+        for rel, f in snap.files.items():
+            for b in f.blocks:
+                if b.min_weight < w_to and b.max_weight >= w_from:
+                    selected.append(rel)
+                    break
+        df = self._df_for_files(selected)
+        rev = snap.latest_revision()
+        if rev is None:
+            return df.sample(fraction)  # unindexed table: vanilla sample
+        hash_col = F.hash(*[F.col(c) for c in rev.column_names])
+        cond = hash_col < F.lit(w_to)
+        if lower_bound > 0.0:
+            cond = cond & (hash_col >= F.lit(w_from))
+        return df.where(cond)
+
+    def read(self, filters: Optional[Sequence[FilterTuple]] = None):
+        """R3 — multi-dim data skipping from declarative filter tuples, plus
+        the same residual predicate applied row-level."""
+        if not filters:
+            return self.to_df()
+        snap = self.snapshot(refresh=True)
+        selected = self._prune_files(snap, filters)
+        df = self._df_for_files(selected)
+        return df.where(self._filters_to_column(filters))
+
+    # -- pruning machinery --------------------------------------------------
+
+    def _prune_files(self, snap: Snapshot,
+                     filters: Sequence[FilterTuple]) -> List[str]:
+        """Keep files having >= 1 block whose cube region intersects the
+        query space of the filters (QuerySpace.intersectsWith:81-97)."""
+        by_rev: Dict[int, List[Tuple[str, str]]] = {}
+        for rel, f in snap.files.items():
+            by_rev.setdefault(f.revision_id, []).extend(
+                (rel, b.cube) for b in f.blocks)
+
+        keep: set = set()
+        for rev_id, entries in by_rev.items():
+            rev = snap.revisions.get(rev_id)
+            if rev is None or rev.is_staging:
+                keep.update(rel for rel, _ in entries)  # cannot prune staging
+                continue
+            space = _query_space(rev, filters)
+            if space is None:  # no indexed-column predicate -> no pruning
+                keep.update(rel for rel, _ in entries)
+                continue
+            lo, hi = space
+            depths = np.array([_parse_cube(c)[0] for _, c in entries],
+                              dtype=np.int64)
+            paths = np.array([_parse_cube(c)[1] for _, c in entries],
+                             dtype=np.int64)
+            frm, to = cube_ranges(depths, paths, rev.dims)
+            inter = np.ones(len(entries), dtype=bool)
+            for i in range(rev.dims):
+                inter &= (frm[:, i] <= hi[i]) & (to[:, i] >= lo[i])
+            for j in np.flatnonzero(inter):
+                keep.add(entries[j][0])
+        return sorted(keep)
+
+    def _filters_to_column(self, filters: Sequence[FilterTuple]):
+        from pyspark.sql import functions as F
+
+        cond = F.lit(True)
+        for col, op, val in filters:
+            c = F.col(col)
+            op = op.lower()
+            if op == ">":
+                cond = cond & (c > F.lit(val))
+            elif op == ">=":
+                cond = cond & (c >= F.lit(val))
+            elif op == "<":
+                cond = cond & (c < F.lit(val))
+            elif op == "<=":
+                cond = cond & (c <= F.lit(val))
+            elif op in ("=", "=="):
+                cond = cond & (c == F.lit(val))
+            elif op == "in":
+                cond = cond & c.isin(list(val))
+            else:
+                raise ValueError(f"unsupported filter op {op!r}")
+        return cond
+
+    # -- introspection ------------------------------------------------------
+
+    def index_metrics(self) -> Dict[str, Any]:
+        """O5 — IndexMetrics.scala:26-137 analogue over the block metadata."""
+        snap = self.snapshot(refresh=True)
+        blocks = snap.all_blocks()
+        if not blocks:
+            return {"files": 0, "blocks": 0, "rows": 0}
+        depths = [_parse_cube(b.cube)[0] for _, _, b in blocks]
+        counts = [b.count for _, _, b in blocks]
+        cubes = {b.cube for _, _, b in blocks}
+        per_level: Dict[int, int] = {}
+        for d, c in zip(depths, counts):
+            per_level[d] = per_level.get(d, 0) + c
+        return {
+            "files": len(snap.files),
+            "blocks": len(blocks),
+            "cubes": len(cubes),
+            "rows": sum(counts),
+            "height": max(depths) + 1,
+            "avg_block_elements": float(np.mean(counts)),
+            "rows_per_level": dict(sorted(per_level.items())),
+            "revisions": sorted(snap.revisions.keys()),
+        }
+
+
+def _query_space(rev: Revision, filters: Sequence[FilterTuple]
+                 ) -> Optional[Tuple[List[float], List[float]]]:
+    """Filters -> normalized [0,1] interval per indexed dimension
+    (QuerySpecBuilder.scala:92-133; IN -> min/max relaxation
+    QueryFiltersUtils.scala:165-204). Returns None when no indexed column is
+    constrained (no pruning possible)."""
+    lo = [0.0] * rev.dims
+    hi = [1.0] * rev.dims
+    constrained = False
+    for col, op, val in filters:
+        if col not in rev.column_names:
+            continue
+        i = rev.column_names.index(col)
+        tr = rev.transformations[i]
+        if isinstance(tr, HashTransformation):
+            continue  # hash space is unordered; cannot prune ranges
+        # NTZ timestamps normalize through the session tz; pad the interval
+        # by the max utc offset (14h) so pruning never drops a file.
+        pad = 0.0
+        if i < len(rev.column_types) and \
+                rev.column_types[i].lower().startswith("timestamp"):
+            pad = 50_400_000.0
+        op = op.lower()
+        try:
+            if op == "in":
+                vals = [literal_to_number(v) for v in val]
+                vlo, vhi = min(vals) - pad, max(vals) + pad
+            else:
+                v = literal_to_number(val)
+                vlo = (v - pad) if op in (">", ">=", "=", "==") else None
+                vhi = (v + pad) if op in ("<", "<=", "=", "==") else None
+        except (TypeError, ValueError):
+            continue
+        if op == "in":
+            nlo = float(tr.normalize(np.array([vlo]))[0])
+            nhi = float(tr.normalize(np.array([vhi]))[0])
+            lo[i] = max(lo[i], nlo)
+            hi[i] = min(hi[i], nhi)
+        else:
+            if vlo is not None:
+                lo[i] = max(lo[i], float(tr.normalize(np.array([vlo]))[0]))
+            if vhi is not None:
+                hi[i] = min(hi[i], float(tr.normalize(np.array([vhi]))[0]))
+        constrained = True
+    return (lo, hi) if constrained else None
+
+
+def read_qbeast(spark, path: str,
+                filters: Optional[Sequence[FilterTuple]] = None):
+    qt = QbeastTable.for_path(spark, path)
+    return qt.read(filters) if filters else qt.to_df()

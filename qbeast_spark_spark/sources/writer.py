@@ -1,0 +1,381 @@
+"""Indexed write pipeline (W1-W7 of SURVEY.md §2.1).
+
+Spark-first re-expression of the reference write path
+(/root/reference/src/main/scala/io/qbeast/table/IndexedTable.scala:305-391,
+ core/src/main/scala/io/qbeast/spark/index/SparkOTreeManager.scala:38-60,
+ core/src/main/scala/io/qbeast/spark/writer/RollupDataWriter.scala:45-176):
+
+job 1  column stats (min/max/count)        — DataFrame aggregate
+job 2  cube-domain sketch                  — mapInArrow + tiny shuffle
+driver cube weights + rollup               — O(#cubes) Python
+job 3  cube assignment -> repartition by   — mapInArrow (NumPy), shuffle on
+       rollup file -> per-task Arrow        the rollup file id only, then
+       parquet writing with Block stats     streaming ParquetWriter per file
+
+The only full-data shuffle is the rollup repartition — identical to the
+reference (RollupDataWriter.scala:67). Driver state is O(#cubes), never
+O(rows); broadcast state is the level map (a few numpy arrays).
+"""
+
+from __future__ import annotations
+
+import os
+import time
+import uuid
+from typing import Any, Dict, List, Optional, Sequence, Tuple
+
+import numpy as np
+
+from ..core.cube import max_depth_for_dims
+from ..core.revision import (
+    DEFAULT_CUBE_SIZE,
+    Revision,
+    parse_columns_to_index,
+)
+from ..core.transform import (
+    HashTransformation,
+    IdentityTransformation,
+    LinearTransformation,
+    QuantilesTransformation,
+    numeric_view,
+    transformer_for_type,
+)
+from ..index.analyzer import (
+    NORM_PREFIX,
+    WEIGHT_COL,
+    estimate_cube_domains,
+    compute_cube_weights,
+    compute_rollup,
+    with_index_columns,
+)
+from ..index.vectorized import LevelMap, assign_cubes
+from .log import Block, CommitLog, IndexFile
+
+__all__ = ["write_qbeast"]
+
+FILE_COL = "_qbeast_file"
+DEPTH_COL = "_qbeast_cube_depth"
+PATH_COL = "_qbeast_cube_path"
+
+_META_SCHEMA = ("file string, cube_depth int, cube_path long, min_weight long, "
+                "max_weight long, element_count long, file_size long")
+
+
+def _cube_str(depth: int, path: int) -> str:
+    return f"{depth}:{path:x}"
+
+
+def _parse_cube(s: str) -> Tuple[int, int]:
+    d, _, p = s.partition(":")
+    return int(d), int(p or "0", 16)
+
+
+def _build_transformations(df, revision_cols, column_types, column_stats):
+    """Job 1: one aggregate for min/max of every linear column, then freeze
+    the per-column transformations (LinearTransformer.scala:53-56 stats)."""
+    from pyspark.sql import functions as F
+
+    aggs = []
+    linear_idx = []
+    for i, (spec, ctype) in enumerate(zip(revision_cols, column_types)):
+        kind = spec.transformer or transformer_for_type(ctype)
+        if kind == "linear":
+            v = numeric_view(spec.name, ctype)
+            aggs += [F.min(v).alias(f"min_{i}"), F.max(v).alias(f"max_{i}")]
+            linear_idx.append(i)
+    aggs.append(F.count(F.lit(1)).alias("_n"))
+    row = df.agg(*aggs).collect()[0]
+    n = row["_n"]
+
+    transformations = []
+    for i, (spec, ctype) in enumerate(zip(revision_cols, column_types)):
+        kind = spec.transformer or transformer_for_type(ctype)
+        stats = (column_stats or {}).get(spec.name, {})
+        if kind == "linear":
+            mn = stats.get("min", row[f"min_{i}"])
+            mx = stats.get("max", row[f"max_{i}"])
+            if mn is None or mx is None:
+                transformations.append(IdentityTransformation())
+            else:
+                # degenerate (mn == mx) handled inside LinearTransformation
+                transformations.append(LinearTransformation(float(mn), float(mx)))
+        elif kind == "hashing":
+            transformations.append(HashTransformation())
+        elif kind == "quantiles":
+            qs = stats.get("quantiles")
+            if qs is None:
+                qs = df.stat.approxQuantile(
+                    spec.name, [j / 50.0 for j in range(51)], 0.01)
+            is_string = ctype.lower() == "string"
+            transformations.append(QuantilesTransformation(qs, is_string))
+        else:
+            raise ValueError(f"unknown transformer kind {kind}")
+    return transformations, n
+
+
+def _resolve_revision(snapshot, specs, column_types, transformations,
+                      cube_size) -> Tuple[Revision, bool]:
+    """Reuse / grow / create the revision (SparkRevisionFactory.scala:230-270)."""
+    existing = snapshot.latest_revision()
+    now = int(time.time() * 1000)
+    if existing is None:
+        rev = Revision(1, now, cube_size,
+                       list(specs), list(transformations), list(column_types))
+        return rev, True
+    same_cols = (existing.column_names == [s.name for s in specs])
+    if same_cols and not existing.is_superseded_by(transformations):
+        return existing, False
+    if same_cols:
+        return existing.merged_with(transformations, existing.revision_id + 1,
+                                    now), True
+    rev = Revision(existing.revision_id + 1, now, cube_size,
+                   list(specs), list(transformations), list(column_types))
+    return rev, True
+
+
+def _complete_file_map(weight_keys, rollup: Dict[Tuple[int, int], int],
+                       dims: int) -> Dict[Tuple[int, int], int]:
+    """Every known cube needs a rollup file: cubes absent from this write's
+    rollup (e.g. pre-existing cubes on append) inherit the nearest ancestor's
+    group."""
+    out = {}
+    for key in sorted(weight_keys, key=lambda k: (k[0], k[1])):
+        if key in rollup:
+            out[key] = rollup[key]
+            continue
+        depth, path = key
+        fid = 0
+        for d in range(depth - 1, -1, -1):
+            mask = (1 << (dims * d)) - 1
+            cand = (d, path & mask)
+            if cand in out:
+                fid = out[cand]
+                break
+        out[key] = fid
+    return out
+
+
+def _make_assign_fn(level_map: LevelMap, dims: int, norm_cols: List[str],
+                    out_names: List[str]):
+    import pyarrow as pa
+
+    def assign(batches):
+        for batch in batches:
+            tbl = pa.Table.from_batches([batch])
+            pts = np.column_stack([
+                tbl.column(c).to_numpy(zero_copy_only=False) for c in norm_cols
+            ])
+            ws = tbl.column(WEIGHT_COL).to_numpy(zero_copy_only=False).astype(np.int64)
+            depth, path, file_id = assign_cubes(pts, ws, level_map, dims)
+            keep = tbl.drop_columns(norm_cols)
+            arrays = [keep.column(name).combine_chunks() for name in keep.column_names]
+            arrays += [pa.array(file_id.astype(np.int64)),
+                       pa.array(depth.astype(np.int32)),
+                       pa.array(path.astype(np.int64))]
+            yield pa.RecordBatch.from_arrays(arrays, names=out_names)
+
+    return assign
+
+
+def _make_write_fn(table_path: str, helper_cols: List[str]):
+    """Per-task streaming parquet writer + Block stats accumulator
+    (IndexFileWriter.scala:44-96 re-expressed with pyarrow)."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    def write(batches):
+        writers: Dict[int, Tuple[Any, str]] = {}
+        # (file_id, depth, path) -> [min_w, max_w, count]
+        stats: Dict[Tuple[int, int, int], List[int]] = {}
+
+        for batch in batches:
+            tbl = pa.Table.from_batches([batch])
+            fids = tbl.column(FILE_COL).to_numpy(zero_copy_only=False)
+            depths = tbl.column(DEPTH_COL).to_numpy(zero_copy_only=False)
+            paths = tbl.column(PATH_COL).to_numpy(zero_copy_only=False)
+            ws = tbl.column(WEIGHT_COL).to_numpy(zero_copy_only=False).astype(np.int64)
+            data = tbl.drop_columns(helper_cols)
+
+            for fid in np.unique(fids):
+                mask = fids == fid
+                idx = np.flatnonzero(mask)
+                sub = data.take(idx)
+                if int(fid) not in writers:
+                    name = f"{uuid.uuid4().hex}.parquet"
+                    w = pq.ParquetWriter(os.path.join(table_path, name),
+                                         sub.schema, compression="snappy")
+                    writers[int(fid)] = (w, name)
+                writers[int(fid)][0].write_table(sub)
+                # block stats per cube inside this file
+                d_sub, p_sub, w_sub = depths[idx], paths[idx], ws[idx]
+                okey = np.lexsort((p_sub, d_sub))
+                d_s, p_s, w_s = d_sub[okey], p_sub[okey], w_sub[okey]
+                boundary = np.flatnonzero(
+                    (d_s[1:] != d_s[:-1]) | (p_s[1:] != p_s[:-1])) + 1
+                starts = np.concatenate(([0], boundary))
+                ends = np.concatenate((boundary, [len(d_s)]))
+                for s, e in zip(starts, ends):
+                    k = (int(fid), int(d_s[s]), int(p_s[s]))
+                    mn = int(w_s[s:e].min())
+                    mx = int(w_s[s:e].max())
+                    cnt = int(e - s)
+                    if k in stats:
+                        st = stats[k]
+                        st[0] = min(st[0], mn)
+                        st[1] = max(st[1], mx)
+                        st[2] += cnt
+                    else:
+                        stats[k] = [mn, mx, cnt]
+
+        sizes = {}
+        for fid, (w, name) in writers.items():
+            w.close()
+            sizes[fid] = os.path.getsize(os.path.join(table_path, name))
+
+        rows = {"file": [], "cube_depth": [], "cube_path": [], "min_weight": [],
+                "max_weight": [], "element_count": [], "file_size": []}
+        for (fid, d, p), (mn, mx, cnt) in stats.items():
+            rows["file"].append(writers[fid][1])
+            rows["cube_depth"].append(d)
+            rows["cube_path"].append(p)
+            rows["min_weight"].append(mn)
+            rows["max_weight"].append(mx)
+            rows["element_count"].append(cnt)
+            rows["file_size"].append(sizes[fid])
+        if rows["file"]:
+            yield pa.RecordBatch.from_arrays(
+                [pa.array(rows["file"], type=pa.string()),
+                 pa.array(rows["cube_depth"], type=pa.int32()),
+                 pa.array(rows["cube_path"], type=pa.int64()),
+                 pa.array(rows["min_weight"], type=pa.int64()),
+                 pa.array(rows["max_weight"], type=pa.int64()),
+                 pa.array(rows["element_count"], type=pa.int64()),
+                 pa.array(rows["file_size"], type=pa.int64())],
+                names=list(rows))
+
+    return write
+
+
+def write_qbeast(df, path: str, columns_to_index: Sequence[str] | str,
+                 cube_size: int = DEFAULT_CUBE_SIZE, mode: str = "append",
+                 column_stats: Optional[Dict[str, Dict[str, Any]]] = None,
+                 pre_commit_hooks: Optional[List] = None) -> int:
+    """Index + write ``df`` as one transactional qbeast commit; returns the
+    committed log version. See module docstring for the plan shape."""
+    from pyspark.sql import functions as F
+    from pyspark.sql import types as T
+
+    if mode not in ("append", "overwrite"):
+        raise ValueError(f"mode must be append|overwrite, got {mode!r}")
+
+    specs = parse_columns_to_index(columns_to_index)
+    field_types = {f.name: f.dataType.simpleString() for f in df.schema.fields}
+    for s in specs:
+        if s.name not in field_types:
+            raise ValueError(f"column to index {s.name!r} not in schema "
+                             f"{list(field_types)}")
+    column_types = [field_types[s.name] for s in specs]
+
+    os.makedirs(path, exist_ok=True)
+    log = CommitLog(path)
+    snapshot = log.snapshot()
+    pre_existing_files = list(snapshot.files.keys())
+    if mode == "overwrite":
+        snapshot.files = {}
+        snapshot.cube_weights = {}
+        snapshot.cube_domains = {}
+        snapshot.revisions = {}
+
+    transformations, n = _build_transformations(df, specs, column_types,
+                                                column_stats)
+    if n == 0:
+        return log.commit(add=[], remove=[], schema_json=df.schema.json(),
+                          data_change=False)
+
+    revision, _is_new = _resolve_revision(snapshot, specs, column_types,
+                                          transformations, cube_size)
+    dims = revision.dims
+
+    prepared = with_index_columns(df, revision)
+
+    # -- job 2: domains; driver: weights + rollup ---------------------------
+    new_domains = estimate_cube_domains(prepared, revision, n)
+    existing_domains = {
+        _parse_cube(c): d
+        for c, d in snapshot.cube_domains.get(revision.revision_id, {}).items()
+    }
+    merged_domains = dict(existing_domains)
+    for k, v in new_domains.items():
+        merged_domains[k] = merged_domains.get(k, 0.0) + v
+    existing_weights = {
+        _parse_cube(c): w
+        for c, w in snapshot.cube_weights.get(revision.revision_id, {}).items()
+    }
+    weights = compute_cube_weights(merged_domains, revision.desired_cube_size,
+                                   existing_weights or None)
+    rollup = compute_rollup(new_domains, dims, revision.desired_cube_size)
+    file_map = _complete_file_map(weights.keys(), rollup, dims)
+    level_map = LevelMap.build(weights, file_map)
+    num_files = max(1, len(set(rollup.values())))
+
+    # -- job 3: assign -> shuffle on rollup id -> write ---------------------
+    norm_cols = [f"{NORM_PREFIX}{i}" for i in range(dims)]
+    passthrough = [f.name for f in prepared.schema.fields
+                   if f.name not in norm_cols]
+    out_fields = [f for f in prepared.schema.fields if f.name not in norm_cols]
+    assign_schema = T.StructType(
+        out_fields + [T.StructField(FILE_COL, T.LongType()),
+                      T.StructField(DEPTH_COL, T.IntegerType()),
+                      T.StructField(PATH_COL, T.LongType())])
+    assigned = prepared.mapInArrow(
+        _make_assign_fn(level_map, dims, norm_cols,
+                        passthrough + [FILE_COL, DEPTH_COL, PATH_COL]),
+        assign_schema)
+
+    helper_cols = [WEIGHT_COL, FILE_COL, DEPTH_COL, PATH_COL]
+    meta = (
+        assigned.repartition(num_files, F.col(FILE_COL))
+        .sortWithinPartitions(FILE_COL, DEPTH_COL, PATH_COL, WEIGHT_COL)
+        .mapInArrow(_make_write_fn(path, helper_cols), _META_SCHEMA)
+        .collect()
+    )
+
+    # -- commit -------------------------------------------------------------
+    by_file: Dict[str, IndexFile] = {}
+    for r in meta:
+        f = by_file.setdefault(
+            r["file"],
+            IndexFile(r["file"], r["file_size"], 0, revision.revision_id))
+        f.blocks.append(Block(_cube_str(r["cube_depth"], r["cube_path"]),
+                              r["min_weight"], r["max_weight"],
+                              r["element_count"]))
+        f.rows += r["element_count"]
+
+    add_files = list(by_file.values())
+    remove = pre_existing_files if mode == "overwrite" else []
+
+    if pre_commit_hooks:
+        extra_props = {}
+        for hook in pre_commit_hooks:
+            out = hook(add_files)
+            if out:
+                extra_props.update(out)
+    else:
+        extra_props = {}
+
+    data_schema = T.StructType(
+        [f for f in df.schema.fields]).json()
+    version = log.commit(
+        add=add_files,
+        remove=remove,
+        revisions={revision.revision_id: revision},
+        cube_weights={revision.revision_id: {
+            _cube_str(d, p): int(w) for (d, p), w in weights.items()}},
+        cube_domains={revision.revision_id: {
+            _cube_str(d, p): float(v) for (d, p), v in new_domains.items()}},
+        schema_json=data_schema,
+        properties={"qbeast.lastRevisionID": str(revision.revision_id),
+                    **extra_props},
+        data_change=True,
+    )
+    return version

@@ -1,0 +1,36 @@
+import os
+import shutil
+import tempfile
+
+import pytest
+
+TESTDATA = os.environ.get("SPARK_GRAFT_TESTDATA", "/root/testdata/sf0.001")
+
+
+@pytest.fixture(scope="session")
+def spark():
+    from pyspark.sql import SparkSession
+
+    spark = (
+        SparkSession.builder.master("local[4]")
+        .appName("qbeast-spark-tests")
+        .config("spark.sql.shuffle.partitions", "8")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.driver.memory", "4g")
+        .config("spark.ui.enabled", "false")
+        .getOrCreate()
+    )
+    yield spark
+    spark.stop()
+
+
+@pytest.fixture()
+def tmp_table(tmp_path):
+    d = tmp_path / "table"
+    yield str(d)
+    shutil.rmtree(d, ignore_errors=True)
+
+
+def load(spark, name, sf_dir=TESTDATA):
+    return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))

@@ -1,0 +1,132 @@
+"""End-to-end write -> read correctness, the reference's dominant oracle
+pattern (QbeastSparkCorrectnessTest.scala:25-81, QbeastSamplingTest.scala:34-42,
+TestUtils.checkFileFiltering:60-83): the qbeast table must return exactly the
+source rows; samples hit the +/-1% tolerance while reading fewer files."""
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+import qbeast_spark_spark as qss
+
+from conftest import load
+
+
+@pytest.fixture(scope="module")
+def lineitem(spark):
+    return load(spark, "lineitem")
+
+
+def _write(df, path, cols, cube_size=500):
+    qss.write(df, path, columns_to_index=cols, cube_size=cube_size)
+
+
+def test_roundtrip_exact(spark, tmp_table, lineitem):
+    _write(lineitem, tmp_table, ["l_orderkey", "l_extendedprice"])
+    back = qss.QbeastTable.for_path(spark, tmp_table).to_df()
+    assert back.count() == lineitem.count()
+    assert set(back.columns) == set(lineitem.columns)
+    # full multiset equality via exceptAll both ways
+    assert back.exceptAll(lineitem).count() == 0
+    assert lineitem.exceptAll(back).count() == 0
+
+
+def test_sampling_accuracy_and_pruning(spark, tmp_table, lineitem):
+    _write(lineitem, tmp_table, ["l_orderkey", "l_extendedprice"], cube_size=200)
+    qt = qss.QbeastTable.for_path(spark, tmp_table)
+    n = lineitem.count()
+    all_files = len(qt.file_paths())
+    assert all_files > 1, "need multiple files for a pruning assertion"
+    for f in (0.1, 0.2, 0.5, 0.93):
+        got = qt.sample(f).count()
+        assert abs(got - n * f) <= max(0.01 * n, 1), (f, got, n)
+    # small fraction must read strictly fewer files (TestUtils.scala:60-83)
+    small = qt.sample(0.01)
+    read_files = {os.path.basename(r[0]) for r in
+                  small.select(F.input_file_name()).distinct().collect()}
+    assert 0 < len(read_files) < all_files
+
+
+def test_sample_is_subset(spark, tmp_table, lineitem):
+    _write(lineitem, tmp_table, ["l_orderkey", "l_extendedprice"])
+    qt = qss.QbeastTable.for_path(spark, tmp_table)
+    s = qt.sample(0.2)
+    assert s.exceptAll(lineitem).count() == 0
+    # deterministic: same call twice -> same rows
+    assert s.exceptAll(qt.sample(0.2)).count() == 0
+
+
+def test_filter_pruning_matches_plain_filter(spark, tmp_table, lineitem):
+    _write(lineitem, tmp_table, ["l_orderkey", "l_extendedprice"], cube_size=200)
+    qt = qss.QbeastTable.for_path(spark, tmp_table)
+    filters = [("l_orderkey", ">=", 1000), ("l_orderkey", "<", 3000),
+               ("l_extendedprice", ">=", 20000.0)]
+    got = qt.read(filters)
+    expect = lineitem.where(
+        (F.col("l_orderkey") >= 1000) & (F.col("l_orderkey") < 3000)
+        & (F.col("l_extendedprice") >= 20000.0))
+    assert got.count() == expect.count()
+    assert got.exceptAll(expect).count() == 0
+    # and it pruned: selective filter reads fewer than all files
+    pruned = qt._prune_files(qt.snapshot(), filters)
+    assert len(pruned) < len(qt.file_paths())
+
+
+def test_append_keeps_sampling_accuracy(spark, tmp_table, lineitem):
+    half1 = lineitem.where(F.col("l_linenumber") <= 3)
+    half2 = lineitem.where(F.col("l_linenumber") > 3)
+    _write(half1, tmp_table, ["l_orderkey", "l_extendedprice"], cube_size=200)
+    _write(half2, tmp_table, ["l_orderkey", "l_extendedprice"], cube_size=200)
+    qt = qss.QbeastTable.for_path(spark, tmp_table)
+    n = lineitem.count()
+    assert qt.to_df().count() == n
+    got = qt.sample(0.1).count()
+    assert abs(got - n * 0.1) <= 0.01 * n
+    back = qt.to_df()
+    assert back.exceptAll(lineitem).count() == 0
+    assert lineitem.exceptAll(back).count() == 0
+
+
+def test_overwrite(spark, tmp_table, lineitem):
+    _write(lineitem.limit(1000), tmp_table, ["l_orderkey"])
+    qss.write(lineitem, tmp_table, columns_to_index=["l_orderkey"],
+              cube_size=500, mode="overwrite")
+    qt = qss.QbeastTable.for_path(spark, tmp_table)
+    assert qt.to_df().count() == lineitem.count()
+
+
+def test_timestamp_roundtrip_and_filter(spark, tmp_table):
+    orders = load(spark, "orders")
+    qss.write(orders, tmp_table, columns_to_index=["o_orderdate", "o_totalprice"],
+              cube_size=200)
+    qt = qss.QbeastTable.for_path(spark, tmp_table)
+    back = qt.to_df()
+    assert back.exceptAll(orders).count() == 0
+    assert orders.exceptAll(back).count() == 0
+    # timestamp range filter: epoch-millis normalization must be exact
+    import datetime as dt
+
+    cut = dt.datetime(1995, 6, 1)
+    got = qt.read([("o_orderdate", ">=", cut)])
+    expect = orders.where(F.col("o_orderdate") >= F.lit(cut))
+    assert got.count() == expect.count()
+
+
+def test_string_hash_index_roundtrip(spark, tmp_table):
+    cust = load(spark, "customer")
+    qss.write(cust, tmp_table, columns_to_index=["c_mktsegment", "c_custkey"],
+              cube_size=50)
+    qt = qss.QbeastTable.for_path(spark, tmp_table)
+    back = qt.to_df()
+    assert back.exceptAll(cust).count() == 0
+    assert cust.exceptAll(back).count() == 0
+
+
+def test_index_metrics(spark, tmp_table, lineitem):
+    _write(lineitem, tmp_table, ["l_orderkey", "l_extendedprice"], cube_size=200)
+    qt = qss.QbeastTable.for_path(spark, tmp_table)
+    m = qt.index_metrics()
+    assert m["rows"] == lineitem.count()
+    assert m["files"] >= 1 and m["height"] >= 1
+    assert len(qt.revisions()) == 1
