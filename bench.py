@@ -1,0 +1,85 @@
+"""Benchmark harness: runs the headline queries at $SPARK_GRAFT_SF_DIR
+(default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints ONE
+JSON line: {"metric": ..., "value": N, "unit": "sec", "queries": {...},
+"sf": ...}.
+
+Results are forced with the noop sink (full materialization, no driver
+transfer) so timings measure the engine, not collect().
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import sys
+import time
+
+HERE = os.path.dirname(os.path.abspath(__file__))
+sys.path.insert(0, HERE)
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+CPUS = os.environ.get("SPARK_GRAFT_CPUS", "32")
+
+# headline set: qbeast surface + heaviest relational + pipeline operators
+BENCH_QUERIES = [
+    "qb_roundtrip", "qb_sample", "qb_range_read",
+    "q1_pricing_summary", "q3_shipping_priority", "q5_local_supplier",
+    "q6_forecast_revenue", "q_top_orders_per_customer", "q_running_total",
+    "q_asof_join", "q_sessionize", "q_tumbling_window",
+    "dedup_ngram_jaccard", "dedup_lsh_pairs", "dedup_simhash",
+    "text_stats", "text_fingerprint", "sim_cosine_topk", "sim_ivf_topk",
+    "mm_binary_metadata",
+]
+
+
+def main() -> None:
+    from pyspark.sql import SparkSession
+
+    spark = (
+        SparkSession.builder.master(f"local[{CPUS}]")
+        .appName("qbeast-spark-bench")
+        .config("spark.sql.shuffle.partitions", CPUS)
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.driver.memory", "16g")
+        .config("spark.ui.enabled", "false")
+        .config("spark.ui.showConsoleProgress", "false")
+        .getOrCreate()
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+
+    from qbeast_spark_spark.queries import QUERIES, _indexed_lineitem
+
+    # index build is part of the engine: time it separately as qb_write
+    tag = os.path.abspath(SF_DIR).strip("/").replace("/", "_")
+    shutil.rmtree(f"/tmp/qss_tables/{tag}", ignore_errors=True)
+    timings: dict[str, float] = {}
+    t0 = time.time()
+    _indexed_lineitem(spark, SF_DIR)
+    timings["qb_write"] = round(time.time() - t0, 3)
+
+    for name in BENCH_QUERIES:
+        fn, _sql = QUERIES[name]
+        t0 = time.time()
+        df = fn(spark, SF_DIR)
+        df.write.format("noop").mode("overwrite").save()
+        timings[name] = round(time.time() - t0, 3)
+
+    sf = os.path.basename(os.path.normpath(SF_DIR)).replace("sf", "")
+    try:
+        sf_val = float(sf)
+    except ValueError:
+        sf_val = sf
+    total = round(sum(timings.values()), 3)
+    print(json.dumps({
+        "metric": "headline_queries_total",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": sf_val,
+    }))
+
+
+if __name__ == "__main__":
+    main()

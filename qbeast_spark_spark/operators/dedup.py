@@ -1,0 +1,176 @@
+"""Deduplication operators: exact, n-gram Jaccard, MinHash+LSH, SimHash.
+
+Designed for 100 TB document tables:
+
+- exact dedup is a hash groupBy (map-side partial agg, one shuffle);
+- shingle/self-join Jaccard shuffles on the shingle value — shingles are
+  high-cardinality so the join is well distributed; the candidate space is
+  bounded by shared shingles, never the full n^2;
+- MinHash+LSH reduces the pair space to band-bucket collisions (classic
+  banding: P(collision) ~ 1-(1-j^r)^b), so the only O(pairs) work happens on
+  near-duplicates;
+- all hashes derive from md5 (deterministic, engine-independent) so every
+  operator has an exact DuckDB oracle twin.
+
+SimHash/MinHash parameters are module constants shared with the oracle SQL
+generator in ``qbeast_spark_spark.queries``.
+"""
+
+from __future__ import annotations
+
+from typing import List, Tuple
+
+from .text import TOKEN_RE
+
+__all__ = [
+    "MINHASH_PERMS", "MINHASH_PRIME", "LSH_BAND_ROWS", "SIMHASH_BITS",
+    "dedup_exact", "shingles", "jaccard_pairs", "minhash_signatures",
+    "lsh_candidate_pairs", "simhash",
+]
+
+MINHASH_PRIME = 2147483647  # 2^31 - 1 (Mersenne prime)
+# 12 fixed (a, b) permutation params -> 4 bands x 3 rows
+MINHASH_PERMS: List[Tuple[int, int]] = [
+    ((j * 2654435761) % MINHASH_PRIME, (j * 40503 + 7) % MINHASH_PRIME)
+    for j in range(1, 13)
+]
+LSH_BAND_ROWS = 3
+SIMHASH_BITS = 16
+
+
+def _shingle_expr(n: int):
+    """Array column of n-word shingles from `text` (empty when too short)."""
+    from pyspark.sql import functions as F
+
+    toks = F.regexp_extract_all(F.lower(F.col("text")), F.lit(TOKEN_RE), 0)
+    return F.when(
+        F.size(toks) >= n,
+        F.transform(
+            F.sequence(F.lit(0), F.size(toks) - n),
+            lambda i: F.concat_ws(" ", F.slice(toks, i + 1, n)),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+
+
+def dedup_exact(df, keys: List[str], id_col: str):
+    """Exact dedup keeping the smallest id per key group — one hash shuffle
+    with map-side combine; the canonical distributed dedup."""
+    from pyspark.sql import functions as F
+
+    return df.groupBy(*keys).agg(F.min(id_col).alias(id_col))
+
+
+def shingles(docs, n: int = 3, id_col: str = "doc_id"):
+    """(id, shingle) pairs, distinct per document."""
+    from pyspark.sql import functions as F
+
+    return (docs.select(F.col(id_col),
+                        F.explode(F.array_distinct(_shingle_expr(n)))
+                        .alias("shingle")))
+
+
+def jaccard_pairs(docs, n: int = 3, threshold: float = 0.5,
+                  id_col: str = "doc_id"):
+    """Near-duplicate pairs by exact n-gram Jaccard similarity.
+
+    Shuffle-aware shape: explode -> self-equi-join on the shingle (well
+    distributed, no cross product) -> pair-count aggregation -> broadcast
+    join against the tiny per-doc size table.
+    """
+    from pyspark.sql import functions as F
+
+    sh = shingles(docs, n, id_col).cache()
+    sizes = sh.groupBy(id_col).agg(F.count("*").alias("sz"))
+    a = sh.alias("a")
+    b = sh.alias("b")
+    inter = (
+        a.join(b, (F.col("a.shingle") == F.col("b.shingle"))
+               & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")))
+        .groupBy(F.col(f"a.{id_col}").alias("id1"),
+                 F.col(f"b.{id_col}").alias("id2"))
+        .agg(F.count("*").alias("inter"))
+    )
+    sz1 = sizes.select(F.col(id_col).alias("id1"), F.col("sz").alias("sz1"))
+    sz2 = sizes.select(F.col(id_col).alias("id2"), F.col("sz").alias("sz2"))
+    jac = F.col("inter").cast("double") / (
+        F.col("sz1") + F.col("sz2") - F.col("inter"))
+    return (
+        inter.join(F.broadcast(sz1), "id1").join(F.broadcast(sz2), "id2")
+        .select("id1", "id2", F.round(jac, 6).alias("jaccard"))
+        .where(F.col("jaccard") >= threshold)
+    )
+
+
+def _minhash_cols(n: int):
+    """The MinHash aggregate columns over exploded shingles: md5-derived
+    32-bit integer hash, permuted by the fixed (a,b) params."""
+    from pyspark.sql import functions as F
+
+    h = F.conv(F.substring(F.md5(F.col("shingle")), 1, 8), 16, 10).cast("long")
+    return [
+        F.min((h * F.lit(a) + F.lit(b)) % F.lit(MINHASH_PRIME)).alias(f"mh{j}")
+        for j, (a, b) in enumerate(MINHASH_PERMS)
+    ], h
+
+
+def minhash_signatures(docs, n: int = 3, id_col: str = "doc_id"):
+    """doc -> 12 MinHash values (one groupBy over exploded shingles)."""
+    sh = shingles(docs, n, id_col)
+    aggs, _ = _minhash_cols(n)
+    return sh.groupBy(id_col).agg(*aggs)
+
+
+def lsh_candidate_pairs(docs, n: int = 3, id_col: str = "doc_id"):
+    """Banded LSH: pairs agreeing on at least one full band of
+    LSH_BAND_ROWS MinHash rows. The scale path for near-dup at 100 TB —
+    the join key is the band value, so only colliding docs ever meet."""
+    from pyspark.sql import functions as F
+
+    sigs = minhash_signatures(docs, n, id_col)
+    n_bands = len(MINHASH_PERMS) // LSH_BAND_ROWS
+    bands = []
+    for b in range(n_bands):
+        cols = [f"mh{b * LSH_BAND_ROWS + r}" for r in range(LSH_BAND_ROWS)]
+        bands.append(
+            sigs.select(
+                F.col(id_col),
+                F.lit(b).alias("band"),
+                F.concat_ws("_", *[F.col(c) for c in cols]).alias("band_val"),
+            ))
+    allbands = bands[0]
+    for extra in bands[1:]:
+        allbands = allbands.unionAll(extra)
+    a = allbands.alias("a")
+    b2 = allbands.alias("b")
+    return (
+        a.join(b2, (F.col("a.band") == F.col("b.band"))
+               & (F.col("a.band_val") == F.col("b.band_val"))
+               & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")))
+        .select(F.col(f"a.{id_col}").alias("id1"),
+                F.col(f"b.{id_col}").alias("id2"))
+        .distinct()
+    )
+
+
+def simhash(docs, id_col: str = "doc_id"):
+    """SIMHASH_BITS-bit SimHash over word tokens (md5-derived bit planes):
+    bit k of the signature is the sign of sum over tokens of ±1 by the
+    token-hash's k-th bit. Near-dup distance = hamming distance."""
+    from pyspark.sql import functions as F
+
+    toks = F.explode(
+        F.regexp_extract_all(F.lower(F.col("text")), F.lit(TOKEN_RE), 0)
+    ).alias("tok")
+    tok_df = docs.select(F.col(id_col), toks)
+    h = F.conv(F.substring(F.md5(F.col("tok")), 1, 8), 16, 10).cast("long")
+    bit_sums = [
+        F.sum(F.when(((h.bitwiseAND(F.lit(1 << k))) > 0), 1).otherwise(-1))
+        .alias(f"s{k}")
+        for k in range(SIMHASH_BITS)
+    ]
+    agg = tok_df.groupBy(id_col).agg(*bit_sums)
+    sig = None
+    for k in range(SIMHASH_BITS):
+        term = F.when(F.col(f"s{k}") > 0, F.lit(1 << k)).otherwise(F.lit(0))
+        sig = term if sig is None else (sig + term)
+    return agg.select(F.col(id_col), sig.cast("long").alias("simhash"))

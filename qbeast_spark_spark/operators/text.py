@@ -1,0 +1,92 @@
+"""Text-analysis operators for large-scale training-data pipelines:
+tokenization, quality scoring, language guessing, fingerprinting.
+
+All expressions are JVM-side `pyspark.sql.functions` (whole-stage codegen,
+no Python in the hot path) so they scale to 100 TB document tables. Every
+operator has an exact ANSI-SQL twin used by the DuckDB oracle in
+``qbeast_spark_spark.queries``.
+"""
+
+from __future__ import annotations
+
+__all__ = [
+    "TOKEN_RE", "STOPWORDS_EN", "tokens_col", "text_stats", "language_guess",
+    "token_counts", "fingerprint",
+]
+
+# word-ish tokens: lowercase alnum runs (a deliberate, documented convention
+# shared byte-for-byte with the oracle SQL)
+TOKEN_RE = "[a-z0-9]+"
+
+STOPWORDS_EN = ["the", "a", "and", "of", "to", "in", "is", "for", "on", "with"]
+
+
+def tokens_col(text_col: str = "text"):
+    from pyspark.sql import functions as F
+
+    return F.regexp_extract_all(F.lower(F.col(text_col)), F.lit(TOKEN_RE), 0)
+
+
+def text_stats(docs, id_col: str = "doc_id", text_col: str = "text"):
+    """Quality-scoring features per document: token counts, average token
+    length, stopword ratio, alpha ratio."""
+    from pyspark.sql import functions as F
+
+    toks = tokens_col(text_col)
+    stop_arr = F.array(*[F.lit(s) for s in STOPWORDS_EN])
+    n_toks = F.size(toks)
+    total_len = F.aggregate(
+        toks, F.lit(0), lambda acc, t: acc + F.length(t))
+    n_stop = F.size(F.filter(toks, lambda t: F.array_contains(stop_arr, t)))
+    return docs.select(
+        F.col(id_col),
+        F.length(F.col(text_col)).alias("n_chars_measured"),
+        n_toks.alias("n_tokens"),
+        F.round(total_len.cast("double") /
+                F.greatest(n_toks, F.lit(1)), 4).alias("avg_token_len"),
+        F.round(n_stop.cast("double") /
+                F.greatest(n_toks, F.lit(1)), 4).alias("stopword_ratio"),
+    )
+
+
+def language_guess(docs, id_col: str = "doc_id", text_col: str = "text",
+                   threshold: float = 0.05):
+    """n-gram/stopword language-ID heuristic: English stopword density."""
+    from pyspark.sql import functions as F
+
+    toks = tokens_col(text_col)
+    stop_arr = F.array(*[F.lit(s) for s in STOPWORDS_EN])
+    n_toks = F.greatest(F.size(toks), F.lit(1))
+    n_stop = F.size(F.filter(toks, lambda t: F.array_contains(stop_arr, t)))
+    ratio = n_stop.cast("double") / n_toks
+    return docs.select(
+        F.col(id_col),
+        F.round(ratio, 4).alias("en_score"),
+        F.when(ratio >= threshold, F.lit("en")).otherwise(F.lit("unk"))
+        .alias("lang_guess"),
+    )
+
+
+def token_counts(docs, id_col: str = "doc_id", text_col: str = "text"):
+    """Token counting two ways: whitespace split and the BPE-ish regex."""
+    from pyspark.sql import functions as F
+
+    ws = F.size(F.split(F.trim(F.col(text_col)), r"\s+"))
+    re_toks = F.size(tokens_col(text_col))
+    return docs.select(
+        F.col(id_col),
+        ws.alias("ws_tokens"),
+        re_toks.alias("re_tokens"),
+    )
+
+
+def fingerprint(docs, id_col: str = "doc_id", text_col: str = "text"):
+    """Deterministic document fingerprint: md5 over the normalized text
+    (lowercase, whitespace collapsed, trimmed)."""
+    from pyspark.sql import functions as F
+
+    norm = F.trim(F.regexp_replace(F.lower(F.col(text_col)), r"\s+", " "))
+    return docs.select(
+        F.col(id_col),
+        F.md5(norm).alias("fingerprint"),
+    )
