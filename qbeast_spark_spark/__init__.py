@@ -14,6 +14,8 @@ Public surface (SURVEY.md §7.0):
 from .core.cube import CubeId
 from .core.revision import Revision, DEFAULT_CUBE_SIZE
 from .core.weight import fraction_to_weight, weight_to_fraction
+from .functions.selection import compute_quantiles, select_columns_to_index
+from .sources.optimize import convert_to_qbeast, optimize_table, write_staging
 from .sources.reader import QbeastTable, read_qbeast
 from .sources.writer import write_qbeast
 
@@ -46,5 +48,7 @@ read = read_qbeast
 __all__ = [
     "CubeId", "Revision", "DEFAULT_CUBE_SIZE", "QbeastTable",
     "write", "read", "write_qbeast", "read_qbeast",
+    "optimize_table", "convert_to_qbeast", "write_staging",
+    "select_columns_to_index", "compute_quantiles",
     "fraction_to_weight", "weight_to_fraction",
 ]

@@ -196,6 +196,14 @@ def compute_rollup(domains: Dict[Tuple[int, int], float], dims: int,
     desiredCubeSize estimated rows merge into their parent; each resulting
     group becomes one output file. Returns {(depth,path): file_id}."""
     counts = cube_element_counts(domains, dims)
+    return compute_rollup_from_counts(counts, dims, desired_cube_size)
+
+
+def compute_rollup_from_counts(counts: Dict[Tuple[int, int], float], dims: int,
+                               desired_cube_size: int
+                               ) -> Dict[Tuple[int, int], int]:
+    """Rollup over per-cube element counts (used by optimize, where actual
+    stored counts are known from the block metadata)."""
     sizes = dict(counts)
     target: Dict[Tuple[int, int], Tuple[int, int]] = {}
     for key in sorted(sizes, key=lambda k: (-k[0], k[1])):

@@ -1,0 +1,227 @@
+"""Table maintenance: optimize (O1), convert-to-qbeast (O2), staging writes.
+
+Re-expression of /root/reference/src/main/scala/io/qbeast/table/
+IndexedTable.scala:399-552 (optimize file selection + re-index),
+ConvertToQbeastCommand.scala:37-116 (staging revision install) and
+StagingUtils.scala:25-58 (revision 0 semantics) on this engine's log.
+
+Optimize re-layouts chosen files against the *existing* cube weights (no
+domain recomputation — SparkOTreeManager.optimize:72-103), removes them and
+adds the rewritten files in one commit with data_change=False.
+"""
+
+from __future__ import annotations
+
+import glob
+import os
+import time
+from typing import Dict, List, Optional, Sequence, Tuple
+
+from ..core.revision import Revision, STAGING_REVISION_ID
+from ..core.weight import INT_MAX, INT_MIN
+from ..index.analyzer import (
+    WEIGHT_COL,
+    compute_cube_weights,
+    compute_rollup_from_counts,
+    estimate_cube_domains,
+    with_index_columns,
+)
+from .log import Block, CommitLog, IndexFile
+from .writer import (
+    _build_transformations,
+    _complete_file_map,
+    _cube_str,
+    _materialize,
+    _parse_cube,
+)
+
+__all__ = ["optimize_table", "convert_to_qbeast", "write_staging"]
+
+
+def optimize_table(spark, path: str, fraction: float = 1.0,
+                   revision_id: Optional[int] = None,
+                   file_paths: Optional[Sequence[str]] = None,
+                   columns_to_index: Optional[Sequence[str]] = None,
+                   cube_size: Optional[int] = None) -> Optional[int]:
+    """Rewrite under-filled / sampled-range / staging files with a fresh
+    cube assignment. Selection mirrors the reference's three overloads:
+
+    - fraction: indexed files whose blocks' minWeight fraction <= fraction
+      (IndexedTable.selectIndexedFilesToOptimize:428-437);
+    - file_paths: explicit list;
+    - staging (revision 0) files are always picked up and indexed.
+    """
+    from ..core.weight import weight_to_fraction
+    from .reader import QbeastTable
+
+    log = CommitLog(path)
+    snap = log.snapshot()
+    if not snap.files:
+        return None
+
+    rev = None
+    if revision_id is not None:
+        rev = snap.revisions.get(revision_id)
+    if rev is None or rev.is_staging:
+        rev = snap.latest_revision()
+
+    # -- select files -------------------------------------------------------
+    selected: List[IndexFile] = []
+    for rel, f in snap.files.items():
+        if file_paths is not None:
+            if rel in file_paths or os.path.join(path, rel) in file_paths:
+                selected.append(f)
+            continue
+        if f.revision_id == STAGING_REVISION_ID:
+            selected.append(f)
+        elif rev is not None and f.revision_id == rev.revision_id and any(
+                weight_to_fraction(b.min_weight) <= fraction
+                for b in f.blocks):
+            selected.append(f)
+    if not selected:
+        return None
+
+    qt = QbeastTable(spark, path)
+    df = qt._df_for_files([f.path for f in selected])
+
+    if rev is None:
+        # staging-only table: build the first real revision now
+        cols = columns_to_index or [
+            c for c in snap.properties.get("qbeast.columnsToIndex", "").split(",")
+            if c]
+        if not cols:
+            raise ValueError(
+                "optimize of a staging-only table needs columns_to_index "
+                "(or the qbeast.columnsToIndex table property)")
+        field_types = {f.name: f.dataType.simpleString()
+                       for f in df.schema.fields}
+        from ..core.revision import parse_columns_to_index
+
+        specs = parse_columns_to_index(list(cols))
+        column_types = [field_types[s.name] for s in specs]
+        transformations, n = _build_transformations(df, specs, column_types,
+                                                    None)
+        rev = Revision(1, int(time.time() * 1000),
+                       cube_size or snap_default_cube_size(snap),
+                       specs, transformations, column_types)
+        prepared = with_index_columns(df, rev)
+        domains = estimate_cube_domains(prepared, rev, n)
+        weights = compute_cube_weights(domains, rev.desired_cube_size)
+        counts = {k: float(v) for k, v in domains.items()}
+    else:
+        prepared = with_index_columns(df, rev)
+        weights = {
+            _parse_cube(c): w
+            for c, w in snap.cube_weights.get(rev.revision_id, {}).items()
+        }
+        if not weights:
+            weights = {(0, 0): INT_MAX}
+        # actual stored counts per cube from the selected blocks; staging
+        # rows (unknown placement) land on the root for rollup sizing
+        counts: Dict[Tuple[int, int], float] = {}
+        for f in selected:
+            for b in f.blocks:
+                key = (_parse_cube(b.cube)
+                       if f.revision_id != STAGING_REVISION_ID else (0, 0))
+                counts[key] = counts.get(key, 0.0) + b.count
+        for key in weights:
+            counts.setdefault(key, 0.0)
+
+    rollup = compute_rollup_from_counts(counts, rev.dims,
+                                        rev.desired_cube_size)
+    file_map = _complete_file_map(weights.keys(), rollup, rev.dims)
+    num_files = max(1, len(set(rollup.values())))
+
+    add = _materialize(prepared, rev, weights, file_map, num_files, path)
+    return log.commit(
+        add=add,
+        remove=[f.path for f in selected],
+        revisions={rev.revision_id: rev},
+        cube_weights={rev.revision_id: {
+            _cube_str(d, p): int(w) for (d, p), w in weights.items()}},
+        schema_json=snap.schema_json or df.schema.json(),
+        data_change=False,
+    )
+
+
+def snap_default_cube_size(snap) -> int:
+    from ..core.revision import DEFAULT_CUBE_SIZE
+
+    try:
+        return int(snap.properties.get("qbeast.cubeSize", DEFAULT_CUBE_SIZE))
+    except (TypeError, ValueError):
+        return DEFAULT_CUBE_SIZE
+
+
+def convert_to_qbeast(spark, path: str,
+                      columns_to_index: Optional[Sequence[str]] = None,
+                      cube_size: Optional[int] = None) -> int:
+    """Install the staging revision (ID 0) over an existing directory of
+    parquet files, making it qbeast-readable in place. Reads only parquet
+    footers (row counts) — a metadata-only operation."""
+    import pyarrow.parquet as pq
+
+    log = CommitLog(path)
+    if log.exists():
+        raise ValueError(f"{path} is already a qbeast table")
+    data_files = sorted(
+        p for p in glob.glob(os.path.join(path, "*.parquet"))
+        if os.path.isfile(p))
+    if not data_files:
+        raise ValueError(f"no parquet files found in {path}")
+
+    schema_json = spark.read.parquet(*data_files).schema.json()
+    add = []
+    for p in data_files:
+        rows = pq.ParquetFile(p).metadata.num_rows
+        add.append(IndexFile(
+            os.path.basename(p), os.path.getsize(p), rows,
+            STAGING_REVISION_ID,
+            [Block(_cube_str(0, 0), INT_MIN, INT_MAX, rows)]))
+
+    staging = Revision(STAGING_REVISION_ID, int(time.time() * 1000),
+                       cube_size or 5_000_000, [], [], [])
+    props = {"qbeast.lastRevisionID": "0"}
+    if columns_to_index:
+        props["qbeast.columnsToIndex"] = ",".join(columns_to_index)
+    if cube_size:
+        props["qbeast.cubeSize"] = str(cube_size)
+    return log.commit(add=add, revisions={STAGING_REVISION_ID: staging},
+                      schema_json=schema_json, properties=props,
+                      data_change=False)
+
+
+def write_staging(df, path: str) -> int:
+    """Append non-indexed ("plain") files to a qbeast table — the staging
+    lane (revision 0): cheap ingest now, indexing deferred to optimize()."""
+    from pyspark.sql import functions as F
+    from pyspark.sql import types as T
+
+    from .writer import DEPTH_COL, FILE_COL, PATH_COL, _META_SCHEMA, \
+        _make_write_fn
+
+    os.makedirs(path, exist_ok=True)
+    log = CommitLog(path)
+    prepared = df.withColumns({
+        WEIGHT_COL: F.lit(0),
+        FILE_COL: F.spark_partition_id().cast("long"),
+        DEPTH_COL: F.lit(0),
+        PATH_COL: F.lit(0).cast("long"),
+    })
+    helper_cols = [WEIGHT_COL, FILE_COL, DEPTH_COL, PATH_COL]
+    meta = prepared.mapInArrow(_make_write_fn(path, helper_cols),
+                               _META_SCHEMA).collect()
+    by_file: Dict[str, IndexFile] = {}
+    for r in meta:
+        f = by_file.setdefault(
+            r["file"], IndexFile(r["file"], r["file_size"], 0,
+                                 STAGING_REVISION_ID))
+        # staging blocks cover the full weight range (StagingUtils semantics)
+        f.blocks = [Block(_cube_str(0, 0), INT_MIN, INT_MAX,
+                          f.rows + r["element_count"])]
+        f.rows += r["element_count"]
+    staging = Revision(STAGING_REVISION_ID, int(time.time() * 1000),
+                       5_000_000, [], [], [])
+    return log.commit(add=list(by_file.values()),
+                      revisions={STAGING_REVISION_ID: staging},
+                      schema_json=df.schema.json(), data_change=True)

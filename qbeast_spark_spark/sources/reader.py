@@ -190,6 +190,33 @@ class QbeastTable:
                 raise ValueError(f"unsupported filter op {op!r}")
         return cond
 
+    # -- maintenance --------------------------------------------------------
+
+    def optimize(self, fraction: float = 1.0,
+                 revision_id: Optional[int] = None,
+                 file_paths: Optional[Sequence[str]] = None,
+                 columns_to_index: Optional[Sequence[str]] = None,
+                 cube_size: Optional[int] = None) -> Optional[int]:
+        """O1 — re-layout selected (or all) files against the current index;
+        also indexes any staging (revision 0) files."""
+        from .optimize import optimize_table
+
+        version = optimize_table(self.spark, self.path, fraction=fraction,
+                                 revision_id=revision_id,
+                                 file_paths=file_paths,
+                                 columns_to_index=columns_to_index,
+                                 cube_size=cube_size)
+        self._snapshot = None
+        return version
+
+    def append_staging(self, df) -> int:
+        """Staging lane: append non-indexed files (revision 0)."""
+        from .optimize import write_staging
+
+        version = write_staging(df, self.path)
+        self._snapshot = None
+        return version
+
     # -- introspection ------------------------------------------------------
 
     def index_metrics(self) -> Dict[str, Any]:

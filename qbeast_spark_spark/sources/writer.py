@@ -256,6 +256,47 @@ def _make_write_fn(table_path: str, helper_cols: List[str]):
     return write
 
 
+def _materialize(prepared, revision: Revision, weights, file_map, num_files,
+                 path: str) -> List[IndexFile]:
+    """Job 3: assign -> shuffle on rollup id -> per-task parquet writing.
+    Returns the IndexFile list (with Block stats) for the commit."""
+    from pyspark.sql import functions as F
+    from pyspark.sql import types as T
+
+    dims = revision.dims
+    level_map = LevelMap.build(weights, file_map)
+    norm_cols = [f"{NORM_PREFIX}{i}" for i in range(dims)]
+    passthrough = [f.name for f in prepared.schema.fields
+                   if f.name not in norm_cols]
+    out_fields = [f for f in prepared.schema.fields if f.name not in norm_cols]
+    assign_schema = T.StructType(
+        out_fields + [T.StructField(FILE_COL, T.LongType()),
+                      T.StructField(DEPTH_COL, T.IntegerType()),
+                      T.StructField(PATH_COL, T.LongType())])
+    assigned = prepared.mapInArrow(
+        _make_assign_fn(level_map, dims, norm_cols,
+                        passthrough + [FILE_COL, DEPTH_COL, PATH_COL]),
+        assign_schema)
+
+    helper_cols = [WEIGHT_COL, FILE_COL, DEPTH_COL, PATH_COL]
+    meta = (
+        assigned.repartition(num_files, F.col(FILE_COL))
+        .sortWithinPartitions(FILE_COL, DEPTH_COL, PATH_COL, WEIGHT_COL)
+        .mapInArrow(_make_write_fn(path, helper_cols), _META_SCHEMA)
+        .collect()
+    )
+    by_file: Dict[str, IndexFile] = {}
+    for r in meta:
+        f = by_file.setdefault(
+            r["file"],
+            IndexFile(r["file"], r["file_size"], 0, revision.revision_id))
+        f.blocks.append(Block(_cube_str(r["cube_depth"], r["cube_path"]),
+                              r["min_weight"], r["max_weight"],
+                              r["element_count"]))
+        f.rows += r["element_count"]
+    return list(by_file.values())
+
+
 def write_qbeast(df, path: str, columns_to_index: Sequence[str] | str,
                  cube_size: int = DEFAULT_CUBE_SIZE, mode: str = "append",
                  column_stats: Optional[Dict[str, Dict[str, Any]]] = None,
@@ -315,43 +356,11 @@ def write_qbeast(df, path: str, columns_to_index: Sequence[str] | str,
                                    existing_weights or None)
     rollup = compute_rollup(new_domains, dims, revision.desired_cube_size)
     file_map = _complete_file_map(weights.keys(), rollup, dims)
-    level_map = LevelMap.build(weights, file_map)
     num_files = max(1, len(set(rollup.values())))
 
     # -- job 3: assign -> shuffle on rollup id -> write ---------------------
-    norm_cols = [f"{NORM_PREFIX}{i}" for i in range(dims)]
-    passthrough = [f.name for f in prepared.schema.fields
-                   if f.name not in norm_cols]
-    out_fields = [f for f in prepared.schema.fields if f.name not in norm_cols]
-    assign_schema = T.StructType(
-        out_fields + [T.StructField(FILE_COL, T.LongType()),
-                      T.StructField(DEPTH_COL, T.IntegerType()),
-                      T.StructField(PATH_COL, T.LongType())])
-    assigned = prepared.mapInArrow(
-        _make_assign_fn(level_map, dims, norm_cols,
-                        passthrough + [FILE_COL, DEPTH_COL, PATH_COL]),
-        assign_schema)
-
-    helper_cols = [WEIGHT_COL, FILE_COL, DEPTH_COL, PATH_COL]
-    meta = (
-        assigned.repartition(num_files, F.col(FILE_COL))
-        .sortWithinPartitions(FILE_COL, DEPTH_COL, PATH_COL, WEIGHT_COL)
-        .mapInArrow(_make_write_fn(path, helper_cols), _META_SCHEMA)
-        .collect()
-    )
-
-    # -- commit -------------------------------------------------------------
-    by_file: Dict[str, IndexFile] = {}
-    for r in meta:
-        f = by_file.setdefault(
-            r["file"],
-            IndexFile(r["file"], r["file_size"], 0, revision.revision_id))
-        f.blocks.append(Block(_cube_str(r["cube_depth"], r["cube_path"]),
-                              r["min_weight"], r["max_weight"],
-                              r["element_count"]))
-        f.rows += r["element_count"]
-
-    add_files = list(by_file.values())
+    add_files = _materialize(prepared, revision, weights, file_map,
+                             num_files, path)
     remove = pre_existing_files if mode == "overwrite" else []
 
     if pre_commit_hooks:

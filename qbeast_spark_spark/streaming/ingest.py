@@ -1,0 +1,99 @@
+"""Structured Streaming surface.
+
+The reference has no streaming support (SURVEY.md §2.10); this engine adds
+the idiomatic bridges:
+
+- ``stream_write_qbeast``: readStream -> foreachBatch -> indexed qbeast
+  commit per micro-batch (each batch is one transactional append, so the
+  table stays consistent under replay: a re-run batch re-appends — pair
+  with dedup on a batch id column for exactly-once semantics);
+- ``windowed_aggregate``: watermarked tumbling/sliding window aggregation;
+- ``stateful_running_totals``: custom stateful operator via
+  applyInPandasWithState (per-key running count/sum with timeout-free
+  state), the pattern for operators Spark lacks natively.
+"""
+
+from __future__ import annotations
+
+from typing import List, Optional, Sequence
+
+__all__ = ["stream_write_qbeast", "windowed_aggregate",
+           "stateful_running_totals"]
+
+
+def stream_write_qbeast(stream_df, path: str,
+                        columns_to_index: Sequence[str],
+                        cube_size: int = 100_000,
+                        checkpoint: Optional[str] = None,
+                        trigger_available_now: bool = False,
+                        query_name: str = "qbeast-stream-ingest"):
+    """writeStream.foreachBatch -> qbeast.write append per micro-batch."""
+    from ..sources.writer import write_qbeast
+
+    def sink(batch_df, batch_id: int):
+        if batch_df.isEmpty():
+            return
+        write_qbeast(batch_df, path, columns_to_index=columns_to_index,
+                     cube_size=cube_size, mode="append")
+
+    writer = (stream_df.writeStream.foreachBatch(sink)
+              .queryName(query_name)
+              .outputMode("update"))
+    if checkpoint:
+        writer = writer.option("checkpointLocation", checkpoint)
+    if trigger_available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
+def windowed_aggregate(stream_df, ts_col: str, window: str = "1 hour",
+                       watermark: str = "2 hours",
+                       group_cols: Sequence[str] = (),
+                       agg_col: Optional[str] = None):
+    """Watermarked tumbling-window aggregation: the late-data-tolerant
+    streaming twin of queries.q_tumbling_window."""
+    from pyspark.sql import functions as F
+
+    aggs = [F.count("*").alias("n")]
+    out_names = ["n"]
+    if agg_col:
+        aggs.append(F.sum(agg_col).alias(f"sum_{agg_col}"))
+        out_names.append(f"sum_{agg_col}")
+    return (
+        stream_df.withWatermark(ts_col, watermark)
+        .groupBy(F.window(F.col(ts_col), window).alias("w"),
+                 *[F.col(c) for c in group_cols])
+        .agg(*aggs)
+        .select(F.col("w.start").alias("window_start"),
+                F.col("w.end").alias("window_end"),
+                *[F.col(c) for c in group_cols],
+                *[F.col(n) for n in out_names])
+    )
+
+
+def stateful_running_totals(stream_df, key_col: str, value_col: str,
+                            timeout: str = "NoTimeout"):
+    """Custom stateful streaming operator (applyInPandasWithState):
+    per-key running event count and value sum, emitted on every batch."""
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    out_schema = f"{key_col} long, n_events long, total double"
+    state_schema = "n long, total double"
+
+    def update(key, pdf_iter, state: GroupState):
+        n, total = state.get if state.exists else (0, 0.0)
+        for pdf in pdf_iter:
+            n += len(pdf)
+            total += float(pdf[value_col].sum())
+        state.update((n, total))
+        yield pd.DataFrame({key_col: [key[0]], "n_events": [n],
+                            "total": [total]})
+
+    timeout_conf = getattr(GroupStateTimeout, timeout, None) or \
+        GroupStateTimeout.NoTimeout
+    return (
+        stream_df.groupBy(key_col)
+        .applyInPandasWithState(update, out_schema, state_schema,
+                                "update", timeout_conf)
+    )

@@ -1,0 +1,145 @@
+"""Optimize / convert / staging / auto-selection tests — analogues of
+QbeastOptimizeIntegrationTest.scala:27-179, ConvertToQbeastDeltaTest.scala
+and SparkColumnsToIndexSelector tests."""
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+import qbeast_spark_spark as qss
+
+from conftest import load
+
+
+def test_optimize_compacts_and_preserves(spark, tmp_table):
+    li = load(spark, "lineitem")
+    # small appends with a large cube size -> fragmented under-filled files
+    for i in range(6):
+        qss.write(li.where(F.col("l_linenumber") == i + 1), tmp_table,
+                  columns_to_index=["l_orderkey", "l_extendedprice"],
+                  cube_size=5000)
+    qt = qss.QbeastTable.for_path(spark, tmp_table)
+    before_files = len(qt.file_paths())
+    before = qt.to_df()
+    expect = li.where(F.col("l_linenumber") <= 6)
+    assert before.count() == expect.count()
+
+    version = qt.optimize()
+    assert version is not None
+    after = qt.to_df()
+    assert after.count() == expect.count()
+    assert after.exceptAll(expect).count() == 0
+    assert expect.exceptAll(after).count() == 0
+    after_files = len(qt.file_paths())
+    assert after_files < before_files, "optimize should compact files"
+    # sampling still accurate after re-layout
+    n = expect.count()
+    got = qt.sample(0.2).count()
+    assert abs(got - 0.2 * n) <= max(0.015 * n, 2)
+
+
+def test_optimize_fraction_selects_subset(spark, tmp_table):
+    li = load(spark, "lineitem")
+    qss.write(li, tmp_table,
+              columns_to_index=["l_orderkey", "l_extendedprice"],
+              cube_size=200)
+    qt = qss.QbeastTable.for_path(spark, tmp_table)
+    n_before = qt.to_df().count()
+    qt.optimize(fraction=0.1)
+    assert qt.to_df().count() == n_before
+
+
+def test_convert_then_read_and_optimize(spark, tmp_path):
+    path = str(tmp_path / "plain")
+    orders = load(spark, "orders")
+    orders.coalesce(4).write.parquet(path)
+    qss.convert_to_qbeast(spark, path,
+                          columns_to_index=["o_custkey", "o_totalprice"],
+                          cube_size=300)
+    qt = qss.QbeastTable.for_path(spark, path)
+    assert qt.to_df().count() == orders.count()
+    # staging-only: sample falls back to vanilla but still works
+    assert qt.sample(0.5).count() > 0
+    # optimize indexes the staging files using the stored columns
+    qt.optimize()
+    assert qt.to_df().count() == orders.count()
+    metrics = qt.index_metrics()
+    assert metrics["rows"] == orders.count()
+    revs = [r.revision_id for r in qt.revisions()]
+    assert 1 in revs
+    # now sampling is index-backed and accurate
+    n = orders.count()
+    got = qt.sample(0.3).count()
+    assert abs(got - 0.3 * n) <= max(0.02 * n, 5)
+
+
+def test_staging_append_then_optimize(spark, tmp_table):
+    li = load(spark, "lineitem")
+    first = li.where(F.col("l_linenumber") <= 3)
+    rest = li.where(F.col("l_linenumber") > 3)
+    qss.write(first, tmp_table,
+              columns_to_index=["l_orderkey", "l_extendedprice"],
+              cube_size=300)
+    qt = qss.QbeastTable.for_path(spark, tmp_table)
+    qt.append_staging(rest)
+    # staging rows visible immediately
+    assert qt.to_df().count() == li.count()
+    back = qt.to_df()
+    assert back.exceptAll(li).count() == 0
+    # optimize folds staging into the index
+    qt.optimize()
+    assert qt.to_df().count() == li.count()
+    snap = qt.snapshot(refresh=True)
+    assert all(f.revision_id != 0 for f in snap.files.values())
+
+
+def test_select_columns_to_index(spark):
+    li = load(spark, "lineitem")
+    cols = qss.select_columns_to_index(li, 3)
+    assert len(cols) == 3
+    assert len(set(cols)) == 3
+    for c in cols:
+        assert c in li.columns
+
+
+def test_compute_quantiles_numeric_and_string(spark):
+    li = load(spark, "lineitem")
+    qs = qss.compute_quantiles(li, "l_extendedprice", 20)
+    assert len(qs) >= 10
+    assert qs == sorted(qs)
+    cust = load(spark, "customer")
+    sq = qss.compute_quantiles(cust, "c_mktsegment", 4)
+    assert sq == sorted(sq)
+    assert len(sq) >= 2
+
+
+def test_quantiles_transformer_roundtrip(spark, tmp_table):
+    cust = load(spark, "customer")
+    qs = qss.compute_quantiles(cust, "c_acctbal", 20)
+    qss.write(cust, tmp_table,
+              columns_to_index=["c_acctbal:quantiles", "c_custkey"],
+              cube_size=50,
+              column_stats={"c_acctbal": {"quantiles": qs}})
+    qt = qss.QbeastTable.for_path(spark, tmp_table)
+    back = qt.to_df()
+    assert back.exceptAll(cust).count() == 0
+    assert cust.exceptAll(back).count() == 0
+    got = qt.read([("c_acctbal", ">=", 0.0)])
+    expect = cust.where(F.col("c_acctbal") >= 0.0)
+    assert got.count() == expect.count()
+
+
+def test_pre_commit_hook(spark, tmp_table):
+    li = load(spark, "lineitem").limit(500)
+    seen = {}
+
+    def hook(files):
+        seen["n_files"] = len(files)
+        return {"hook.ran": "yes"}
+
+    qss.write(li, tmp_table, columns_to_index=["l_orderkey"], cube_size=200,
+              pre_commit_hooks=[hook])
+    assert seen["n_files"] >= 1
+    qt = qss.QbeastTable.for_path(spark, tmp_table)
+    assert qt.snapshot().properties.get("hook.ran") == "yes"

@@ -1,0 +1,131 @@
+"""Structured Streaming tests: foreachBatch qbeast ingest, watermarked
+windows, applyInPandasWithState custom stateful op."""
+
+import datetime as dt
+import os
+import time
+
+import pytest
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+import qbeast_spark_spark as qss
+from qbeast_spark_spark.streaming.ingest import (
+    stateful_running_totals,
+    stream_write_qbeast,
+    windowed_aggregate,
+)
+
+from conftest import load
+
+
+EVENT_SCHEMA = T.StructType([
+    T.StructField("event_id", T.LongType()),
+    T.StructField("user_id", T.LongType()),
+    T.StructField("ts", T.TimestampType()),
+    T.StructField("value", T.DoubleType()),
+])
+
+
+def _make_events(spark, n=200, start_hour=0):
+    base = dt.datetime(2024, 1, 1)
+    rows = [
+        (i, i % 7,
+         base + dt.timedelta(hours=start_hour, minutes=(i * 7) % 180),
+         float(i % 100))
+        for i in range(n)
+    ]
+    return spark.createDataFrame(rows, EVENT_SCHEMA)
+
+
+def test_stream_ingest_foreachbatch(spark, tmp_path):
+    src = str(tmp_path / "src")
+    table = str(tmp_path / "table")
+    ckpt = str(tmp_path / "ckpt")
+    # two source files -> two-ish micro-batches
+    _make_events(spark, 150, 0).coalesce(1).write.mode("append").parquet(src)
+    _make_events(spark, 150, 200).coalesce(1).write.mode("append").parquet(src)
+
+    stream = spark.readStream.schema(EVENT_SCHEMA).option(
+        "maxFilesPerTrigger", 1).parquet(src)
+    q = stream_write_qbeast(stream, table,
+                            columns_to_index=["user_id", "value"],
+                            cube_size=100, checkpoint=ckpt,
+                            trigger_available_now=True)
+    q.awaitTermination(120)
+
+    qt = qss.QbeastTable.for_path(spark, table)
+    got = qt.to_df()
+    expect = spark.read.parquet(src)
+    assert got.count() == 300
+    assert got.exceptAll(expect).count() == 0
+    # multiple commits happened (one per micro-batch)
+    assert qt.snapshot().version >= 1
+    # sampling works on the streamed table
+    assert 0 < qt.sample(0.5).count() < 300
+
+
+def test_windowed_aggregate_matches_batch(spark, tmp_path):
+    src = str(tmp_path / "src")
+    # two micro-batches; the second is far in the future so the watermark
+    # closes (and append-mode emits) the first batch's windows
+    _make_events(spark, 240).coalesce(1).write.mode("append").parquet(src)
+    _make_events(spark, 20, start_hour=500).coalesce(1).write.mode(
+        "append").parquet(src)
+    stream = spark.readStream.schema(EVENT_SCHEMA).option(
+        "maxFilesPerTrigger", 1).parquet(src)
+    agg = windowed_aggregate(stream, "ts", window="1 hour",
+                             watermark="2 hours", group_cols=["user_id"],
+                             agg_col="value")
+    out = str(tmp_path / "out")
+    q = (agg.writeStream.format("parquet")
+         .option("checkpointLocation", str(tmp_path / "ck2"))
+         .option("path", out)
+         .outputMode("append")
+         .trigger(availableNow=True).start())
+    q.awaitTermination(120)
+    got = spark.read.parquet(out)
+    batch = (
+        spark.read.parquet(src)
+        .groupBy(F.window("ts", "1 hour").alias("w"), "user_id")
+        .agg(F.count("*").alias("n"), F.sum("value").alias("sum_value"))
+        .select(F.col("w.start").alias("window_start"), "user_id", "n",
+                "sum_value")
+    )
+    # append mode emits only watermark-closed windows; every emitted row
+    # must match the batch computation exactly
+    assert got.count() > 0
+    emitted = got.select("window_start", "user_id", "n", "sum_value")
+    expected = batch.select(
+        "window_start", "user_id",
+        F.col("n").alias("n_b"), F.col("sum_value").alias("sum_b"))
+    j = emitted.join(expected, ["window_start", "user_id"], "left")
+    bad = j.where(F.col("n_b").isNull() | (F.col("n") != F.col("n_b"))
+                  | (F.abs(F.col("sum_value") - F.col("sum_b")) > 1e-6))
+    assert bad.count() == 0
+
+
+def test_stateful_running_totals(spark, tmp_path):
+    src = str(tmp_path / "src")
+    _make_events(spark, 100).coalesce(1).write.parquet(src)
+    stream = spark.readStream.schema(EVENT_SCHEMA).parquet(src)
+    totals = stateful_running_totals(stream, "user_id", "value")
+    out_rows = []
+
+    def collect_batch(df, _bid):
+        out_rows.extend(df.collect())
+
+    q = (totals.writeStream.foreachBatch(collect_batch)
+         .option("checkpointLocation", str(tmp_path / "ck3"))
+         .outputMode("update").trigger(availableNow=True).start())
+    q.awaitTermination(120)
+    got = {r["user_id"]: (r["n_events"], r["total"]) for r in out_rows}
+    expect = {
+        r["user_id"]: (r["n"], r["s"])
+        for r in spark.read.parquet(src).groupBy("user_id")
+        .agg(F.count("*").alias("n"), F.sum("value").alias("s")).collect()
+    }
+    assert set(got) == set(expect)
+    for k in expect:
+        assert got[k][0] == expect[k][0]
+        assert abs(got[k][1] - expect[k][1]) < 1e-6
