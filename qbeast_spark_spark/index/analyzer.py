@@ -112,8 +112,13 @@ def estimate_cube_domains(prepared_df, revision: Revision, num_elements: int,
         if res is not None:
             yield res
 
+    from ..functions.partitioning import spread
+
+    # spread the NARROW projection (weight + dims doubles) so the sketch
+    # parallelizes even from a single input split; cheap relative to the
+    # full-row width, and a no-op when the input is already well-split.
     sketch_df = (
-        prepared_df.select([WEIGHT_COL] + norm_cols)
+        spread(prepared_df.select([WEIGHT_COL] + norm_cols))
         .mapInArrow(sketch, out_schema)
         .groupBy("depth", "path")
         .agg(F.sum("domain").alias("domain"))

@@ -106,6 +106,18 @@ class LevelMap:
         return LevelMap(levels)
 
 
+def _level_bits(points: np.ndarray, rows: np.ndarray, level: int,
+                dims: int) -> np.ndarray:
+    """Child index at ``level`` for the given row subset — computed lazily
+    so work is O(sum of active rows per level), not O(rows * max_depth)."""
+    pts = np.clip(points[rows], 0.0, _ONE_MINUS_EPS)
+    scale = 2.0 ** (level + 1)
+    idx = np.zeros(len(rows), dtype=np.int64)
+    for i in range(dims):
+        idx |= ((pts[:, i] * scale).astype(np.int64) & 1) << i
+    return idx
+
+
 def assign_cubes(points: np.ndarray, weights: np.ndarray, level_map: LevelMap,
                  dims: int) -> Tuple[np.ndarray, np.ndarray, np.ndarray]:
     """Point-weight indexing (PointWeightIndexer.scala:35-44 semantics):
@@ -114,24 +126,25 @@ def assign_cubes(points: np.ndarray, weights: np.ndarray, level_map: LevelMap,
     estimated tree (new deeper cube; its file comes from the deepest known
     ancestor's rollup group).
 
-    Returns (depth, path, file_id) per row.
+    Returns (depth, path, file_id) per row. Bits are computed lazily per
+    level over the shrinking active set (most rows settle in the first few
+    levels, so the deep-tree worst case never materializes).
     """
     n = len(weights)
     max_depth = level_map.max_depth
-    child_idx = child_index_matrix(points, max_depth)
-    prefixes = packed_prefixes(child_idx, dims)
 
     out_depth = np.zeros(n, dtype=np.int64)
     out_path = np.zeros(n, dtype=np.int64)
     out_file = np.zeros(n, dtype=np.int64)
     carry_file = np.zeros(n, dtype=np.int64)
+    path = np.zeros(n, dtype=np.int64)  # prefix of the containing cube
 
     active = np.arange(n)
     for depth in range(max_depth + 1):
         if len(active) == 0:
             break
         paths_l, ws_l, fs_l = level_map.levels[depth]
-        keys = prefixes[active, depth]
+        keys = path[active]
         if len(paths_l):
             pos = np.searchsorted(paths_l, keys)
             pos_c = np.minimum(pos, len(paths_l) - 1)
@@ -148,9 +161,12 @@ def assign_cubes(points: np.ndarray, weights: np.ndarray, level_map: LevelMap,
         done = missing | fits | (depth == max_depth)
         done_rows = active[done]
         out_depth[done_rows] = depth
-        out_path[done_rows] = prefixes[done_rows, depth]
+        out_path[done_rows] = path[done_rows]
         out_file[done_rows] = carry_file[done_rows]
         active = active[~done]
+        if len(active) and depth < max_depth:
+            idx = _level_bits(points, active, depth, dims)
+            path[active] |= idx << (dims * depth)
     return out_depth, out_path, out_file
 
 
@@ -170,16 +186,17 @@ def simulate_domains(points: np.ndarray, weights: np.ndarray,
     if n == 0:
         return []
     order = np.argsort(weights, kind="stable")
-    child_idx = child_index_matrix(points[order], max_depth)
-    prefixes = packed_prefixes(child_idx, dims)
+    sorted_pts = points[order]
 
     out: List[Tuple[int, int, int]] = []
-    # active rows at current level, kept in weight order
+    # active rows at current level, kept in weight order; path = prefix of
+    # the containing cube at the current depth (bits computed lazily)
     active = np.arange(n)
+    path = np.zeros(n, dtype=np.int64)
     for depth in range(max_depth + 1):
         if len(active) == 0:
             break
-        keys = prefixes[active, depth]
+        keys = path[active]
         uniq, counts = np.unique(keys, return_counts=True)
         out.extend(
             (depth, int(k), int(c)) for k, c in zip(uniq.tolist(), counts.tolist())
@@ -191,7 +208,6 @@ def simulate_domains(points: np.ndarray, weights: np.ndarray,
         # stable sort by key gives per-cube weight-ordered groups.
         sort_by_key = np.argsort(keys, kind="stable")
         sorted_keys = keys[sort_by_key]
-        group_start = np.zeros(len(sorted_keys), dtype=np.int64)
         new_group = np.flatnonzero(sorted_keys[1:] != sorted_keys[:-1]) + 1
         starts = np.concatenate(([0], new_group))
         sizes = np.diff(np.concatenate((starts, [len(sorted_keys)])))
@@ -201,4 +217,7 @@ def simulate_domains(points: np.ndarray, weights: np.ndarray,
         # restore weight order for the next level
         overflow_rows.sort()
         active = overflow_rows
+        if len(active):
+            idx = _level_bits(sorted_pts, active, depth, dims)
+            path[active] |= idx << (dims * depth)
     return out

@@ -38,18 +38,37 @@ LSH_BAND_ROWS = 3
 SIMHASH_BITS = 16
 
 
-def _shingle_expr(n: int):
-    """Array column of n-word shingles from `text` (empty when too short)."""
+def _shingle_expr(n: int, toks_col: str = "_toks"):
+    """Array column of n-word shingles from a pre-tokenized array column.
+
+    Two deliberate shapes for throughput:
+    - the tokens MUST be a materialized column reference, not the regex
+      expression itself: a multiply-referenced non-trivial expression inside
+      a higher-order lambda re-evaluates per array element (interpreted, no
+      codegen), turning tokenization O(tokens) into O(tokens^2) regex calls;
+    - shingles build from zip_with over shifted arrays (one pass) instead of
+      per-element slice (O(tokens) copy per shingle).
+
+    Positions lacking a full n-gram (zip_with null padding) drop via the
+    final isNotNull guard + array_compact; concat_ws's null-skipping can
+    corrupt only those dropped positions.
+    """
     from pyspark.sql import functions as F
 
-    toks = F.regexp_extract_all(F.lower(F.col("text")), F.lit(TOKEN_RE), 0)
-    return F.when(
-        F.size(toks) >= n,
-        F.transform(
-            F.sequence(F.lit(0), F.size(toks) - n),
-            lambda i: F.concat_ws(" ", F.slice(toks, i + 1, n)),
-        ),
-    ).otherwise(F.array().cast("array<string>"))
+    toks = F.col(toks_col)
+    acc = toks
+    for k in range(2, n + 1):
+        shifted = F.slice(toks, k,
+                          F.greatest(F.size(toks) - (k - 1), F.lit(0)))
+        if k < n:
+            acc = F.zip_with(acc, shifted,
+                             lambda x, y: F.concat_ws(" ", x, y))
+        else:
+            acc = F.zip_with(
+                acc, shifted,
+                lambda x, y: F.when(y.isNotNull(),
+                                    F.concat_ws(" ", x, y)))
+    return F.array_compact(acc)
 
 
 def dedup_exact(df, keys: List[str], id_col: str):
@@ -64,9 +83,15 @@ def shingles(docs, n: int = 3, id_col: str = "doc_id"):
     """(id, shingle) pairs, distinct per document."""
     from pyspark.sql import functions as F
 
-    return (docs.select(F.col(id_col),
-                        F.explode(F.array_distinct(_shingle_expr(n)))
-                        .alias("shingle")))
+    from ..functions.partitioning import spread
+
+    tokenized = spread(docs).select(
+        F.col(id_col),
+        F.regexp_extract_all(F.lower(F.col("text")), F.lit(TOKEN_RE), 0)
+        .alias("_toks"))
+    return tokenized.select(
+        F.col(id_col),
+        F.explode(F.array_distinct(_shingle_expr(n))).alias("shingle"))
 
 
 def jaccard_pairs(docs, n: int = 3, threshold: float = 0.5,
@@ -75,11 +100,13 @@ def jaccard_pairs(docs, n: int = 3, threshold: float = 0.5,
 
     Shuffle-aware shape: explode -> self-equi-join on the shingle (well
     distributed, no cross product) -> pair-count aggregation -> broadcast
-    join against the tiny per-doc size table.
+    join against the tiny per-doc size table. Deliberately NOT cached: the
+    exploded shingle table is ~n x tokens rows (memory-hostile at scale) and
+    recomputing the cheap tokenize+explode twice beats materializing it.
     """
     from pyspark.sql import functions as F
 
-    sh = shingles(docs, n, id_col).cache()
+    sh = shingles(docs, n, id_col)
     sizes = sh.groupBy(id_col).agg(F.count("*").alias("sz"))
     a = sh.alias("a")
     b = sh.alias("b")
@@ -158,10 +185,12 @@ def simhash(docs, id_col: str = "doc_id"):
     token-hash's k-th bit. Near-dup distance = hamming distance."""
     from pyspark.sql import functions as F
 
+    from ..functions.partitioning import spread
+
     toks = F.explode(
         F.regexp_extract_all(F.lower(F.col("text")), F.lit(TOKEN_RE), 0)
     ).alias("tok")
-    tok_df = docs.select(F.col(id_col), toks)
+    tok_df = spread(docs).select(F.col(id_col), toks)
     h = F.conv(F.substring(F.md5(F.col("tok")), 1, 8), 16, 10).cast("long")
     bit_sums = [
         F.sum(F.when(((h.bitwiseAND(F.lit(1 << k))) > 0), 1).otherwise(-1))

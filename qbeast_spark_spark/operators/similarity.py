@@ -51,7 +51,9 @@ def cosine_topk(vectors, queries, k: int = 5, vec_col: str = "embedding",
     from pyspark.sql import Window
     from pyspark.sql import functions as F
 
-    joined = vectors.crossJoin(F.broadcast(queries))
+    from ..functions.partitioning import spread
+
+    joined = spread(vectors).crossJoin(F.broadcast(queries))
     cos = cosine_col(_as_double(vec_col), _as_double(q_vec_col))
     w = Window.partitionBy(q_id_col).orderBy(
         F.col("cos").desc(), F.col(id_col).asc())
@@ -68,6 +70,9 @@ def cosine_pairs(vectors, threshold: float, vec_col: str = "embedding",
     """Exact embedding near-dup pairs (cos >= threshold), id1 < id2."""
     from pyspark.sql import functions as F
 
+    from ..functions.partitioning import spread
+
+    vectors = spread(vectors)
     a = vectors.select(F.col(id_col).alias("id1"),
                        _as_double(vec_col).alias("va"))
     b = vectors.select(F.col(id_col).alias("id2"),
@@ -93,8 +98,10 @@ def ivf_topk(vectors, queries, centroids, k: int = 5,
     from pyspark.sql import Window
     from pyspark.sql import functions as F
 
+    from ..functions.partitioning import spread
+
     def assign(df, idc, vc):
-        joined = df.crossJoin(F.broadcast(centroids))
+        joined = spread(df).crossJoin(F.broadcast(centroids))
         cos = cosine_col(_as_double(vc), _as_double(c_vec_col))
         w = Window.partitionBy(idc).orderBy(
             F.col("_ccos").desc(), F.col(c_id_col).asc())

@@ -27,12 +27,30 @@ def tokens_col(text_col: str = "text"):
     return F.regexp_extract_all(F.lower(F.col(text_col)), F.lit(TOKEN_RE), 0)
 
 
+def _tokenized(docs, id_col: str, text_col: str, extra_cols=()):
+    """Materialize the token array in its own projection — a multiply-used
+    regex expression must not be inlined into downstream lambdas (it would
+    re-evaluate per array element; see dedup._shingle_expr)."""
+    from pyspark.sql import functions as F
+
+    from ..functions.partitioning import spread
+
+    return spread(docs).select(
+        F.col(id_col), *[F.col(c) for c in extra_cols],
+        tokens_col(text_col).alias("_toks"))
+
+
 def text_stats(docs, id_col: str = "doc_id", text_col: str = "text"):
     """Quality-scoring features per document: token counts, average token
     length, stopword ratio, alpha ratio."""
     from pyspark.sql import functions as F
 
-    toks = tokens_col(text_col)
+    from ..functions.partitioning import spread
+
+    docs = spread(docs).select(
+        F.col(id_col), F.length(F.col(text_col)).alias("_n_chars"),
+        tokens_col(text_col).alias("_toks"))
+    toks = F.col("_toks")
     stop_arr = F.array(*[F.lit(s) for s in STOPWORDS_EN])
     n_toks = F.size(toks)
     total_len = F.aggregate(
@@ -40,7 +58,7 @@ def text_stats(docs, id_col: str = "doc_id", text_col: str = "text"):
     n_stop = F.size(F.filter(toks, lambda t: F.array_contains(stop_arr, t)))
     return docs.select(
         F.col(id_col),
-        F.length(F.col(text_col)).alias("n_chars_measured"),
+        F.col("_n_chars").alias("n_chars_measured"),
         n_toks.alias("n_tokens"),
         F.round(total_len.cast("double") /
                 F.greatest(n_toks, F.lit(1)), 4).alias("avg_token_len"),
@@ -54,12 +72,13 @@ def language_guess(docs, id_col: str = "doc_id", text_col: str = "text",
     """n-gram/stopword language-ID heuristic: English stopword density."""
     from pyspark.sql import functions as F
 
-    toks = tokens_col(text_col)
+    tokenized = _tokenized(docs, id_col, text_col)
+    toks = F.col("_toks")
     stop_arr = F.array(*[F.lit(s) for s in STOPWORDS_EN])
     n_toks = F.greatest(F.size(toks), F.lit(1))
     n_stop = F.size(F.filter(toks, lambda t: F.array_contains(stop_arr, t)))
     ratio = n_stop.cast("double") / n_toks
-    return docs.select(
+    return tokenized.select(
         F.col(id_col),
         F.round(ratio, 4).alias("en_score"),
         F.when(ratio >= threshold, F.lit("en")).otherwise(F.lit("unk"))

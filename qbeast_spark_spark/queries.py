@@ -86,11 +86,16 @@ def _indexed_lineitem(spark, sf_dir: str) -> str:
     tag = key.strip("/").replace("/", "_")
     path = _QB_CACHE.get(key) or f"/tmp/qss_tables/{tag}/lineitem"
     if not CommitLog(path).exists():
+        import pyarrow.parquet as pq
+
         shutil.rmtree(path, ignore_errors=True)
         li = _t(spark, sf_dir, "lineitem")
+        # row count from the parquet footer — no Spark job needed
+        n_rows = pq.ParquetFile(
+            os.path.join(sf_dir, "lineitem.parquet")).metadata.num_rows
         write_qbeast(li, path,
                      columns_to_index=["l_orderkey", "l_extendedprice"],
-                     cube_size=max(1000, li.count() // 64))
+                     cube_size=max(1000, n_rows // 64))
     _QB_CACHE[key] = path
     return path
 
