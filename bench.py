@@ -25,8 +25,9 @@ CPUS = os.environ.get("SPARK_GRAFT_CPUS", "32")
 BENCH_QUERIES = [
     "qb_roundtrip", "qb_sample", "qb_range_read",
     "q1_pricing_summary", "q3_shipping_priority", "q5_local_supplier",
-    "q6_forecast_revenue", "q_top_orders_per_customer", "q_running_total",
-    "q_asof_join", "q_sessionize", "q_tumbling_window",
+    "q6_forecast_revenue", "q7_volume_shipping", "q18_large_volume",
+    "q_top_orders_per_customer", "q_running_total", "q_lag_lead",
+    "q_asof_join", "q_sessionize", "q_tumbling_window", "q_sliding_window",
     "dedup_ngram_jaccard", "dedup_lsh_pairs", "dedup_simhash",
     "text_stats", "text_fingerprint", "sim_cosine_topk", "sim_ivf_topk",
     "mm_binary_metadata",

@@ -43,31 +43,7 @@ from .operators.text import (
 __all__ = ["QUERIES", "spark_queries", "oracle_queries", "flagship"]
 
 
-def _t(spark, sf_dir: str, name: str):
-    return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
-
-
-def _events(spark, sf_dir: str):
-    """events.parquet stores TIMESTAMP(NANOS) which Spark rejects by
-    default; read via the legacy nanos-as-long conf and expose ``ts_us``
-    (epoch microseconds, = DuckDB's microsecond truncation). All events
-    queries work in integer microsecond space — timezone-proof under any
-    driver session tz."""
-    from pyspark.sql import functions as F
-
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    ev = spark.read.parquet(os.path.join(sf_dir, "events.parquet"))
-    if dict(ev.dtypes).get("ts") == "bigint":
-        ev = ev.withColumn("ts_us", F.expr("ts div 1000"))
-    else:
-        ev = ev.withColumn("ts_us", F.unix_micros(F.col("ts").cast("timestamp")))
-    return ev
-
-
-def _cents(col):
-    from pyspark.sql import functions as F
-
-    return F.round(col * 100, 0).cast("long")
+from .queries_common import _cents, _events, _t  # noqa: E402
 
 
 # ---------------------------------------------------------------------------
@@ -882,6 +858,17 @@ QUERIES: Dict[str, Tuple[Callable, Optional[str]]] = {
     "mm_binary_metadata": (mm_metadata, MM_META_SQL),
     "mm_decode_stub": (mm_decode, None),
 }
+
+
+def _merge_ext() -> None:
+    """Fold in the extended relational/analytic surface (queries_ext.py);
+    deferred import because queries_ext imports helpers from this module."""
+    from .queries_ext import EXT_QUERIES
+
+    QUERIES.update(EXT_QUERIES)
+
+
+_merge_ext()
 
 
 def spark_queries() -> Dict[str, Callable]:

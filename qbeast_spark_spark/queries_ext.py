@@ -1,0 +1,561 @@
+"""Extended relational surface: TPC-H-shaped queries adapted to the reduced
+testdata schema (no partsupp/commitdate/shipmode/phone/container columns) plus
+analytic operators (lag/lead, ntile, grouping sets, pivot, exact percentiles,
+sliding windows).
+
+These exercise the operator families the reference DELEGATES to Spark
+(SURVEY.md §2.2 — evidence: reads materialize as HadoopFsRelation +
+ParquetFileFormat, QbeastBaseRelation.scala:74-83, so joins/aggs/windows are
+vanilla Catalyst): semi-join with non-equi condition (q4), multi-way join with
+disjunctive nation pairing (q7), conditional-ratio aggregation (q8, q14),
+top-k over join (q10), left-join count distribution (q13), correlated-style
+avg threshold via self-agg join (q17), HAVING-subquery (q18), disjunction of
+conjunctions with pushdown (q19), anti-pattern "inactive customers" (q22).
+
+Same compare conventions as queries.py: money -> per-row cents trick;
+ratios -> ROUND(...,4); identical aliases both sides.
+"""
+
+from __future__ import annotations
+
+from typing import Callable, Dict, Optional, Tuple
+
+from .queries_common import _cents, _events, _t
+
+__all__ = ["EXT_QUERIES"]
+
+US_HOUR = 3_600_000_000
+
+
+# ---------------------------------------------------------------------------
+# TPC-H adaptations
+# ---------------------------------------------------------------------------
+
+def q4_order_priority(spark, sf_dir):
+    """Semi-join with a non-equi condition (EXISTS rewrite)."""
+    from pyspark.sql import functions as F
+
+    o = _t(spark, sf_dir, "orders").where(
+        (F.col("o_orderdate") >= F.lit("1997-01-01").cast("timestamp_ntz"))
+        & (F.col("o_orderdate") < F.lit("1997-07-01").cast("timestamp_ntz")))
+    li = _t(spark, sf_dir, "lineitem")
+    cond = (li.l_orderkey == o.o_orderkey) & (
+        li.l_shipdate > o.o_orderdate + F.expr("INTERVAL 30 DAY"))
+    return (o.join(li, cond, "left_semi")
+            .groupBy("o_orderpriority")
+            .agg(F.count("*").alias("order_count")))
+
+
+Q4_SQL = """
+SELECT o_orderpriority, COUNT(*) AS order_count
+FROM orders
+WHERE o_orderdate >= TIMESTAMP '1997-01-01'
+  AND o_orderdate <  TIMESTAMP '1997-07-01'
+  AND EXISTS (SELECT 1 FROM lineitem
+              WHERE l_orderkey = o_orderkey
+                AND l_shipdate > o_orderdate + INTERVAL 30 DAY)
+GROUP BY o_orderpriority
+"""
+
+
+def q7_volume_shipping(spark, sf_dir):
+    """Two-nation trade flow: 4-way join, disjunctive pair filter, year agg."""
+    from pyspark.sql import functions as F
+
+    li = _t(spark, sf_dir, "lineitem").where(
+        (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp_ntz"))
+        & (F.col("l_shipdate") < F.lit("1998-01-01").cast("timestamp_ntz")))
+    s = _t(spark, sf_dir, "supplier")
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    n1 = _t(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("s_nkey"), F.col("n_name").alias("supp_nation"))
+    n2 = _t(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("c_nkey"), F.col("n_name").alias("cust_nation"))
+    pair = (((F.col("supp_nation") == "NATION_1") & (F.col("cust_nation") == "NATION_2"))
+            | ((F.col("supp_nation") == "NATION_2") & (F.col("cust_nation") == "NATION_1")))
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n1), F.col("s_nationkey") == F.col("s_nkey"))
+        .join(F.broadcast(n2), F.col("c_nationkey") == F.col("c_nkey"))
+        .where(pair)
+        .groupBy("supp_nation", "cust_nation",
+                 F.year("l_shipdate").cast("long").alias("l_year"))
+        .agg(F.sum(_cents(F.col("l_extendedprice") * (1 - F.col("l_discount"))))
+             .alias("revenue_cents"))
+    )
+
+
+Q7_SQL = """
+SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+       CAST(YEAR(l_shipdate) AS BIGINT) AS l_year,
+       SUM(CAST(ROUND(l_extendedprice*(1-l_discount)*100, 0) AS BIGINT)) AS revenue_cents
+FROM lineitem
+JOIN orders   ON l_orderkey = o_orderkey
+JOIN supplier ON l_suppkey  = s_suppkey
+JOIN customer ON o_custkey  = c_custkey
+JOIN nation n1 ON s_nationkey = n1.n_nationkey
+JOIN nation n2 ON c_nationkey = n2.n_nationkey
+WHERE l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1998-01-01'
+  AND ((n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2')
+    OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1'))
+GROUP BY 1, 2, 3
+"""
+
+
+def q8_market_share(spark, sf_dir):
+    """Share-of-total conditional aggregation over a 5-way join."""
+    from pyspark.sql import functions as F
+
+    li = _t(spark, sf_dir, "lineitem")
+    p = _t(spark, sf_dir, "part").where(F.col("p_type") == "PROMO")
+    s = _t(spark, sf_dir, "supplier")
+    o = _t(spark, sf_dir, "orders").where(
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp_ntz"))
+        & (F.col("o_orderdate") < F.lit("1998-01-01").cast("timestamp_ntz")))
+    c = _t(spark, sf_dir, "customer")
+    n = _t(spark, sf_dir, "nation")
+    r = _t(spark, sf_dir, "region").where(F.col("r_name") == "EUROPE")
+    vol = _cents(F.col("l_extendedprice") * (1 - F.col("l_discount")))
+    n2 = n.select(F.col("n_nationkey").alias("s_nkey"),
+                  F.col("n_name").alias("supp_nation"))
+    return (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .join(o, li.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+        .join(F.broadcast(n2), F.col("s_nationkey") == F.col("s_nkey"))
+        .groupBy(F.year("o_orderdate").cast("long").alias("o_year"))
+        .agg(F.round(
+            F.sum(F.when(F.col("supp_nation") == "NATION_3", vol).otherwise(0))
+            .cast("double") / F.sum(vol), 4).alias("mkt_share"))
+    )
+
+
+Q8_SQL = """
+SELECT CAST(YEAR(o_orderdate) AS BIGINT) AS o_year,
+       ROUND(CAST(SUM(CASE WHEN n2.n_name = 'NATION_3'
+                  THEN CAST(ROUND(l_extendedprice*(1-l_discount)*100,0) AS BIGINT)
+                  ELSE 0 END) AS DOUBLE)
+             / SUM(CAST(ROUND(l_extendedprice*(1-l_discount)*100,0) AS BIGINT)), 4)
+         AS mkt_share
+FROM lineitem
+JOIN part     ON l_partkey = p_partkey
+JOIN orders   ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN nation n1 ON c_nationkey = n1.n_nationkey
+JOIN region   ON n1.n_regionkey = r_regionkey
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN nation n2 ON s_nationkey = n2.n_nationkey
+WHERE p_type = 'PROMO' AND r_name = 'EUROPE'
+  AND o_orderdate >= TIMESTAMP '1996-01-01' AND o_orderdate < TIMESTAMP '1998-01-01'
+GROUP BY 1
+"""
+
+
+def q10_returned_items(spark, sf_dir):
+    """Top-20 revenue-loss customers from returned items."""
+    from pyspark.sql import functions as F
+
+    li = _t(spark, sf_dir, "lineitem").where(F.col("l_returnflag") == "R")
+    o = _t(spark, sf_dir, "orders").where(
+        (F.col("o_orderdate") >= F.lit("1997-01-01").cast("timestamp_ntz"))
+        & (F.col("o_orderdate") < F.lit("1997-04-01").cast("timestamp_ntz")))
+    c = _t(spark, sf_dir, "customer")
+    n = _t(spark, sf_dir, "nation")
+    rev = _cents(F.col("l_extendedprice") * (1 - F.col("l_discount")))
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .groupBy("c_custkey", "c_name",
+                 _cents(F.col("c_acctbal")).alias("acctbal_cents"), "n_name")
+        .agg(F.sum(rev).alias("revenue_cents"))
+        .orderBy(F.col("revenue_cents").desc(), F.col("c_custkey"))
+        .limit(20)
+    )
+
+
+Q10_SQL = """
+SELECT c_custkey, c_name, CAST(ROUND(c_acctbal*100,0) AS BIGINT) AS acctbal_cents,
+       n_name,
+       SUM(CAST(ROUND(l_extendedprice*(1-l_discount)*100,0) AS BIGINT)) AS revenue_cents
+FROM lineitem
+JOIN orders   ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN nation   ON c_nationkey = n_nationkey
+WHERE l_returnflag = 'R'
+  AND o_orderdate >= TIMESTAMP '1997-01-01' AND o_orderdate < TIMESTAMP '1997-04-01'
+GROUP BY 1, 2, 3, 4
+ORDER BY revenue_cents DESC, c_custkey
+LIMIT 20
+"""
+
+
+def q13_customer_distribution(spark, sf_dir):
+    """Left join + two-level aggregation (order-count distribution)."""
+    from pyspark.sql import functions as F
+
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders").where(
+        F.col("o_orderpriority") != "1-URGENT")
+    per_cust = (
+        c.join(o, c.c_custkey == o.o_custkey, "left")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count")))
+    return (per_cust.groupBy("c_count")
+            .agg(F.count("*").alias("custdist")))
+
+
+Q13_SQL = """
+SELECT c_count, COUNT(*) AS custdist
+FROM (SELECT c_custkey, COUNT(o_orderkey) AS c_count
+      FROM customer LEFT JOIN orders
+        ON c_custkey = o_custkey AND o_orderpriority <> '1-URGENT'
+      GROUP BY c_custkey) t
+GROUP BY c_count
+"""
+
+
+def q14_promo_effect(spark, sf_dir):
+    """Global conditional-ratio aggregate (single row)."""
+    from pyspark.sql import functions as F
+
+    li = _t(spark, sf_dir, "lineitem").where(
+        (F.col("l_shipdate") >= F.lit("1997-03-01").cast("timestamp_ntz"))
+        & (F.col("l_shipdate") < F.lit("1997-04-01").cast("timestamp_ntz")))
+    p = _t(spark, sf_dir, "part")
+    rev = _cents(F.col("l_extendedprice") * (1 - F.col("l_discount")))
+    return (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .agg(F.round(
+            F.lit(100.0)
+            * F.sum(F.when(F.col("p_type") == "PROMO", rev).otherwise(0))
+            .cast("double") / F.sum(rev), 4).alias("promo_revenue_pct"))
+    )
+
+
+Q14_SQL = """
+SELECT ROUND(100.0 * CAST(SUM(CASE WHEN p_type = 'PROMO'
+                 THEN CAST(ROUND(l_extendedprice*(1-l_discount)*100,0) AS BIGINT)
+                 ELSE 0 END) AS DOUBLE)
+             / SUM(CAST(ROUND(l_extendedprice*(1-l_discount)*100,0) AS BIGINT)), 4)
+         AS promo_revenue_pct
+FROM lineitem JOIN part ON l_partkey = p_partkey
+WHERE l_shipdate >= TIMESTAMP '1997-03-01' AND l_shipdate < TIMESTAMP '1997-04-01'
+"""
+
+
+def q17_small_quantity(spark, sf_dir):
+    """Per-part average threshold (correlated-subquery shape) via self-agg
+    broadcast join — no per-row subquery execution at scale."""
+    from pyspark.sql import functions as F
+
+    li = _t(spark, sf_dir, "lineitem")
+    p = _t(spark, sf_dir, "part").where(F.col("p_brand") == "Brand#13")
+    avg_qty = (li.groupBy(F.col("l_partkey").alias("a_partkey"))
+               .agg(F.avg("l_quantity").alias("avg_qty")))
+    return (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .join(avg_qty, li.l_partkey == F.col("a_partkey"))
+        .where(F.col("l_quantity") < 0.5 * F.col("avg_qty"))
+        .agg(F.sum(_cents(F.col("l_extendedprice"))).alias("total_cents"),
+             F.count("*").alias("n_lines"))
+    )
+
+
+Q17_SQL = """
+SELECT SUM(CAST(ROUND(l_extendedprice*100,0) AS BIGINT)) AS total_cents,
+       COUNT(*) AS n_lines
+FROM lineitem
+JOIN part ON l_partkey = p_partkey
+WHERE p_brand = 'Brand#13'
+  AND l_quantity < (SELECT 0.5 * AVG(l2.l_quantity) FROM lineitem l2
+                    WHERE l2.l_partkey = lineitem.l_partkey)
+"""
+
+
+def q18_large_volume(spark, sf_dir):
+    """HAVING-subquery: orders whose total quantity exceeds a threshold."""
+    from pyspark.sql import functions as F
+
+    li = _t(spark, sf_dir, "lineitem")
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    big = (li.groupBy("l_orderkey")
+           .agg(F.sum("l_quantity").alias("sum_qty"))
+           .where(F.col("sum_qty") > 300))
+    return (
+        o.join(big, o.o_orderkey == big.l_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .select("c_custkey", "c_name", "o_orderkey", "o_orderdate",
+                _cents(F.col("o_totalprice")).alias("totalprice_cents"),
+                F.col("sum_qty").cast("double").alias("sum_qty"))
+        .orderBy(F.col("totalprice_cents").desc(), F.col("o_orderkey"))
+        .limit(20)
+    )
+
+
+Q18_SQL = """
+SELECT c_custkey, c_name, o_orderkey, o_orderdate,
+       CAST(ROUND(o_totalprice*100,0) AS BIGINT) AS totalprice_cents,
+       CAST(sum_qty AS DOUBLE) AS sum_qty
+FROM orders
+JOIN (SELECT l_orderkey, SUM(l_quantity) AS sum_qty
+      FROM lineitem GROUP BY l_orderkey HAVING SUM(l_quantity) > 300) big
+  ON o_orderkey = big.l_orderkey
+JOIN customer ON o_custkey = c_custkey
+ORDER BY totalprice_cents DESC, o_orderkey
+LIMIT 20
+"""
+
+
+def q19_disjunctive_revenue(spark, sf_dir):
+    """Disjunction of conjunctive range predicates across a join."""
+    from pyspark.sql import functions as F
+
+    li = _t(spark, sf_dir, "lineitem")
+    p = _t(spark, sf_dir, "part")
+    q = F.col("l_quantity")
+    cond = (
+        ((F.col("p_brand") == "Brand#12") & (F.col("p_size").between(1, 5))
+         & q.between(1, 11))
+        | ((F.col("p_brand") == "Brand#23") & (F.col("p_size").between(1, 10))
+           & q.between(10, 20))
+        | ((F.col("p_brand") == "Brand#34") & (F.col("p_size").between(1, 15))
+           & q.between(20, 30)))
+    rev = _cents(F.col("l_extendedprice") * (1 - F.col("l_discount")))
+    return (li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+            .where(cond)
+            .agg(F.sum(rev).alias("revenue_cents"),
+                 F.count("*").alias("n_lines")))
+
+
+Q19_SQL = """
+SELECT SUM(CAST(ROUND(l_extendedprice*(1-l_discount)*100,0) AS BIGINT)) AS revenue_cents,
+       COUNT(*) AS n_lines
+FROM lineitem JOIN part ON l_partkey = p_partkey
+WHERE (p_brand = 'Brand#12' AND p_size BETWEEN 1 AND 5  AND l_quantity BETWEEN 1  AND 11)
+   OR (p_brand = 'Brand#23' AND p_size BETWEEN 1 AND 10 AND l_quantity BETWEEN 10 AND 20)
+   OR (p_brand = 'Brand#34' AND p_size BETWEEN 1 AND 15 AND l_quantity BETWEEN 20 AND 30)
+"""
+
+
+def q22_inactive_rich(spark, sf_dir):
+    """Scalar-subquery threshold + anti-join (every synthetic customer has
+    orders, so "no orders at all" is vacuous — adapted to "no orders since
+    2000-01-01")."""
+    from pyspark.sql import functions as F
+
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders")
+    avg_bal = (c.where(F.col("c_acctbal") > 0)
+               .agg(F.avg("c_acctbal").alias("t")).collect()[0]["t"])
+    recent = o.where(
+        F.col("o_orderdate") >= F.lit("2000-01-01").cast("timestamp_ntz"))
+    return (
+        c.where(F.col("c_acctbal") > avg_bal)
+        .join(recent, c.c_custkey == recent.o_custkey, "left_anti")
+        .groupBy("c_mktsegment")
+        .agg(F.count("*").alias("numcust"),
+             F.sum(_cents(F.col("c_acctbal"))).alias("totacctbal_cents"))
+    )
+
+
+Q22_SQL = """
+SELECT c_mktsegment, COUNT(*) AS numcust,
+       SUM(CAST(ROUND(c_acctbal*100,0) AS BIGINT)) AS totacctbal_cents
+FROM customer
+WHERE c_acctbal > (SELECT AVG(c_acctbal) FROM customer WHERE c_acctbal > 0)
+  AND NOT EXISTS (SELECT 1 FROM orders
+                  WHERE o_custkey = c_custkey
+                    AND o_orderdate >= TIMESTAMP '2000-01-01')
+GROUP BY c_mktsegment
+"""
+
+
+# ---------------------------------------------------------------------------
+# Analytic operators
+# ---------------------------------------------------------------------------
+
+def q_lag_lead(spark, sf_dir):
+    """lag/lead over per-customer order history (re-order gap analysis)."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    o = _t(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    d = F.col("o_orderdate").cast("date")
+    # day arithmetic on DATE, not epoch micros: timezone/DST-proof
+    return (o.select(
+        "o_custkey", "o_orderkey",
+        F.datediff(d, F.lag(d).over(w)).cast("long").alias("gap_days"),
+        F.lead("o_orderpriority").over(w).alias("next_priority"))
+    )
+
+
+Q_LAGLEAD_SQL = """
+SELECT o_custkey, o_orderkey,
+       CAST(date_diff('day', LAG(CAST(o_orderdate AS DATE)) OVER w,
+                      CAST(o_orderdate AS DATE)) AS BIGINT) AS gap_days,
+       LEAD(o_orderpriority) OVER w AS next_priority
+FROM orders
+WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+"""
+
+
+def q_ntile_quartiles(spark, sf_dir):
+    """ntile bucketing over a global order (price quartiles)."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    o = _t(spark, sf_dir, "orders")
+    w = Window.orderBy("o_totalprice", "o_orderkey")
+    return (o.select(F.ntile(4).over(w).alias("quartile"),
+                     F.col("o_totalprice"))
+            .groupBy("quartile")
+            .agg(F.count("*").alias("n"),
+                 F.sum(_cents(F.col("o_totalprice"))).alias("sum_cents"),
+                 _cents(F.min("o_totalprice")).alias("min_cents"),
+                 _cents(F.max("o_totalprice")).alias("max_cents")))
+
+
+Q_NTILE_SQL = """
+SELECT quartile, COUNT(*) AS n,
+       SUM(CAST(ROUND(o_totalprice*100,0) AS BIGINT)) AS sum_cents,
+       CAST(ROUND(MIN(o_totalprice)*100,0) AS BIGINT) AS min_cents,
+       CAST(ROUND(MAX(o_totalprice)*100,0) AS BIGINT) AS max_cents
+FROM (SELECT o_totalprice,
+             NTILE(4) OVER (ORDER BY o_totalprice, o_orderkey) AS quartile
+      FROM orders) t
+GROUP BY quartile
+"""
+
+
+def q_grouping_sets(spark, sf_dir):
+    """GROUPING SETS through the SQL surface (Catalyst Expand operator)."""
+    li = _t(spark, sf_dir, "lineitem")
+    li.createOrReplaceTempView("_qss_lineitem")
+    return spark.sql("""
+        SELECT COALESCE(l_returnflag, 'ALL') AS returnflag,
+               COALESCE(l_linestatus, 'ALL') AS linestatus,
+               CAST(GROUPING(l_returnflag) * 2 + GROUPING(l_linestatus) AS BIGINT)
+                 AS grouping_lvl,
+               SUM(CAST(l_quantity AS BIGINT)) AS sum_qty,
+               COUNT(*) AS n
+        FROM _qss_lineitem
+        GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), (l_returnflag), ())
+    """)
+
+
+Q_GSETS_SQL = """
+SELECT COALESCE(l_returnflag, 'ALL') AS returnflag,
+       COALESCE(l_linestatus, 'ALL') AS linestatus,
+       CAST(GROUPING(l_returnflag) * 2 + GROUPING(l_linestatus) AS BIGINT)
+         AS grouping_lvl,
+       SUM(CAST(l_quantity AS BIGINT)) AS sum_qty,
+       COUNT(*) AS n
+FROM lineitem
+GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), (l_returnflag), ())
+"""
+
+
+def q_pivot(spark, sf_dir):
+    """Pivot (explicit value list keeps the plan a single pass, no distinct
+    pre-scan) — event counts per type by user bucket."""
+    from pyspark.sql import functions as F
+
+    ev = _events(spark, sf_dir)
+    types = ["click", "view", "purchase", "signup", "error"]
+    return (ev.withColumn("user_bucket", F.col("user_id") % 10)
+            .groupBy("user_bucket")
+            .pivot("event_type", types)
+            .agg(F.count(F.lit(1)))
+            .select(F.col("user_bucket").cast("long").alias("user_bucket"),
+                    *[F.coalesce(F.col(t), F.lit(0)).cast("long")
+                      .alias(f"n_{t}") for t in types]))
+
+
+Q_PIVOT_SQL = """
+SELECT CAST(user_id % 10 AS BIGINT) AS user_bucket,
+       COUNT(*) FILTER (WHERE event_type = 'click')    AS n_click,
+       COUNT(*) FILTER (WHERE event_type = 'view')     AS n_view,
+       COUNT(*) FILTER (WHERE event_type = 'purchase') AS n_purchase,
+       COUNT(*) FILTER (WHERE event_type = 'signup')   AS n_signup,
+       COUNT(*) FILTER (WHERE event_type = 'error')    AS n_error
+FROM events
+GROUP BY 1
+"""
+
+
+def q_percentiles(spark, sf_dir):
+    """Exact interpolated percentiles per group (Spark `percentile` ==
+    DuckDB `quantile_cont`, both Type-7/linear interpolation)."""
+    from pyspark.sql import functions as F
+
+    o = _t(spark, sf_dir, "orders")
+    pct = lambda p: F.round(F.expr(
+        f"percentile(o_totalprice, {p})"), 2)
+    return (o.groupBy("o_orderpriority")
+            .agg(pct(0.5).alias("p50"), pct(0.9).alias("p90"),
+                 pct(0.99).alias("p99")))
+
+
+Q_PCTL_SQL = """
+SELECT o_orderpriority,
+       ROUND(quantile_cont(o_totalprice, 0.5), 2)  AS p50,
+       ROUND(quantile_cont(o_totalprice, 0.9), 2)  AS p90,
+       ROUND(quantile_cont(o_totalprice, 0.99), 2) AS p99
+FROM orders GROUP BY o_orderpriority
+"""
+
+
+def q_sliding_window(spark, sf_dir):
+    """Hopping window (size 2h, slide 1h): each event lands in exactly two
+    windows — generated by explode, no self-join. Batch twin of Structured
+    Streaming's F.window(..., '2 hours', '1 hour')."""
+    from pyspark.sql import functions as F
+
+    ev = _events(spark, sf_dir)
+    base = F.col("ts_us") - (F.col("ts_us") % F.lit(US_HOUR))
+    starts = F.array(base - F.lit(US_HOUR), base)
+    return (ev.select(F.explode(starts).alias("win_start_us"),
+                      "event_type", "value")
+            .groupBy("win_start_us", "event_type")
+            .agg(F.count("*").alias("n"),
+                 F.sum(_cents(F.col("value"))).alias("value_cents")))
+
+
+Q_SLIDING_SQL = """
+SELECT win_start_us, event_type, COUNT(*) AS n,
+       SUM(CAST(ROUND(value*100,0) AS BIGINT)) AS value_cents
+FROM (SELECT unnest([epoch_us(ts) - (epoch_us(ts) % 3600000000) - 3600000000,
+                     epoch_us(ts) - (epoch_us(ts) % 3600000000)]) AS win_start_us,
+             event_type, value
+      FROM events) t
+GROUP BY 1, 2
+"""
+
+
+EXT_QUERIES: Dict[str, Tuple[Callable, Optional[str]]] = {
+    "q4_order_priority": (q4_order_priority, Q4_SQL),
+    "q7_volume_shipping": (q7_volume_shipping, Q7_SQL),
+    "q8_market_share": (q8_market_share, Q8_SQL),
+    "q10_returned_items": (q10_returned_items, Q10_SQL),
+    "q13_customer_distribution": (q13_customer_distribution, Q13_SQL),
+    "q14_promo_effect": (q14_promo_effect, Q14_SQL),
+    "q17_small_quantity": (q17_small_quantity, Q17_SQL),
+    "q18_large_volume": (q18_large_volume, Q18_SQL),
+    "q19_disjunctive_revenue": (q19_disjunctive_revenue, Q19_SQL),
+    "q22_inactive_rich": (q22_inactive_rich, Q22_SQL),
+    "q_lag_lead": (q_lag_lead, Q_LAGLEAD_SQL),
+    "q_ntile_quartiles": (q_ntile_quartiles, Q_NTILE_SQL),
+    "q_grouping_sets": (q_grouping_sets, Q_GSETS_SQL),
+    "q_pivot": (q_pivot, Q_PIVOT_SQL),
+    "q_percentiles": (q_percentiles, Q_PCTL_SQL),
+    "q_sliding_window": (q_sliding_window, Q_SLIDING_SQL),
+}
