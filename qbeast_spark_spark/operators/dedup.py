@@ -128,22 +128,24 @@ def jaccard_pairs(docs, n: int = 3, threshold: float = 0.5,
     )
 
 
-def _minhash_cols(n: int):
-    """The MinHash aggregate columns over exploded shingles: md5-derived
-    32-bit integer hash, permuted by the fixed (a,b) params."""
+def minhash_signatures(docs, n: int = 3, id_col: str = "doc_id"):
+    """doc -> 12 MinHash values (one groupBy over exploded shingles).
+
+    The md5-derived base hash is materialized as its own projected column
+    BEFORE the aggregation: each of the 12 min() aggregates references the
+    cheap `_h` slot instead of embedding (and re-evaluating) the md5 chain
+    per aggregate."""
     from pyspark.sql import functions as F
 
-    h = F.conv(F.substring(F.md5(F.col("shingle")), 1, 8), 16, 10).cast("long")
-    return [
+    sh = shingles(docs, n, id_col).withColumn(
+        "_h",
+        F.conv(F.substring(F.md5(F.col("shingle")), 1, 8), 16, 10)
+        .cast("long"))
+    h = F.col("_h")
+    aggs = [
         F.min((h * F.lit(a) + F.lit(b)) % F.lit(MINHASH_PRIME)).alias(f"mh{j}")
         for j, (a, b) in enumerate(MINHASH_PERMS)
-    ], h
-
-
-def minhash_signatures(docs, n: int = 3, id_col: str = "doc_id"):
-    """doc -> 12 MinHash values (one groupBy over exploded shingles)."""
-    sh = shingles(docs, n, id_col)
-    aggs, _ = _minhash_cols(n)
+    ]
     return sh.groupBy(id_col).agg(*aggs)
 
 
@@ -155,18 +157,22 @@ def lsh_candidate_pairs(docs, n: int = 3, id_col: str = "doc_id"):
 
     sigs = minhash_signatures(docs, n, id_col)
     n_bands = len(MINHASH_PERMS) // LSH_BAND_ROWS
-    bands = []
-    for b in range(n_bands):
-        cols = [f"mh{b * LSH_BAND_ROWS + r}" for r in range(LSH_BAND_ROWS)]
-        bands.append(
-            sigs.select(
-                F.col(id_col),
-                F.lit(b).alias("band"),
-                F.concat_ws("_", *[F.col(c) for c in cols]).alias("band_val"),
-            ))
-    allbands = bands[0]
-    for extra in bands[1:]:
-        allbands = allbands.unionAll(extra)
+    # one explode over an inline struct array, NOT a per-band unionAll: a
+    # union of N selects re-executes the whole shingle+minhash aggregation
+    # once per band per join side; the explode computes it once.
+    band_structs = F.array(*[
+        F.struct(
+            F.lit(b).alias("band"),
+            F.concat_ws("_", *[
+                F.col(f"mh{b * LSH_BAND_ROWS + r}")
+                for r in range(LSH_BAND_ROWS)
+            ]).alias("band_val"))
+        for b in range(n_bands)
+    ])
+    allbands = (sigs.select(F.col(id_col),
+                            F.explode(band_structs).alias("bs"))
+                .select(F.col(id_col), F.col("bs.band").alias("band"),
+                        F.col("bs.band_val").alias("band_val")))
     a = allbands.alias("a")
     b2 = allbands.alias("b")
     return (

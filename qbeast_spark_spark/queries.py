@@ -192,23 +192,29 @@ LIMIT 10
 
 
 def q5_local_supplier(spark, sf_dir):
+    """Star-join shape for scale: the region filter prunes nation BEFORE
+    any fact-table contact, so the customer join already carries only
+    ASIA customers. Only the bounded dims (region 5 rows, nation 25) get
+    explicit broadcast hints; customer/supplier scale with SF, so their
+    join strategy is left to AQE's runtime size estimates."""
     from pyspark.sql import functions as F
 
-    r = _t(spark, sf_dir, "region")
+    r = _t(spark, sf_dir, "region").where(F.col("r_name") == "ASIA")
     n = _t(spark, sf_dir, "nation")
     c = _t(spark, sf_dir, "customer")
     s = _t(spark, sf_dir, "supplier")
     o = _t(spark, sf_dir, "orders")
     li = _t(spark, sf_dir, "lineitem")
+    asian = (n.join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+             .select("n_nationkey", "n_name"))
+    c2 = (c.join(F.broadcast(asian), c.c_nationkey == F.col("n_nationkey"))
+          .select("c_custkey", "c_nationkey", "n_name"))
     rev = _cents(F.col("l_extendedprice") * (1 - F.col("l_discount")))
     return (
         li.join(o, li.l_orderkey == o.o_orderkey)
-        .join(c, o.o_custkey == c.c_custkey)
+        .join(c2, o.o_custkey == c2.c_custkey)
         .join(s, (li.l_suppkey == s.s_suppkey)
-              & (c.c_nationkey == s.s_nationkey))
-        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
-        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
-        .where(F.col("r_name") == "ASIA")
+              & (F.col("c_nationkey") == s.s_nationkey))
         .groupBy("n_name")
         .agg(F.sum(rev).alias("revenue_cents"))
     )
