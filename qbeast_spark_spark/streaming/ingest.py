@@ -8,6 +8,10 @@ the idiomatic bridges:
   table stays consistent under replay: a re-run batch re-appends — pair
   with dedup on a batch id column for exactly-once semantics);
 - ``windowed_aggregate``: watermarked tumbling/sliding window aggregation;
+- ``session_aggregate``: dynamic-gap session windows (F.session_window),
+  the streaming twin of queries.q_sessionize;
+- ``stream_dedup``: exact in-stream deduplication bounded by the
+  watermark (dropDuplicatesWithinWatermark) — state stays finite;
 - ``stateful_running_totals``: custom stateful operator via
   applyInPandasWithState (per-key running count/sum with timeout-free
   state), the pattern for operators Spark lacks natively.
@@ -17,8 +21,8 @@ from __future__ import annotations
 
 from typing import List, Optional, Sequence
 
-__all__ = ["stream_write_qbeast", "windowed_aggregate",
-           "stateful_running_totals"]
+__all__ = ["stream_write_qbeast", "windowed_aggregate", "session_aggregate",
+           "stream_dedup", "stateful_running_totals"]
 
 
 def stream_write_qbeast(stream_df, path: str,
@@ -49,9 +53,38 @@ def stream_write_qbeast(stream_df, path: str,
 def windowed_aggregate(stream_df, ts_col: str, window: str = "1 hour",
                        watermark: str = "2 hours",
                        group_cols: Sequence[str] = (),
-                       agg_col: Optional[str] = None):
-    """Watermarked tumbling-window aggregation: the late-data-tolerant
-    streaming twin of queries.q_tumbling_window."""
+                       agg_col: Optional[str] = None,
+                       slide: Optional[str] = None):
+    """Watermarked tumbling (or, with ``slide``, hopping) window
+    aggregation: the late-data-tolerant streaming twin of
+    queries.q_tumbling_window / q_sliding_window."""
+    from pyspark.sql import functions as F
+
+    aggs = [F.count("*").alias("n")]
+    out_names = ["n"]
+    if agg_col:
+        aggs.append(F.sum(agg_col).alias(f"sum_{agg_col}"))
+        out_names.append(f"sum_{agg_col}")
+    win = (F.window(F.col(ts_col), window, slide) if slide
+           else F.window(F.col(ts_col), window))
+    return (
+        stream_df.withWatermark(ts_col, watermark)
+        .groupBy(win.alias("w"), *[F.col(c) for c in group_cols])
+        .agg(*aggs)
+        .select(F.col("w.start").alias("window_start"),
+                F.col("w.end").alias("window_end"),
+                *[F.col(c) for c in group_cols],
+                *[F.col(n) for n in out_names])
+    )
+
+
+def session_aggregate(stream_df, ts_col: str, gap: str = "30 minutes",
+                      watermark: str = "2 hours",
+                      group_cols: Sequence[str] = (),
+                      agg_col: Optional[str] = None):
+    """Session windows with a dynamic inactivity gap (F.session_window):
+    a session closes when no event arrives for ``gap``. Streaming twin of
+    the batch gap-and-island sessionization (queries.q_sessionize)."""
     from pyspark.sql import functions as F
 
     aggs = [F.count("*").alias("n")]
@@ -61,14 +94,24 @@ def windowed_aggregate(stream_df, ts_col: str, window: str = "1 hour",
         out_names.append(f"sum_{agg_col}")
     return (
         stream_df.withWatermark(ts_col, watermark)
-        .groupBy(F.window(F.col(ts_col), window).alias("w"),
+        .groupBy(F.session_window(F.col(ts_col), gap).alias("w"),
                  *[F.col(c) for c in group_cols])
         .agg(*aggs)
-        .select(F.col("w.start").alias("window_start"),
-                F.col("w.end").alias("window_end"),
+        .select(F.col("w.start").alias("session_start"),
+                F.col("w.end").alias("session_end"),
                 *[F.col(c) for c in group_cols],
                 *[F.col(n) for n in out_names])
     )
+
+
+def stream_dedup(stream_df, keys: Sequence[str], ts_col: str,
+                 watermark: str = "2 hours"):
+    """Exact in-stream deduplication with bounded state: duplicates of a
+    key are dropped for as long as the key can still legally arrive (the
+    watermark horizon), after which its state is evicted — the streaming
+    twin of operators.dedup.dedup_exact that never grows unbounded."""
+    return (stream_df.withWatermark(ts_col, watermark)
+            .dropDuplicatesWithinWatermark(list(keys)))
 
 
 def stateful_running_totals(stream_df, key_col: str, value_col: str,

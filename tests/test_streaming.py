@@ -129,3 +129,61 @@ def test_stateful_running_totals(spark, tmp_path):
     for k in expect:
         assert got[k][0] == expect[k][0]
         assert abs(got[k][1] - expect[k][1]) < 1e-6
+
+
+def test_session_aggregate_closes_sessions(spark, tmp_path):
+    from qbeast_spark_spark.streaming.ingest import session_aggregate
+
+    src = str(tmp_path / "src_sess")
+    # batch 1: a burst; batch 2 far in the future closes every session
+    _make_events(spark, 120).coalesce(1).write.mode("append").parquet(src)
+    _make_events(spark, 10, start_hour=500).coalesce(1).write.mode(
+        "append").parquet(src)
+    stream = spark.readStream.schema(EVENT_SCHEMA).option(
+        "maxFilesPerTrigger", 1).parquet(src)
+    agg = session_aggregate(stream, "ts", gap="15 minutes",
+                            watermark="1 hour", group_cols=["user_id"],
+                            agg_col="value")
+    out = str(tmp_path / "out_sess")
+    q = (agg.writeStream.format("parquet")
+         .option("checkpointLocation", str(tmp_path / "ck_sess"))
+         .option("path", out)
+         .outputMode("append")
+         .trigger(availableNow=True).start())
+    q.awaitTermination(120)
+    got = spark.read.parquet(out)
+    assert got.count() > 0
+    # session invariants: end > start; per-user sessions don't overlap
+    assert got.where(F.col("session_end") <= F.col("session_start")
+                     ).count() == 0
+    from pyspark.sql import Window
+    w = Window.partitionBy("user_id").orderBy("session_start")
+    overlaps = (got.withColumn("prev_end", F.lag("session_end").over(w))
+                .where(F.col("prev_end").isNotNull()
+                       & (F.col("session_start") < F.col("prev_end"))))
+    assert overlaps.count() == 0
+    # totals conserved for the closed portion: every batch-1 event is in
+    # exactly one emitted session
+    assert got.agg(F.sum("n")).collect()[0][0] >= 120
+
+
+def test_stream_dedup_within_watermark(spark, tmp_path):
+    from qbeast_spark_spark.streaming.ingest import stream_dedup
+
+    src = str(tmp_path / "src_dd")
+    ev = _make_events(spark, 100)
+    # duplicate every event (same event_id, same ts) in the same batch
+    ev.union(ev).coalesce(1).write.mode("append").parquet(src)
+    stream = spark.readStream.schema(EVENT_SCHEMA).option(
+        "maxFilesPerTrigger", 1).parquet(src)
+    dd = stream_dedup(stream, ["event_id"], "ts", watermark="1 hour")
+    out = str(tmp_path / "out_dd")
+    q = (dd.writeStream.format("parquet")
+         .option("checkpointLocation", str(tmp_path / "ck_dd"))
+         .option("path", out)
+         .outputMode("append")
+         .trigger(availableNow=True).start())
+    q.awaitTermination(120)
+    got = spark.read.parquet(out)
+    assert got.count() == 100
+    assert got.select("event_id").distinct().count() == 100
