@@ -541,7 +541,78 @@ GROUP BY 1, 2
 """
 
 
+def q15_top_supplier(spark, sf_dir):
+    """View + scalar-max pattern (TPC-H q15 shape): supplier(s) with the
+    maximum revenue in a quarter, via a broadcast join against the 1-row
+    max aggregate (a global window over lit(1) would collapse the whole
+    aggregate into a single partition at scale)."""
+    from pyspark.sql import functions as F
+
+    li = _t(spark, sf_dir, "lineitem").where(
+        (F.col("l_shipdate") >= F.lit("1997-01-01").cast("timestamp_ntz"))
+        & (F.col("l_shipdate") < F.lit("1997-04-01").cast("timestamp_ntz")))
+    s = _t(spark, sf_dir, "supplier")
+    rev = (li.groupBy("l_suppkey")
+           .agg(F.sum(_cents(F.col("l_extendedprice") * (1 - F.col("l_discount"))))
+                .alias("total_revenue_cents")))
+    mx = rev.agg(F.max("total_revenue_cents").alias("_mx"))
+    top = (rev.join(F.broadcast(mx),
+                    rev.total_revenue_cents == mx._mx).drop("_mx"))
+    return (top.join(s, top.l_suppkey == s.s_suppkey)
+            .select("s_suppkey", "s_name", "total_revenue_cents"))
+
+
+Q15_SQL = """
+WITH revenue AS (
+  SELECT l_suppkey,
+         SUM(CAST(ROUND(l_extendedprice*(1-l_discount)*100,0) AS BIGINT))
+           AS total_revenue_cents
+  FROM lineitem
+  WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+    AND l_shipdate <  TIMESTAMP '1997-04-01'
+  GROUP BY l_suppkey)
+SELECT s_suppkey, s_name, total_revenue_cents
+FROM supplier JOIN revenue ON s_suppkey = l_suppkey
+WHERE total_revenue_cents = (SELECT MAX(total_revenue_cents) FROM revenue)
+"""
+
+
+def q_interval_join(spark, sf_dir):
+    """Range join via the bucketed equi-join operator: each error event
+    opens a 10-minute window; count events and sum value inside it."""
+    from pyspark.sql import functions as F
+
+    from .operators.rangejoin import interval_join
+
+    ev = _events(spark, sf_dir)
+    TEN_MIN = 600_000_000
+    intervals = (ev.where(F.col("event_type") == "error")
+                 .select(F.col("event_id").alias("err_id"),
+                         F.col("ts_us").alias("win_start"),
+                         (F.col("ts_us") + TEN_MIN).alias("win_end")))
+    points = ev.select(F.col("event_id"), F.col("ts_us"), F.col("value"))
+    j = interval_join(points, intervals, "ts_us", "win_start", "win_end",
+                      bucket_width=TEN_MIN)
+    return (j.groupBy("err_id")
+            .agg(F.count("*").alias("n_events"),
+                 F.sum(_cents(F.col("value"))).alias("value_cents")))
+
+
+Q_INTERVAL_SQL = """
+SELECT err_id, COUNT(*) AS n_events,
+       SUM(CAST(ROUND(value*100,0) AS BIGINT)) AS value_cents
+FROM (SELECT event_id AS err_id, epoch_us(ts) AS win_start,
+             epoch_us(ts) + 600000000 AS win_end
+      FROM events WHERE event_type = 'error') iv
+JOIN (SELECT epoch_us(ts) AS ts_us, value FROM events) ev
+  ON ev.ts_us >= iv.win_start AND ev.ts_us < iv.win_end
+GROUP BY err_id
+"""
+
+
 EXT_QUERIES: Dict[str, Tuple[Callable, Optional[str]]] = {
+    "q15_top_supplier": (q15_top_supplier, Q15_SQL),
+    "q_interval_join": (q_interval_join, Q_INTERVAL_SQL),
     "q4_order_priority": (q4_order_priority, Q4_SQL),
     "q7_volume_shipping": (q7_volume_shipping, Q7_SQL),
     "q8_market_share": (q8_market_share, Q8_SQL),
