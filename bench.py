@@ -85,6 +85,31 @@ def main() -> None:
         df.write.format("noop").mode("overwrite").save()
         timings[name] = round(time.time() - t0, 3)
 
+    # Flagship sampling demo (BASELINE.md / reference README.md:50-55):
+    # the same aggregate on the full indexed table vs a 1% sample. The
+    # sample must read strictly fewer files and land within ~1% relative
+    # error — reported alongside the timings so every bench run re-proves
+    # the pruning + accuracy invariants.
+    import qbeast_spark_spark as qss
+    from pyspark.sql import functions as F
+
+    qt = qss.QbeastTable.for_path(spark, _indexed_lineitem(spark, SF_DIR))
+    t0 = time.time()
+    full_avg = qt.to_df().agg(F.avg("l_extendedprice")).collect()[0][0]
+    t_full = round(time.time() - t0, 3)
+    t0 = time.time()
+    samp_avg = qt.sample(0.01).agg(F.avg("l_extendedprice")).collect()[0][0]
+    t_samp = round(time.time() - t0, 3)
+    sampling = {
+        "full_scan_sec": t_full,
+        "sample1pct_sec": t_samp,
+        "files_total": len(qt.file_paths()),
+        "files_read_1pct": len(qt.sample_files(0.01)),
+        "relative_error": round(abs(samp_avg - full_avg) / full_avg, 6),
+    }
+    timings["qb_fullscan_agg"] = t_full
+    timings["qb_sample1pct_agg"] = t_samp
+
     sf = os.path.basename(os.path.normpath(SF_DIR)).replace("sf", "")
     try:
         sf_val = float(sf)
@@ -96,6 +121,7 @@ def main() -> None:
         "value": total,
         "unit": "sec",
         "queries": timings,
+        "sampling_demo": sampling,
         "sf": sf_val,
     }))
 

@@ -106,14 +106,8 @@ class QbeastTable:
         snap = self.snapshot(refresh=True)
         w_to = fraction_to_weight(fraction)
         w_from = fraction_to_weight(lower_bound)
-
-        selected = []
-        for rel, f in snap.files.items():
-            for b in f.blocks:
-                if b.min_weight < w_to and b.max_weight >= w_from:
-                    selected.append(rel)
-                    break
-        df = self._df_for_files(selected)
+        df = self._df_for_files(
+            self.sample_files(fraction, lower_bound, snap=snap))
         rev = snap.latest_revision()
         if rev is None:
             return df.sample(fraction)  # unindexed table: vanilla sample
@@ -122,6 +116,22 @@ class QbeastTable:
         if lower_bound > 0.0:
             cond = cond & (hash_col >= F.lit(w_from))
         return df.where(cond)
+
+    def sample_files(self, fraction: float, lower_bound: float = 0.0,
+                     snap: Optional[Snapshot] = None) -> List[str]:
+        """The pruned file list a sample(fraction) read would touch — the
+        observable form of the reference's file-pruning invariant
+        (TestUtils.checkFileFiltering:60-83)."""
+        snap = snap or self.snapshot(refresh=True)
+        w_to = fraction_to_weight(fraction)
+        w_from = fraction_to_weight(lower_bound)
+        selected = []
+        for rel, f in snap.files.items():
+            for b in f.blocks:
+                if b.min_weight < w_to and b.max_weight >= w_from:
+                    selected.append(rel)
+                    break
+        return selected
 
     def read(self, filters: Optional[Sequence[FilterTuple]] = None):
         """R3 — multi-dim data skipping from declarative filter tuples, plus
