@@ -124,3 +124,43 @@ def ivf_topk(vectors, queries, centroids, k: int = 5,
         .withColumn("rank", F.row_number().over(w))
         .where(F.col("rank") <= k)
     )
+
+
+def otree_prefilter_topk(spark, qt, query_rows, k: int = 10,
+                         radius: float = 0.1, vec_col: str = "embedding",
+                         id_col: str = "vec_id", dim_cols=("e0", "e1")):
+    """ANN over the OTree index itself: the vector table is indexed on a
+    few extracted embedding dimensions, so a per-query range read prunes
+    FILES (multi-dim data skipping) before the exact cosine rerank ever
+    runs — the index generalizes to vector search with no extra structure
+    (SURVEY.md §2.3). Each query reads only the cubes intersecting its
+    [dim - radius, dim + radius] box; recall is governed by radius exactly
+    like an IVF nprobe.
+
+    ``qt`` is a QbeastTable over a table with ``dim_cols`` materialized;
+    ``query_rows`` is a small driver-side list of Rows (id, vector,
+    dim values) — driver-known queries are inherent to ANN serving.
+    """
+    from functools import reduce
+
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    per_query = []
+    for row in query_rows:
+        filters = []
+        for d in dim_cols:
+            filters += [(d, ">=", float(row[d]) - radius),
+                        (d, "<=", float(row[d]) + radius)]
+        cand = qt.read(filters).where(F.col(id_col) != F.lit(row[id_col]))
+        qvec = F.lit(
+            [float(x) for x in row[vec_col]]).cast("array<double>")
+        cos = cosine_col(_as_double(vec_col), qvec)
+        per_query.append(
+            cand.select(F.lit(row[id_col]).alias("q_id"), F.col(id_col),
+                        F.round(cos, 6).alias("cos")))
+    unioned = reduce(lambda a, b: a.unionAll(b), per_query)
+    w = Window.partitionBy("q_id").orderBy(
+        F.col("cos").desc(), F.col(id_col).asc())
+    return (unioned.withColumn("rank", F.row_number().over(w))
+            .where(F.col("rank") <= k))

@@ -610,9 +610,77 @@ GROUP BY err_id
 """
 
 
+_EMB_CACHE: Dict[str, str] = {}
+
+
+def _indexed_embeddings(spark, sf_dir):
+    """Embeddings table with dims 0/1 materialized and OTree-indexed —
+    built once per sf_dir (same cache pattern as queries._indexed_lineitem)."""
+    import os
+    import shutil
+
+    from pyspark.sql import functions as F
+
+    from .sources.log import CommitLog
+    from .sources.writer import write_qbeast
+
+    key = os.path.abspath(sf_dir)
+    tag = key.strip("/").replace("/", "_")
+    path = _EMB_CACHE.get(key) or f"/tmp/qss_tables/{tag}/embeddings"
+    if not CommitLog(path).exists():
+        shutil.rmtree(path, ignore_errors=True)
+        emb = (spark.read.parquet(os.path.join(sf_dir, "embeddings.parquet"))
+               .withColumn("e0", F.col("embedding")[0].cast("double"))
+               .withColumn("e1", F.col("embedding")[1].cast("double")))
+        import pyarrow.parquet as pq
+        n = pq.ParquetFile(
+            os.path.join(sf_dir, "embeddings.parquet")).metadata.num_rows
+        write_qbeast(emb, path, columns_to_index=["e0", "e1"],
+                     cube_size=max(50, n // 16))
+    _EMB_CACHE[key] = path
+    return path
+
+
+def sim_otree_topk(spark, sf_dir):
+    """ANN where the OTree index IS the prefilter: range-pruned read on
+    two indexed embedding dims, exact cosine rerank inside the box."""
+    from pyspark.sql import functions as F
+
+    from .operators.similarity import otree_prefilter_topk
+    from .sources.reader import QbeastTable
+
+    path = _indexed_embeddings(spark, sf_dir)
+    qt = QbeastTable.for_path(spark, path)
+    query_rows = (qt.to_df().where(F.col("vec_id") < 5)
+                  .select("vec_id", "embedding", "e0", "e1").collect())
+    query_rows.sort(key=lambda r: r["vec_id"])
+    return otree_prefilter_topk(spark, qt, query_rows, k=10, radius=0.1)
+
+
+SIM_OTREE_SQL = """
+SELECT q_id, vec_id, cos, rank FROM (
+  SELECT q.vec_id AS q_id, v.vec_id AS vec_id,
+         ROUND(list_cosine_similarity(v.embedding::DOUBLE[],
+                                      q.embedding::DOUBLE[]), 6) AS cos,
+         ROW_NUMBER() OVER (
+           PARTITION BY q.vec_id
+           ORDER BY list_cosine_similarity(v.embedding::DOUBLE[],
+                                           q.embedding::DOUBLE[]) DESC,
+                    v.vec_id) AS rank
+  FROM embeddings v, embeddings q
+  WHERE q.vec_id < 5 AND v.vec_id <> q.vec_id
+    AND v.embedding[1]::DOUBLE
+        BETWEEN q.embedding[1]::DOUBLE - 0.1 AND q.embedding[1]::DOUBLE + 0.1
+    AND v.embedding[2]::DOUBLE
+        BETWEEN q.embedding[2]::DOUBLE - 0.1 AND q.embedding[2]::DOUBLE + 0.1)
+WHERE rank <= 10
+"""
+
+
 EXT_QUERIES: Dict[str, Tuple[Callable, Optional[str]]] = {
     "q15_top_supplier": (q15_top_supplier, Q15_SQL),
     "q_interval_join": (q_interval_join, Q_INTERVAL_SQL),
+    "sim_otree_topk": (sim_otree_topk, SIM_OTREE_SQL),
     "q4_order_priority": (q4_order_priority, Q4_SQL),
     "q7_volume_shipping": (q7_volume_shipping, Q7_SQL),
     "q8_market_share": (q8_market_share, Q8_SQL),
