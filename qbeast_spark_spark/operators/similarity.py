@@ -164,3 +164,37 @@ def otree_prefilter_topk(spark, qt, query_rows, k: int = 10,
         F.col("cos").desc(), F.col(id_col).asc())
     return (unioned.withColumn("rank", F.row_number().over(w))
             .where(F.col("rank") <= k))
+
+
+def embedding_lsh_pairs(vectors, threshold: float, n_bits: int = 8,
+                        vec_col: str = "embedding", id_col: str = "vec_id"):
+    """Near-duplicate embedding pairs via hyperplane LSH: the bucket key is
+    the sign bit of the first ``n_bits`` dimensions (axis-aligned
+    hyperplanes through the origin — for whitened/random-basis embeddings
+    these behave like random projections), candidates meet only inside a
+    bucket (equi-join, well distributed), and the exact cosine filters the
+    survivors. The scale path next to the exact O(n^2/buckets)
+    cosine_pairs: shuffle volume is O(n), join fan-out O(n^2 / 2^n_bits).
+
+    Recall caveat (inherent to single-table LSH): a true pair straddling
+    any of the n_bits hyperplanes is missed; production use stacks several
+    bucket tables exactly like dedup.lsh_candidate_pairs bands."""
+    from pyspark.sql import functions as F
+
+    from ..functions.partitioning import spread
+
+    v = _as_double(vec_col)
+    bucket = F.concat_ws(
+        "", *[(v[i] >= 0).cast("int").cast("string") for i in range(n_bits)])
+    tagged = spread(vectors).select(
+        F.col(id_col), F.col(vec_col), bucket.alias("_bkt"))
+    a = tagged.select(F.col(id_col).alias("id1"),
+                      F.col(vec_col).alias("_va"), F.col("_bkt"))
+    b = tagged.select(F.col(id_col).alias("id2"),
+                      F.col(vec_col).alias("_vb"), F.col("_bkt"))
+    cos = cosine_col(F.col("_va").cast("array<double>"),
+                     F.col("_vb").cast("array<double>"))
+    return (a.join(b, ["_bkt"])
+            .where(F.col("id1") < F.col("id2"))
+            .select("id1", "id2", F.round(cos, 6).alias("cos"))
+            .where(F.col("cos") >= threshold))

@@ -103,6 +103,26 @@ WHERE l_orderkey >= 1000 AND l_orderkey < 3000 AND l_extendedprice >= 20000.0
 """
 
 
+def qb_range_read_or(spark, sf_dir):
+    """R3 with a disjunction: two disjoint boxes prune independently and
+    union their file sets (QuerySpecBuilder.scala:56-77 semantics)."""
+    from .sources.reader import QbeastTable
+
+    path = _indexed_lineitem(spark, sf_dir)
+    qt = QbeastTable.for_path(spark, path)
+    return qt.read([
+        [("l_orderkey", "<", 500), ("l_extendedprice", ">=", 30000.0)],
+        [("l_orderkey", ">=", 9000), ("l_extendedprice", "<", 5000.0)],
+    ])
+
+
+QB_RANGE_READ_OR_SQL = """
+SELECT * FROM lineitem
+WHERE (l_orderkey < 500 AND l_extendedprice >= 30000.0)
+   OR (l_orderkey >= 9000 AND l_extendedprice < 5000.0)
+"""
+
+
 def qb_sample(spark, sf_dir):
     """R1+R2: deterministic 10% sample (no SQL oracle — sampling is
     hash-range semantics; accuracy asserted in tests instead)."""
@@ -830,6 +850,7 @@ QUERIES: Dict[str, Tuple[Callable, Optional[str]]] = {
     # qbeast-native surface
     "qb_roundtrip": (qb_roundtrip, QB_ROUNDTRIP_SQL),
     "qb_range_read": (qb_range_read, QB_RANGE_READ_SQL),
+    "qb_range_read_or": (qb_range_read_or, QB_RANGE_READ_OR_SQL),
     "qb_sample": (qb_sample, None),
     # relational surface (delegated operators)
     "q1_pricing_summary": (q1_pricing_summary, Q1_SQL),

@@ -677,8 +677,34 @@ WHERE rank <= 10
 """
 
 
+def sim_lsh_pairs(spark, sf_dir):
+    """Hyperplane-LSH near-dup pairs over embeddings (bucketed equi-join
+    + exact cosine rerank)."""
+    from .operators.similarity import embedding_lsh_pairs
+
+    emb = _t(spark, sf_dir, "embeddings")
+    return embedding_lsh_pairs(emb, threshold=0.3, n_bits=8)
+
+
+SIM_LSH_SQL = """
+WITH tagged AS (
+  SELECT vec_id, embedding,
+         list_aggregate(list_transform(embedding[1:8],
+                        x -> CASE WHEN x >= 0 THEN '1' ELSE '0' END),
+                        'string_agg', '') AS bkt
+  FROM embeddings)
+SELECT a.vec_id AS id1, b.vec_id AS id2,
+       ROUND(list_cosine_similarity(a.embedding::DOUBLE[],
+                                    b.embedding::DOUBLE[]), 6) AS cos
+FROM tagged a JOIN tagged b ON a.bkt = b.bkt AND a.vec_id < b.vec_id
+WHERE ROUND(list_cosine_similarity(a.embedding::DOUBLE[],
+                                   b.embedding::DOUBLE[]), 6) >= 0.3
+"""
+
+
 EXT_QUERIES: Dict[str, Tuple[Callable, Optional[str]]] = {
     "q15_top_supplier": (q15_top_supplier, Q15_SQL),
+    "sim_lsh_pairs": (sim_lsh_pairs, SIM_LSH_SQL),
     "q_interval_join": (q_interval_join, Q_INTERVAL_SQL),
     "sim_otree_topk": (sim_otree_topk, SIM_OTREE_SQL),
     "q4_order_priority": (q4_order_priority, Q4_SQL),

@@ -133,15 +133,29 @@ class QbeastTable:
                     break
         return selected
 
-    def read(self, filters: Optional[Sequence[FilterTuple]] = None):
+    def read(self, filters: Optional[Sequence] = None):
         """R3 — multi-dim data skipping from declarative filter tuples, plus
-        the same residual predicate applied row-level."""
+        the same residual predicate applied row-level.
+
+        ``filters`` uses the pyarrow DNF convention: a list of (col, op,
+        value) tuples is a conjunction; a list of such lists is a
+        disjunction of conjunctions. Disjuncts prune independently and
+        their file sets union (QuerySpecBuilder.scala:56-77 disjunction
+        handling; overlapping-space dedup falls out of the set union)."""
+        from functools import reduce
+
         if not filters:
             return self.to_df()
+        disjuncts = filters if isinstance(filters[0], (list,)) else [filters]
         snap = self.snapshot(refresh=True)
-        selected = self._prune_files(snap, filters)
-        df = self._df_for_files(selected)
-        return df.where(self._filters_to_column(filters))
+        selected: set = set()
+        for conj in disjuncts:
+            selected.update(self._prune_files(snap, conj))
+        df = self._df_for_files(sorted(selected))
+        residual = reduce(lambda a, b: a | b,
+                          [self._filters_to_column(conj)
+                           for conj in disjuncts])
+        return df.where(residual)
 
     # -- pruning machinery --------------------------------------------------
 

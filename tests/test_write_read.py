@@ -130,3 +130,23 @@ def test_index_metrics(spark, tmp_table, lineitem):
     assert m["rows"] == lineitem.count()
     assert m["files"] >= 1 and m["height"] >= 1
     assert len(qt.revisions()) == 1
+
+
+def test_disjunctive_read_matches_plain_filter(spark, tmp_table, lineitem):
+    _write(lineitem, tmp_table, ["l_orderkey", "l_extendedprice"])
+    qt = qss.QbeastTable.for_path(spark, tmp_table)
+    dnf = [
+        [("l_orderkey", "<", 500), ("l_extendedprice", ">=", 30000.0)],
+        [("l_orderkey", ">=", 5000), ("l_extendedprice", "<", 5000.0)],
+    ]
+    got = qt.read(dnf)
+    expect = lineitem.where(
+        ((F.col("l_orderkey") < 500) & (F.col("l_extendedprice") >= 30000.0))
+        | ((F.col("l_orderkey") >= 5000) & (F.col("l_extendedprice") < 5000.0)))
+    assert got.count() == expect.count()
+    assert got.exceptAll(expect).count() == 0
+    # each disjoint box touches fewer files than the union read
+    snap = qt.snapshot(refresh=True)
+    f_union = set(qt._prune_files(snap, dnf[0])) | set(
+        qt._prune_files(snap, dnf[1]))
+    assert len(f_union) <= len(qt.file_paths())
