@@ -143,3 +143,38 @@ def test_pre_commit_hook(spark, tmp_table):
     assert seen["n_files"] >= 1
     qt = qss.QbeastTable.for_path(spark, tmp_table)
     assert qt.snapshot().properties.get("hook.ran") == "yes"
+
+
+def test_concurrent_appends_both_commit(spark, tmp_table):
+    """Optimistic-commit race (IndexedTable.scala:355-368 analogue): two
+    writers appending concurrently must both land, on distinct versions,
+    with no lost rows."""
+    import threading
+
+    from conftest import load
+
+    li = load(spark, "lineitem")
+    d1 = li.where("l_orderkey % 2 = 0")
+    d2 = li.where("l_orderkey % 2 = 1")
+    errs = []
+
+    def w(df):
+        try:
+            qss.write(df, tmp_table,
+                      columns_to_index=["l_orderkey", "l_extendedprice"],
+                      cube_size=500)
+        except Exception as e:  # pragma: no cover
+            errs.append(e)
+
+    t1 = threading.Thread(target=w, args=(d1,))
+    t2 = threading.Thread(target=w, args=(d2,))
+    t1.start(); t2.start(); t1.join(); t2.join()
+    assert not errs
+    qt = qss.QbeastTable.for_path(spark, tmp_table)
+    assert qt.snapshot(refresh=True).version >= 1  # two commits: 0 and 1
+    got = qt.to_df()
+    assert got.count() == li.count()
+    assert got.exceptAll(li).count() == 0
+    # sampling still sane across the two commits
+    n = li.count()
+    assert abs(qt.sample(0.3).count() - 0.3 * n) <= 0.08 * n
