@@ -52,9 +52,14 @@ def with_index_columns(df, revision: Revision):
 
 
 def group_cube_size(desired_cube_size: int, num_elements: int,
+                    num_partitions: int = 1,
                     buffer_capacity: int = DOMAIN_BUFFER_CAPACITY) -> int:
-    """CubeDomainsBuilder.estimateGroupCubeSize (CubeDomainsBuilder.scala:40-48)."""
-    num_groups = max(1, math.ceil(num_elements / buffer_capacity))
+    """CubeDomainsBuilder.estimateGroupCubeSize (CubeDomainsBuilder.scala:40-48):
+    numGroups = MAX(numPartitions, numElements / bufferCapacity). Omitting
+    the partitions term makes a partition whose rows all fit in one local
+    root emit a depth-0-only sketch, so the estimated tree never subdivides
+    and real cubes blow past capacity."""
+    num_groups = max(1, num_partitions, math.ceil(num_elements / buffer_capacity))
     return max(MIN_GROUP_CUBE_SIZE, desired_cube_size // num_groups)
 
 
@@ -68,8 +73,6 @@ def estimate_cube_domains(prepared_df, revision: Revision, num_elements: int,
     from pyspark.sql import functions as F
 
     dims = revision.dims
-    gcs = group_cube_size(revision.desired_cube_size, num_elements,
-                          buffer_capacity)
     max_depth = max_depth_for_dims(dims)
     norm_cols = [f"{NORM_PREFIX}{i}" for i in range(dims)]
     out_schema = "depth int, path long, domain long"
@@ -117,8 +120,12 @@ def estimate_cube_domains(prepared_df, revision: Revision, num_elements: int,
     # spread the NARROW projection (weight + dims doubles) so the sketch
     # parallelizes even from a single input split; cheap relative to the
     # full-row width, and a no-op when the input is already well-split.
+    narrow = spread(prepared_df.select([WEIGHT_COL] + norm_cols))
+    num_partitions = max(1, narrow.rdd.getNumPartitions())
+    gcs = group_cube_size(revision.desired_cube_size, num_elements,
+                          num_partitions, buffer_capacity)
     sketch_df = (
-        spread(prepared_df.select([WEIGHT_COL] + norm_cols))
+        narrow
         .mapInArrow(sketch, out_schema)
         .groupBy("depth", "path")
         .agg(F.sum("domain").alias("domain"))

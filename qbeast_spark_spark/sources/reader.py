@@ -255,13 +255,34 @@ class QbeastTable:
         per_level: Dict[int, int] = {}
         for d, c in zip(depths, counts):
             per_level[d] = per_level.get(d, 0) + c
+        # tree-shape stats (IndexMetrics.scala:26-137: height, fanout,
+        # per-level counts, leaf detection): all O(#cubes) driver work.
+        rev = snap.latest_revision()
+        dims = rev.dims if rev else 1
+        cube_keys = {_parse_cube(c) for c in cubes}
+        cubes_per_level: Dict[int, int] = {}
+        for d, _p in cube_keys:
+            cubes_per_level[d] = cubes_per_level.get(d, 0) + 1
+        children: Dict[Tuple[int, int], int] = {}
+        for d, p in cube_keys:
+            if d > 0:
+                parent = (d - 1, p & ((1 << (dims * (d - 1))) - 1))
+                children[parent] = children.get(parent, 0) + 1
+        inner = [k for k in cube_keys if k in children]
+        leaves = len(cube_keys) - len(inner)
         return {
             "files": len(snap.files),
             "blocks": len(blocks),
             "cubes": len(cubes),
             "rows": sum(counts),
             "height": max(depths) + 1,
+            "leaf_cubes": leaves,
+            "inner_cubes": len(inner),
+            "avg_fanout": round(float(np.mean(
+                [children[k] for k in inner])), 3) if inner else 0.0,
+            "desired_cube_size": rev.desired_cube_size if rev else None,
             "avg_block_elements": float(np.mean(counts)),
+            "cubes_per_level": dict(sorted(cubes_per_level.items())),
             "rows_per_level": dict(sorted(per_level.items())),
             "revisions": sorted(snap.revisions.keys()),
         }
