@@ -209,3 +209,45 @@ def simhash(docs, id_col: str = "doc_id"):
         term = F.when(F.col(f"s{k}") > 0, F.lit(1 << k)).otherwise(F.lit(0))
         sig = term if sig is None else (sig + term)
     return agg.select(F.col(id_col), sig.cast("long").alias("simhash"))
+
+
+def connected_components(pairs, id1: str = "id1", id2: str = "id2",
+                         max_iter: int = 20):
+    """Near-dup cluster labels from a candidate-pair list: iterative
+    min-label propagation (the GraphX/GraphFrames connected-components
+    pattern as plain DataFrame ops). Each round is one shuffle-join; dup
+    clusters are small-diameter, so convergence is a handful of rounds —
+    lineage is truncated per round with localCheckpoint so plans stay flat.
+
+    Returns (node, canonical) where canonical = min id in the node's
+    component. Only nodes appearing in ``pairs`` are labeled (singletons
+    are their own canonical by definition and need no row at scale).
+    """
+    from pyspark.sql import functions as F
+
+    edges = (pairs.select(F.col(id1).alias("a"), F.col(id2).alias("b"))
+             .unionAll(pairs.select(F.col(id2).alias("a"),
+                                    F.col(id1).alias("b")))
+             .distinct())
+    labels = (edges.select(F.col("a").alias("node"))
+              .distinct()
+              .withColumn("label", F.col("node")))
+    for _ in range(max_iter):
+        neighbor_min = (edges.join(labels, edges.b == labels.node)
+                        .groupBy("a")
+                        .agg(F.min("label").alias("nmin")))
+        updated = (labels.join(neighbor_min,
+                               labels.node == neighbor_min.a, "left")
+                   .select(F.col("node"),
+                           F.least(F.col("label"),
+                                   F.coalesce(F.col("nmin"),
+                                              F.col("label")))
+                           .alias("label")))
+        updated = updated.localCheckpoint(eager=True)
+        changed = (updated.alias("u")
+                   .join(labels.alias("l"), "node")
+                   .where(F.col("u.label") != F.col("l.label")).count())
+        labels = updated
+        if changed == 0:
+            break
+    return labels.select(F.col("node"), F.col("label").alias("canonical"))

@@ -43,7 +43,12 @@ from .operators.text import (
 __all__ = ["QUERIES", "spark_queries", "oracle_queries", "flagship"]
 
 
-from .queries_common import _cents, _events, _t  # noqa: E402
+from .queries_common import (  # noqa: E402
+    DD_JACCARD_SQL as _DD_JACCARD_SQL,
+    _cents,
+    _events,
+    _t,
+)
 
 
 # ---------------------------------------------------------------------------
@@ -564,24 +569,7 @@ def dd_jaccard(spark, sf_dir):
     return jaccard_pairs(docs, n=3, threshold=0.5)
 
 
-DD_JACCARD_SQL = f"""
-WITH t AS (SELECT doc_id, regexp_extract_all(lower(text), '{TOKEN_RE}') toks
-           FROM documents),
-s AS (SELECT doc_id,
-             unnest(list_distinct(CASE WHEN len(toks) >= 3 THEN
-               list_transform(range(1, len(toks)-1),
-                              i -> array_to_string(list_slice(toks, i, i+2), ' '))
-               ELSE [] END)) AS shingle
-      FROM t),
-sz AS (SELECT doc_id, COUNT(*) AS sz FROM s GROUP BY doc_id),
-inter AS (SELECT a.doc_id AS id1, b.doc_id AS id2, COUNT(*) AS i
-          FROM s a JOIN s b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
-          GROUP BY 1, 2)
-SELECT id1, id2,
-       ROUND(i::DOUBLE / (x.sz + y.sz - i), 6) AS jaccard
-FROM inter JOIN sz x ON id1 = x.doc_id JOIN sz y ON id2 = y.doc_id
-WHERE ROUND(i::DOUBLE / (x.sz + y.sz - i), 6) >= 0.5
-"""
+DD_JACCARD_SQL = _DD_JACCARD_SQL  # (moved to queries_common)
 
 
 def _minhash_sql_core() -> str:

@@ -702,9 +702,43 @@ WHERE ROUND(list_cosine_similarity(a.embedding::DOUBLE[],
 """
 
 
+def dedup_canonical(spark, sf_dir):
+    """Near-dup clustering: Jaccard candidate pairs -> connected
+    components (iterative min-label propagation) -> (doc, canonical)
+    mapping, i.e. 'keep one representative per duplicate cluster'."""
+    from .operators.dedup import connected_components, jaccard_pairs
+
+    docs = _t(spark, sf_dir, "documents")
+    pairs = jaccard_pairs(docs, n=3, threshold=0.5)
+    cc = connected_components(pairs)
+    return cc.select(cc.node.alias("doc_id"),
+                     cc.canonical.alias("canonical_id"))
+
+
+DD_CANONICAL_SQL_TMPL = """
+WITH RECURSIVE pairs AS ({pairs_sql}),
+edges AS (SELECT id1 AS a, id2 AS b FROM pairs
+          UNION SELECT id2, id1 FROM pairs),
+reach(node, lbl) AS (
+  SELECT a, a FROM edges
+  UNION
+  SELECT e.b, r.lbl FROM reach r JOIN edges e ON r.node = e.a
+)
+SELECT node AS doc_id, MIN(lbl) AS canonical_id FROM reach GROUP BY node
+"""
+
+
+def _dd_canonical_sql() -> str:
+    from .queries_common import DD_JACCARD_SQL
+
+    return DD_CANONICAL_SQL_TMPL.format(
+        pairs_sql=DD_JACCARD_SQL.strip().rstrip(";"))
+
+
 EXT_QUERIES: Dict[str, Tuple[Callable, Optional[str]]] = {
     "q15_top_supplier": (q15_top_supplier, Q15_SQL),
     "sim_lsh_pairs": (sim_lsh_pairs, SIM_LSH_SQL),
+    "dedup_canonical": (dedup_canonical, _dd_canonical_sql()),
     "q_interval_join": (q_interval_join, Q_INTERVAL_SQL),
     "sim_otree_topk": (sim_otree_topk, SIM_OTREE_SQL),
     "q4_order_priority": (q4_order_priority, Q4_SQL),
