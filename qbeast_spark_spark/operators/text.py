@@ -49,6 +49,10 @@ def text_stats(docs, id_col: str = "doc_id", text_col: str = "text"):
 
     docs = spread(docs).select(
         F.col(id_col), F.length(F.col(text_col)).alias("_n_chars"),
+        F.length(F.regexp_replace(F.col(text_col), r"[^A-Za-z]", ""))
+        .alias("_n_alpha"),
+        F.length(F.regexp_replace(F.col(text_col), r"[^.,;:!?'\"()-]", ""))
+        .alias("_n_punct"),
         tokens_col(text_col).alias("_toks"))
     toks = F.col("_toks")
     stop_arr = F.array(*[F.lit(s) for s in STOPWORDS_EN])
@@ -56,6 +60,7 @@ def text_stats(docs, id_col: str = "doc_id", text_col: str = "text"):
     total_len = F.aggregate(
         toks, F.lit(0), lambda acc, t: acc + F.length(t))
     n_stop = F.size(F.filter(toks, lambda t: F.array_contains(stop_arr, t)))
+    chars = F.greatest(F.col("_n_chars"), F.lit(1))
     return docs.select(
         F.col(id_col),
         F.col("_n_chars").alias("n_chars_measured"),
@@ -64,6 +69,10 @@ def text_stats(docs, id_col: str = "doc_id", text_col: str = "text"):
                 F.greatest(n_toks, F.lit(1)), 4).alias("avg_token_len"),
         F.round(n_stop.cast("double") /
                 F.greatest(n_toks, F.lit(1)), 4).alias("stopword_ratio"),
+        F.round(F.col("_n_alpha").cast("double") / chars, 4)
+        .alias("alpha_ratio"),
+        F.round(F.col("_n_punct").cast("double") / chars, 4)
+        .alias("punct_ratio"),
     )
 
 

@@ -671,7 +671,11 @@ SELECT doc_id,
        ROUND(list_sum(list_transform(toks, t -> len(t)))::DOUBLE
              / GREATEST(len(toks), 1), 4) AS avg_token_len,
        ROUND(len(list_filter(toks, t -> list_contains({_STOP_SQL_EARLY}, t)))::DOUBLE
-             / GREATEST(len(toks), 1), 4) AS stopword_ratio
+             / GREATEST(len(toks), 1), 4) AS stopword_ratio,
+       ROUND(LENGTH(regexp_replace(text, '[^A-Za-z]', '', 'g'))::DOUBLE
+             / GREATEST(LENGTH(text), 1), 4) AS alpha_ratio,
+       ROUND(LENGTH(regexp_replace(text, '[^.,;:!?''"()-]', '', 'g'))::DOUBLE
+             / GREATEST(LENGTH(text), 1), 4) AS punct_ratio
 FROM t
 """
 
