@@ -27,7 +27,8 @@ def tokens_col(text_col: str = "text"):
     return F.regexp_extract_all(F.lower(F.col(text_col)), F.lit(TOKEN_RE), 0)
 
 
-def _tokenized(docs, id_col: str, text_col: str, extra_cols=()):
+def _tokenized(docs, id_col: str, text_col: str, extra_cols=(),
+               extra_exprs=()):
     """Materialize the token array in its own projection — a multiply-used
     regex expression must not be inlined into downstream lambdas (it would
     re-evaluate per array element; see dedup._shingle_expr)."""
@@ -36,7 +37,7 @@ def _tokenized(docs, id_col: str, text_col: str, extra_cols=()):
     from ..functions.partitioning import spread
 
     return spread(docs).select(
-        F.col(id_col), *[F.col(c) for c in extra_cols],
+        F.col(id_col), *[F.col(c) for c in extra_cols], *extra_exprs,
         tokens_col(text_col).alias("_toks"))
 
 
@@ -76,21 +77,45 @@ def text_stats(docs, id_col: str = "doc_id", text_col: str = "text"):
     )
 
 
+# High-frequency English character trigrams for the n-gram signal; shared
+# with the oracle SQL generator in queries.py.
+EN_TRIGRAMS = ["the", "and", "ing", "ion", "ent", "her", "for", "tha"]
+
+
 def language_guess(docs, id_col: str = "doc_id", text_col: str = "text",
-                   threshold: float = 0.05):
-    """n-gram/stopword language-ID heuristic: English stopword density."""
+                   threshold: float = 0.05, tri_threshold: float = 0.01):
+    """Language-ID heuristic combining two signals: English stopword
+    density over word tokens AND character-trigram density (occurrences of
+    high-frequency English trigrams per character). Both all-JVM
+    (occurrence counting via length-difference after replace — no explode,
+    no UDF); 'en' needs both signals above threshold."""
     from pyspark.sql import functions as F
 
-    tokenized = _tokenized(docs, id_col, text_col)
+    tokenized = _tokenized(docs, id_col, text_col,
+                           extra_exprs=[
+                               F.length(F.lower(F.col(text_col)))
+                               .alias("_n_chars"),
+                               *[(F.length(F.lower(F.col(text_col)))
+                                  - F.length(F.replace(
+                                      F.lower(F.col(text_col)),
+                                      F.lit(tri), F.lit(""))))
+                                 .alias(f"_tri_{tri}")
+                                 for tri in EN_TRIGRAMS]])
     toks = F.col("_toks")
     stop_arr = F.array(*[F.lit(s) for s in STOPWORDS_EN])
     n_toks = F.greatest(F.size(toks), F.lit(1))
     n_stop = F.size(F.filter(toks, lambda t: F.array_contains(stop_arr, t)))
     ratio = n_stop.cast("double") / n_toks
+    tri_hits = sum((F.col(f"_tri_{t}") / 3 for t in EN_TRIGRAMS[1:]),
+                   F.col(f"_tri_{EN_TRIGRAMS[0]}") / 3)
+    tri_score = tri_hits.cast("double") / F.greatest(F.col("_n_chars"),
+                                                     F.lit(1))
     return tokenized.select(
         F.col(id_col),
         F.round(ratio, 4).alias("en_score"),
-        F.when(ratio >= threshold, F.lit("en")).otherwise(F.lit("unk"))
+        F.round(tri_score, 4).alias("trigram_score"),
+        F.when((ratio >= threshold) & (tri_score >= tri_threshold),
+               F.lit("en")).otherwise(F.lit("unk"))
         .alias("lang_guess"),
     )
 

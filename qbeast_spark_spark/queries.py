@@ -686,17 +686,34 @@ def tx_lang(spark, sf_dir):
 
 _STOP_SQL = "[" + ", ".join(f"'{s}'" for s in STOPWORDS_EN) + "]"
 
+def _tri_sql() -> str:
+    """Sum of trigram occurrence counts via length-difference, matching
+    operators.text.language_guess exactly."""
+    from .operators.text import EN_TRIGRAMS
+
+    terms = [
+        f"(LENGTH(lower(text)) - LENGTH(replace(lower(text), '{t}', ''))) / 3"
+        for t in EN_TRIGRAMS
+    ]
+    return " + ".join(terms)
+
+
 TX_LANG_SQL = f"""
-WITH t AS (SELECT doc_id,
+WITH t AS (SELECT doc_id, text,
                   regexp_extract_all(lower(text), '{TOKEN_RE}') AS toks
-           FROM documents)
+           FROM documents),
+s AS (SELECT doc_id,
+             len(list_filter(toks, t -> list_contains({_STOP_SQL}, t)))::DOUBLE
+               / GREATEST(len(toks), 1) AS ratio,
+             ({_tri_sql()})::DOUBLE
+               / GREATEST(LENGTH(lower(text)), 1) AS tri
+      FROM t)
 SELECT doc_id,
-       ROUND(len(list_filter(toks, t -> list_contains({_STOP_SQL}, t)))::DOUBLE
-             / GREATEST(len(toks), 1), 4) AS en_score,
-       CASE WHEN len(list_filter(toks, t -> list_contains({_STOP_SQL}, t)))::DOUBLE
-                 / GREATEST(len(toks), 1) >= 0.05
+       ROUND(ratio, 4) AS en_score,
+       ROUND(tri, 4) AS trigram_score,
+       CASE WHEN ratio >= 0.05 AND tri >= 0.01
             THEN 'en' ELSE 'unk' END AS lang_guess
-FROM t
+FROM s
 """
 
 
