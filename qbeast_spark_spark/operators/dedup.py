@@ -225,10 +225,14 @@ def connected_components(pairs, id1: str = "id1", id2: str = "id2",
     """
     from pyspark.sql import functions as F
 
+    # materialize the edge list once: it re-enters the loop every round,
+    # and without truncation each iteration would re-execute the entire
+    # upstream candidate-pair pipeline (e.g. the Jaccard self-join).
     edges = (pairs.select(F.col(id1).alias("a"), F.col(id2).alias("b"))
              .unionAll(pairs.select(F.col(id2).alias("a"),
                                     F.col(id1).alias("b")))
-             .distinct())
+             .distinct()
+             .localCheckpoint(eager=True))
     labels = (edges.select(F.col("a").alias("node"))
               .distinct()
               .withColumn("label", F.col("node")))
