@@ -118,6 +118,12 @@ def main() -> None:
     timings["qb_fullscan_agg"] = t_full
     timings["qb_sample1pct_agg"] = t_samp
 
+    # maintenance surface: re-layout half the table (O1) — timed last so
+    # the rewritten files never affect the query timings above
+    t0 = time.time()
+    qss.optimize_table(spark, qt.path, fraction=0.5)
+    timings["qb_optimize"] = round(time.time() - t0, 3)
+
     sf = os.path.basename(os.path.normpath(SF_DIR)).replace("sf", "")
     try:
         sf_val = float(sf)
