@@ -130,9 +130,34 @@ class CommitLog:
                     continue
         return sorted(out)
 
-    def snapshot(self) -> Snapshot:
-        snap = Snapshot(self.table_path)
+    def history(self) -> List[Dict[str, Any]]:
+        """One entry per commit (Delta DESCRIBE HISTORY analogue): version,
+        timestamp, dataChange, add/remove counts — O(#commits) metadata."""
+        out = []
         for v in self._versions():
+            with open(os.path.join(self.log_dir, f"{v:012d}.json")) as fh:
+                c = json.load(fh)
+            out.append({
+                "version": v,
+                "timestamp": c.get("timestamp"),
+                "dataChange": c.get("dataChange", True),
+                "numAddedFiles": len(c.get("add", [])),
+                "numRemovedFiles": len(c.get("remove", [])),
+                "revisions": sorted(int(k) for k in c.get("revisions", {})),
+            })
+        return out
+
+    def snapshot(self, at_version: Optional[int] = None) -> Snapshot:
+        """Replay the log; with ``at_version`` stop there (time travel —
+        the versioned-commit model gives historical reads for free)."""
+        snap = Snapshot(self.table_path)
+        versions = self._versions()
+        if at_version is not None:
+            if at_version not in versions:
+                raise ValueError(
+                    f"version {at_version} not in log (have {versions})")
+            versions = [v for v in versions if v <= at_version]
+        for v in versions:
             with open(os.path.join(self.log_dir, f"{v:012d}.json")) as fh:
                 commit = json.load(fh)
             for p in commit.get("remove", []):

@@ -86,10 +86,19 @@ class QbeastTable:
             reader = reader.schema(schema)
         return reader.parquet(*paths)
 
-    def to_df(self):
-        """R4 — plain read of every live file."""
-        snap = self.snapshot(refresh=True)
+    def to_df(self, version: Optional[int] = None):
+        """R4 — plain read of every live file. ``version`` reads the table
+        as of that commit (time travel; the versioned log replays to any
+        point for free, like Delta's VERSION AS OF)."""
+        if version is not None:
+            snap = self.log.snapshot(at_version=version)
+        else:
+            snap = self.snapshot(refresh=True)
         return self._df_for_files(list(snap.files.keys()))
+
+    def history(self):
+        """Commit history (DESCRIBE HISTORY analogue), newest last."""
+        return self.log.history()
 
     def sample(self, fraction: float, lower_bound: float = 0.0):
         """R1+R2 — deterministic sample: prune files by block weight range,

@@ -178,3 +178,30 @@ def test_concurrent_appends_both_commit(spark, tmp_table):
     # sampling still sane across the two commits
     n = li.count()
     assert abs(qt.sample(0.3).count() - 0.3 * n) <= 0.08 * n
+
+
+def test_time_travel_and_history(spark, tmp_table):
+    """Versioned log replay: to_df(version=N) returns the table as of that
+    commit; history() lists one entry per commit (Delta VERSION AS OF /
+    DESCRIBE HISTORY analogues)."""
+    from conftest import load
+
+    li = load(spark, "lineitem")
+    d1 = li.limit(2000)
+    qss.write(d1, tmp_table,
+              columns_to_index=["l_orderkey", "l_extendedprice"],
+              cube_size=500)
+    qss.write(li.limit(5000).subtract(d1).limit(1500), tmp_table,
+              columns_to_index=["l_orderkey", "l_extendedprice"],
+              cube_size=500)
+    qt = qss.QbeastTable.for_path(spark, tmp_table)
+    hist = qt.history()
+    assert [h["version"] for h in hist] == [0, 1]
+    assert all(h["numAddedFiles"] > 0 for h in hist)
+    n_v0 = qt.to_df(version=0).count()
+    n_now = qt.to_df().count()
+    assert n_v0 == 2000
+    assert n_now == 3500
+    assert qt.to_df(version=0).exceptAll(d1).count() == 0
+    with pytest.raises(ValueError):
+        qt.to_df(version=99)
