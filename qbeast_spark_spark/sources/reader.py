@@ -100,6 +100,25 @@ class QbeastTable:
         """Commit history (DESCRIBE HISTORY analogue), newest last."""
         return self.log.history()
 
+    def vacuum(self, dry_run: bool = False) -> List[str]:
+        """Delete data files no longer referenced by the CURRENT snapshot
+        (left behind by optimize/overwrite, which commit removals as
+        metadata only). Note: vacuumed versions are no longer time-travel
+        readable — same trade-off as Delta VACUUM. Returns the deleted
+        (or, with dry_run, deletable) relative paths."""
+        live = set(self.snapshot(refresh=True).files.keys())
+        victims = []
+        for name in os.listdir(self.path):
+            if name.endswith(".parquet") and name not in live:
+                victims.append(name)
+        if not dry_run:
+            for name in victims:
+                try:
+                    os.remove(os.path.join(self.path, name))
+                except OSError:
+                    pass
+        return sorted(victims)
+
     def sample(self, fraction: float, lower_bound: float = 0.0):
         """R1+R2 — deterministic sample: prune files by block weight range,
         then apply the exact residual hash-range predicate per row.

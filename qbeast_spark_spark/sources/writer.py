@@ -306,7 +306,8 @@ def _materialize(prepared, revision: Revision, weights, file_map, num_files,
 def write_qbeast(df, path: str, columns_to_index: Sequence[str] | str,
                  cube_size: int = DEFAULT_CUBE_SIZE, mode: str = "append",
                  column_stats: Optional[Dict[str, Dict[str, Any]]] = None,
-                 pre_commit_hooks: Optional[List] = None) -> int:
+                 pre_commit_hooks: Optional[List] = None,
+                 merge_schema: bool = False) -> int:
     """Index + write ``df`` as one transactional qbeast commit; returns the
     committed log version. See module docstring for the plan shape."""
     from pyspark.sql import functions as F
@@ -321,7 +322,8 @@ def write_qbeast(df, path: str, columns_to_index: Sequence[str] | str,
     _spark.conf.set(_ARROW_BATCH_KEY, "65536")
     try:
         return _write_qbeast_inner(df, path, columns_to_index, cube_size,
-                                   mode, column_stats, pre_commit_hooks)
+                                   mode, column_stats, pre_commit_hooks,
+                                   merge_schema)
     finally:
         if _prev_batch is None:
             _spark.conf.unset(_ARROW_BATCH_KEY)
@@ -331,7 +333,8 @@ def write_qbeast(df, path: str, columns_to_index: Sequence[str] | str,
 
 def _write_qbeast_inner(df, path: str, columns_to_index,
                         cube_size: int, mode: str,
-                        column_stats, pre_commit_hooks) -> int:
+                        column_stats, pre_commit_hooks,
+                        merge_schema: bool = False) -> int:
     from pyspark.sql import functions as F
     from pyspark.sql import types as T
 
@@ -355,6 +358,34 @@ def _write_qbeast_inner(df, path: str, columns_to_index,
         snapshot.cube_weights = {}
         snapshot.cube_domains = {}
         snapshot.revisions = {}
+
+    # Schema evolution (Delta mergeSchema semantics,
+    # DeltaMetadataWriter.scala:82-85 parity): appends must match the table
+    # schema; with merge_schema=True new columns append to it (old files
+    # read the added columns as null), type changes are always rejected.
+    schema_to_commit = df.schema
+    if mode == "append" and snapshot.schema_json:
+        import json as _json
+
+        old = T.StructType.fromJson(_json.loads(snapshot.schema_json))
+        old_by_name = {f.name: f for f in old.fields}
+        new_by_name = {f.name: f for f in df.schema.fields}
+        conflicts = [nm for nm, f in new_by_name.items()
+                     if nm in old_by_name
+                     and old_by_name[nm].dataType != f.dataType]
+        if conflicts:
+            raise ValueError(
+                f"append changes column types for {conflicts}; "
+                "qbeast tables reject type changes")
+        changed = (set(old_by_name) != set(new_by_name))
+        if changed and not merge_schema:
+            raise ValueError(
+                "append schema differs from the table schema "
+                f"(table: {sorted(old_by_name)}, df: {sorted(new_by_name)}); "
+                "pass merge_schema=True to evolve")
+        schema_to_commit = T.StructType(
+            old.fields + [f for f in df.schema.fields
+                          if f.name not in old_by_name])
 
     transformations, n = _build_transformations(df, specs, column_types,
                                                 column_stats)
@@ -401,8 +432,7 @@ def _write_qbeast_inner(df, path: str, columns_to_index,
     else:
         extra_props = {}
 
-    data_schema = T.StructType(
-        [f for f in df.schema.fields]).json()
+    data_schema = schema_to_commit.json()
     version = log.commit(
         add=add_files,
         remove=remove,

@@ -150,3 +150,45 @@ def test_disjunctive_read_matches_plain_filter(spark, tmp_table, lineitem):
     f_union = set(qt._prune_files(snap, dnf[0])) | set(
         qt._prune_files(snap, dnf[1]))
     assert len(f_union) <= len(qt.file_paths())
+
+
+def test_schema_evolution_on_append(spark, tmp_table, lineitem):
+    base = lineitem.select("l_orderkey", "l_extendedprice", "l_quantity")
+    _write(base.limit(2000), tmp_table, ["l_orderkey", "l_extendedprice"])
+    extended = (base.limit(1000)
+                .withColumn("l_new_flag", F.lit("x")))
+    # mismatched append without merge_schema is rejected
+    with pytest.raises(ValueError):
+        _write(extended, tmp_table, ["l_orderkey", "l_extendedprice"])
+    # with merge_schema the new column joins the table schema
+    qss.write(extended, tmp_table,
+              columns_to_index=["l_orderkey", "l_extendedprice"],
+              cube_size=500, merge_schema=True)
+    qt = qss.QbeastTable.for_path(spark, tmp_table)
+    got = qt.to_df()
+    assert got.count() == 3000
+    assert "l_new_flag" in got.columns
+    # old rows read the evolved column as null
+    assert got.where(F.col("l_new_flag").isNull()).count() == 2000
+    # type change is always rejected
+    retyped = base.limit(10).withColumn(
+        "l_quantity", F.col("l_quantity").cast("string"))
+    with pytest.raises(ValueError):
+        qss.write(retyped, tmp_table,
+                  columns_to_index=["l_orderkey", "l_extendedprice"],
+                  cube_size=500, merge_schema=True)
+
+
+def test_vacuum_removes_dereferenced_files(spark, tmp_table, lineitem):
+    _write(lineitem, tmp_table, ["l_orderkey", "l_extendedprice"])
+    qt = qss.QbeastTable.for_path(spark, tmp_table)
+    n = qt.to_df().count()
+    qt.optimize(fraction=1.0)  # rewrites every file; old ones dereferenced
+    qt = qss.QbeastTable.for_path(spark, tmp_table)
+    dead = qt.vacuum(dry_run=True)
+    assert dead  # optimize left orphans
+    removed = qt.vacuum()
+    assert removed == dead
+    # table still reads fully after physical deletion
+    assert qt.to_df().count() == n
+    assert qt.vacuum(dry_run=True) == []
