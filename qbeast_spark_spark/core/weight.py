@@ -42,3 +42,48 @@ def fraction_to_weight(fraction: float) -> int:
 def weight_to_fraction(weight: int) -> float:
     """Inverse of fraction_to_weight (Weight.scala fraction)."""
     return (weight - INT_MIN) / RANGE
+
+
+def _rotl32(x: int, r: int) -> int:
+    x &= 0xFFFFFFFF
+    return ((x << r) | (x >> (32 - r))) & 0xFFFFFFFF
+
+
+def murmur3_string_hash(value: str, seed: int = 42) -> int:
+    """Spark-compatible Murmur3_x86_32 of a string's UTF-8 bytes, signed
+    int32 — the exact value `F.hash(string_col)` produces (Spark's
+    hashUnsafeBytes: 4-byte little-endian words, then each tail byte
+    sign-extended and mixed as a full k1, then fmix by total length).
+    Pure-Python driver-side twin used for planning-time point lookups on
+    hash-transformed dimensions."""
+    data = value.encode("utf-8")
+    n = len(data)
+    h1 = seed & 0xFFFFFFFF
+    aligned = n - n % 4
+
+    def mix_k1(k1: int) -> int:
+        k1 = (k1 * 0xCC9E2D51) & 0xFFFFFFFF
+        k1 = _rotl32(k1, 15)
+        return (k1 * 0x1B873593) & 0xFFFFFFFF
+
+    def mix_h1(h1: int, k1: int) -> int:
+        h1 ^= k1
+        h1 = _rotl32(h1, 13)
+        return (h1 * 5 + 0xE6546B64) & 0xFFFFFFFF
+
+    for i in range(0, aligned, 4):
+        word = int.from_bytes(data[i:i + 4], "little")
+        h1 = mix_h1(h1, mix_k1(word))
+    for i in range(aligned, n):
+        b = data[i]
+        if b >= 128:
+            b -= 256  # sign-extended byte, masked inside mix_k1
+        h1 = mix_h1(h1, mix_k1(b & 0xFFFFFFFF))
+    # fmix
+    h1 ^= n
+    h1 ^= h1 >> 16
+    h1 = (h1 * 0x85EBCA6B) & 0xFFFFFFFF
+    h1 ^= h1 >> 13
+    h1 = (h1 * 0xC2B2AE35) & 0xFFFFFFFF
+    h1 ^= h1 >> 16
+    return h1 - 0x100000000 if h1 >= 0x80000000 else h1

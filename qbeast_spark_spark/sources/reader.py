@@ -331,7 +331,20 @@ def _query_space(rev: Revision, filters: Sequence[FilterTuple]
         i = rev.column_names.index(col)
         tr = rev.transformations[i]
         if isinstance(tr, HashTransformation):
-            continue  # hash space is unordered; cannot prune ranges
+            # hash space is unordered, so range predicates cannot prune —
+            # but EQUALITY maps the literal to its exact point coordinate
+            # (QuerySpecBuilder equality handling on hashed dimensions):
+            # same murmur3 as the write-side F.hash, so the point lands in
+            # precisely the cube chain that stored matching rows.
+            if op.lower() in ("=", "==") and val is not None:
+                from ..core.weight import murmur3_string_hash
+
+                h = murmur3_string_hash(str(val))
+                coord = (h & 0x7FFFFFFF) / 2147483647.0
+                lo[i] = max(lo[i], coord)
+                hi[i] = min(hi[i], coord)
+                constrained = True
+            continue
         # NTZ timestamps normalize through the session tz; pad the interval
         # by the max utc offset (14h) so pruning never drops a file.
         pad = 0.0

@@ -192,3 +192,21 @@ def test_vacuum_removes_dereferenced_files(spark, tmp_table, lineitem):
     # table still reads fully after physical deletion
     assert qt.to_df().count() == n
     assert qt.vacuum(dry_run=True) == []
+
+
+def test_string_equality_pruning(spark, tmp_table, lineitem):
+    """Point lookups on a hash-indexed string column prune files: the
+    driver-side murmur3 twin maps the literal to the same [0,1] coordinate
+    the write path used (QuerySpecBuilder equality-on-hash parity)."""
+    df = lineitem.withColumn(
+        "bucket_key", F.concat(F.lit("key_"), (F.col("l_orderkey") % 500)))
+    _write(df, tmp_table, ["bucket_key", "l_extendedprice"], cube_size=200)
+    qt = qss.QbeastTable.for_path(spark, tmp_table)
+    got = qt.read([("bucket_key", "=", "key_7")])
+    expect = df.where(F.col("bucket_key") == "key_7")
+    assert got.count() == expect.count() > 0
+    assert got.exceptAll(expect).count() == 0
+    # and it actually pruned
+    snap = qt.snapshot(refresh=True)
+    pruned = qt._prune_files(snap, [("bucket_key", "=", "key_7")])
+    assert len(pruned) < len(qt.file_paths())
