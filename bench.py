@@ -27,7 +27,7 @@ BENCH_QUERIES = [
     "q1_pricing_summary", "q3_shipping_priority", "q5_local_supplier",
     "q6_forecast_revenue", "q7_volume_shipping", "q18_large_volume",
     "q_top_orders_per_customer", "q_running_total", "q_lag_lead",
-    "q_asof_join", "q_interval_join", "q_sessionize", "q_tumbling_window",
+    "q_asof_join", "q_interval_join", "q_funnel", "q_sessionize", "q_tumbling_window",
     "q_sliding_window",
     "dedup_ngram_jaccard", "dedup_lsh_pairs", "dedup_simhash",
     "dedup_canonical",

@@ -735,7 +735,63 @@ def _dd_canonical_sql() -> str:
         pairs_sql=DD_JACCARD_SQL.strip().rstrip(";"))
 
 
+def q_funnel(spark, sf_dir):
+    """Sequential-pattern (funnel) analysis: per user, did a 'view' get
+    followed by a 'purchase' within 1 hour? One shuffle on user_id, then a
+    forward-looking window min — no self-join, no pattern-matching UDF.
+    Output: per-user funnel flags + global conversion counts per step."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    ev = _events(spark, sf_dir)
+    w = (Window.partitionBy("user_id").orderBy("ts_us", "event_id")
+         .rowsBetween(1, Window.unboundedFollowing))
+    # for every view event: earliest later purchase time for the same user
+    flagged = (ev.withColumn(
+        "_next_purchase_us",
+        F.min(F.when(F.col("event_type") == "purchase",
+                     F.col("ts_us"))).over(w))
+        .where(F.col("event_type") == "view")
+        .withColumn("_converted",
+                    (F.col("_next_purchase_us") - F.col("ts_us"))
+                    <= F.lit(3_600_000_000)))
+    per_user = (flagged.groupBy("user_id")
+                .agg(F.count("*").alias("n_views"),
+                     F.sum(F.when(F.col("_converted"), 1).otherwise(0))
+                     .alias("n_converted_views")))
+    return (per_user.agg(
+        F.count("*").alias("n_users_with_views"),
+        F.sum("n_views").alias("total_views"),
+        F.sum("n_converted_views").alias("total_converted_views"),
+        F.sum(F.when(F.col("n_converted_views") > 0, 1).otherwise(0))
+        .alias("n_users_converted")))
+
+
+Q_FUNNEL_SQL = """
+WITH flagged AS (
+  SELECT user_id,
+         CASE WHEN MIN(CASE WHEN event_type = 'purchase' THEN epoch_us(ts) END)
+                   OVER (PARTITION BY user_id ORDER BY epoch_us(ts), event_id
+                         ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING)
+                   - epoch_us(ts) <= 3600000000
+              THEN 1 ELSE 0 END AS converted,
+         event_type
+  FROM events),
+per_user AS (
+  SELECT user_id, COUNT(*) AS n_views,
+         SUM(converted) AS n_converted_views
+  FROM flagged WHERE event_type = 'view' GROUP BY user_id)
+SELECT COUNT(*) AS n_users_with_views,
+       SUM(n_views) AS total_views,
+       SUM(n_converted_views) AS total_converted_views,
+       SUM(CASE WHEN n_converted_views > 0 THEN 1 ELSE 0 END)
+         AS n_users_converted
+FROM per_user
+"""
+
+
 EXT_QUERIES: Dict[str, Tuple[Callable, Optional[str]]] = {
+    "q_funnel": (q_funnel, Q_FUNNEL_SQL),
     "q15_top_supplier": (q15_top_supplier, Q15_SQL),
     "sim_lsh_pairs": (sim_lsh_pairs, SIM_LSH_SQL),
     "dedup_canonical": (dedup_canonical, _dd_canonical_sql()),
