@@ -210,3 +210,17 @@ def test_string_equality_pruning(spark, tmp_table, lineitem):
     snap = qt.snapshot(refresh=True)
     pruned = qt._prune_files(snap, [("bucket_key", "=", "key_7")])
     assert len(pruned) < len(qt.file_paths())
+
+
+def test_range_sample_partitions_disjoint(spark, tmp_table, lineitem):
+    """sample(ub, lower_bound=lb) reads the weight range [lb, ub): disjoint
+    ranges partition the table (SampleRule's Sample(lb, ub) semantics)."""
+    _write(lineitem, tmp_table, ["l_orderkey", "l_extendedprice"])
+    qt = qss.QbeastTable.for_path(spark, tmp_table)
+    n = lineitem.count()
+    s1 = qt.sample(0.3)
+    s2 = qt.sample(0.7, lower_bound=0.3)
+    s3 = qt.sample(1.0, lower_bound=0.7)
+    total = s1.count() + s2.count() + s3.count()
+    assert total == n  # exact partition, no overlap, no loss
+    assert s1.intersect(s2).count() == 0
