@@ -224,3 +224,23 @@ def test_range_sample_partitions_disjoint(spark, tmp_table, lineitem):
     total = s1.count() + s2.count() + s3.count()
     assert total == n  # exact partition, no overlap, no loss
     assert s1.intersect(s2).count() == 0
+
+
+def test_csv_source_ingestion(spark, tmp_path, lineitem):
+    """Any Spark source feeds the indexed write (the reference's docs flow
+    reads CSV then writes qbeast; our write takes any DataFrame). CSV
+    roundtrips through schema inference -> indexed table -> sampled read."""
+    csv_dir = str(tmp_path / "csv_src")
+    (lineitem.select("l_orderkey", "l_extendedprice", "l_quantity",
+                     "l_returnflag")
+     .coalesce(2).write.option("header", True).csv(csv_dir))
+    back = (spark.read.option("header", True).option("inferSchema", True)
+            .csv(csv_dir))
+    table = str(tmp_path / "t")
+    qss.write(back, table, columns_to_index=["l_orderkey", "l_extendedprice"],
+              cube_size=500)
+    qt = qss.QbeastTable.for_path(spark, table)
+    n = back.count()
+    assert qt.to_df().count() == n
+    assert qt.to_df().exceptAll(back).count() == 0
+    assert abs(qt.sample(0.5).count() - 0.5 * n) <= 0.05 * n
