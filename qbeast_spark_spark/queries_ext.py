@@ -790,8 +790,33 @@ FROM per_user
 """
 
 
+def q_json_extract(spark, sf_dir):
+    """JSON scalar functions over the events.props payload column:
+    extract, cast, bucket, aggregate — all JVM-side (get_json_object)."""
+    from pyspark.sql import functions as F
+
+    ev = _events(spark, sf_dir)
+    k = F.get_json_object(F.col("props"), "$.k").cast("long")
+    return (ev.select("event_type", k.alias("k"))
+            .groupBy("event_type", (F.col("k") % 10).alias("k_bucket"))
+            .agg(F.count("*").alias("n"),
+                 F.sum("k").alias("sum_k"),
+                 F.max("k").alias("max_k")))
+
+
+Q_JSON_SQL = """
+SELECT event_type, CAST(props->>'k' AS BIGINT) % 10 AS k_bucket,
+       COUNT(*) AS n,
+       SUM(CAST(props->>'k' AS BIGINT)) AS sum_k,
+       MAX(CAST(props->>'k' AS BIGINT)) AS max_k
+FROM events
+GROUP BY 1, 2
+"""
+
+
 EXT_QUERIES: Dict[str, Tuple[Callable, Optional[str]]] = {
     "q_funnel": (q_funnel, Q_FUNNEL_SQL),
+    "q_json_extract": (q_json_extract, Q_JSON_SQL),
     "q15_top_supplier": (q15_top_supplier, Q15_SQL),
     "sim_lsh_pairs": (sim_lsh_pairs, SIM_LSH_SQL),
     "dedup_canonical": (dedup_canonical, _dd_canonical_sql()),
