@@ -238,6 +238,10 @@ class QbeastTable:
                 cond = cond & (c == F.lit(val))
             elif op == "in":
                 cond = cond & c.isin(list(val))
+            elif op in ("is_null", "isnull"):
+                cond = cond & c.isNull()
+            elif op in ("is_not_null", "isnotnull"):
+                cond = cond & c.isNotNull()
             else:
                 raise ValueError(f"unsupported filter op {op!r}")
         return cond

@@ -135,3 +135,19 @@ def test_append_same_space_reuses_revision(spark, tmp_path):
     qt = qss.QbeastTable.for_path(spark, path)
     assert len(qt.revisions()) == n_revs
     assert qt.to_df().count() == 4000
+
+
+def test_null_predicate_reads(spark, tmp_path, typed_df):
+    path = str(tmp_path / "t")
+    qss.write(typed_df, path, columns_to_index=["nullable_col", "int_col"],
+              cube_size=300)
+    qt = qss.QbeastTable.for_path(spark, path)
+    n_null = typed_df.where(F.col("nullable_col").isNull()).count()
+    got_null = qt.read([("nullable_col", "is_null", None)])
+    assert got_null.count() == n_null
+    got_nn = qt.read([("nullable_col", "is_not_null", None),
+                      ("int_col", ">=", 1000)])
+    expect_nn = typed_df.where(F.col("nullable_col").isNotNull()
+                               & (F.col("int_col") >= 1000))
+    assert got_nn.count() == expect_nn.count()
+    assert got_nn.exceptAll(expect_nn).count() == 0
