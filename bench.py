@@ -23,7 +23,7 @@ CPUS = os.environ.get("SPARK_GRAFT_CPUS", "32")
 
 # headline set: qbeast surface + heaviest relational + pipeline operators
 BENCH_QUERIES = [
-    "qb_roundtrip", "qb_sample", "qb_range_read",
+    "qb_roundtrip", "qb_sample", "qb_range_read", "qb_events_timeslice",
     "q1_pricing_summary", "q3_shipping_priority", "q5_local_supplier",
     "q6_forecast_revenue", "q7_volume_shipping", "q18_large_volume",
     "q_top_orders_per_customer", "q_running_total", "q_lag_lead",

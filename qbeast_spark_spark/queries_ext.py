@@ -814,7 +814,66 @@ GROUP BY 1, 2
 """
 
 
+_EV_CACHE: Dict[str, str] = {}
+
+
+def _indexed_events(spark, sf_dir):
+    """Events OTree-indexed on (ts_us, user_id) — the hypertable pattern:
+    time is just another indexed dimension, so time-slice + user-slice
+    queries prune files multi-dimensionally with no special-cased
+    time-partitioning scheme."""
+    import os
+    import shutil
+
+    from .sources.log import CommitLog
+    from .sources.writer import write_qbeast
+
+    key = os.path.abspath(sf_dir)
+    tag = key.strip("/").replace("/", "_")
+    path = _EV_CACHE.get(key) or f"/tmp/qss_tables/{tag}/events"
+    if not CommitLog(path).exists():
+        shutil.rmtree(path, ignore_errors=True)
+        ev = _events(spark, sf_dir)
+        import pyarrow.parquet as pq
+        n = pq.ParquetFile(
+            os.path.join(sf_dir, "events.parquet")).metadata.num_rows
+        write_qbeast(ev, path, columns_to_index=["ts_us", "user_id"],
+                     cube_size=max(500, n // 32))
+    _EV_CACHE[key] = path
+    return path
+
+
+def qb_events_timeslice(spark, sf_dir):
+    """Pruned time-slice + user-slice read over the time-indexed events
+    table, then a per-type aggregate — the hypertable query shape."""
+    from pyspark.sql import functions as F
+
+    from .sources.reader import QbeastTable
+
+    path = _indexed_events(spark, sf_dir)
+    qt = QbeastTable.for_path(spark, path)
+    # 2024-01-10T00:00Z .. 2024-01-12T00:00Z, users 0..400
+    lo = 1704844800000000
+    hi = 1705017600000000
+    sliced = qt.read([("ts_us", ">=", lo), ("ts_us", "<", hi),
+                      ("user_id", "<", 400)])
+    return (sliced.groupBy("event_type")
+            .agg(F.count("*").alias("n"),
+                 F.sum(_cents(F.col("value"))).alias("value_cents")))
+
+
+QB_EVENTS_TIMESLICE_SQL = """
+SELECT event_type, COUNT(*) AS n,
+       SUM(CAST(ROUND(value*100,0) AS BIGINT)) AS value_cents
+FROM events
+WHERE epoch_us(ts) >= 1704844800000000 AND epoch_us(ts) < 1705017600000000
+  AND user_id < 400
+GROUP BY 1
+"""
+
+
 EXT_QUERIES: Dict[str, Tuple[Callable, Optional[str]]] = {
+    "qb_events_timeslice": (qb_events_timeslice, QB_EVENTS_TIMESLICE_SQL),
     "q_funnel": (q_funnel, Q_FUNNEL_SQL),
     "q_json_extract": (q_json_extract, Q_JSON_SQL),
     "q15_top_supplier": (q15_top_supplier, Q15_SQL),
