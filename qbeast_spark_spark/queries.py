@@ -572,26 +572,7 @@ def dd_jaccard(spark, sf_dir):
 DD_JACCARD_SQL = _DD_JACCARD_SQL  # (moved to queries_common)
 
 
-def _minhash_sql_core() -> str:
-    mins = ",\n       ".join(
-        f"MIN((h * {a} + {b}) % {MINHASH_PRIME}) AS mh{j}"
-        for j, (a, b) in enumerate(MINHASH_PERMS))
-    return f"""
-WITH t AS (SELECT doc_id, regexp_extract_all(lower(text), '{TOKEN_RE}') toks
-           FROM documents),
-s AS (SELECT doc_id,
-             unnest(list_distinct(CASE WHEN len(toks) >= 3 THEN
-               list_transform(range(1, len(toks)-1),
-                              i -> array_to_string(list_slice(toks, i, i+2), ' '))
-               ELSE [] END)) AS shingle
-      FROM t),
-h AS (SELECT doc_id,
-             CAST(('0x' || substr(md5(shingle), 1, 8)) AS BIGINT) AS h
-      FROM s),
-sigs AS (SELECT doc_id,
-       {mins}
-FROM h GROUP BY doc_id)
-"""
+from .queries_common import _lsh_sql, _minhash_sql_core  # noqa: E402,F401
 
 
 def dd_minhash(spark, sf_dir):
@@ -605,23 +586,6 @@ DD_MINHASH_SQL = _minhash_sql_core() + "SELECT * FROM sigs"
 def dd_lsh_pairs(spark, sf_dir):
     docs = _t(spark, sf_dir, "documents")
     return lsh_candidate_pairs(docs, n=3)
-
-
-def _lsh_sql() -> str:
-    n_bands = len(MINHASH_PERMS) // LSH_BAND_ROWS
-    band_selects = []
-    for b in range(n_bands):
-        cols = [f"mh{b * LSH_BAND_ROWS + r}" for r in range(LSH_BAND_ROWS)]
-        concat = " || '_' || ".join(f"CAST({c} AS VARCHAR)" for c in cols)
-        band_selects.append(
-            f"SELECT doc_id, {b} AS band, {concat} AS band_val FROM sigs")
-    bands = "\nUNION ALL\n".join(band_selects)
-    return (_minhash_sql_core()
-            + f", bands AS ({bands})\n"
-            + """SELECT DISTINCT a.doc_id AS id1, b.doc_id AS id2
-FROM bands a JOIN bands b
-  ON a.band = b.band AND a.band_val = b.band_val AND a.doc_id < b.doc_id
-""")
 
 
 DD_LSH_SQL = _lsh_sql()

@@ -872,8 +872,39 @@ GROUP BY 1
 """
 
 
+def dedup_lsh_scored(spark, sf_dir):
+    """MinHash pipeline completion: LSH candidates scored by the
+    signature-agreement Jaccard estimate and thresholded."""
+    from .operators.dedup import lsh_pairs_scored
+
+    docs = _t(spark, sf_dir, "documents")
+    return lsh_pairs_scored(docs, n=3, threshold=0.5)
+
+
+def _lsh_scored_sql() -> str:
+    from .operators.dedup import MINHASH_PERMS
+    from .queries_common import _lsh_sql
+
+    n = len(MINHASH_PERMS)
+    agree = " + ".join(
+        f"CASE WHEN sa.mh{j} = sb.mh{j} THEN 1 ELSE 0 END" for j in range(n))
+    # reuse the candidate-pair SQL as a CTE; its own WITH-chain already
+    # defines `sigs`, so wrap the final select and re-join signatures.
+    cand_sql = _lsh_sql().strip()
+    head, _, final = cand_sql.partition("SELECT DISTINCT")
+    return (head
+            + f", cands AS (SELECT DISTINCT{final})\n"
+            + f"""SELECT c.id1, c.id2,
+       ROUND(({agree})::DOUBLE / {n}, 6) AS est_jaccard
+FROM cands c JOIN sigs sa ON c.id1 = sa.doc_id
+             JOIN sigs sb ON c.id2 = sb.doc_id
+WHERE ROUND(({agree})::DOUBLE / {n}, 6) >= 0.5
+""")
+
+
 EXT_QUERIES: Dict[str, Tuple[Callable, Optional[str]]] = {
     "qb_events_timeslice": (qb_events_timeslice, QB_EVENTS_TIMESLICE_SQL),
+    "dedup_lsh_scored": (dedup_lsh_scored, _lsh_scored_sql()),
     "q_funnel": (q_funnel, Q_FUNNEL_SQL),
     "q_json_extract": (q_json_extract, Q_JSON_SQL),
     "q15_top_supplier": (q15_top_supplier, Q15_SQL),
