@@ -902,8 +902,36 @@ WHERE ROUND(({agree})::DOUBLE / {n}, 6) >= 0.5
 """)
 
 
+def q_stratified_sample(spark, sf_dir):
+    """Deterministic stratified downsampling of documents by language:
+    keep 30% of 'en' (over-represented), 100% of everything else, with the
+    keep-decision a pure function of doc_id — exactly replayable by the
+    oracle."""
+    from pyspark.sql import functions as F
+
+    from .operators.sampling import stratified_sample
+
+    docs = _t(spark, sf_dir, "documents")
+    kept = stratified_sample(docs, "lang", {"en": 0.3}, id_col="doc_id")
+    return (kept.groupBy("lang")
+            .agg(F.count("*").alias("n_kept"),
+                 F.sum(F.col("n_chars").cast("long")).alias("chars_kept")))
+
+
+Q_STRATIFIED_SQL = """
+SELECT lang, COUNT(*) AS n_kept,
+       SUM(CAST(n_chars AS BIGINT)) AS chars_kept
+FROM documents
+WHERE CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT)
+      / 4294967296.0
+      < CASE WHEN lang = 'en' THEN 0.3 ELSE 1.0 END
+GROUP BY lang
+"""
+
+
 EXT_QUERIES: Dict[str, Tuple[Callable, Optional[str]]] = {
     "qb_events_timeslice": (qb_events_timeslice, QB_EVENTS_TIMESLICE_SQL),
+    "q_stratified_sample": (q_stratified_sample, Q_STRATIFIED_SQL),
     "dedup_lsh_scored": (dedup_lsh_scored, _lsh_scored_sql()),
     "q_funnel": (q_funnel, Q_FUNNEL_SQL),
     "q_json_extract": (q_json_extract, Q_JSON_SQL),
