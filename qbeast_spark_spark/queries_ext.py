@@ -1,7 +1,11 @@
 """Extended relational surface: TPC-H-shaped queries adapted to the reduced
 testdata schema (no partsupp/commitdate/shipmode/phone/container columns) plus
 analytic operators (lag/lead, ntile, grouping sets, pivot, exact percentiles,
-sliding windows).
+sliding windows), plus later additions: q15 scalar-max, bucketed interval
+join, funnel analysis, JSON extraction, hypertable time-slice reads over a
+time-indexed events table, ANN over the OTree index, hyperplane-LSH
+embedding pairs, scored LSH, connected-components dedup clustering, and
+deterministic stratified sampling.
 
 These exercise the operator families the reference DELEGATES to Spark
 (SURVEY.md §2.2 — evidence: reads materialize as HadoopFsRelation +
