@@ -136,6 +136,7 @@ def estimate_cube_domains(prepared_df, revision: Revision, num_elements: int,
 
 def compute_cube_weights(domains: Dict[Tuple[int, int], float],
                          desired_cube_size: int,
+                         dims: int,
                          existing_weights: Optional[Dict[Tuple[int, int], int]] = None
                          ) -> Dict[Tuple[int, int], int]:
     """Driver pass (OTreeDataAnalyzer.estimateUpdatedCubeWeights:141-212):
@@ -144,7 +145,6 @@ def compute_cube_weights(domains: Dict[Tuple[int, int], float],
 
     Returns int32-domain weights {(depth, path): weight_int}.
     """
-    dims_mask_cache: Dict[int, int] = {}
     fractions: Dict[Tuple[int, int], float] = {}
     out: Dict[Tuple[int, int], int] = {}
     for (depth, path) in sorted(domains, key=lambda k: (k[0], k[1])):
@@ -152,9 +152,9 @@ def compute_cube_weights(domains: Dict[Tuple[int, int], float],
         if depth == 0:
             parent_f = 0.0
         else:
-            # parent path: clear this level's bits. dims is implicit: the
-            # parent key must exist — domains always include every ancestor.
-            parent_key = _parent_key(depth, path, domains)
+            # parent path: clear this level's top dims bits (each level
+            # appends `dims` bits above the ancestor path).
+            parent_key = (depth - 1, path & ((1 << (dims * (depth - 1))) - 1))
             parent_f = fractions.get(parent_key, 0.0)
         if domain <= 0:
             f = 1.0
@@ -173,19 +173,6 @@ def compute_cube_weights(domains: Dict[Tuple[int, int], float],
             else:
                 out[k] = w
     return out
-
-
-def _parent_key(depth: int, path: int,
-                domains: Dict[Tuple[int, int], float]) -> Tuple[int, int]:
-    # dims is unknown here; recover the parent by masking trailing bit-groups
-    # for every plausible dims — but callers always pass complete ancestor
-    # chains, so try the direct computation first for each dims 1..8.
-    for dims in range(1, 9):
-        mask = (1 << (dims * (depth - 1))) - 1
-        cand = (depth - 1, path & mask)
-        if cand in domains:
-            return cand
-    return (depth - 1, 0)
 
 
 def cube_element_counts(domains: Dict[Tuple[int, int], float], dims: int

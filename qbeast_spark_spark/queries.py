@@ -168,10 +168,10 @@ def q1_pricing_summary(spark, sf_dir):
 
 Q1_SQL = """
 SELECT l_returnflag, l_linestatus,
-       SUM(CAST(l_quantity AS BIGINT))                                   AS sum_qty,
-       SUM(CAST(ROUND(l_extendedprice*100, 0) AS BIGINT))                AS sum_base_cents,
-       SUM(CAST(ROUND(l_extendedprice*(1-l_discount)*100, 0) AS BIGINT)) AS sum_disc_cents,
-       SUM(CAST(ROUND(l_extendedprice*(1-l_discount)*(1+l_tax)*100, 0) AS BIGINT)) AS sum_charge_cents,
+       CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT)                                   AS sum_qty,
+       CAST(SUM(CAST(ROUND(l_extendedprice*100, 0) AS BIGINT)) AS BIGINT)                AS sum_base_cents,
+       CAST(SUM(CAST(ROUND(l_extendedprice*(1-l_discount)*100, 0) AS BIGINT)) AS BIGINT) AS sum_disc_cents,
+       CAST(SUM(CAST(ROUND(l_extendedprice*(1-l_discount)*(1+l_tax)*100, 0) AS BIGINT)) AS BIGINT) AS sum_charge_cents,
        ROUND(AVG(l_quantity), 4)  AS avg_qty,
        ROUND(AVG(l_discount), 4)  AS avg_disc,
        COUNT(*)                   AS count_order
@@ -203,7 +203,7 @@ def q3_shipping_priority(spark, sf_dir):
 
 Q3_SQL = """
 SELECT o_orderkey, o_orderdate, o_orderpriority,
-       SUM(CAST(ROUND(l_extendedprice*(1-l_discount)*100, 0) AS BIGINT)) AS revenue_cents
+       CAST(SUM(CAST(ROUND(l_extendedprice*(1-l_discount)*100, 0) AS BIGINT)) AS BIGINT) AS revenue_cents
 FROM lineitem
 JOIN orders   ON l_orderkey = o_orderkey
 JOIN customer ON o_custkey = c_custkey
@@ -247,7 +247,7 @@ def q5_local_supplier(spark, sf_dir):
 
 Q5_SQL = """
 SELECT n_name,
-       SUM(CAST(ROUND(l_extendedprice*(1-l_discount)*100, 0) AS BIGINT)) AS revenue_cents
+       CAST(SUM(CAST(ROUND(l_extendedprice*(1-l_discount)*100, 0) AS BIGINT)) AS BIGINT) AS revenue_cents
 FROM lineitem
 JOIN orders   ON l_orderkey = o_orderkey
 JOIN customer ON o_custkey = c_custkey
@@ -276,7 +276,7 @@ def q6_forecast_revenue(spark, sf_dir):
 
 
 Q6_SQL = """
-SELECT SUM(CAST(ROUND(l_extendedprice*l_discount*100, 0) AS BIGINT)) AS revenue_cents,
+SELECT CAST(SUM(CAST(ROUND(l_extendedprice*l_discount*100, 0) AS BIGINT)) AS BIGINT) AS revenue_cents,
        COUNT(*) AS n_rows
 FROM lineitem
 WHERE l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1997-01-01'
@@ -323,9 +323,9 @@ def q_running_total(spark, sf_dir):
 
 Q_RUNNING_SQL = """
 SELECT o_custkey, o_orderkey,
-       SUM(CAST(ROUND(o_totalprice*100,0) AS BIGINT))
+       CAST(SUM(CAST(ROUND(o_totalprice*100,0) AS BIGINT))
          OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
-               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS running_cents
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS running_cents
 FROM orders
 """
 
@@ -366,7 +366,7 @@ def q_distinct_agg(spark, sf_dir):
 
 Q_DISTINCT_SQL = """
 SELECT o_orderpriority, COUNT(DISTINCT o_custkey) AS n_cust, COUNT(*) AS n_orders,
-       SUM(CAST(ROUND(o_totalprice*100,0) AS BIGINT)) AS total_cents
+       CAST(SUM(CAST(ROUND(o_totalprice*100,0) AS BIGINT)) AS BIGINT) AS total_cents
 FROM orders GROUP BY o_orderpriority
 """
 
@@ -389,7 +389,7 @@ Q_ROLLUP_SQL = """
 SELECT COALESCE(o_orderstatus, 'ALL') AS status,
        COALESCE(o_orderpriority, 'ALL') AS priority,
        COUNT(*) AS n,
-       SUM(CAST(ROUND(o_totalprice*100,0) AS BIGINT)) AS total_cents
+       CAST(SUM(CAST(ROUND(o_totalprice*100,0) AS BIGINT)) AS BIGINT) AS total_cents
 FROM orders GROUP BY ROLLUP(o_orderstatus, o_orderpriority)
 """
 
@@ -429,7 +429,7 @@ def q_date_buckets(spark, sf_dir):
 
 Q_DATES_SQL = """
 SELECT year(o_orderdate) AS y, quarter(o_orderdate) AS q, COUNT(*) AS n,
-       SUM(CAST(ROUND(o_totalprice*100,0) AS BIGINT)) AS total_cents
+       CAST(SUM(CAST(ROUND(o_totalprice*100,0) AS BIGINT)) AS BIGINT) AS total_cents
 FROM orders GROUP BY 1, 2
 """
 
@@ -498,7 +498,7 @@ def q_sessionize(spark, sf_dir):
 
 
 Q_SESSION_SQL = """
-SELECT user_id, SUM(new_sess) AS n_sessions, COUNT(*) AS n_events
+SELECT user_id, CAST(SUM(new_sess) AS BIGINT) AS n_sessions, COUNT(*) AS n_events
 FROM (SELECT user_id,
              CASE WHEN prev_us IS NULL
                   OR epoch_us(ts) - prev_us > 1800000000 THEN 1 ELSE 0
@@ -528,7 +528,7 @@ def q_tumbling_window(spark, sf_dir):
 
 Q_TUMBLING_SQL = """
 SELECT epoch_us(ts) - (epoch_us(ts) % 3600000000) AS bucket_us, event_type,
-       COUNT(*) AS n, SUM(CAST(ROUND(value*100,0) AS BIGINT)) AS value_cents
+       COUNT(*) AS n, CAST(SUM(CAST(ROUND(value*100,0) AS BIGINT)) AS BIGINT) AS value_cents
 FROM events GROUP BY 1, 2
 """
 

@@ -95,7 +95,7 @@ def q7_volume_shipping(spark, sf_dir):
 Q7_SQL = """
 SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
        CAST(YEAR(l_shipdate) AS BIGINT) AS l_year,
-       SUM(CAST(ROUND(l_extendedprice*(1-l_discount)*100, 0) AS BIGINT)) AS revenue_cents
+       CAST(SUM(CAST(ROUND(l_extendedprice*(1-l_discount)*100, 0) AS BIGINT)) AS BIGINT) AS revenue_cents
 FROM lineitem
 JOIN orders   ON l_orderkey = o_orderkey
 JOIN supplier ON l_suppkey  = s_suppkey
@@ -187,7 +187,7 @@ def q10_returned_items(spark, sf_dir):
 Q10_SQL = """
 SELECT c_custkey, c_name, CAST(ROUND(c_acctbal*100,0) AS BIGINT) AS acctbal_cents,
        n_name,
-       SUM(CAST(ROUND(l_extendedprice*(1-l_discount)*100,0) AS BIGINT)) AS revenue_cents
+       CAST(SUM(CAST(ROUND(l_extendedprice*(1-l_discount)*100,0) AS BIGINT)) AS BIGINT) AS revenue_cents
 FROM lineitem
 JOIN orders   ON l_orderkey = o_orderkey
 JOIN customer ON o_custkey = c_custkey
@@ -273,7 +273,7 @@ def q17_small_quantity(spark, sf_dir):
 
 
 Q17_SQL = """
-SELECT SUM(CAST(ROUND(l_extendedprice*100,0) AS BIGINT)) AS total_cents,
+SELECT CAST(SUM(CAST(ROUND(l_extendedprice*100,0) AS BIGINT)) AS BIGINT) AS total_cents,
        COUNT(*) AS n_lines
 FROM lineitem
 JOIN part ON l_partkey = p_partkey
@@ -309,7 +309,7 @@ SELECT c_custkey, c_name, o_orderkey, o_orderdate,
        CAST(ROUND(o_totalprice*100,0) AS BIGINT) AS totalprice_cents,
        CAST(sum_qty AS DOUBLE) AS sum_qty
 FROM orders
-JOIN (SELECT l_orderkey, SUM(l_quantity) AS sum_qty
+JOIN (SELECT l_orderkey, CAST(SUM(l_quantity) AS BIGINT) AS sum_qty
       FROM lineitem GROUP BY l_orderkey HAVING SUM(l_quantity) > 300) big
   ON o_orderkey = big.l_orderkey
 JOIN customer ON o_custkey = c_custkey
@@ -340,7 +340,7 @@ def q19_disjunctive_revenue(spark, sf_dir):
 
 
 Q19_SQL = """
-SELECT SUM(CAST(ROUND(l_extendedprice*(1-l_discount)*100,0) AS BIGINT)) AS revenue_cents,
+SELECT CAST(SUM(CAST(ROUND(l_extendedprice*(1-l_discount)*100,0) AS BIGINT)) AS BIGINT) AS revenue_cents,
        COUNT(*) AS n_lines
 FROM lineitem JOIN part ON l_partkey = p_partkey
 WHERE (p_brand = 'Brand#12' AND p_size BETWEEN 1 AND 5  AND l_quantity BETWEEN 1  AND 11)
@@ -372,7 +372,7 @@ def q22_inactive_rich(spark, sf_dir):
 
 Q22_SQL = """
 SELECT c_mktsegment, COUNT(*) AS numcust,
-       SUM(CAST(ROUND(c_acctbal*100,0) AS BIGINT)) AS totacctbal_cents
+       CAST(SUM(CAST(ROUND(c_acctbal*100,0) AS BIGINT)) AS BIGINT) AS totacctbal_cents
 FROM customer
 WHERE c_acctbal > (SELECT AVG(c_acctbal) FROM customer WHERE c_acctbal > 0)
   AND NOT EXISTS (SELECT 1 FROM orders
@@ -430,7 +430,7 @@ def q_ntile_quartiles(spark, sf_dir):
 
 Q_NTILE_SQL = """
 SELECT quartile, COUNT(*) AS n,
-       SUM(CAST(ROUND(o_totalprice*100,0) AS BIGINT)) AS sum_cents,
+       CAST(SUM(CAST(ROUND(o_totalprice*100,0) AS BIGINT)) AS BIGINT) AS sum_cents,
        CAST(ROUND(MIN(o_totalprice)*100,0) AS BIGINT) AS min_cents,
        CAST(ROUND(MAX(o_totalprice)*100,0) AS BIGINT) AS max_cents
 FROM (SELECT o_totalprice,
@@ -449,7 +449,7 @@ def q_grouping_sets(spark, sf_dir):
                COALESCE(l_linestatus, 'ALL') AS linestatus,
                CAST(GROUPING(l_returnflag) * 2 + GROUPING(l_linestatus) AS BIGINT)
                  AS grouping_lvl,
-               SUM(CAST(l_quantity AS BIGINT)) AS sum_qty,
+               CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty,
                COUNT(*) AS n
         FROM _qss_lineitem
         GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), (l_returnflag), ())
@@ -461,7 +461,7 @@ SELECT COALESCE(l_returnflag, 'ALL') AS returnflag,
        COALESCE(l_linestatus, 'ALL') AS linestatus,
        CAST(GROUPING(l_returnflag) * 2 + GROUPING(l_linestatus) AS BIGINT)
          AS grouping_lvl,
-       SUM(CAST(l_quantity AS BIGINT)) AS sum_qty,
+       CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty,
        COUNT(*) AS n
 FROM lineitem
 GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), (l_returnflag), ())
@@ -536,7 +536,7 @@ def q_sliding_window(spark, sf_dir):
 
 Q_SLIDING_SQL = """
 SELECT win_start_us, event_type, COUNT(*) AS n,
-       SUM(CAST(ROUND(value*100,0) AS BIGINT)) AS value_cents
+       CAST(SUM(CAST(ROUND(value*100,0) AS BIGINT)) AS BIGINT) AS value_cents
 FROM (SELECT unnest([epoch_us(ts) - (epoch_us(ts) % 3600000000) - 3600000000,
                      epoch_us(ts) - (epoch_us(ts) % 3600000000)]) AS win_start_us,
              event_type, value
@@ -569,7 +569,7 @@ def q15_top_supplier(spark, sf_dir):
 Q15_SQL = """
 WITH revenue AS (
   SELECT l_suppkey,
-         SUM(CAST(ROUND(l_extendedprice*(1-l_discount)*100,0) AS BIGINT))
+         CAST(SUM(CAST(ROUND(l_extendedprice*(1-l_discount)*100,0) AS BIGINT)) AS BIGINT)
            AS total_revenue_cents
   FROM lineitem
   WHERE l_shipdate >= TIMESTAMP '1997-01-01'
@@ -604,7 +604,7 @@ def q_interval_join(spark, sf_dir):
 
 Q_INTERVAL_SQL = """
 SELECT err_id, COUNT(*) AS n_events,
-       SUM(CAST(ROUND(value*100,0) AS BIGINT)) AS value_cents
+       CAST(SUM(CAST(ROUND(value*100,0) AS BIGINT)) AS BIGINT) AS value_cents
 FROM (SELECT event_id AS err_id, epoch_us(ts) AS win_start,
              epoch_us(ts) + 600000000 AS win_end
       FROM events WHERE event_type = 'error') iv
@@ -786,9 +786,9 @@ per_user AS (
          SUM(converted) AS n_converted_views
   FROM flagged WHERE event_type = 'view' GROUP BY user_id)
 SELECT COUNT(*) AS n_users_with_views,
-       SUM(n_views) AS total_views,
-       SUM(n_converted_views) AS total_converted_views,
-       SUM(CASE WHEN n_converted_views > 0 THEN 1 ELSE 0 END)
+       CAST(SUM(n_views) AS BIGINT) AS total_views,
+       CAST(SUM(n_converted_views) AS BIGINT) AS total_converted_views,
+       CAST(SUM(CASE WHEN n_converted_views > 0 THEN 1 ELSE 0 END) AS BIGINT)
          AS n_users_converted
 FROM per_user
 """
@@ -811,7 +811,7 @@ def q_json_extract(spark, sf_dir):
 Q_JSON_SQL = """
 SELECT event_type, CAST(props->>'k' AS BIGINT) % 10 AS k_bucket,
        COUNT(*) AS n,
-       SUM(CAST(props->>'k' AS BIGINT)) AS sum_k,
+       CAST(SUM(CAST(props->>'k' AS BIGINT)) AS BIGINT) AS sum_k,
        MAX(CAST(props->>'k' AS BIGINT)) AS max_k
 FROM events
 GROUP BY 1, 2
@@ -868,7 +868,7 @@ def qb_events_timeslice(spark, sf_dir):
 
 QB_EVENTS_TIMESLICE_SQL = """
 SELECT event_type, COUNT(*) AS n,
-       SUM(CAST(ROUND(value*100,0) AS BIGINT)) AS value_cents
+       CAST(SUM(CAST(ROUND(value*100,0) AS BIGINT)) AS BIGINT) AS value_cents
 FROM events
 WHERE epoch_us(ts) >= 1704844800000000 AND epoch_us(ts) < 1705017600000000
   AND user_id < 400
@@ -924,7 +924,7 @@ def q_stratified_sample(spark, sf_dir):
 
 Q_STRATIFIED_SQL = """
 SELECT lang, COUNT(*) AS n_kept,
-       SUM(CAST(n_chars AS BIGINT)) AS chars_kept
+       CAST(SUM(CAST(n_chars AS BIGINT)) AS BIGINT) AS chars_kept
 FROM documents
 WHERE CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT)
       / 4294967296.0

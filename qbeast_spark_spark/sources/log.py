@@ -160,6 +160,13 @@ class CommitLog:
         for v in versions:
             with open(os.path.join(self.log_dir, f"{v:012d}.json")) as fh:
                 commit = json.load(fh)
+            if commit.get("resetStats"):
+                # Overwrite commit: drop accumulated per-revision state so
+                # later appends don't min-merge weights / double-count
+                # domains from pre-overwrite data (ADVICE r1).
+                snap.cube_weights = {}
+                snap.cube_domains = {}
+                snap.revisions = {}
             for p in commit.get("remove", []):
                 snap.files.pop(p, None)
             for fo in commit.get("add", []):
@@ -186,12 +193,14 @@ class CommitLog:
                properties: Dict[str, str] = None, data_change: bool = True,
                cube_weights: Dict[int, Dict[str, int]] = None,
                cube_domains: Dict[int, Dict[str, float]] = None,
+               reset_stats: bool = False,
                max_retries: int = 10) -> int:
         """Atomically append one commit; returns the committed version."""
         os.makedirs(self.log_dir, exist_ok=True)
         payload = {
             "timestamp": int(time.time() * 1000),
             "dataChange": bool(data_change),
+            "resetStats": bool(reset_stats),
             "add": [f.to_json() for f in add],
             "remove": list(remove),
             "revisions": {str(k): r.to_json() for k, r in (revisions or {}).items()},

@@ -106,7 +106,7 @@ def optimize_table(spark, path: str, fraction: float = 1.0,
                        specs, transformations, column_types)
         prepared = with_index_columns(df, rev)
         domains = estimate_cube_domains(prepared, rev, n)
-        weights = compute_cube_weights(domains, rev.desired_cube_size)
+        weights = compute_cube_weights(domains, rev.desired_cube_size, rev.dims)
         counts = {k: float(v) for k, v in domains.items()}
     else:
         prepared = with_index_columns(df, rev)

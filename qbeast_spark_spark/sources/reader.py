@@ -100,16 +100,30 @@ class QbeastTable:
         """Commit history (DESCRIBE HISTORY analogue), newest last."""
         return self.log.history()
 
-    def vacuum(self, dry_run: bool = False) -> List[str]:
+    def vacuum(self, dry_run: bool = False,
+               retention_hours: float = 168.0) -> List[str]:
         """Delete data files no longer referenced by the CURRENT snapshot
         (left behind by optimize/overwrite, which commit removals as
         metadata only). Note: vacuumed versions are no longer time-travel
         readable — same trade-off as Delta VACUUM. Returns the deleted
-        (or, with dry_run, deletable) relative paths."""
+        (or, with dry_run, deletable) relative paths.
+
+        ``retention_hours`` (Delta deletedFileRetentionDuration parity,
+        default 7 days) skips recently written files: writers materialize
+        data before the log commit, so an aggressive vacuum racing an
+        in-flight write would delete its uncommitted files (ADVICE r1)."""
+        import time as _time
+
         live = set(self.snapshot(refresh=True).files.keys())
+        cutoff = _time.time() - retention_hours * 3600.0
         victims = []
         for name in os.listdir(self.path):
             if name.endswith(".parquet") and name not in live:
+                try:
+                    if os.path.getmtime(os.path.join(self.path, name)) > cutoff:
+                        continue  # within retention: possibly uncommitted
+                except OSError:
+                    continue
                 victims.append(name)
         if not dry_run:
             for name in victims:
@@ -340,10 +354,18 @@ def _query_space(rev: Revision, filters: Sequence[FilterTuple]
             # (QuerySpecBuilder equality handling on hashed dimensions):
             # same murmur3 as the write-side F.hash, so the point lands in
             # precisely the cube chain that stored matching rows.
-            if op.lower() in ("=", "==") and val is not None:
+            # Only STRING columns: the driver-side twin hashes str(val),
+            # while the write side hashed Spark's CAST(col AS STRING) —
+            # the two diverge for bool/float/timestamp ('True' vs 'true'),
+            # which would prune files that contain matches (ADVICE r1).
+            # Non-string hashed dims conservatively skip the constraint.
+            is_string_col = (i < len(rev.column_types)
+                             and rev.column_types[i].lower() == "string")
+            if op.lower() in ("=", "==") and isinstance(val, str) \
+                    and is_string_col:
                 from ..core.weight import murmur3_string_hash
 
-                h = murmur3_string_hash(str(val))
+                h = murmur3_string_hash(val)
                 coord = (h & 0x7FFFFFFF) / 2147483647.0
                 lo[i] = max(lo[i], coord)
                 hi[i] = min(hi[i], coord)

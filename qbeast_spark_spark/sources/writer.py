@@ -359,6 +359,20 @@ def _write_qbeast_inner(df, path: str, columns_to_index,
         snapshot.cube_domains = {}
         snapshot.revisions = {}
 
+    # IndexedTable.save parity (IndexedTable.scala:303-320): on append the
+    # table's existing indexed columns win — honoring a different spec would
+    # mix revisions whose residual sample() predicates disagree (ADVICE r1).
+    existing_rev = snapshot.latest_revision()
+    if existing_rev is not None:
+        if [s.name for s in specs] != existing_rev.column_names:
+            specs = list(existing_rev.column_specs)
+            for s in specs:
+                if s.name not in field_types:
+                    raise ValueError(
+                        f"table is indexed by {existing_rev.column_names} but "
+                        f"append is missing column {s.name!r}")
+            column_types = [field_types[s.name] for s in specs]
+
     # Schema evolution (Delta mergeSchema semantics,
     # DeltaMetadataWriter.scala:82-85 parity): appends must match the table
     # schema; with merge_schema=True new columns append to it (old files
@@ -413,7 +427,7 @@ def _write_qbeast_inner(df, path: str, columns_to_index,
         for c, w in snapshot.cube_weights.get(revision.revision_id, {}).items()
     }
     weights = compute_cube_weights(merged_domains, revision.desired_cube_size,
-                                   existing_weights or None)
+                                   dims, existing_weights or None)
     rollup = compute_rollup(new_domains, dims, revision.desired_cube_size)
     file_map = _complete_file_map(weights.keys(), rollup, dims)
     num_files = max(1, len(set(rollup.values())))
@@ -445,5 +459,6 @@ def _write_qbeast_inner(df, path: str, columns_to_index,
         properties={"qbeast.lastRevisionID": str(revision.revision_id),
                     **extra_props},
         data_change=True,
+        reset_stats=(mode == "overwrite"),
     )
     return version

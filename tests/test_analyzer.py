@@ -64,7 +64,7 @@ def test_weights_monotone_down_branches():
     pts, ws = _random_data()
     out = simulate_domains(pts, ws, 1000, 2, 10)
     domains = {(d, p): float(c) for d, p, c in out}
-    weights = compute_cube_weights(domains, 1000)
+    weights = compute_cube_weights(domains, 1000, 2)
     for (d, p), w in weights.items():
         if d == 0:
             continue
@@ -75,15 +75,27 @@ def test_weights_monotone_down_branches():
 
 def test_leaf_weight_is_max():
     domains = {(0, 0): 500.0}
-    weights = compute_cube_weights(domains, 1000)
+    weights = compute_cube_weights(domains, 1000, 2)
     assert weights[(0, 0)] == INT_MAX  # under-filled root -> leaf
+
+
+def test_parent_resolution_multi_dim():
+    # Regression (ADVICE r1): with dims=2 the parent of (2, 2) is (1, 2),
+    # not (1, 0). Make (1, 0) a leaf (f=1.0): chaining from the wrong
+    # parent would saturate (2, 2) at INT_MAX.
+    domains = {(0, 0): 10_000.0, (1, 0): 500.0, (1, 2): 8_000.0,
+               (2, 2): 5_000.0}
+    weights = compute_cube_weights(domains, 1000, 2)
+    assert weights[(1, 0)] == INT_MAX
+    assert weights[(2, 2)] < INT_MAX
+    assert weights[(2, 2)] > weights[(1, 2)]
 
 
 def test_assignment_respects_weights():
     pts, ws = _random_data(n=20_000)
     out = simulate_domains(pts, ws, 1000, 2, 10)
     domains = {(d, p): float(c) for d, p, c in out}
-    weights = compute_cube_weights(domains, 1000)
+    weights = compute_cube_weights(domains, 1000, 2)
     rollup = compute_rollup(domains, 2, 1000)
     lm = LevelMap.build(weights, rollup)
     depth, path, file_id = assign_cubes(pts, ws, lm, 2)

@@ -205,3 +205,58 @@ def test_time_travel_and_history(spark, tmp_table):
     assert qt.to_df(version=0).exceptAll(d1).count() == 0
     with pytest.raises(ValueError):
         qt.to_df(version=99)
+
+
+def test_overwrite_resets_revision_state(spark, tmp_table):
+    """ADVICE r1: snapshot replay must not min-merge cube weights or sum
+    cube domains across an overwrite — later appends would see stale
+    pre-overwrite estimates for the same revision id."""
+    li = load(spark, "lineitem")
+    qss.write(li, tmp_table,
+              columns_to_index=["l_orderkey", "l_extendedprice"],
+              cube_size=500)
+    qt = qss.QbeastTable.for_path(spark, tmp_table)
+    pre = qt.log.snapshot()
+    total_domain_pre = sum(
+        sum(d.values()) for d in pre.cube_domains.values())
+
+    small = li.limit(200)
+    qss.write(small, tmp_table,
+              columns_to_index=["l_orderkey", "l_extendedprice"],
+              cube_size=500, mode="overwrite")
+    snap = qt.log.snapshot()
+    # domains restart from the overwrite's own estimate (200 rows), not
+    # the pre-overwrite accumulation
+    total_domain_post = sum(
+        sum(d.values()) for d in snap.cube_domains.values())
+    assert total_domain_post <= 200.5
+    assert total_domain_post < total_domain_pre
+    # weights restart too: a 200-row table under cube_size=500 is a single
+    # leaf, whose weight must be INT_MAX, not a min-merge with the dense
+    # pre-overwrite root weight
+    from qbeast_spark_spark.core.weight import INT_MAX
+    ws = [w for m in snap.cube_weights.values() for w in m.values()]
+    assert ws and max(ws) == INT_MAX
+    # appends after the overwrite still read correctly
+    qss.write(small, tmp_table,
+              columns_to_index=["l_orderkey", "l_extendedprice"],
+              cube_size=500)
+    assert qss.QbeastTable.for_path(spark, tmp_table).to_df().count() == 400
+
+
+def test_append_ignores_differing_index_columns(spark, tmp_table):
+    """ADVICE r1 / IndexedTable.save parity: the table's existing indexed
+    columns win on append; a differing spec must not create a mixed-columns
+    revision (sample()'s residual predicate would disagree with old files)."""
+    li = load(spark, "lineitem")
+    qss.write(li, tmp_table,
+              columns_to_index=["l_orderkey", "l_extendedprice"],
+              cube_size=500)
+    qss.write(li, tmp_table, columns_to_index=["l_suppkey"], cube_size=500)
+    qt = qss.QbeastTable.for_path(spark, tmp_table)
+    for rev in qt.revisions():
+        assert rev.column_names == ["l_orderkey", "l_extendedprice"]
+    n = qt.to_df().count()
+    assert n == li.count() * 2
+    got = qt.sample(0.1).count()
+    assert abs(got - 0.1 * n) <= max(0.02 * n, 5)

@@ -185,13 +185,16 @@ def test_vacuum_removes_dereferenced_files(spark, tmp_table, lineitem):
     n = qt.to_df().count()
     qt.optimize(fraction=1.0)  # rewrites every file; old ones dereferenced
     qt = qss.QbeastTable.for_path(spark, tmp_table)
-    dead = qt.vacuum(dry_run=True)
+    # default retention (7 days) protects freshly written orphans — a vacuum
+    # racing an in-flight write must not delete its uncommitted files
+    assert qt.vacuum(dry_run=True) == []
+    dead = qt.vacuum(dry_run=True, retention_hours=0.0)
     assert dead  # optimize left orphans
-    removed = qt.vacuum()
+    removed = qt.vacuum(retention_hours=0.0)
     assert removed == dead
     # table still reads fully after physical deletion
     assert qt.to_df().count() == n
-    assert qt.vacuum(dry_run=True) == []
+    assert qt.vacuum(dry_run=True, retention_hours=0.0) == []
 
 
 def test_string_equality_pruning(spark, tmp_table, lineitem):

@@ -40,6 +40,25 @@ def compare(a: pd.DataFrame, b: pd.DataFrame) -> str:
         return f"ROWCOUNT {len(a)} vs {len(b)}"
     if sorted(a.columns) != sorted(b.columns):
         return f"SCHEMA {sorted(a.columns)} vs {sorted(b.columns)}"
+    # Strict dtype twin-check: the driver hashes raw values, so a DuckDB
+    # HUGEINT (object dtype) vs Spark int64 mismatches even when values agree.
+    # Calibrated to CORRECTNESS_r01: the driver's hash tolerates int width
+    # (int32 vs int64) and datetime64 unit (ns vs us) but NOT kind changes
+    # (DuckDB HUGEINT -> object/float vs Spark int64 was the r01 killer).
+    def kind(dt):
+        s = str(dt)
+        if s.startswith("int") or s.startswith("uint"):
+            return "int"
+        if s.startswith("datetime64"):
+            return "datetime"
+        if s.startswith("float"):
+            return "float"
+        return s
+    for c in sorted(a.columns):
+        ka, kb = kind(a[c].dtype), kind(b[c].dtype)
+        if ka != kb:
+            return (f"DTYPE col={c}: spark={a[c].dtype} oracle={b[c].dtype} "
+                    f"(kind {ka} vs {kb})")
     a, b = normalize(a.copy()), normalize(b.copy())
     for c in a.columns:
         av, bv = a[c].values, b[c].values
