@@ -23,15 +23,16 @@ CPUS = os.environ.get("SPARK_GRAFT_CPUS", "32")
 
 # headline set: qbeast surface + heaviest relational + pipeline operators
 BENCH_QUERIES = [
-    "qb_roundtrip", "qb_sample", "qb_range_read", "qb_events_timeslice",
+    "qb_roundtrip", "qb_sample", "qb_range_read", "qb_sql_view",
+    "qb_events_timeslice",
     "q1_pricing_summary", "q3_shipping_priority", "q5_local_supplier",
     "q6_forecast_revenue", "q7_volume_shipping", "q18_large_volume",
-    "q_top_orders_per_customer", "q_running_total", "q_lag_lead",
-    "q_asof_join", "q_interval_join", "q_funnel", "q_sessionize", "q_tumbling_window",
-    "q_sliding_window",
-    "dedup_ngram_jaccard", "dedup_lsh_pairs", "dedup_simhash",
+    "q_top_orders_per_customer", "q_window_funcs",
+    "q_asof_join", "q_interval_join", "q_funnel", "q_sessionize",
+    "q_time_windows", "q_ntile_quartiles",
+    "dedup_ngram_jaccard", "dedup_lsh_scored", "dedup_simhash",
     "dedup_canonical",
-    "text_stats", "text_fingerprint", "sim_cosine_topk", "sim_ivf_topk",
+    "text_stats", "text_lang_fingerprint", "sim_topk", "sim_pairs",
     "sim_otree_topk", "mm_binary_metadata",
 ]
 

@@ -10,18 +10,41 @@ a no-op, so no extra shuffle appears in 100 TB plans.
 
 from __future__ import annotations
 
+from collections import OrderedDict
 from typing import Optional
 
 __all__ = ["spread"]
+
+# df.rdd forces a logical->RDD plan conversion per call; memoize the split
+# count by semantic hash so repeated spreads of the same lineage (bench
+# loops, multi-query sessions) convert once (round-1 VERDICT minor #5).
+_NPART_MEMO: OrderedDict = OrderedDict()
+_MEMO_CAP = 256
+
+
+def _num_partitions(df) -> Optional[int]:
+    try:
+        key = df.semanticHash()
+    except Exception:
+        key = None
+    if key is not None and key in _NPART_MEMO:
+        _NPART_MEMO.move_to_end(key)
+        return _NPART_MEMO[key]
+    try:
+        n = df.rdd.getNumPartitions()
+    except Exception:
+        return None
+    if key is not None:
+        _NPART_MEMO[key] = n
+        if len(_NPART_MEMO) > _MEMO_CAP:
+            _NPART_MEMO.popitem(last=False)
+    return n
 
 
 def spread(df, min_partitions: Optional[int] = None):
     sc = df.sparkSession.sparkContext
     target = min_partitions or sc.defaultParallelism
-    try:
-        current = df.rdd.getNumPartitions()
-    except Exception:
-        return df
-    if current >= target:
+    current = _num_partitions(df)
+    if current is None or current >= target:
         return df
     return df.repartition(target)

@@ -1,0 +1,88 @@
+"""Distributed exact order statistics: the rows at given global ranks
+under a lexicographic ordering, WITHOUT a global single-partition sort.
+
+The scale problem: ``Window.orderBy(...)`` with no partitionBy (e.g. global
+NTILE) moves the entire table through one task. The fix mirrors the
+reference's range-bucketing pattern for distributed string quantiles
+(/root/reference/src/main/scala/io/qbeast/utils/QbeastUtils.scala:120-144):
+
+1. range-repartition a narrow projection of the order columns (parallel
+   shuffle, sampled boundaries),
+2. count rows per range bucket (tiny agg -> driver cumsum, O(#buckets)),
+3. locally rank ONLY the buckets that contain a requested global rank
+   (each a ~1/P slice of the data, bounded like any other task).
+
+Used by the q_ntile_quartiles query (exact global quartile cuts) and
+available as a general building block for exact top-k boundaries.
+"""
+
+from __future__ import annotations
+
+from bisect import bisect_left
+from typing import Dict, List, Sequence
+
+__all__ = ["rows_at_ranks", "exact_ntile_cuts"]
+
+
+def rows_at_ranks(df, order_cols: Sequence[str],
+                  positions: Sequence[int],
+                  num_buckets: int = 64) -> List[dict]:
+    """Rows at the given 1-based global ranks of ``df`` ordered
+    lexicographically by ``order_cols`` (ties must be broken by the last
+    column being unique, as with any deterministic rank).
+
+    Returns one dict per requested position, in ``positions`` order.
+    """
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    if not positions:
+        return []
+    proj = (df.select(*order_cols)
+            .repartitionByRange(num_buckets, *[F.col(c) for c in order_cols])
+            .select(F.spark_partition_id().alias("_pid"), *order_cols))
+    # persist: bucket membership must be identical between the counting job
+    # and the per-bucket ranking job (range boundaries come from sampling)
+    proj = proj.persist()
+    try:
+        counts = {r["_pid"]: r["cnt"] for r in
+                  proj.groupBy("_pid").agg(F.count("*").alias("cnt"))
+                  .collect()}
+        pids = sorted(counts)
+        cum = []  # cumulative count AFTER each pid
+        total = 0
+        for pid in pids:
+            total += counts[pid]
+            cum.append(total)
+        by_pid: Dict[int, List[int]] = {}
+        for pos in positions:
+            if not 1 <= pos <= total:
+                raise ValueError(f"rank {pos} out of range 1..{total}")
+            i = bisect_left(cum, pos)
+            local = pos - (cum[i - 1] if i > 0 else 0)
+            by_pid.setdefault(pids[i], []).append(local)
+
+        found: Dict[int, dict] = {}  # global position -> row dict
+        w = Window.partitionBy("_pid").orderBy(*order_cols)
+        for pid, locals_ in by_pid.items():
+            offset = cum[pids.index(pid) - 1] if pids.index(pid) > 0 else 0
+            rows = (proj.where(F.col("_pid") == pid)
+                    .withColumn("_rn", F.row_number().over(w))
+                    .where(F.col("_rn").isin(locals_))
+                    .collect())
+            for r in rows:
+                found[offset + r["_rn"]] = {c: r[c] for c in order_cols}
+        return [found[p] for p in positions]
+    finally:
+        proj.unpersist()
+
+
+def exact_ntile_cuts(df, order_cols: Sequence[str], n: int,
+                     num_buckets: int = 64):
+    """The n-1 cut rows of an exact global NTILE(n): cut i is the LAST row
+    of tile i (rank i*base + min(i, rem)). Returns (total_count, cuts)."""
+    total = df.count()
+    base, rem = divmod(total, n)
+    cuts_pos = [i * base + min(i, rem) for i in range(1, n)]
+    cuts_pos = [p for p in cuts_pos if p >= 1]
+    return total, rows_at_ranks(df, order_cols, cuts_pos, num_buckets)

@@ -67,11 +67,27 @@ def select_columns_to_index(df, max_columns: int = MAX_AUTO_COLUMNS
     return [feature_cols[i] for i in order[:max_columns]]
 
 
+def _string_quantile_df(df, column: str, n_buckets: int):
+    """Distributed string-quantile plan (QbeastUtils.scala:120-144 parity):
+    range-repartition on the column, then min per range bucket — every
+    stage parallel, no global-order Window (which would funnel the whole
+    column through one task)."""
+    from pyspark.sql import functions as F
+
+    return (
+        df.where(F.col(column).isNotNull())
+        .select(column)
+        .repartitionByRange(n_buckets, F.col(column))
+        .select(F.spark_partition_id().alias("_b"), F.col(column))
+        .groupBy("_b").agg(F.min(column).alias("q"))
+    )
+
+
 def compute_quantiles(df, column: str, n_buckets: int = 50,
                       relative_error: float = 0.1) -> List:
     """columnStats quantile helper: numeric via approxQuantile
-    (Greenwald-Khanna, one pass), string via ntile bucketing."""
-    from pyspark.sql import Window
+    (Greenwald-Khanna, one pass), string via range-partition bucketing
+    (both one distributed pass; neither sorts globally)."""
     from pyspark.sql import functions as F
 
     dtype = dict(df.dtypes)[column]
@@ -85,15 +101,11 @@ def compute_quantiles(df, column: str, n_buckets: int = 50,
             if q > out[-1]:
                 out.append(q)
         return out
-    w = Window.orderBy(F.col(column))
-    bucketed = (
-        df.where(F.col(column).isNotNull())
-        .select(column)
-        .withColumn("_b", F.ntile(n_buckets).over(w))
-        .groupBy("_b").agg(F.min(column).alias("q"))
-        .orderBy("_b")
-    )
-    qs = [r["q"] for r in bucketed.collect()]
+    rows = _string_quantile_df(df, column, n_buckets).collect()
+    qs = []
+    for r in sorted(rows, key=lambda r: r["_b"]):
+        if r["q"] is not None and (not qs or r["q"] > qs[-1]):
+            qs.append(r["q"])
     mx = df.agg(F.max(column)).collect()[0][0]
     if qs and qs[-1] != mx:
         qs.append(mx)

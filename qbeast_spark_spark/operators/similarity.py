@@ -140,29 +140,42 @@ def otree_prefilter_topk(spark, qt, query_rows, k: int = 10,
     ``qt`` is a QbeastTable over a table with ``dim_cols`` materialized;
     ``query_rows`` is a small driver-side list of Rows (id, vector,
     dim values) — driver-known queries are inherent to ANN serving.
-    """
-    from functools import reduce
 
+    Batched: ONE pruned read over the DNF union of all query boxes (the
+    reader unions the per-disjunct file sets), then a broadcast
+    nested-loop join against the tiny query matrix re-applies per-query
+    box membership and reranks — plan count is independent of #queries
+    (the round-1 shape built one plan per query row).
+    """
     from pyspark.sql import Window
     from pyspark.sql import functions as F
 
-    per_query = []
+    disjuncts = []
     for row in query_rows:
-        filters = []
+        box = []
         for d in dim_cols:
-            filters += [(d, ">=", float(row[d]) - radius),
-                        (d, "<=", float(row[d]) + radius)]
-        cand = qt.read(filters).where(F.col(id_col) != F.lit(row[id_col]))
-        qvec = F.lit(
-            [float(x) for x in row[vec_col]]).cast("array<double>")
-        cos = cosine_col(_as_double(vec_col), qvec)
-        per_query.append(
-            cand.select(F.lit(row[id_col]).alias("q_id"), F.col(id_col),
-                        F.round(cos, 6).alias("cos")))
-    unioned = reduce(lambda a, b: a.unionAll(b), per_query)
+            box += [(d, ">=", float(row[d]) - radius),
+                    (d, "<=", float(row[d]) + radius)]
+        disjuncts.append(box)
+    cand = qt.read(disjuncts)
+
+    qdf = qt.spark.createDataFrame(
+        [(row[id_col], [float(x) for x in row[vec_col]],
+          *[float(row[d]) for d in dim_cols]) for row in query_rows],
+        schema=("q_id long, _q_vec array<double>, "
+                + ", ".join(f"_q_{d} double" for d in dim_cols)))
+    in_box = F.lit(True)
+    for d in dim_cols:
+        in_box = in_box & (
+            F.abs(F.col(d) - F.col(f"_q_{d}")) <= F.lit(radius))
+    joined = cand.join(F.broadcast(qdf),
+                       in_box & (F.col(id_col) != F.col("q_id")))
+    cos = cosine_col(_as_double(vec_col), F.col("_q_vec"))
     w = Window.partitionBy("q_id").orderBy(
         F.col("cos").desc(), F.col(id_col).asc())
-    return (unioned.withColumn("rank", F.row_number().over(w))
+    return (joined.select("q_id", F.col(id_col),
+                          F.round(cos, 6).alias("cos"))
+            .withColumn("rank", F.row_number().over(w))
             .where(F.col("rank") <= k))
 
 

@@ -11,7 +11,7 @@ from __future__ import annotations
 
 __all__ = [
     "TOKEN_RE", "STOPWORDS_EN", "tokens_col", "text_stats", "language_guess",
-    "token_counts", "fingerprint",
+    "token_counts", "fingerprint", "fingerprint_col",
 ]
 
 # word-ish tokens: lowercase alnum runs (a deliberate, documented convention
@@ -54,6 +54,7 @@ def text_stats(docs, id_col: str = "doc_id", text_col: str = "text"):
         .alias("_n_alpha"),
         F.length(F.regexp_replace(F.col(text_col), r"[^.,;:!?'\"()-]", ""))
         .alias("_n_punct"),
+        F.size(F.split(F.trim(F.col(text_col)), r"\s+")).alias("_ws_tokens"),
         tokens_col(text_col).alias("_toks"))
     toks = F.col("_toks")
     stop_arr = F.array(*[F.lit(s) for s in STOPWORDS_EN])
@@ -65,6 +66,7 @@ def text_stats(docs, id_col: str = "doc_id", text_col: str = "text"):
     return docs.select(
         F.col(id_col),
         F.col("_n_chars").alias("n_chars_measured"),
+        F.col("_ws_tokens").alias("ws_tokens"),
         n_toks.alias("n_tokens"),
         F.round(total_len.cast("double") /
                 F.greatest(n_toks, F.lit(1)), 4).alias("avg_token_len"),
@@ -82,25 +84,38 @@ def text_stats(docs, id_col: str = "doc_id", text_col: str = "text"):
 EN_TRIGRAMS = ["the", "and", "ing", "ion", "ent", "her", "for", "tha"]
 
 
+def fingerprint_col(text_col: str = "text"):
+    """md5 over the normalized text (lowercase, whitespace collapsed,
+    trimmed) — the fingerprint as a reusable Column expression."""
+    from pyspark.sql import functions as F
+
+    return F.md5(
+        F.trim(F.regexp_replace(F.lower(F.col(text_col)), r"\s+", " ")))
+
+
 def language_guess(docs, id_col: str = "doc_id", text_col: str = "text",
-                   threshold: float = 0.05, tri_threshold: float = 0.01):
+                   threshold: float = 0.05, tri_threshold: float = 0.01,
+                   include_fingerprint: bool = False):
     """Language-ID heuristic combining two signals: English stopword
     density over word tokens AND character-trigram density (occurrences of
     high-frequency English trigrams per character). Both all-JVM
     (occurrence counting via length-difference after replace — no explode,
-    no UDF); 'en' needs both signals above threshold."""
+    no UDF); 'en' needs both signals above threshold.
+
+    ``include_fingerprint`` adds the document fingerprint column in the
+    same pass (one projection instead of a join of two)."""
     from pyspark.sql import functions as F
 
-    tokenized = _tokenized(docs, id_col, text_col,
-                           extra_exprs=[
-                               F.length(F.lower(F.col(text_col)))
-                               .alias("_n_chars"),
-                               *[(F.length(F.lower(F.col(text_col)))
-                                  - F.length(F.replace(
-                                      F.lower(F.col(text_col)),
-                                      F.lit(tri), F.lit(""))))
-                                 .alias(f"_tri_{tri}")
-                                 for tri in EN_TRIGRAMS]])
+    extra = [F.length(F.lower(F.col(text_col))).alias("_n_chars"),
+             *[(F.length(F.lower(F.col(text_col)))
+                - F.length(F.replace(
+                    F.lower(F.col(text_col)),
+                    F.lit(tri), F.lit(""))))
+               .alias(f"_tri_{tri}")
+               for tri in EN_TRIGRAMS]]
+    if include_fingerprint:
+        extra.append(fingerprint_col(text_col).alias("_fp"))
+    tokenized = _tokenized(docs, id_col, text_col, extra_exprs=extra)
     toks = F.col("_toks")
     stop_arr = F.array(*[F.lit(s) for s in STOPWORDS_EN])
     n_toks = F.greatest(F.size(toks), F.lit(1))
@@ -110,14 +125,17 @@ def language_guess(docs, id_col: str = "doc_id", text_col: str = "text",
                    F.col(f"_tri_{EN_TRIGRAMS[0]}") / 3)
     tri_score = tri_hits.cast("double") / F.greatest(F.col("_n_chars"),
                                                      F.lit(1))
-    return tokenized.select(
+    cols = [
         F.col(id_col),
         F.round(ratio, 4).alias("en_score"),
         F.round(tri_score, 4).alias("trigram_score"),
         F.when((ratio >= threshold) & (tri_score >= tri_threshold),
                F.lit("en")).otherwise(F.lit("unk"))
         .alias("lang_guess"),
-    )
+    ]
+    if include_fingerprint:
+        cols.append(F.col("_fp").alias("fingerprint"))
+    return tokenized.select(*cols)
 
 
 def token_counts(docs, id_col: str = "doc_id", text_col: str = "text"):
@@ -138,8 +156,7 @@ def fingerprint(docs, id_col: str = "doc_id", text_col: str = "text"):
     (lowercase, whitespace collapsed, trimmed)."""
     from pyspark.sql import functions as F
 
-    norm = F.trim(F.regexp_replace(F.lower(F.col(text_col)), r"\s+", " "))
     return docs.select(
         F.col(id_col),
-        F.md5(norm).alias("fingerprint"),
+        fingerprint_col(text_col).alias("fingerprint"),
     )

@@ -93,38 +93,73 @@ QB_ROUNDTRIP_SQL = "SELECT * FROM lineitem"
 
 
 def qb_range_read(spark, sf_dir):
-    """R3: multi-dim data-skipping read; result must equal a plain WHERE."""
+    """R3: multi-dim data-skipping — both pruning shapes through one
+    result: a conjunctive box ('and' probe) and a disjunction of two
+    disjoint boxes that prune independently and union their file sets
+    ('or' probe; QuerySpecBuilder.scala:56-77 semantics). Each result
+    must equal a plain WHERE."""
+    from pyspark.sql import functions as F
+
     from .sources.reader import QbeastTable
 
     path = _indexed_lineitem(spark, sf_dir)
     qt = QbeastTable.for_path(spark, path)
-    return qt.read([("l_orderkey", ">=", 1000), ("l_orderkey", "<", 3000),
+    conj = qt.read([("l_orderkey", ">=", 1000), ("l_orderkey", "<", 3000),
                     ("l_extendedprice", ">=", 20000.0)])
-
-
-QB_RANGE_READ_SQL = """
-SELECT * FROM lineitem
-WHERE l_orderkey >= 1000 AND l_orderkey < 3000 AND l_extendedprice >= 20000.0
-"""
-
-
-def qb_range_read_or(spark, sf_dir):
-    """R3 with a disjunction: two disjoint boxes prune independently and
-    union their file sets (QuerySpecBuilder.scala:56-77 semantics)."""
-    from .sources.reader import QbeastTable
-
-    path = _indexed_lineitem(spark, sf_dir)
-    qt = QbeastTable.for_path(spark, path)
-    return qt.read([
+    disj = qt.read([
         [("l_orderkey", "<", 500), ("l_extendedprice", ">=", 30000.0)],
         [("l_orderkey", ">=", 9000), ("l_extendedprice", "<", 5000.0)],
     ])
+    return (conj.withColumn("probe", F.lit("and"))
+            .unionByName(disj.withColumn("probe", F.lit("or"))))
 
 
-QB_RANGE_READ_OR_SQL = """
-SELECT * FROM lineitem
+QB_RANGE_READ_SQL = """
+SELECT *, 'and' AS probe FROM lineitem
+WHERE l_orderkey >= 1000 AND l_orderkey < 3000 AND l_extendedprice >= 20000.0
+UNION ALL
+SELECT *, 'or' AS probe FROM lineitem
 WHERE (l_orderkey < 500 AND l_extendedprice >= 30000.0)
    OR (l_orderkey >= 9000 AND l_extendedprice < 5000.0)
+"""
+
+
+def qb_sql_view(spark, sf_dir):
+    """C1-lite SQL bridge: the qbeast table registered as a temp view and
+    queried through plain ``spark.sql`` (the catalog-less analogue of
+    `CREATE TABLE ... USING qbeast` + SELECT; QbeastCatalog.scala:48-355).
+    A second, file-pruned view proves pruning survives the SQL surface:
+    its plan reads only the pruned file list."""
+    from .sources.reader import QbeastTable
+
+    path = _indexed_lineitem(spark, sf_dir)
+    qt = QbeastTable.for_path(spark, path)
+    qt.create_view("qss_lineitem_v")
+    qt.create_view("qss_lineitem_slice_v",
+                   filters=[("l_orderkey", ">=", 5000),
+                            ("l_orderkey", "<", 7000)])
+    return spark.sql("""
+        SELECT 'full' AS src, l_returnflag,
+               COUNT(*) AS n,
+               SUM(CAST(ROUND(l_extendedprice*100, 0) AS BIGINT)) AS price_cents
+        FROM qss_lineitem_v GROUP BY l_returnflag
+        UNION ALL
+        SELECT 'slice' AS src, l_returnflag,
+               COUNT(*) AS n,
+               SUM(CAST(ROUND(l_extendedprice*100, 0) AS BIGINT)) AS price_cents
+        FROM qss_lineitem_slice_v GROUP BY l_returnflag
+    """)
+
+
+QB_SQL_VIEW_SQL = """
+SELECT 'full' AS src, l_returnflag, COUNT(*) AS n,
+       CAST(SUM(CAST(ROUND(l_extendedprice*100, 0) AS BIGINT)) AS BIGINT) AS price_cents
+FROM lineitem GROUP BY l_returnflag
+UNION ALL
+SELECT 'slice' AS src, l_returnflag, COUNT(*) AS n,
+       CAST(SUM(CAST(ROUND(l_extendedprice*100, 0) AS BIGINT)) AS BIGINT) AS price_cents
+FROM lineitem WHERE l_orderkey >= 5000 AND l_orderkey < 7000
+GROUP BY l_returnflag
 """
 
 
@@ -308,25 +343,36 @@ WHERE rnk <= 3
 """
 
 
-def q_running_total(spark, sf_dir):
+def q_window_funcs(spark, sf_dir):
+    """Window-function family in one pass over per-customer order history:
+    running sum (framed aggregate), lag (re-order gap in days), lead
+    (next order's priority) — all sharing one window spec, so Catalyst
+    evaluates them in a single Window operator after one shuffle."""
     from pyspark.sql import Window
     from pyspark.sql import functions as F
 
     o = _t(spark, sf_dir, "orders")
-    w = (Window.partitionBy("o_custkey")
-         .orderBy("o_orderdate", "o_orderkey")
-         .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    wsum = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    d = F.col("o_orderdate").cast("date")
     return o.select(
         "o_custkey", "o_orderkey",
-        F.sum(_cents(F.col("o_totalprice"))).over(w).alias("running_cents"))
+        F.sum(_cents(F.col("o_totalprice"))).over(wsum).alias("running_cents"),
+        # day arithmetic on DATE, not epoch micros: timezone/DST-proof
+        F.datediff(d, F.lag(d).over(w)).cast("long").alias("gap_days"),
+        F.lead("o_orderpriority").over(w).alias("next_priority"))
 
 
-Q_RUNNING_SQL = """
+Q_WINDOW_FUNCS_SQL = """
 SELECT o_custkey, o_orderkey,
        CAST(SUM(CAST(ROUND(o_totalprice*100,0) AS BIGINT))
-         OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
-               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS running_cents
+         OVER (w ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+         AS BIGINT) AS running_cents,
+       CAST(date_diff('day', LAG(CAST(o_orderdate AS DATE)) OVER w,
+                      CAST(o_orderdate AS DATE)) AS BIGINT) AS gap_days,
+       LEAD(o_orderpriority) OVER w AS next_priority
 FROM orders
+WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
 """
 
 
@@ -371,26 +417,62 @@ FROM orders GROUP BY o_orderpriority
 """
 
 
-def q_rollup(spark, sf_dir):
+def q_multidim_agg(spark, sf_dir):
+    """Multi-dimensional aggregation family in one result: ROLLUP through
+    the DataFrame API (orders) + GROUPING SETS through the SQL surface
+    (lineitem; Catalyst Expand operator), schemas aligned by a src label.
+    Both are single-shuffle Expand plans — no per-grouping re-scan."""
     from pyspark.sql import functions as F
 
     o = _t(spark, sf_dir, "orders")
-    return (
+    rollup = (
         o.rollup("o_orderstatus", "o_orderpriority")
         .agg(F.count("*").alias("n"),
-             F.sum(_cents(F.col("o_totalprice"))).alias("total_cents"))
-        .select(F.coalesce("o_orderstatus", F.lit("ALL")).alias("status"),
-                F.coalesce("o_orderpriority", F.lit("ALL")).alias("priority"),
-                "n", "total_cents")
+             F.sum(_cents(F.col("o_totalprice"))).alias("agg_val"),
+             (F.grouping("o_orderstatus") * 2
+              + F.grouping("o_orderpriority")).cast("long").alias("lvl"))
+        .select(F.lit("orders_rollup").alias("src"),
+                F.coalesce("o_orderstatus", F.lit("ALL")).alias("k1"),
+                F.coalesce("o_orderpriority", F.lit("ALL")).alias("k2"),
+                "lvl", "n", "agg_val")
     )
+    li = _t(spark, sf_dir, "lineitem")
+    li.createOrReplaceTempView("_qss_lineitem")
+    gsets = spark.sql("""
+        SELECT 'lineitem_gsets' AS src,
+               COALESCE(l_returnflag, 'ALL') AS k1,
+               COALESCE(l_linestatus, 'ALL') AS k2,
+               CAST(GROUPING(l_returnflag) * 2 + GROUPING(l_linestatus)
+                    AS BIGINT) AS lvl,
+               COUNT(*) AS n,
+               SUM(CAST(l_quantity AS BIGINT)) AS agg_val
+        FROM _qss_lineitem
+        GROUP BY GROUPING SETS ((l_returnflag, l_linestatus),
+                                (l_returnflag), ())
+    """)
+    return rollup.unionByName(gsets)
 
 
-Q_ROLLUP_SQL = """
-SELECT COALESCE(o_orderstatus, 'ALL') AS status,
-       COALESCE(o_orderpriority, 'ALL') AS priority,
+Q_MULTIDIM_SQL = """
+SELECT 'orders_rollup' AS src,
+       COALESCE(o_orderstatus, 'ALL') AS k1,
+       COALESCE(o_orderpriority, 'ALL') AS k2,
+       CAST(GROUPING(o_orderstatus) * 2 + GROUPING(o_orderpriority)
+            AS BIGINT) AS lvl,
        COUNT(*) AS n,
-       CAST(SUM(CAST(ROUND(o_totalprice*100,0) AS BIGINT)) AS BIGINT) AS total_cents
+       CAST(SUM(CAST(ROUND(o_totalprice*100,0) AS BIGINT)) AS BIGINT)
+         AS agg_val
 FROM orders GROUP BY ROLLUP(o_orderstatus, o_orderpriority)
+UNION ALL
+SELECT 'lineitem_gsets' AS src,
+       COALESCE(l_returnflag, 'ALL') AS k1,
+       COALESCE(l_linestatus, 'ALL') AS k2,
+       CAST(GROUPING(l_returnflag) * 2 + GROUPING(l_linestatus) AS BIGINT)
+         AS lvl,
+       COUNT(*) AS n,
+       CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS agg_val
+FROM lineitem
+GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), (l_returnflag), ())
 """
 
 
@@ -512,24 +594,49 @@ GROUP BY user_id
 """
 
 
-def q_tumbling_window(spark, sf_dir):
-    """Tumbling 1-hour windows in integer microsecond space (the batch twin
-    of the Structured Streaming windowed aggregation in streaming/)."""
+def q_time_windows(spark, sf_dir):
+    """Time-window aggregation family (batch twin of the Structured
+    Streaming windowed aggregations in streaming/): tumbling 1-hour
+    windows, plus hopping windows (size 2h, slide 1h) where each event
+    lands in exactly two windows — generated by explode, no self-join."""
     from pyspark.sql import functions as F
 
+    US_HOUR = 3_600_000_000
     ev = _events(spark, sf_dir)
-    bucket = (F.col("ts_us") - (F.col("ts_us") % F.lit(3_600_000_000)))
-    return (
-        ev.groupBy(bucket.alias("bucket_us"), F.col("event_type"))
+    base = F.col("ts_us") - (F.col("ts_us") % F.lit(US_HOUR))
+    tumbling = (
+        ev.groupBy(base.alias("win_start_us"), F.col("event_type"))
         .agg(F.count("*").alias("n"),
              F.sum(_cents(F.col("value"))).alias("value_cents"))
+        .select(F.lit("tumbling").alias("kind"), "win_start_us",
+                "event_type", "n", "value_cents")
     )
+    hopping = (
+        ev.select(F.explode(F.array(base - F.lit(US_HOUR), base))
+                  .alias("win_start_us"), "event_type", "value")
+        .groupBy("win_start_us", "event_type")
+        .agg(F.count("*").alias("n"),
+             F.sum(_cents(F.col("value"))).alias("value_cents"))
+        .select(F.lit("hopping").alias("kind"), "win_start_us",
+                "event_type", "n", "value_cents")
+    )
+    return tumbling.unionByName(hopping)
 
 
-Q_TUMBLING_SQL = """
-SELECT epoch_us(ts) - (epoch_us(ts) % 3600000000) AS bucket_us, event_type,
-       COUNT(*) AS n, CAST(SUM(CAST(ROUND(value*100,0) AS BIGINT)) AS BIGINT) AS value_cents
-FROM events GROUP BY 1, 2
+Q_TIME_WINDOWS_SQL = """
+SELECT 'tumbling' AS kind,
+       epoch_us(ts) - (epoch_us(ts) % 3600000000) AS win_start_us, event_type,
+       COUNT(*) AS n,
+       CAST(SUM(CAST(ROUND(value*100,0) AS BIGINT)) AS BIGINT) AS value_cents
+FROM events GROUP BY 2, 3
+UNION ALL
+SELECT 'hopping' AS kind, win_start_us, event_type, COUNT(*) AS n,
+       CAST(SUM(CAST(ROUND(value*100,0) AS BIGINT)) AS BIGINT) AS value_cents
+FROM (SELECT unnest([epoch_us(ts) - (epoch_us(ts) % 3600000000) - 3600000000,
+                     epoch_us(ts) - (epoch_us(ts) % 3600000000)]) AS win_start_us,
+             event_type, value
+      FROM events) t
+GROUP BY 2, 3
 """
 
 
@@ -620,6 +727,8 @@ DD_SIMHASH_SQL = _simhash_sql()
 
 
 def tx_stats(spark, sf_dir):
+    """Quality stats + token counting (whitespace AND regex conventions)
+    in one projection over documents."""
     return text_stats(_t(spark, sf_dir, "documents"))
 
 
@@ -631,6 +740,7 @@ WITH t AS (SELECT doc_id, text,
            FROM documents)
 SELECT doc_id,
        LENGTH(text) AS n_chars_measured,
+       len(regexp_split_to_array(trim(text), '\\s+')) AS ws_tokens,
        len(toks) AS n_tokens,
        ROUND(list_sum(list_transform(toks, t -> len(t)))::DOUBLE
              / GREATEST(len(toks), 1), 4) AS avg_token_len,
@@ -645,7 +755,10 @@ FROM t
 
 
 def tx_lang(spark, sf_dir):
-    return language_guess(_t(spark, sf_dir, "documents"))
+    """Language-ID + document fingerprint in one projection (the
+    fingerprint rides along in the same pass — no second scan/join)."""
+    return language_guess(_t(spark, sf_dir, "documents"),
+                          include_fingerprint=True)
 
 
 _STOP_SQL = "[" + ", ".join(f"'{s}'" for s in STOPWORDS_EN) + "]"
@@ -670,13 +783,15 @@ s AS (SELECT doc_id,
              len(list_filter(toks, t -> list_contains({_STOP_SQL}, t)))::DOUBLE
                / GREATEST(len(toks), 1) AS ratio,
              ({_tri_sql()})::DOUBLE
-               / GREATEST(LENGTH(lower(text)), 1) AS tri
+               / GREATEST(LENGTH(lower(text)), 1) AS tri,
+             md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS fp
       FROM t)
 SELECT doc_id,
        ROUND(ratio, 4) AS en_score,
        ROUND(tri, 4) AS trigram_score,
        CASE WHEN ratio >= 0.05 AND tri >= 0.01
-            THEN 'en' ELSE 'unk' END AS lang_guess
+            THEN 'en' ELSE 'unk' END AS lang_guess,
+       fp AS fingerprint
 FROM s
 """
 
@@ -705,17 +820,28 @@ FROM documents
 
 
 def sim_topk(spark, sf_dir):
+    """ANN top-k family in one result: brute-force cosine (the exact
+    correctness baseline — broadcast query side, shuffle only at the
+    per-query top-k window) and IVF (broadcast centroids + equi-join on
+    centroid id, the scale path), labeled by method."""
     from pyspark.sql import functions as F
 
     emb = _t(spark, sf_dir, "embeddings")
     queries = (emb.where(F.col("vec_id") < 5)
                .select(F.col("vec_id").alias("q_id"),
                        F.col("embedding").alias("q_embedding")))
-    return cosine_topk(emb.where(F.col("vec_id") >= 5), queries, k=10)
+    brute = (cosine_topk(emb.where(F.col("vec_id") >= 5), queries, k=10)
+             .withColumn("method", F.lit("brute")))
+    centroids = (emb.where(F.col("vec_id") % 50 == 0)
+                 .select(F.col("vec_id").alias("c_id"),
+                         F.col("embedding").alias("c_embedding")))
+    ivf = (ivf_topk(emb.where(F.col("vec_id") >= 5), queries, centroids, k=5)
+           .withColumn("method", F.lit("ivf")))
+    return brute.unionByName(ivf)
 
 
-SIM_TOPK_SQL = """
-SELECT q_id, vec_id, cos, rank FROM (
+SIM_TOPK_BRUTE_SQL = """
+SELECT 'brute' AS method, q_id, vec_id, cos, rank FROM (
   SELECT q.vec_id AS q_id, v.vec_id AS vec_id,
          ROUND(list_cosine_similarity(v.embedding::DOUBLE[],
                                       q.embedding::DOUBLE[]), 6) AS cos,
@@ -731,37 +857,48 @@ WHERE rank <= 10
 
 
 def sim_pairs(spark, sf_dir):
+    """Near-dup pair family in one result: exact all-pairs cosine (the
+    documented O(n^2) correctness baseline, capped to 300 vectors) and
+    hyperplane-LSH bucketed pairs (the scale path: equi-join on bucket
+    signature + exact rerank), labeled by method."""
     from pyspark.sql import functions as F
 
-    emb = _t(spark, sf_dir, "embeddings").where(F.col("vec_id") < 300)
-    return cosine_pairs(emb, threshold=0.4)
+    from .operators.similarity import embedding_lsh_pairs
+
+    emb = _t(spark, sf_dir, "embeddings")
+    exact = (cosine_pairs(emb.where(F.col("vec_id") < 300), threshold=0.4)
+             .withColumn("method", F.lit("exact")))
+    lsh = (embedding_lsh_pairs(emb, threshold=0.3, n_bits=8)
+           .withColumn("method", F.lit("lsh")))
+    return exact.unionByName(lsh)
 
 
 SIM_PAIRS_SQL = """
-SELECT a.vec_id AS id1, b.vec_id AS id2,
+SELECT 'exact' AS method, a.vec_id AS id1, b.vec_id AS id2,
        ROUND(list_cosine_similarity(a.embedding::DOUBLE[],
                                     b.embedding::DOUBLE[]), 6) AS cos
 FROM embeddings a, embeddings b
 WHERE a.vec_id < b.vec_id AND a.vec_id < 300 AND b.vec_id < 300
   AND ROUND(list_cosine_similarity(a.embedding::DOUBLE[],
                                    b.embedding::DOUBLE[]), 6) >= 0.4
+UNION ALL
+SELECT 'lsh' AS method, id1, id2, cos FROM (
+  WITH tagged AS (
+    SELECT vec_id, embedding,
+           list_aggregate(list_transform(embedding[1:8],
+                          x -> CASE WHEN x >= 0 THEN '1' ELSE '0' END),
+                          'string_agg', '') AS bkt
+    FROM embeddings)
+  SELECT a.vec_id AS id1, b.vec_id AS id2,
+         ROUND(list_cosine_similarity(a.embedding::DOUBLE[],
+                                      b.embedding::DOUBLE[]), 6) AS cos
+  FROM tagged a JOIN tagged b ON a.bkt = b.bkt AND a.vec_id < b.vec_id
+  WHERE ROUND(list_cosine_similarity(a.embedding::DOUBLE[],
+                                     b.embedding::DOUBLE[]), 6) >= 0.3)
 """
 
 
-def sim_ivf(spark, sf_dir):
-    from pyspark.sql import functions as F
-
-    emb = _t(spark, sf_dir, "embeddings")
-    centroids = (emb.where(F.col("vec_id") % 50 == 0)
-                 .select(F.col("vec_id").alias("c_id"),
-                         F.col("embedding").alias("c_embedding")))
-    queries = (emb.where(F.col("vec_id") < 5)
-               .select(F.col("vec_id").alias("q_id"),
-                       F.col("embedding").alias("q_embedding")))
-    return ivf_topk(emb.where(F.col("vec_id") >= 5), queries, centroids, k=5)
-
-
-SIM_IVF_SQL = """
+_SIM_IVF_SQL = """
 WITH cents AS (SELECT vec_id AS c_id, embedding AS c_emb FROM embeddings
                WHERE vec_id % 50 = 0),
 v_assign AS (
@@ -794,6 +931,10 @@ SELECT q_id, vec_id, cos, rank FROM (
 WHERE rank <= 5
 """
 
+SIM_TOPK_SQL = (SIM_TOPK_BRUTE_SQL
+                + "\nUNION ALL\nSELECT 'ivf' AS method, q_id, vec_id, cos,"
+                  " rank FROM (" + _SIM_IVF_SQL + ")")
+
 
 def mm_metadata(spark, sf_dir):
     docs = _t(spark, sf_dir, "documents")
@@ -808,10 +949,29 @@ FROM documents
 
 
 def mm_decode(spark, sf_dir):
-    from .operators.multimodal import decode_image_stub
+    """Real image-dimension decode over a binary media column: payloads
+    are structurally valid PNG headers built as JVM expressions
+    (deterministic: width/height derived from doc columns), decoded back
+    by the pure-Python header parser in an Arrow-batched mapInPandas —
+    the full distributed decode path with a checkable oracle."""
+    from pyspark.sql import functions as F
+
+    from .operators.multimodal import decode_image_headers, png_payload_col
 
     docs = _t(spark, sf_dir, "documents")
-    return decode_image_stub(with_binary_payload(docs, "text"))
+    w = F.lit(64) + F.col("doc_id") % 512
+    h = F.lit(64) + F.col("n_chars") % 512
+    payloads = docs.select(
+        "doc_id", png_payload_col(w, h).alias("payload"))
+    return decode_image_headers(payloads)
+
+
+MM_DECODE_SQL = """
+SELECT doc_id, 'png' AS format,
+       CAST(64 + doc_id % 512 AS INT) AS width,
+       CAST(64 + n_chars % 512 AS INT) AS height
+FROM documents
+"""
 
 
 # ---------------------------------------------------------------------------
@@ -823,7 +983,7 @@ QUERIES: Dict[str, Tuple[Callable, Optional[str]]] = {
     # qbeast-native surface
     "qb_roundtrip": (qb_roundtrip, QB_ROUNDTRIP_SQL),
     "qb_range_read": (qb_range_read, QB_RANGE_READ_SQL),
-    "qb_range_read_or": (qb_range_read_or, QB_RANGE_READ_OR_SQL),
+    "qb_sql_view": (qb_sql_view, QB_SQL_VIEW_SQL),
     "qb_sample": (qb_sample, None),
     # relational surface (delegated operators)
     "q1_pricing_summary": (q1_pricing_summary, Q1_SQL),
@@ -831,32 +991,29 @@ QUERIES: Dict[str, Tuple[Callable, Optional[str]]] = {
     "q5_local_supplier": (q5_local_supplier, Q5_SQL),
     "q6_forecast_revenue": (q6_forecast_revenue, Q6_SQL),
     "q_top_orders_per_customer": (q_top_orders_per_customer, Q_TOPN_SQL),
-    "q_running_total": (q_running_total, Q_RUNNING_SQL),
+    "q_window_funcs": (q_window_funcs, Q_WINDOW_FUNCS_SQL),
     "q_set_ops": (q_set_ops, Q_SETOPS_SQL),
     "q_distinct_agg": (q_distinct_agg, Q_DISTINCT_SQL),
-    "q_rollup": (q_rollup, Q_ROLLUP_SQL),
+    "q_multidim_agg": (q_multidim_agg, Q_MULTIDIM_SQL),
     "q_string_funcs": (q_string_funcs, Q_STRFN_SQL),
     "q_date_buckets": (q_date_buckets, Q_DATES_SQL),
     "q_anti_semi_join": (q_anti_semi_join, Q_ANTISEMI_SQL),
     "q_asof_join": (q_asof, Q_ASOF_SQL),
     "q_sessionize": (q_sessionize, Q_SESSION_SQL),
-    "q_tumbling_window": (q_tumbling_window, Q_TUMBLING_SQL),
+    "q_time_windows": (q_time_windows, Q_TIME_WINDOWS_SQL),
     "q_topk_global": (q_topk_global, Q_TOPK_SQL),
-    # data-pipeline operators
+    # data-pipeline operators (dedup_minhash_sigs / dedup_lsh_pairs stay
+    # implemented+pytest-covered; the registered dedup_lsh_scored query
+    # exercises signatures -> banding -> candidate pairs -> scoring)
     "dedup_exact": (dd_exact, DD_EXACT_SQL),
     "dedup_ngram_jaccard": (dd_jaccard, DD_JACCARD_SQL),
-    "dedup_minhash_sigs": (dd_minhash, DD_MINHASH_SQL),
-    "dedup_lsh_pairs": (dd_lsh_pairs, DD_LSH_SQL),
     "dedup_simhash": (dd_simhash, DD_SIMHASH_SQL),
     "text_stats": (tx_stats, TX_STATS_SQL),
-    "text_lang_guess": (tx_lang, TX_LANG_SQL),
-    "text_token_counts": (tx_tokens, TX_TOKENS_SQL),
-    "text_fingerprint": (tx_fingerprint, TX_FINGERPRINT_SQL),
-    "sim_cosine_topk": (sim_topk, SIM_TOPK_SQL),
-    "sim_cosine_pairs": (sim_pairs, SIM_PAIRS_SQL),
-    "sim_ivf_topk": (sim_ivf, SIM_IVF_SQL),
+    "text_lang_fingerprint": (tx_lang, TX_LANG_SQL),
+    "sim_topk": (sim_topk, SIM_TOPK_SQL),
+    "sim_pairs": (sim_pairs, SIM_PAIRS_SQL),
     "mm_binary_metadata": (mm_metadata, MM_META_SQL),
-    "mm_decode_stub": (mm_decode, None),
+    "mm_decode_headers": (mm_decode, MM_DECODE_SQL),
 }
 
 

@@ -183,8 +183,33 @@ class QbeastTable:
         value) tuples is a conjunction; a list of such lists is a
         disjunction of conjunctions. Disjuncts prune independently and
         their file sets union (QuerySpecBuilder.scala:56-77 disjunction
-        handling; overlapping-space dedup falls out of the set union)."""
+        handling; overlapping-space dedup falls out of the set union).
+
+        Also accepts a SQL WHERE string or a simple Spark Column tree:
+        both are translated best-effort into the tuple form for pruning
+        (sources/predicates.py), with the ORIGINAL predicate applied
+        row-level, so an untranslatable filter degrades to an unpruned —
+        but still correct — read."""
         from functools import reduce
+
+        if filters is None:
+            return self.to_df()
+        from pyspark.sql import Column
+        from pyspark.sql import functions as F
+
+        if isinstance(filters, (str, Column)):
+            from .predicates import to_dnf_filters
+
+            residual = F.expr(filters) if isinstance(filters, str) \
+                else filters
+            dnf = to_dnf_filters(filters)
+            if dnf is None:  # unsupported shape: correct, just unpruned
+                return self.to_df().where(residual)
+            snap = self.snapshot(refresh=True)
+            selected: set = set()
+            for conj in dnf:
+                selected.update(self._prune_files(snap, conj))
+            return self._df_for_files(sorted(selected)).where(residual)
 
         if not filters:
             return self.to_df()
@@ -259,6 +284,58 @@ class QbeastTable:
             else:
                 raise ValueError(f"unsupported filter op {op!r}")
         return cond
+
+    # -- SQL bridge (C1-lite) ----------------------------------------------
+    # The reference exposes qbeast tables through a DSv2 catalog
+    # (catalog/QbeastCatalog.scala:48-355, `CREATE TABLE ... USING qbeast`,
+    # INSERT INTO, TABLESAMPLE). Pure Python cannot register a Spark
+    # catalog plugin, so the bridge is: temp views for SELECT (full,
+    # pruned, or sampled reads all register as views `spark.sql` can hit)
+    # and insert_into() for `INSERT INTO` semantics.
+
+    def create_view(self, name: str, filters: Optional[Sequence] = None,
+                    sample_fraction: Optional[float] = None):
+        """Register this table as a session temp view. With ``filters``
+        the view is the file-pruned read (pruning baked into the view's
+        plan); with ``sample_fraction`` it is the pruned deterministic
+        sample (the TABLESAMPLE analogue). Returns the view's DataFrame."""
+        if filters is not None and sample_fraction is not None:
+            raise ValueError("pass filters or sample_fraction, not both")
+        if sample_fraction is not None:
+            df = self.sample(sample_fraction)
+        elif filters is not None:
+            df = self.read(filters)
+        else:
+            df = self.to_df()
+        df.createOrReplaceTempView(name)
+        return df
+
+    def insert_into(self, df, merge_schema: bool = False) -> int:
+        """INSERT INTO semantics (QbeastInsertToTest.scala paths): append
+        ``df`` through the indexed write pipeline, reusing the table's
+        existing indexed columns and cube size. Returns the log version."""
+        from .writer import write_qbeast
+
+        rev = self.snapshot(refresh=True).latest_revision()
+        if rev is None:
+            raise ValueError(
+                f"{self.path} has no indexed revision; use write() first")
+        specs = [f"{s.name}:{s.transformer}" if s.transformer else s.name
+                 for s in rev.column_specs]
+        version = write_qbeast(df, self.path,
+                               columns_to_index=specs,
+                               cube_size=rev.desired_cube_size,
+                               mode="append", merge_schema=merge_schema)
+        self._snapshot = None
+        return version
+
+    def export_delta_log(self) -> str:
+        """Write a standard ``_delta_log/`` describing the current
+        snapshot so Delta clients (delta-rs, DuckDB delta, delta-spark)
+        can read the data files — see sources/delta_export.py."""
+        from .delta_export import export_delta_log
+
+        return export_delta_log(self.snapshot(refresh=True), self.path)
 
     # -- maintenance --------------------------------------------------------
 

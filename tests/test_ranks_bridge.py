@@ -1,0 +1,240 @@
+"""Distributed order statistics (functions/ranks.py), the scale-safe
+string-quantile plan, and the C1-lite SQL bridge (create_view /
+insert_into)."""
+
+import pytest
+from pyspark.sql import Window
+from pyspark.sql import functions as F
+
+import qbeast_spark_spark as qss
+from qbeast_spark_spark.functions.ranks import exact_ntile_cuts, rows_at_ranks
+from qbeast_spark_spark.functions.selection import _string_quantile_df
+
+from conftest import load
+
+
+def test_rows_at_ranks_matches_global_sort(spark):
+    o = load(spark, "orders")
+    n = o.count()
+    positions = [1, 7, n // 3, n // 2, n - 1, n]
+    got = rows_at_ranks(o, ["o_totalprice", "o_orderkey"], positions,
+                        num_buckets=16)
+    expect = (o.select("o_totalprice", "o_orderkey")
+              .orderBy("o_totalprice", "o_orderkey")
+              .withColumn("_rn", F.row_number().over(
+                  Window.orderBy("o_totalprice", "o_orderkey")))
+              .where(F.col("_rn").isin(positions))
+              .collect())
+    by_pos = {r["_rn"]: r for r in expect}
+    for pos, row in zip(positions, got):
+        assert row["o_totalprice"] == by_pos[pos]["o_totalprice"]
+        assert row["o_orderkey"] == by_pos[pos]["o_orderkey"]
+
+
+def test_exact_ntile_cuts_match_window_ntile(spark):
+    o = load(spark, "orders")
+    total, cuts = exact_ntile_cuts(o, ["o_totalprice", "o_orderkey"], 4,
+                                   num_buckets=16)
+    # bucket rows with the cut literals and compare against Window NTILE(4)
+    p, k = F.col("o_totalprice"), F.col("o_orderkey")
+    q = F.lit(1)
+    for cut in cuts:
+        after = (p > F.lit(cut["o_totalprice"])) | (
+            (p == F.lit(cut["o_totalprice"]))
+            & (k > F.lit(cut["o_orderkey"])))
+        q = q + F.when(after, 1).otherwise(0)
+    mine = o.select(k.alias("o_orderkey"), q.alias("q"))
+    theirs = o.select(
+        "o_orderkey",
+        F.ntile(4).over(Window.orderBy("o_totalprice", "o_orderkey"))
+        .alias("q"))
+    assert mine.exceptAll(theirs).count() == 0
+    assert theirs.exceptAll(mine).count() == 0
+
+
+def test_rank_out_of_range_raises(spark):
+    o = load(spark, "orders").limit(100)
+    with pytest.raises(ValueError):
+        rows_at_ranks(o, ["o_orderkey"], [101], num_buckets=4)
+
+
+def test_string_quantiles_no_global_window(spark):
+    cust = load(spark, "customer")
+    plan = _string_quantile_df(cust, "c_name", 8)._jdf.queryExecution() \
+        .executedPlan().toString()
+    assert "Window" not in plan, plan
+    qs = qss.compute_quantiles(cust, "c_name", 8)
+    assert qs == sorted(qs) and len(qs) >= 2
+    # every value falls inside [first, last] (bucket mins + appended max)
+    lo, hi = qs[0], qs[-1]
+    n_out = cust.where((F.col("c_name") < lo) | (F.col("c_name") > hi)).count()
+    assert n_out == 0
+
+
+def test_create_view_and_insert_into(spark, tmp_table):
+    li = load(spark, "lineitem")
+    qss.write(li, tmp_table, columns_to_index=["l_orderkey", "l_extendedprice"],
+              cube_size=500)
+    qt = qss.QbeastTable.for_path(spark, tmp_table)
+    n = li.count()
+
+    qt.create_view("t_qb_v")
+    assert spark.sql("SELECT COUNT(*) AS n FROM t_qb_v").collect()[0]["n"] == n
+
+    # pruned view: same answer as a plain WHERE, through spark.sql
+    qt.create_view("t_qb_slice", filters=[("l_orderkey", ">=", 2000)])
+    got = spark.sql(
+        "SELECT COUNT(*) AS n FROM t_qb_slice").collect()[0]["n"]
+    assert got == li.where("l_orderkey >= 2000").count()
+
+    # TABLESAMPLE analogue
+    qt.create_view("t_qb_sample", sample_fraction=0.2)
+    ns = spark.sql("SELECT COUNT(*) AS n FROM t_qb_sample").collect()[0]["n"]
+    assert abs(ns - 0.2 * n) <= max(0.03 * n, 5)
+
+    # INSERT INTO semantics: append through the facade, reusing the
+    # table's indexed columns
+    v = qt.insert_into(li.limit(300))
+    assert v > 0
+    qt2 = qss.QbeastTable.for_path(spark, tmp_table)
+    assert qt2.to_df().count() == n + 300
+    with pytest.raises(ValueError):
+        qss.QbeastTable.for_path(spark, "/tmp/definitely_missing_qbeast") \
+            .insert_into(li)
+
+
+def test_export_delta_log(spark, tmp_table):
+    import json
+    import os
+
+    li = load(spark, "lineitem")
+    qss.write(li, tmp_table, columns_to_index=["l_orderkey", "l_extendedprice"],
+              cube_size=500)
+    qt = qss.QbeastTable.for_path(spark, tmp_table)
+    target = qt.export_delta_log()
+    assert os.path.basename(target) == "00000000000000000000.json"
+    actions = [json.loads(line) for line in open(target)]
+    kinds = [next(iter(a)) for a in actions]
+    assert kinds[:3] == ["commitInfo", "protocol", "metaData"]
+    meta = actions[2]["metaData"]
+    # schemaString is the Spark schema JSON every Delta client expects
+    from pyspark.sql import types as T
+    schema = T.StructType.fromJson(json.loads(meta["schemaString"]))
+    assert "l_orderkey" in schema.fieldNames()
+    adds = [a["add"] for a in actions if "add" in a]
+    assert len(adds) == len(qt.file_paths())
+    n = li.count()
+    assert sum(json.loads(a["stats"])["numRecords"] for a in adds) == n
+    for a in adds:
+        assert os.path.exists(os.path.join(tmp_table, a["path"]))
+        assert a["size"] > 0 and a["partitionValues"] == {}
+    # the exported file list IS the table: a plain parquet read of the
+    # manifest paths returns exactly to_df()
+    paths = [os.path.join(tmp_table, a["path"]) for a in adds]
+    plain = spark.read.parquet(*paths)
+    assert plain.count() == n
+    assert plain.exceptAll(qt.to_df()).count() == 0
+    # re-export after optimize mirrors the NEW snapshot
+    qt.optimize()
+    qt2 = qss.QbeastTable.for_path(spark, tmp_table)
+    qt2.export_delta_log()
+    actions2 = [json.loads(line) for line in open(target)]
+    adds2 = [a["add"] for a in actions2 if "add" in a]
+    assert {a["path"] for a in adds2} == \
+        {os.path.basename(p) for p in qt2.file_paths()}
+
+
+def test_image_header_parser():
+    import struct
+
+    from qbeast_spark_spark.operators.multimodal import parse_image_header
+
+    png = (b"\x89PNG\r\n\x1a\n" + struct.pack(">I", 13) + b"IHDR"
+           + struct.pack(">II", 800, 600) + b"\x08\x06\x00\x00\x00")
+    assert parse_image_header(png) == ("png", 800, 600)
+    app0 = (b"\xff\xe0" + struct.pack(">H", 16) + b"JFIF\x00"
+            + b"\x01\x01\x00" + b"\x00\x01\x00\x01" + b"\x00\x00")
+    sof0 = (b"\xff\xc0" + struct.pack(">H", 11) + b"\x08"
+            + struct.pack(">HH", 480, 640) + b"\x01\x11\x00")
+    assert parse_image_header(b"\xff\xd8" + app0 + sof0) == ("jpeg", 640, 480)
+    gif = b"GIF89a" + struct.pack("<HH", 320, 200) + b"\x00\x00\x00"
+    assert parse_image_header(gif) == ("gif", 320, 200)
+    assert parse_image_header(b"notanimage") is None
+    assert parse_image_header(b"") is None
+
+
+def test_png_payload_roundtrip(spark):
+    from pyspark.sql import functions as F
+
+    from qbeast_spark_spark.operators.multimodal import (
+        decode_image_headers, png_payload_col)
+
+    docs = load(spark, "documents").limit(50)
+    payloads = docs.select(
+        "doc_id",
+        png_payload_col(F.lit(64) + F.col("doc_id") % 512,
+                        F.lit(64) + F.col("n_chars") % 512).alias("payload"))
+    out = decode_image_headers(payloads).collect()
+    expect = {r["doc_id"]: (64 + r["doc_id"] % 512, 64 + r["n_chars"] % 512)
+              for r in docs.collect()}
+    assert len(out) == 50
+    for r in out:
+        assert r["format"] == "png"
+        assert (r["width"], r["height"]) == expect[r["doc_id"]]
+
+
+def _pruned_files(df):
+    from pyspark.sql.functions import input_file_name
+
+    return df.select(input_file_name()).distinct().count()
+
+
+def test_read_accepts_sql_string_and_column(spark, tmp_table):
+    li = load(spark, "lineitem")
+    qss.write(li, tmp_table, columns_to_index=["l_orderkey", "l_extendedprice"],
+              cube_size=200)
+    qt = qss.QbeastTable.for_path(spark, tmp_table)
+    total_files = len(qt.file_paths())
+
+    expect = li.where("l_orderkey >= 1000 AND l_orderkey < 1500")
+    tup = qt.read([("l_orderkey", ">=", 1000), ("l_orderkey", "<", 1500)])
+    sql = qt.read("l_orderkey >= 1000 AND l_orderkey < 1500")
+    col = qt.read((F.col("l_orderkey") >= 1000)
+                  & (F.col("l_orderkey") < 1500))
+    n = expect.count()
+    assert tup.count() == n and sql.count() == n and col.count() == n
+    # all three surfaces prune to the same file set, strictly < total
+    assert _pruned_files(tup) == _pruned_files(sql) == _pruned_files(col)
+    assert _pruned_files(sql) < total_files
+
+    # disjunction + IN + BETWEEN shapes
+    q = ("(l_orderkey < 300 AND l_extendedprice >= 30000.0) "
+         "OR l_orderkey BETWEEN 5000 AND 5100")
+    assert qt.read(q).count() == li.where(q).count()
+    q_in = "l_orderkey IN (17, 18, 19)"
+    assert qt.read(q_in).count() == li.where(q_in).count()
+
+    # unsupported shape: unpruned but correct
+    q_fn = "pmod(l_orderkey, 7) = 3"
+    assert qt.read(q_fn).count() == li.where(q_fn).count()
+
+
+def test_predicate_parser_units():
+    import datetime
+
+    from qbeast_spark_spark.sources.predicates import to_dnf_filters
+
+    assert to_dnf_filters("a >= 5 AND b < 2.5") == [
+        [("a", ">=", 5), ("b", "<", 2.5)]]
+    assert to_dnf_filters("a = 'x''y'") == [[("a", "==", "x'y")]]
+    assert to_dnf_filters("a > 1 OR (b <= 2 AND c IN (1, 2))") == [
+        [("a", ">", 1)], [("b", "<=", 2), ("c", "in", [1, 2])]]
+    ts = to_dnf_filters("ts >= TIMESTAMP '2024-01-10 00:00:00'")
+    assert ts == [[("ts", ">=", datetime.datetime(2024, 1, 10))]]
+    assert to_dnf_filters("a IS NOT NULL") == [[("a", "is_not_null", None)]]
+    assert to_dnf_filters("NOT a > 5") == [[("a", "<=", 5)]]
+    # != carries no range info: conjunct dropped, sibling kept
+    assert to_dnf_filters("a != 3 AND b > 1") == [[("b", ">", 1)]]
+    # a lone != disjunct would match all files -> no pruning at all
+    assert to_dnf_filters("a != 3") is None
+    assert to_dnf_filters("some_udf(a) = 3") is None
