@@ -25,7 +25,7 @@ from .text import TOKEN_RE
 __all__ = [
     "MINHASH_PERMS", "MINHASH_PRIME", "LSH_BAND_ROWS", "SIMHASH_BITS",
     "dedup_exact", "shingles", "jaccard_pairs", "minhash_signatures",
-    "lsh_candidate_pairs", "simhash",
+    "lsh_candidate_pairs", "simhash", "simhash_pairs",
 ]
 
 MINHASH_PRIME = 2147483647  # 2^31 - 1 (Mersenne prime)
@@ -209,6 +209,48 @@ def simhash(docs, id_col: str = "doc_id"):
         term = F.when(F.col(f"s{k}") > 0, F.lit(1 << k)).otherwise(F.lit(0))
         sig = term if sig is None else (sig + term)
     return agg.select(F.col(id_col), sig.cast("long").alias("simhash"))
+
+
+def simhash_pairs(docs, max_hamming: int = 3, n_bands: int = 4,
+                  id_col: str = "doc_id", sig_df=None):
+    """Near-dup pairs by SimHash Hamming distance, banded for scale.
+
+    Pigeonhole: two signatures within ``max_hamming`` (< n_bands) bit
+    flips agree EXACTLY on at least one of ``n_bands`` contiguous bit
+    bands — so candidates meet on an equi-join over (band index, band
+    value) and only survivors pay the exact popcount check. Shuffle key
+    cardinality is n_bands * 2^(bits/n_bands); no all-pairs comparison
+    anywhere (the classic Manku/Jain/Sarma web-dedup layout).
+    """
+    from pyspark.sql import functions as F
+
+    assert max_hamming < n_bands, "pigeonhole needs max_hamming < n_bands"
+    sigs = sig_df if sig_df is not None else simhash(docs, id_col=id_col)
+    band_bits = SIMHASH_BITS // n_bands
+    mask = (1 << band_bits) - 1
+    bands = F.array(*[
+        F.struct(
+            F.lit(b).alias("band"),
+            F.shiftright(F.col("simhash"), b * band_bits)
+            .bitwiseAND(F.lit(mask)).alias("val"))
+        for b in range(n_bands)
+    ])
+    tagged = (sigs.select(F.col(id_col), F.col("simhash"),
+                          F.explode(bands).alias("bk"))
+              .select(id_col, "simhash",
+                      F.col("bk.band").alias("_band"),
+                      F.col("bk.val").alias("_val")))
+    a = tagged.select(F.col(id_col).alias("id1"),
+                      F.col("simhash").alias("_sig1"), "_band", "_val")
+    b = tagged.select(F.col(id_col).alias("id2"),
+                      F.col("simhash").alias("_sig2"), "_band", "_val")
+    cand = (a.join(b, ["_band", "_val"])
+            .where(F.col("id1") < F.col("id2"))
+            .select("id1", "id2", "_sig1", "_sig2")
+            .distinct())
+    ham = F.bit_count(F.col("_sig1").bitwiseXOR(F.col("_sig2")))
+    return (cand.select("id1", "id2", ham.cast("int").alias("hamming"))
+            .where(F.col("hamming") <= max_hamming))
 
 
 def connected_components(pairs, id1: str = "id1", id2: str = "id2",

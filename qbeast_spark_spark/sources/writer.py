@@ -303,15 +303,38 @@ def _materialize(prepared, revision: Revision, weights, file_map, num_files,
     return list(by_file.values())
 
 
-def write_qbeast(df, path: str, columns_to_index: Sequence[str] | str,
+def write_qbeast(df, path: str,
+                 columns_to_index: Optional[Sequence[str] | str] = None,
                  cube_size: int = DEFAULT_CUBE_SIZE, mode: str = "append",
                  column_stats: Optional[Dict[str, Dict[str, Any]]] = None,
                  pre_commit_hooks: Optional[List] = None,
                  merge_schema: bool = False) -> int:
     """Index + write ``df`` as one transactional qbeast commit; returns the
-    committed log version. See module docstring for the plan shape."""
+    committed log version. See module docstring for the plan shape.
+
+    ``columns_to_index=None`` auto-selects up to 3 least-correlated columns
+    (SparkColumnsToIndexSelector parity — the reference does the same when
+    the option is absent); an existing table's indexed columns still win
+    on append."""
     from pyspark.sql import functions as F
     from pyspark.sql import types as T
+
+    if columns_to_index is None:
+        from .log import CommitLog as _CL
+        from .reader import QbeastTable as _QT
+
+        existing = None
+        if _CL(path).exists():
+            existing = _QT(df.sparkSession, path) \
+                .snapshot().latest_revision()
+        if existing is not None:
+            columns_to_index = [
+                f"{s.name}:{s.transformer}" if s.transformer else s.name
+                for s in existing.column_specs]
+        else:
+            from ..functions.selection import select_columns_to_index
+
+            columns_to_index = select_columns_to_index(df)
 
     # Bigger Arrow batches cut the per-batch Python/JVM round-trip overhead
     # of the two mapInArrow stages (~10% wall on the write path); restored

@@ -260,3 +260,21 @@ def test_append_ignores_differing_index_columns(spark, tmp_table):
     assert n == li.count() * 2
     got = qt.sample(0.1).count()
     assert abs(got - 0.1 * n) <= max(0.02 * n, 5)
+
+
+def test_write_auto_selects_columns(spark, tmp_table):
+    """columns_to_index omitted -> auto-selection (reference parity:
+    SparkColumnsToIndexSelector when the option is absent); appends
+    without the option reuse the table's existing indexed columns."""
+    li = load(spark, "lineitem").select(
+        "l_orderkey", "l_partkey", "l_quantity", "l_extendedprice",
+        "l_discount")
+    qss.write(li, tmp_table, cube_size=500)
+    qt = qss.QbeastTable.for_path(spark, tmp_table)
+    rev = qt.revisions()[-1]
+    assert 1 <= len(rev.column_names) <= 3
+    assert qt.to_df().count() == li.count()
+    qss.write(li.limit(100), tmp_table, cube_size=500)
+    qt2 = qss.QbeastTable.for_path(spark, tmp_table)
+    assert qt2.revisions()[-1].column_names == rev.column_names
+    assert qt2.to_df().count() == li.count() + 100

@@ -238,3 +238,21 @@ def test_predicate_parser_units():
     # a lone != disjunct would match all files -> no pruning at all
     assert to_dnf_filters("a != 3") is None
     assert to_dnf_filters("some_udf(a) = 3") is None
+
+
+def test_simhash_pairs_banded_equals_bruteforce(spark):
+    from qbeast_spark_spark.operators.dedup import simhash, simhash_pairs
+
+    docs = load(spark, "documents")
+    sigs = simhash(docs)
+    got = sorted((r["id1"], r["id2"], r["hamming"])
+                 for r in simhash_pairs(docs, max_hamming=2,
+                                        sig_df=sigs).collect())
+    rows = {r["doc_id"]: r["simhash"] for r in sigs.collect()}
+    ids = sorted(rows)
+    brute = sorted(
+        (a, b, bin(rows[a] ^ rows[b]).count("1"))
+        for i, a in enumerate(ids) for b in ids[i + 1:]
+        if bin(rows[a] ^ rows[b]).count("1") <= 2)
+    # banding is pigeonhole-complete: max_hamming < n_bands -> full recall
+    assert got == brute
