@@ -14,7 +14,9 @@ Public surface (SURVEY.md §7.0):
 from .core.cube import CubeId
 from .core.revision import Revision, DEFAULT_CUBE_SIZE
 from .core.weight import fraction_to_weight, weight_to_fraction
+from .functions.ranks import exact_ntile_cuts, rows_at_ranks
 from .functions.selection import compute_quantiles, select_columns_to_index
+from .functions.skew import salted_join
 from .sources.optimize import convert_to_qbeast, optimize_table, write_staging
 from .sources.reader import QbeastTable, read_qbeast
 from .sources.writer import write_qbeast
@@ -51,4 +53,5 @@ __all__ = [
     "optimize_table", "convert_to_qbeast", "write_staging",
     "select_columns_to_index", "compute_quantiles",
     "fraction_to_weight", "weight_to_fraction",
+    "rows_at_ranks", "exact_ntile_cuts", "salted_join",
 ]

@@ -18,14 +18,9 @@ import shutil
 from typing import Callable, Dict, Optional, Tuple
 
 from .operators.dedup import (
-    LSH_BAND_ROWS,
-    MINHASH_PERMS,
-    MINHASH_PRIME,
     SIMHASH_BITS,
     dedup_exact,
     jaccard_pairs,
-    lsh_candidate_pairs,
-    minhash_signatures,
     simhash,
 )
 from .operators.asof import asof_join
@@ -34,10 +29,8 @@ from .operators.similarity import cosine_pairs, cosine_topk, ivf_topk
 from .operators.text import (
     STOPWORDS_EN,
     TOKEN_RE,
-    fingerprint,
     language_guess,
     text_stats,
-    token_counts,
 )
 
 __all__ = ["QUERIES", "spark_queries", "oracle_queries", "flagship"]
@@ -679,25 +672,6 @@ def dd_jaccard(spark, sf_dir):
 DD_JACCARD_SQL = _DD_JACCARD_SQL  # (moved to queries_common)
 
 
-from .queries_common import _lsh_sql, _minhash_sql_core  # noqa: E402,F401
-
-
-def dd_minhash(spark, sf_dir):
-    docs = _t(spark, sf_dir, "documents")
-    return minhash_signatures(docs, n=3)
-
-
-DD_MINHASH_SQL = _minhash_sql_core() + "SELECT * FROM sigs"
-
-
-def dd_lsh_pairs(spark, sf_dir):
-    docs = _t(spark, sf_dir, "documents")
-    return lsh_candidate_pairs(docs, n=3)
-
-
-DD_LSH_SQL = _lsh_sql()
-
-
 def dd_simhash(spark, sf_dir):
     docs = _t(spark, sf_dir, "documents")
     return simhash(docs)
@@ -793,29 +767,6 @@ SELECT doc_id,
             THEN 'en' ELSE 'unk' END AS lang_guess,
        fp AS fingerprint
 FROM s
-"""
-
-
-def tx_tokens(spark, sf_dir):
-    return token_counts(_t(spark, sf_dir, "documents"))
-
-
-TX_TOKENS_SQL = f"""
-SELECT doc_id,
-       len(regexp_split_to_array(trim(text), '\\s+')) AS ws_tokens,
-       len(regexp_extract_all(lower(text), '{TOKEN_RE}')) AS re_tokens
-FROM documents
-"""
-
-
-def tx_fingerprint(spark, sf_dir):
-    return fingerprint(_t(spark, sf_dir, "documents"))
-
-
-TX_FINGERPRINT_SQL = """
-SELECT doc_id,
-       md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS fingerprint
-FROM documents
 """
 
 

@@ -30,8 +30,6 @@ from .queries_common import _cents, _events, _t
 
 __all__ = ["EXT_QUERIES"]
 
-US_HOUR = 3_600_000_000
-
 
 # ---------------------------------------------------------------------------
 # TPC-H adaptations

@@ -256,3 +256,25 @@ def test_simhash_pairs_banded_equals_bruteforce(spark):
         if bin(rows[a] ^ rows[b]).count("1") <= 2)
     # banding is pigeonhole-complete: max_hamming < n_bands -> full recall
     assert got == brute
+
+
+def test_salted_join_equals_plain_join(spark):
+    from qbeast_spark_spark.functions.skew import salted_join
+
+    li = load(spark, "lineitem")
+    o = load(spark, "orders").select("o_orderkey", "o_orderpriority")
+    plain = li.join(o, li.l_orderkey == o.o_orderkey).drop("o_orderkey")
+    salted = salted_join(
+        li, o.withColumnRenamed("o_orderkey", "l_orderkey"),
+        on="l_orderkey", salt=8)
+    assert salted.count() == plain.count()
+    agg_a = (salted.groupBy("o_orderpriority").count()
+             .orderBy("o_orderpriority").collect())
+    agg_b = (plain.groupBy("o_orderpriority").count()
+             .orderBy("o_orderpriority").collect())
+    assert agg_a == agg_b
+    # left join preserves unmatched left rows exactly once
+    o_half = (o.where(F.col("o_orderkey") % 2 == 0)
+              .withColumnRenamed("o_orderkey", "l_orderkey"))
+    lj = salted_join(li, o_half, on="l_orderkey", how="left", salt=4)
+    assert lj.count() == li.count()
