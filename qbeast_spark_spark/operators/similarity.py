@@ -180,34 +180,56 @@ def otree_prefilter_topk(spark, qt, query_rows, k: int = 10,
 
 
 def embedding_lsh_pairs(vectors, threshold: float, n_bits: int = 8,
+                        n_tables: int = 1,
                         vec_col: str = "embedding", id_col: str = "vec_id"):
     """Near-duplicate embedding pairs via hyperplane LSH: the bucket key is
-    the sign bit of the first ``n_bits`` dimensions (axis-aligned
-    hyperplanes through the origin — for whitened/random-basis embeddings
-    these behave like random projections), candidates meet only inside a
-    bucket (equi-join, well distributed), and the exact cosine filters the
+    the sign bit of ``n_bits`` dimensions (axis-aligned hyperplanes
+    through the origin — for whitened/random-basis embeddings these behave
+    like random projections), candidates meet only inside a bucket
+    (equi-join, well distributed), and the exact cosine filters the
     survivors. The scale path next to the exact O(n^2/buckets)
-    cosine_pairs: shuffle volume is O(n), join fan-out O(n^2 / 2^n_bits).
+    cosine_pairs: shuffle volume is O(n · n_tables), join fan-out
+    O(n^2 / 2^n_bits) per table.
 
-    Recall caveat (inherent to single-table LSH): a true pair straddling
-    any of the n_bits hyperplanes is missed; production use stacks several
-    bucket tables exactly like dedup.lsh_candidate_pairs bands."""
+    Recall: a true pair straddling any hyperplane of a table is missed by
+    that table; ``n_tables > 1`` stacks tables over DISJOINT dimension
+    slices (table t uses dims [t·n_bits, (t+1)·n_bits)) exactly like
+    dedup.lsh_candidate_pairs bands — one explode, one equi-join on
+    (table, bucket), candidates distinct before the exact rerank, so
+    recall rises monotonically with n_tables at linear cost."""
     from pyspark.sql import functions as F
 
     from ..functions.partitioning import spread
 
     v = _as_double(vec_col)
-    bucket = F.concat_ws(
-        "", *[(v[i] >= 0).cast("int").cast("string") for i in range(n_bits)])
-    tagged = spread(vectors).select(
-        F.col(id_col), F.col(vec_col), bucket.alias("_bkt"))
+
+    def bucket(t: int):
+        lo = t * n_bits
+        return F.concat_ws(
+            "", *[(v[lo + i] >= 0).cast("int").cast("string")
+                  for i in range(n_bits)])
+
+    tables = F.array(*[
+        F.struct(F.lit(t).alias("t"), bucket(t).alias("b"))
+        for t in range(n_tables)
+    ])
+    tagged = (spread(vectors)
+              .select(F.col(id_col), F.col(vec_col),
+                      F.explode(tables).alias("_tb"))
+              .select(id_col, vec_col,
+                      F.col("_tb.t").alias("_t"),
+                      F.col("_tb.b").alias("_bkt")))
     a = tagged.select(F.col(id_col).alias("id1"),
-                      F.col(vec_col).alias("_va"), F.col("_bkt"))
+                      F.col(vec_col).alias("_va"), "_t", "_bkt")
     b = tagged.select(F.col(id_col).alias("id2"),
-                      F.col(vec_col).alias("_vb"), F.col("_bkt"))
+                      F.col(vec_col).alias("_vb"), "_t", "_bkt")
+    cand = (a.join(b, ["_t", "_bkt"])
+            .where(F.col("id1") < F.col("id2"))
+            .select("id1", "id2", "_va", "_vb"))
+    if n_tables > 1:
+        cand = cand.dropDuplicates(["id1", "id2"])
     cos = cosine_col(F.col("_va").cast("array<double>"),
                      F.col("_vb").cast("array<double>"))
-    return (a.join(b, ["_bkt"])
-            .where(F.col("id1") < F.col("id2"))
+    return (cand
             .select("id1", "id2", F.round(cos, 6).alias("cos"))
             .where(F.col("cos") >= threshold))

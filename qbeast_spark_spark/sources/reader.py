@@ -329,6 +329,11 @@ class QbeastTable:
         self._snapshot = None
         return version
 
+    def where(self, predicate):
+        """Alias for ``read(predicate)`` with a SQL WHERE string or a
+        Spark Column — the familiar DataFrame verb, with file pruning."""
+        return self.read(predicate)
+
     def export_delta_log(self) -> str:
         """Write a standard ``_delta_log/`` describing the current
         snapshot so Delta clients (delta-rs, DuckDB delta, delta-spark)

@@ -278,3 +278,36 @@ def test_salted_join_equals_plain_join(spark):
               .withColumnRenamed("o_orderkey", "l_orderkey"))
     lj = salted_join(li, o_half, on="l_orderkey", how="left", salt=4)
     assert lj.count() == li.count()
+
+
+def test_embedding_lsh_multi_table_recall(spark):
+    from qbeast_spark_spark.operators.similarity import (
+        cosine_pairs, embedding_lsh_pairs)
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    exact = {(r["id1"], r["id2"])
+             for r in cosine_pairs(emb, threshold=0.3).collect()}
+    one = {(r["id1"], r["id2"])
+           for r in embedding_lsh_pairs(emb, threshold=0.3, n_bits=8,
+                                        n_tables=1).collect()}
+    two = {(r["id1"], r["id2"])
+           for r in embedding_lsh_pairs(emb, threshold=0.3, n_bits=8,
+                                        n_tables=2).collect()}
+    # every LSH pair is a true pair (precision 1.0: exact rerank)
+    assert one <= exact and two <= exact
+    # stacking tables never loses candidates, and the single-table result
+    # is a subset of the stacked one
+    assert one <= two
+    if exact:
+        assert len(two) >= len(one)
+
+
+def test_qt_where_alias(spark, tmp_table):
+    li = load(spark, "lineitem")
+    qss.write(li, tmp_table, columns_to_index=["l_orderkey", "l_extendedprice"],
+              cube_size=500)
+    qt = qss.QbeastTable.for_path(spark, tmp_table)
+    assert qt.where("l_orderkey < 500").count() == \
+        li.where("l_orderkey < 500").count()
+    assert qt.where(F.col("l_extendedprice") > 50000.0).count() == \
+        li.where(F.col("l_extendedprice") > 50000.0).count()
