@@ -133,30 +133,66 @@ class QbeastTable:
                     pass
         return sorted(victims)
 
-    def sample(self, fraction: float, lower_bound: float = 0.0):
+    def sample(self, fraction: float, lower_bound: float = 0.0,
+               filters: Optional[Sequence] = None):
         """R1+R2 — deterministic sample: prune files by block weight range,
         then apply the exact residual hash-range predicate per row.
 
         Statistically valid because weights are murmur3-uniform; identical
-        semantics to the reference's SampleRule rewrite."""
+        semantics to the reference's SampleRule rewrite.
+
+        ``filters`` (tuple DNF, SQL string, or Column — same language as
+        ``read``) composes BOTH pruning strategies: the file list is the
+        intersection of weight-range survivors and query-box survivors
+        (the reference gets this composition from Catalyst stacking
+        SampleRule on top of the query filters), and the filter is also
+        applied row-level."""
         from pyspark.sql import functions as F
 
         if not (0.0 <= lower_bound < fraction <= 1.0):
             if fraction >= 1.0:
-                return self.to_df()
+                return self.to_df() if filters is None \
+                    else self.read(filters)
             raise ValueError(f"invalid sample range [{lower_bound}, {fraction})")
         snap = self.snapshot(refresh=True)
         w_to = fraction_to_weight(fraction)
         w_from = fraction_to_weight(lower_bound)
-        df = self._df_for_files(
-            self.sample_files(fraction, lower_bound, snap=snap))
+        selected = self.sample_files(fraction, lower_bound, snap=snap)
+        residual = None
+        if filters is not None:
+            from pyspark.sql import Column
+
+            if isinstance(filters, (str, Column)):
+                from .predicates import to_dnf_filters
+
+                residual = F.expr(filters) if isinstance(filters, str) \
+                    else filters
+                dnf = to_dnf_filters(filters)
+            else:
+                disjuncts = filters if isinstance(filters[0], list) \
+                    else [filters]
+                residual = reduce_or = None
+                for conj in disjuncts:
+                    c = self._filters_to_column(conj)
+                    reduce_or = c if reduce_or is None else (reduce_or | c)
+                residual = reduce_or
+                dnf = disjuncts
+            if dnf is not None:
+                boxed: set = set()
+                for conj in dnf:
+                    boxed.update(self._prune_files(snap, conj))
+                selected = [p for p in selected if p in boxed]
+        df = self._df_for_files(selected)
         rev = snap.latest_revision()
         if rev is None:
-            return df.sample(fraction)  # unindexed table: vanilla sample
+            df = df.sample(fraction)  # unindexed table: vanilla sample
+            return df.where(residual) if residual is not None else df
         hash_col = F.hash(*[F.col(c) for c in rev.column_names])
         cond = hash_col < F.lit(w_to)
         if lower_bound > 0.0:
             cond = cond & (hash_col >= F.lit(w_from))
+        if residual is not None:
+            cond = cond & residual
         return df.where(cond)
 
     def sample_files(self, fraction: float, lower_bound: float = 0.0,

@@ -311,3 +311,32 @@ def test_qt_where_alias(spark, tmp_table):
         li.where("l_orderkey < 500").count()
     assert qt.where(F.col("l_extendedprice") > 50000.0).count() == \
         li.where(F.col("l_extendedprice") > 50000.0).count()
+
+
+def test_sample_composes_with_filters(spark, tmp_table):
+    from pyspark.sql.functions import input_file_name
+
+    li = load(spark, "lineitem")
+    qss.write(li, tmp_table, columns_to_index=["l_orderkey", "l_extendedprice"],
+              cube_size=200)
+    qt = qss.QbeastTable.for_path(spark, tmp_table)
+
+    plain_sample = qt.sample(0.3)
+    both = qt.sample(0.3, filters=[("l_orderkey", "<", 1000)])
+    # row-level: sample+filter == filtering the sample
+    expect = plain_sample.where("l_orderkey < 1000")
+    assert both.count() == expect.count()
+    assert both.exceptAll(expect).count() == 0
+    # file-level: the composed read touches at most as many files as
+    # either pruning strategy alone
+    nf_both = both.select(input_file_name()).distinct().count()
+    nf_sample = plain_sample.select(input_file_name()).distinct().count()
+    nf_range = (qt.read([("l_orderkey", "<", 1000)])
+                .select(input_file_name()).distinct().count())
+    assert nf_both <= min(nf_sample, nf_range)
+    # SQL-string filter surface composes identically
+    both_sql = qt.sample(0.3, filters="l_orderkey < 1000")
+    assert both_sql.count() == expect.count()
+    # fraction >= 1.0 with filters degrades to a pruned read
+    assert qt.sample(1.0, filters="l_orderkey < 1000").count() == \
+        li.where("l_orderkey < 1000").count()
