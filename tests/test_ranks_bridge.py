@@ -340,3 +340,60 @@ def test_sample_composes_with_filters(spark, tmp_table):
     # fraction >= 1.0 with filters degrades to a pruned read
     assert qt.sample(1.0, filters="l_orderkey < 1000").count() == \
         li.where("l_orderkey < 1000").count()
+
+
+def test_delta_import_roundtrip_and_multicommit(spark, tmp_path):
+    import json
+    import os
+
+    from qbeast_spark_spark.sources.delta_import import (
+        convert_delta_to_qbeast, read_delta_snapshot)
+
+    li = load(spark, "lineitem")
+    n = li.count()
+
+    # roundtrip: our own export is a valid single-commit Delta log
+    src = str(tmp_path / "qb_src")
+    qss.write(li, src, columns_to_index=["l_orderkey", "l_extendedprice"],
+              cube_size=500)
+    qss.QbeastTable.for_path(spark, src).export_delta_log()
+    schema_json, files = read_delta_snapshot(src)
+    assert schema_json and files
+    assert spark.read.parquet(*files).count() == n
+
+    # multi-commit log with removes: later commits supersede earlier adds
+    dl = str(tmp_path / "delta_t")
+    os.makedirs(os.path.join(dl, "_delta_log"))
+    li.limit(100).coalesce(1).write.mode("append").parquet(dl)
+    first = {p for p in os.listdir(dl) if p.endswith(".parquet")}
+    li.limit(300).coalesce(1).write.mode("append").parquet(dl)
+    second = {p for p in os.listdir(dl) if p.endswith(".parquet")} - first
+    parts = [first.pop(), second.pop()]
+    assert not first and not second
+    c0 = [{"protocol": {"minReaderVersion": 1, "minWriterVersion": 2}},
+          {"metaData": {"id": "t", "format": {"provider": "parquet",
+                                              "options": {}},
+                        "schemaString": li.schema.json(),
+                        "partitionColumns": [], "configuration": {}}},
+          {"add": {"path": parts[0], "partitionValues": {}, "size": 1,
+                   "modificationTime": 0, "dataChange": True}}]
+    c1 = [{"remove": {"path": parts[0], "dataChange": True}},
+          {"add": {"path": parts[1], "partitionValues": {}, "size": 1,
+                   "modificationTime": 0, "dataChange": True}}]
+    for v, actions in enumerate((c0, c1)):
+        with open(os.path.join(dl, "_delta_log", f"{v:020d}.json"),
+                  "w") as fh:
+            for a in actions:
+                fh.write(json.dumps(a) + "\n")
+    schema_json, files = read_delta_snapshot(dl)
+    assert len(files) == 1 and files[0].endswith(parts[1])
+
+    # convert the delta table to an indexed qbeast table
+    out = str(tmp_path / "qb_out")
+    v = convert_delta_to_qbeast(
+        spark, dl, out, columns_to_index=["l_orderkey", "l_extendedprice"],
+        cube_size=100)
+    assert v == 0
+    qt = qss.QbeastTable.for_path(spark, out)
+    assert qt.to_df().count() == 300
+    assert 0 < qt.sample(0.5).count() < 300
