@@ -17,7 +17,8 @@ from .core.weight import fraction_to_weight, weight_to_fraction
 from .functions.ranks import exact_ntile_cuts, rows_at_ranks
 from .functions.selection import compute_quantiles, select_columns_to_index
 from .functions.skew import salted_join
-from .sources.delta_import import convert_delta_to_qbeast, read_delta_snapshot
+from .sources.delta_import import (convert_delta_to_qbeast,
+                                   read_delta_snapshot, read_delta_table)
 from .sources.optimize import convert_to_qbeast, optimize_table, write_staging
 from .sources.reader import QbeastTable, read_qbeast
 from .sources.writer import write_qbeast
@@ -52,7 +53,7 @@ __all__ = [
     "CubeId", "Revision", "DEFAULT_CUBE_SIZE", "QbeastTable",
     "write", "read", "write_qbeast", "read_qbeast",
     "optimize_table", "convert_to_qbeast", "write_staging",
-    "convert_delta_to_qbeast", "read_delta_snapshot",
+    "convert_delta_to_qbeast", "read_delta_snapshot", "read_delta_table",
     "select_columns_to_index", "compute_quantiles",
     "fraction_to_weight", "weight_to_fraction",
     "rows_at_ranks", "exact_ntile_cuts", "salted_join",

@@ -7,7 +7,10 @@ agrees on): JSON commit files ``NNNNNNNNNNNNNNNNNNNN.json`` replayed in
 version order, each contributing ``add`` / ``remove`` / ``metaData``
 actions; a ``_last_checkpoint`` pointer + parquet checkpoint (columns
 ``add.path`` / ``remove.path`` / ``metaData``) seeds the state so only
-commits after the checkpoint replay. Driver work is O(#files), like any
+commits after the checkpoint replay. Partitioned tables are supported:
+partition column values live in the log's ``add.partitionValues`` (not in
+the data files), so the read groups files by partition tuple and injects
+the values as typed literal columns. Driver work is O(#files), like any
 Delta snapshot build.
 
 Unsupported (raises): column-mapping modes and deletion vectors — both
@@ -20,16 +23,26 @@ import json
 import os
 from typing import Dict, List, Optional, Tuple
 
-__all__ = ["read_delta_snapshot", "convert_delta_to_qbeast"]
+__all__ = ["read_delta_snapshot", "read_delta_table",
+           "convert_delta_to_qbeast"]
 
 
-def _checkpoint_state(log_dir: str) -> Tuple[int, Dict[str, dict],
-                                             Optional[str]]:
-    """(last_checkpointed_version, live files, schema) from the newest
-    checkpoint, or (-1, {}, None) when the log has none."""
+def _check_meta(meta: dict) -> None:
+    cfg = meta.get("configuration") or {}
+    if str(cfg.get("delta.columnMapping.mode", "none")) not in ("none",
+                                                                "None"):
+        raise ValueError("column-mapping Delta tables are not supported")
+
+
+def _checkpoint_state(log_dir: str
+                      ) -> Tuple[int, Dict[str, dict], Optional[str],
+                                 List[str]]:
+    """(last_checkpointed_version, live files, schema, partition_cols)
+    from the newest checkpoint, or (-1, {}, None, []) when the log has
+    none."""
     lc = os.path.join(log_dir, "_last_checkpoint")
     if not os.path.exists(lc):
-        return -1, {}, None
+        return -1, {}, None, []
     with open(lc) as fh:
         info = json.load(fh)
     version = int(info["version"])
@@ -44,6 +57,7 @@ def _checkpoint_state(log_dir: str) -> Tuple[int, Dict[str, dict],
 
     files: Dict[str, dict] = {}
     schema_json: Optional[str] = None
+    part_cols: List[str] = []
     for name in names:
         tbl = pq.read_table(os.path.join(log_dir, name))
         cols = {c: tbl.column(c).to_pylist() for c in
@@ -56,22 +70,19 @@ def _checkpoint_state(log_dir: str) -> Tuple[int, Dict[str, dict],
             meta = cols.get("metaData", [None] * n)[i]
             if meta and meta.get("schemaString"):
                 schema_json = meta["schemaString"]
-                cfg = meta.get("configuration") or {}
-                if str(cfg.get("delta.columnMapping.mode",
-                               "none")) not in ("none", "None"):
-                    raise ValueError(
-                        "column-mapping Delta tables are not supported")
-    return version, files, schema_json
+                part_cols = list(meta.get("partitionColumns") or [])
+                _check_meta(meta)
+    return version, files, schema_json, part_cols
 
 
-def read_delta_snapshot(table_path: str
-                        ) -> Tuple[Optional[str], List[str]]:
-    """(schemaString, absolute live data-file paths) of the Delta table at
-    ``table_path``'s current version."""
+def _snapshot_state(table_path: str
+                    ) -> Tuple[Optional[str], List[str], Dict[str, dict]]:
+    """(schemaString, partition_cols, live add-actions keyed by path) of
+    the Delta table's current version."""
     log_dir = os.path.join(table_path, "_delta_log")
     if not os.path.isdir(log_dir):
         raise FileNotFoundError(f"{log_dir} does not exist")
-    ckpt_version, files, schema_json = _checkpoint_state(log_dir)
+    ckpt_version, files, schema_json, part_cols = _checkpoint_state(log_dir)
     versions = sorted(
         int(name[:-5]) for name in os.listdir(log_dir)
         if name.endswith(".json") and name[:-5].isdigit())
@@ -95,12 +106,65 @@ def read_delta_snapshot(table_path: str
                 elif "metaData" in action:
                     meta = action["metaData"]
                     schema_json = meta.get("schemaString", schema_json)
-                    cfg = meta.get("configuration") or {}
-                    if str(cfg.get("delta.columnMapping.mode",
-                                   "none")) not in ("none", "None"):
-                        raise ValueError(
-                            "column-mapping Delta tables are not supported")
+                    part_cols = list(meta.get("partitionColumns")
+                                     or part_cols)
+                    _check_meta(meta)
+    return schema_json, part_cols, files
+
+
+def read_delta_snapshot(table_path: str
+                        ) -> Tuple[Optional[str], List[str]]:
+    """(schemaString, absolute live data-file paths) of the Delta table at
+    ``table_path``'s current version."""
+    schema_json, _, files = _snapshot_state(table_path)
     return schema_json, [os.path.join(table_path, p) for p in sorted(files)]
+
+
+def read_delta_table(spark, table_path: str):
+    """Current snapshot of the Delta table at ``table_path`` as a
+    DataFrame, without delta-spark.
+
+    For partitioned tables the partition column values are injected from
+    ``add.partitionValues`` as typed literals (one pruned scan per live
+    partition, unioned — same plan shape as Spark's own partitioned
+    parquet read, which unions per-partition file groups)."""
+    from pyspark.sql import functions as F
+    from pyspark.sql import types as T
+
+    schema_json, part_cols, files = _snapshot_state(table_path)
+    if not files:
+        raise ValueError(f"{table_path} has no live files")
+    full = (T.StructType.fromJson(json.loads(schema_json))
+            if schema_json else None)
+    paths = {p: os.path.join(table_path, p) for p in files}
+    if not part_cols:
+        reader = spark.read
+        if full is not None:
+            reader = reader.schema(full)
+        return reader.parquet(*[paths[p] for p in sorted(paths)])
+    if full is None:
+        raise ValueError("partitioned Delta table without a schemaString")
+    data_schema = T.StructType(
+        [f for f in full.fields if f.name not in part_cols])
+    part_types = {f.name: f.dataType for f in full.fields
+                  if f.name in part_cols}
+    # group live files by their partition tuple -> one typed-literal
+    # injection per group
+    groups: Dict[tuple, List[str]] = {}
+    for p in sorted(files):
+        pv = files[p].get("partitionValues") or {}
+        key = tuple(pv.get(c) for c in part_cols)
+        groups.setdefault(key, []).append(paths[p])
+    out = None
+    for key, grp in sorted(groups.items(),
+                           key=lambda kv: tuple(map(str, kv[0]))):
+        df = spark.read.schema(data_schema).parquet(*grp)
+        for c, raw in zip(part_cols, key):
+            lit = (F.lit(None) if raw is None else F.lit(raw))
+            df = df.withColumn(c, lit.cast(part_types[c]))
+        df = df.select(*[f.name for f in full.fields])
+        out = df if out is None else out.unionByName(df)
+    return out
 
 
 def convert_delta_to_qbeast(spark, delta_path: str, out_path: str,
@@ -109,18 +173,12 @@ def convert_delta_to_qbeast(spark, delta_path: str, out_path: str,
                             mode: str = "overwrite") -> int:
     """Read a Delta table's current snapshot (no delta-spark needed) and
     write it as a new OTree-indexed qbeast table; returns the committed
-    log version. ``columns_to_index=None`` auto-selects."""
-    from pyspark.sql import types as T
-
+    log version. ``columns_to_index=None`` auto-selects. Partition
+    columns are materialized into the data files (the qbeast layout
+    replaces directory partitioning with the index)."""
     from .writer import write_qbeast
 
-    schema_json, files = read_delta_snapshot(delta_path)
-    if not files:
-        raise ValueError(f"{delta_path} has no live files")
-    reader = spark.read
-    if schema_json:
-        reader = reader.schema(T.StructType.fromJson(json.loads(schema_json)))
-    df = reader.parquet(*files)
+    df = read_delta_table(spark, delta_path)
     kwargs = {} if cube_size is None else {"cube_size": cube_size}
     return write_qbeast(df, out_path, columns_to_index=columns_to_index,
                         mode=mode, **kwargs)

@@ -397,3 +397,57 @@ def test_delta_import_roundtrip_and_multicommit(spark, tmp_path):
     qt = qss.QbeastTable.for_path(spark, out)
     assert qt.to_df().count() == 300
     assert 0 < qt.sample(0.5).count() < 300
+
+
+def test_delta_import_partitioned_table(spark, tmp_path):
+    """Partition values live only in the log; the import must re-inject
+    them as typed columns (incl. a null partition value)."""
+    import json
+    import os
+
+    from qbeast_spark_spark.sources.delta_import import read_delta_table
+
+    o = load(spark, "orders").select(
+        "o_orderkey", "o_totalprice", "o_orderpriority")
+    dl = str(tmp_path / "delta_part")
+    # hive-style dirs are irrelevant to the protocol; use flat files and
+    # rely purely on add.partitionValues
+    os.makedirs(os.path.join(dl, "_delta_log"))
+    groups = {"1-URGENT": None, "2-HIGH": None, None: None}
+    adds = []
+    for i, pr in enumerate(groups):
+        sub = (o.where(F.col("o_orderpriority") == pr) if pr is not None
+               else o.where(F.col("o_orderpriority").isin(
+                   "3-MEDIUM", "4-NOT SPECIFIED", "5-LOW")))
+        sub.drop("o_orderpriority").coalesce(1).write.mode(
+            "append").parquet(dl)
+        seen = {p for p in os.listdir(dl) if p.endswith(".parquet")}
+        new = seen - {a["add"]["path"] for a in adds}
+        assert len(new) == 1
+        adds.append({"add": {
+            "path": new.pop(), "partitionValues": {"o_orderpriority": pr},
+            "size": 1, "modificationTime": 0, "dataChange": True}})
+    full_schema = o.schema
+    actions = [
+        {"protocol": {"minReaderVersion": 1, "minWriterVersion": 2}},
+        {"metaData": {"id": "p", "format": {"provider": "parquet",
+                                            "options": {}},
+                      "schemaString": full_schema.json(),
+                      "partitionColumns": ["o_orderpriority"],
+                      "configuration": {}}},
+    ] + adds
+    with open(os.path.join(dl, "_delta_log", "0" * 20 + ".json"),
+              "w") as fh:
+        for a in actions:
+            fh.write(json.dumps(a) + "\n")
+
+    df = read_delta_table(spark, dl)
+    assert df.columns == ["o_orderkey", "o_totalprice", "o_orderpriority"]
+    assert df.count() == o.count()
+    got = dict(df.groupBy("o_orderpriority").count().collect())
+    assert got["1-URGENT"] == o.where(
+        "o_orderpriority = '1-URGENT'").count()
+    # the merged third group carries a NULL partition value
+    assert got[None] == o.where(
+        "o_orderpriority NOT IN ('1-URGENT','2-HIGH')").count()
+    assert dict(df.dtypes)["o_orderpriority"] == "string"
