@@ -6,13 +6,18 @@ Decode levels in this container (no PIL/ffmpeg/librosa):
   (the container has no media libs, but header layouts are bytes, not
   codecs). If PIL is importable at runtime it is used instead and also
   yields the pixel format.
+- ``parse_wav_header`` / ``decode_audio_headers`` / ``audio_features``
+  are a REAL audio path: canonical RIFF/WAVE chunk walk for the header,
+  and NumPy windowed RMS energy + zero-crossing rate over the PCM16
+  samples — PCM needs no codec, so full decode is feasible in pure
+  Python/NumPy.
 - ``decode_image_stub`` / ``frame_sample_stub`` remain the deterministic
-  fakes for full-pixel decode / video frame sampling — clearly marked;
-  the Spark-side plumbing (binary schema, Arrow batch shape, mapInPandas
-  signatures, partitioning) is real and tested.
-- ``png_payload_col`` builds a structurally valid PNG header + payload as
-  a pure JVM expression (unhex over formatted hex) — the deterministic
-  test-data generator for the decode path.
+  fakes for full-pixel image decode / video frame sampling — clearly
+  marked; the Spark-side plumbing (binary schema, Arrow batch shape,
+  mapInPandas signatures, partitioning) is real and tested.
+- ``png_payload_col`` / ``wav_payload_col`` build structurally valid
+  payloads as pure JVM expressions (unhex over formatted hex) — the
+  deterministic test-data generators for the decode paths.
 """
 
 from __future__ import annotations
@@ -22,6 +27,8 @@ from typing import Optional, Tuple
 
 __all__ = ["with_binary_payload", "binary_metadata", "png_payload_col",
            "parse_image_header", "decode_image_headers",
+           "wav_payload_col", "parse_wav_header", "decode_audio_headers",
+           "audio_features",
            "decode_image_stub", "frame_sample_stub"]
 
 STUB_NOTE = ("decode is a deterministic stub (media libs unavailable in "
@@ -115,6 +122,145 @@ def decode_image_headers(df, payload_col: str = "payload",
                                 "width": ws, "height": hs})
 
     return df.select(id_col, payload_col).mapInPandas(decode, schema)
+
+
+def _le_hex(col, n_bytes: int):
+    """Little-endian hex of an int column, ``n_bytes`` wide — byte-swapped
+    big-endian hex via substring shuffles (pure JVM)."""
+    from pyspark.sql import functions as F
+
+    be = F.lpad(F.hex(col.cast("long")), 2 * n_bytes, "0")
+    parts = [F.substring(be, 2 * i + 1, 2) for i in range(n_bytes)]
+    return F.concat(*reversed(parts))
+
+
+def wav_payload_col(sample_rate_col, n_frames_col):
+    """A complete, valid mono PCM16 WAV file as a JVM binary expression:
+    canonical 44-byte RIFF header + ``n_frames`` samples alternating
+    +32767 / -32768 (hex ``FF7F`` / ``0080`` little-endian) — so decoded
+    features are analytically known (RMS == 32767.5-ish, one zero
+    crossing per sample). Deterministic test-data generator; no Python in
+    the path."""
+    from pyspark.sql import functions as F
+
+    n = n_frames_col.cast("long")
+    data_size = n * 2                       # mono, 16-bit
+    sr = sample_rate_col.cast("long")
+    hex_str = F.concat(
+        F.lit("52494646"),                  # "RIFF"
+        _le_hex(data_size + 36, 4),
+        F.lit("57415645"),                  # "WAVE"
+        F.lit("666D7420"), F.lit("10000000"),   # "fmt ", size 16
+        F.lit("0100"), F.lit("0100"),       # PCM, 1 channel
+        _le_hex(sr, 4),
+        _le_hex(sr * 2, 4),                 # byte rate
+        F.lit("0200"), F.lit("1000"),       # block align 2, 16 bits
+        F.lit("64617461"),                  # "data"
+        _le_hex(data_size, 4),
+        # alternating +32767/-32768 samples; odd n keeps one extra FF7F
+        F.repeat(F.lit("FF7F0080"), (n / 2).cast("int")),
+        F.when(n % 2 == 1, F.lit("FF7F")).otherwise(F.lit("")),
+    )
+    return F.unhex(hex_str)
+
+
+def parse_wav_header(data: bytes
+                     ) -> Optional[Tuple[int, int, int, int]]:
+    """(sample_rate, channels, bits_per_sample, n_frames) from RIFF/WAVE
+    bytes via the canonical chunk walk (fmt + data chunks); None if not a
+    PCM WAV. Pure Python — RIFF is a container layout, not a codec."""
+    if len(data) < 44 or data[:4] != b"RIFF" or data[8:12] != b"WAVE":
+        return None
+    pos, sr, ch, bits, data_size = 12, None, None, None, None
+    while pos + 8 <= len(data):
+        cid = data[pos:pos + 4]
+        size = struct.unpack("<I", data[pos + 4:pos + 8])[0]
+        if cid == b"fmt " and pos + 24 <= len(data):
+            fmt, ch = struct.unpack("<HH", data[pos + 8:pos + 12])
+            if fmt != 1:            # PCM only
+                return None
+            sr = struct.unpack("<I", data[pos + 12:pos + 16])[0]
+            bits = struct.unpack("<H", data[pos + 22:pos + 24])[0]
+        elif cid == b"data":
+            data_size = size
+        pos += 8 + size + (size % 2)    # chunks are word-aligned
+    if None in (sr, ch, bits, data_size) or ch == 0 or bits == 0:
+        return None
+    return sr, ch, bits, data_size // (ch * bits // 8)
+
+
+def decode_audio_headers(df, payload_col: str = "payload",
+                         id_col: str = "doc_id"):
+    """Distributed audio-header decode: Arrow-batched mapInPandas over the
+    binary column -> (sample_rate, channels, bits, n_frames,
+    duration_ms)."""
+    import pandas as pd
+
+    schema = (f"{id_col} long, format string, sample_rate int, "
+              "channels int, bits int, n_frames long, duration_ms double")
+
+    def decode(batches):
+        for pdf in batches:
+            rows = {k: [] for k in ("format", "sample_rate", "channels",
+                                    "bits", "n_frames", "duration_ms")}
+            for payload in pdf[payload_col]:
+                parsed = parse_wav_header(bytes(payload))
+                if parsed is None:
+                    for k in rows:
+                        rows[k].append(None)
+                    continue
+                sr, ch, bits, n = parsed
+                rows["format"].append("wav")
+                rows["sample_rate"].append(sr)
+                rows["channels"].append(ch)
+                rows["bits"].append(bits)
+                rows["n_frames"].append(n)
+                rows["duration_ms"].append(1000.0 * n / sr)
+            yield pd.DataFrame({id_col: pdf[id_col], **rows})
+
+    return df.select(id_col, payload_col).mapInPandas(decode, schema)
+
+
+def audio_features(df, payload_col: str = "payload", id_col: str = "doc_id",
+                   frame_len: int = 512, hop: int = 256):
+    """REAL windowed audio features over mono PCM16 WAV payloads: one row
+    per analysis window with RMS energy and zero-crossing rate, computed
+    vectorized in NumPy (strided framing, no Python loop over samples).
+    Arrow-batched mapInPandas; rows with undecodable payloads are
+    dropped."""
+    import numpy as np
+    import pandas as pd
+
+    schema = (f"{id_col} long, frame_idx int, rms double, zcr double")
+
+    def feats(batches):
+        for pdf in batches:
+            ids, fidx, rms_v, zcr_v = [], [], [], []
+            for i, payload in zip(pdf[id_col], pdf[payload_col]):
+                data = bytes(payload)
+                parsed = parse_wav_header(data)
+                if parsed is None or parsed[1] != 1 or parsed[2] != 16:
+                    continue
+                pcm = np.frombuffer(data[44:], dtype="<i2").astype(
+                    np.float64)
+                if len(pcm) < frame_len:
+                    continue
+                n_win = 1 + (len(pcm) - frame_len) // hop
+                idx = (np.arange(frame_len)[None, :]
+                       + hop * np.arange(n_win)[:, None])
+                frames = pcm[idx]
+                rms = np.sqrt(np.mean(frames * frames, axis=1))
+                zcr = np.mean(
+                    np.signbit(frames[:, 1:]) != np.signbit(frames[:, :-1]),
+                    axis=1)
+                ids.extend([i] * n_win)
+                fidx.extend(range(n_win))
+                rms_v.extend(rms.tolist())
+                zcr_v.extend(zcr.tolist())
+            yield pd.DataFrame({id_col: ids, "frame_idx": fidx,
+                                "rms": rms_v, "zcr": zcr_v})
+
+    return df.select(id_col, payload_col).mapInPandas(feats, schema)
 
 
 def with_binary_payload(df, src_col: str, payload_col: str = "payload"):

@@ -900,27 +900,46 @@ FROM documents
 
 
 def mm_decode(spark, sf_dir):
-    """Real image-dimension decode over a binary media column: payloads
-    are structurally valid PNG headers built as JVM expressions
-    (deterministic: width/height derived from doc columns), decoded back
-    by the pure-Python header parser in an Arrow-batched mapInPandas —
-    the full distributed decode path with a checkable oracle."""
+    """Real media-header decode over binary columns, one labeled result:
+    'image' rows decode PNG dimensions (payloads are structurally valid
+    PNG headers built as JVM expressions, parsed back byte-wise in an
+    Arrow-batched mapInPandas), 'audio' rows decode RIFF/WAVE sample rate
+    and frame count from complete generated PCM16 WAV files. Both decode
+    paths are real parsers; both payload generators are deterministic
+    functions of doc columns, so the oracle is exact."""
     from pyspark.sql import functions as F
 
-    from .operators.multimodal import decode_image_headers, png_payload_col
+    from .operators.multimodal import (decode_audio_headers,
+                                       decode_image_headers,
+                                       png_payload_col, wav_payload_col)
 
     docs = _t(spark, sf_dir, "documents")
     w = F.lit(64) + F.col("doc_id") % 512
     h = F.lit(64) + F.col("n_chars") % 512
-    payloads = docs.select(
-        "doc_id", png_payload_col(w, h).alias("payload"))
-    return decode_image_headers(payloads)
+    img = decode_image_headers(
+        docs.select("doc_id", png_payload_col(w, h).alias("payload"))
+    ).select("doc_id", F.lit("image").alias("kind"), "format",
+             F.col("width").cast("long").alias("d1"),
+             F.col("height").cast("long").alias("d2"))
+    sr = F.lit(8000) + (F.col("doc_id") % 8) * 1000
+    nf = F.lit(1000) + F.col("n_chars") % 4096
+    aud = decode_audio_headers(
+        docs.select("doc_id", wav_payload_col(sr, nf).alias("payload"))
+    ).select("doc_id", F.lit("audio").alias("kind"), "format",
+             F.col("sample_rate").cast("long").alias("d1"),
+             F.col("n_frames").alias("d2"))
+    return img.unionByName(aud)
 
 
 MM_DECODE_SQL = """
-SELECT doc_id, 'png' AS format,
-       CAST(64 + doc_id % 512 AS INT) AS width,
-       CAST(64 + n_chars % 512 AS INT) AS height
+SELECT doc_id, 'image' AS kind, 'png' AS format,
+       CAST(64 + doc_id % 512 AS BIGINT) AS d1,
+       CAST(64 + n_chars % 512 AS BIGINT) AS d2
+FROM documents
+UNION ALL
+SELECT doc_id, 'audio' AS kind, 'wav' AS format,
+       CAST(8000 + (doc_id % 8) * 1000 AS BIGINT) AS d1,
+       CAST(1000 + n_chars % 4096 AS BIGINT) AS d2
 FROM documents
 """
 

@@ -451,3 +451,90 @@ def test_delta_import_partitioned_table(spark, tmp_path):
     assert got[None] == o.where(
         "o_orderpriority NOT IN ('1-URGENT','2-HIGH')").count()
     assert dict(df.dtypes)["o_orderpriority"] == "string"
+
+
+def test_wav_header_parser():
+    import struct
+
+    from qbeast_spark_spark.operators.multimodal import parse_wav_header
+
+    def wav(sr, ch, bits, n_frames, extra_chunk=False):
+        data_size = n_frames * ch * bits // 8
+        body = b"\x00" * data_size
+        chunks = b""
+        if extra_chunk:  # LIST chunk before fmt — the walk must skip it
+            chunks += b"LIST" + struct.pack("<I", 4) + b"INFO"
+        chunks += (b"fmt " + struct.pack("<I", 16)
+                   + struct.pack("<HHIIHH", 1, ch, sr, sr * ch * bits // 8,
+                                 ch * bits // 8, bits))
+        chunks += b"data" + struct.pack("<I", data_size) + body
+        return b"RIFF" + struct.pack("<I", 4 + len(chunks)) + b"WAVE" + chunks
+
+    assert parse_wav_header(wav(44100, 2, 16, 1000)) == (44100, 2, 16, 1000)
+    assert parse_wav_header(wav(8000, 1, 16, 5, extra_chunk=True)) == \
+        (8000, 1, 16, 5)
+    assert parse_wav_header(b"RIFFxxxxWAVE") is None
+    assert parse_wav_header(b"notaudio" * 10) is None
+    # non-PCM (format tag 3 = float) is rejected
+    bad = wav(8000, 1, 16, 5).replace(
+        struct.pack("<HH", 1, 1), struct.pack("<HH", 3, 1), 1)
+    assert parse_wav_header(bad) is None
+
+
+def test_wav_payload_roundtrip_and_features(spark):
+    from qbeast_spark_spark.operators.multimodal import (
+        audio_features, decode_audio_headers, wav_payload_col)
+
+    docs = load(spark, "documents").limit(40)
+    sr = F.lit(8000) + (F.col("doc_id") % 8) * 1000
+    nf = F.lit(1000) + F.col("n_chars") % 1024
+    payloads = docs.select("doc_id", wav_payload_col(sr, nf).alias("payload"))
+    got = {r["doc_id"]: r for r in decode_audio_headers(payloads).collect()}
+    for r in docs.collect():
+        g = got[r["doc_id"]]
+        assert g["format"] == "wav" and g["channels"] == 1 and g["bits"] == 16
+        assert g["sample_rate"] == 8000 + (r["doc_id"] % 8) * 1000
+        assert g["n_frames"] == 1000 + r["n_chars"] % 1024
+
+    # generated samples alternate +32767/-32768: every window has
+    # rms = sqrt((32767^2 + 32768^2)/2) and zcr exactly 1
+    feats = audio_features(payloads, frame_len=256, hop=128).collect()
+    assert feats
+    for f in feats:
+        assert abs(f["rms"] - 32767.5000038) < 1e-3
+        assert f["zcr"] == 1.0
+
+
+def test_audio_features_match_numpy_reference(spark):
+    import struct
+
+    import numpy as np
+
+    from qbeast_spark_spark.operators.multimodal import audio_features
+
+    rng = np.random.default_rng(7)
+    rows = []
+    expect = {}
+    frame_len, hop = 512, 256
+    for doc_id in range(6):
+        n = int(rng.integers(2000, 6000))
+        pcm = rng.integers(-32768, 32767, size=n, dtype=np.int16)
+        hdr = (b"RIFF" + struct.pack("<I", 36 + 2 * n) + b"WAVE"
+               + b"fmt " + struct.pack("<I", 16)
+               + struct.pack("<HHIIHH", 1, 1, 16000, 32000, 2, 16)
+               + b"data" + struct.pack("<I", 2 * n))
+        rows.append((doc_id, bytearray(hdr + pcm.tobytes())))
+        x = pcm.astype(np.float64)
+        n_win = 1 + (n - frame_len) // hop
+        for w in range(n_win):
+            fr = x[w * hop:w * hop + frame_len]
+            expect[(doc_id, w)] = (
+                float(np.sqrt(np.mean(fr * fr))),
+                float(np.mean(np.signbit(fr[1:]) != np.signbit(fr[:-1]))))
+    df = spark.createDataFrame(rows, "doc_id long, payload binary")
+    got = audio_features(df, frame_len=frame_len, hop=hop).collect()
+    assert len(got) == len(expect)
+    for g in got:
+        rms, zcr = expect[(g["doc_id"], g["frame_idx"])]
+        assert abs(g["rms"] - rms) < 1e-9
+        assert abs(g["zcr"] - zcr) < 1e-12
