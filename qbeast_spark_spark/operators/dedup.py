@@ -149,13 +149,17 @@ def minhash_signatures(docs, n: int = 3, id_col: str = "doc_id"):
     return sh.groupBy(id_col).agg(*aggs)
 
 
-def lsh_candidate_pairs(docs, n: int = 3, id_col: str = "doc_id"):
+def lsh_candidate_pairs(docs, n: int = 3, id_col: str = "doc_id",
+                        sig_df=None):
     """Banded LSH: pairs agreeing on at least one full band of
     LSH_BAND_ROWS MinHash rows. The scale path for near-dup at 100 TB —
-    the join key is the band value, so only colliding docs ever meet."""
+    the join key is the band value, so only colliding docs ever meet.
+    Pass ``sig_df`` (a ``minhash_signatures`` result, ideally persisted)
+    to avoid re-running the shingle aggregation."""
     from pyspark.sql import functions as F
 
-    sigs = minhash_signatures(docs, n, id_col)
+    sigs = sig_df if sig_df is not None else minhash_signatures(
+        docs, n, id_col)
     n_bands = len(MINHASH_PERMS) // LSH_BAND_ROWS
     # one explode over an inline struct array, NOT a per-band unionAll: a
     # union of N selects re-executes the whole shingle+minhash aggregation
@@ -308,8 +312,13 @@ def lsh_pairs_scored(docs, n: int = 3, id_col: str = "doc_id",
     standard scale trade (slightly noisy score, no shingle re-scan)."""
     from pyspark.sql import functions as F
 
-    sigs = minhash_signatures(docs, n, id_col)
-    cands = lsh_candidate_pairs(docs, n, id_col)
+    # One shingle+minhash aggregation total: the signature table is
+    # O(docs x num_perms) longs — small enough to persist even at 100 TB
+    # of raw text — and it feeds three consumers (banding, both score-join
+    # sides). Without the persist each consumer re-scans and re-hashes the
+    # full corpus.
+    sigs = minhash_signatures(docs, n, id_col).persist()
+    cands = lsh_candidate_pairs(docs, n, id_col, sig_df=sigs)
     a = sigs.select(F.col(id_col).alias("id1"),
                     *[F.col(f"mh{j}").alias(f"a{j}")
                       for j in range(len(MINHASH_PERMS))])
