@@ -278,3 +278,84 @@ def test_write_auto_selects_columns(spark, tmp_table):
     qt2 = qss.QbeastTable.for_path(spark, tmp_table)
     assert qt2.revisions()[-1].column_names == rev.column_names
     assert qt2.to_df().count() == li.count() + 100
+
+
+def test_log_checkpoint_bounds_replay(tmp_path):
+    """Snapshot construction seeds from the checkpoint: the state after
+    many commits survives deleting every commit JSON the checkpoint
+    covers, and time travel before the checkpoint still full-replays."""
+    import json
+
+    from qbeast_spark_spark.core.revision import ColumnToIndex, Revision
+    from qbeast_spark_spark.core.transform import LinearTransformation
+    from qbeast_spark_spark.sources.log import (
+        CHECKPOINT_INTERVAL, Block, CommitLog, IndexFile)
+
+    log = CommitLog(str(tmp_path / "t"))
+    rev = Revision(revision_id=1, timestamp_ms=0, desired_cube_size=100,
+                   column_specs=[ColumnToIndex("x", "linear")],
+                   transformations=[LinearTransformation(0.0, 1.0)],
+                   column_types=["double"])
+    n_commits = 2 * CHECKPOINT_INTERVAL + 5
+    for i in range(n_commits):
+        f = IndexFile(f"f{i}.parquet", size=10, rows=5, revision_id=1,
+                      blocks=[Block("0:0", 0, 2**30 + i, 5)])
+        log.commit(add=[f],
+                   remove=([f"f{i-2}.parquet"] if i % 7 == 3 else []),
+                   revisions={1: rev} if i == 0 else None,
+                   schema_json="s0" if i == 0 else None,
+                   cube_weights={1: {"0:0": 2**30 + i}},
+                   cube_domains={1: {"0:0": 5.0}},
+                   properties={f"k{i}": str(i)})
+    ckpt_v = 2 * CHECKPOINT_INTERVAL
+    assert os.path.exists(
+        str(tmp_path / "t" / "_qbeast_log" / f"{ckpt_v:012d}.checkpoint.json"))
+
+    # checkpointed snapshot == full replay (force full by dropping pointer)
+    with_ckpt = log.snapshot()
+    lc = str(tmp_path / "t" / "_qbeast_log" / "_last_checkpoint")
+    saved = open(lc).read()
+    os.remove(lc)
+    full = log.snapshot()
+    assert with_ckpt.version == full.version == n_commits - 1
+    assert set(with_ckpt.files) == set(full.files)
+    assert with_ckpt.cube_weights == full.cube_weights
+    assert with_ckpt.cube_domains == full.cube_domains
+    assert with_ckpt.properties == full.properties
+    assert with_ckpt.schema_json == full.schema_json == "s0"
+    with open(lc, "w") as fh:
+        fh.write(saved)
+
+    # delete every commit JSON the checkpoint covers: state must survive
+    log_dir = str(tmp_path / "t" / "_qbeast_log")
+    for v in range(ckpt_v + 1):
+        os.remove(os.path.join(log_dir, f"{v:012d}.json"))
+    pruned = log.snapshot()
+    assert pruned.version == full.version
+    assert set(pruned.files) == set(full.files)
+    assert pruned.cube_weights == full.cube_weights
+
+    # time travel to the checkpoint version itself still works
+    at_ckpt = log.snapshot(at_version=ckpt_v)
+    assert at_ckpt.version == ckpt_v
+    # ... but to a version whose JSONs are gone raises
+    import pytest as _pytest
+    with _pytest.raises(ValueError):
+        log.snapshot(at_version=3)
+
+
+def test_log_checkpoint_time_travel_before_checkpoint(tmp_path):
+    """With all JSONs retained, a pre-checkpoint time travel ignores the
+    newer checkpoint and full-replays to the target version."""
+    from qbeast_spark_spark.sources.log import (
+        CHECKPOINT_INTERVAL, Block, CommitLog, IndexFile)
+
+    log = CommitLog(str(tmp_path / "t"))
+    for i in range(CHECKPOINT_INTERVAL + 2):
+        log.commit(add=[IndexFile(f"f{i}.parquet", 1, 1, 1,
+                                  [Block("0:0", 0, 1, 1)])])
+    old = log.snapshot(at_version=3)
+    assert old.version == 3
+    assert set(old.files) == {f"f{i}.parquet" for i in range(4)}
+    cur = log.snapshot()
+    assert len(cur.files) == CHECKPOINT_INTERVAL + 2
