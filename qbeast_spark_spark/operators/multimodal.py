@@ -11,10 +11,15 @@ Decode levels in this container (no PIL/ffmpeg/librosa):
   and NumPy windowed RMS energy + zero-crossing rate over the PCM16
   samples — PCM needs no codec, so full decode is feasible in pure
   Python/NumPy.
+- ``parse_gif_frames`` / ``frame_sample_gif`` are a REAL frame-based
+  container walk: animated-GIF block structure (extensions, image
+  descriptors, sub-block chains) parsed byte-wise to sample every Nth
+  frame's geometry + timing — what a frame-index probe does; pixel
+  decode would need the LZW codec.
 - ``decode_image_stub`` / ``frame_sample_stub`` remain the deterministic
-  fakes for full-pixel image decode / video frame sampling — clearly
-  marked; the Spark-side plumbing (binary schema, Arrow batch shape,
-  mapInPandas signatures, partitioning) is real and tested.
+  fakes for full-pixel image decode / non-GIF video frame sampling —
+  clearly marked; the Spark-side plumbing (binary schema, Arrow batch
+  shape, mapInPandas signatures, partitioning) is real and tested.
 - ``png_payload_col`` / ``wav_payload_col`` build structurally valid
   payloads as pure JVM expressions (unhex over formatted hex) — the
   deterministic test-data generators for the decode paths.
@@ -29,6 +34,7 @@ __all__ = ["with_binary_payload", "binary_metadata", "png_payload_col",
            "parse_image_header", "decode_image_headers",
            "wav_payload_col", "parse_wav_header", "decode_audio_headers",
            "audio_features",
+           "gif_payload_col", "parse_gif_frames", "frame_sample_gif",
            "decode_image_stub", "frame_sample_stub"]
 
 STUB_NOTE = ("decode is a deterministic stub (media libs unavailable in "
@@ -314,7 +320,9 @@ def decode_image_stub(df, payload_col: str = "payload",
 def frame_sample_stub(df, payload_col: str = "payload",
                       id_col: str = "doc_id", every_n: int = 10):
     """Video frame-sampling plumbing: one row per sampled frame index.
-    STUB decode; real batch/explode shape."""
+    STUB decode (non-GIF containers need codecs); real batch/explode
+    shape. For a REAL frame walk over an actual container format, use
+    ``frame_sample_gif``."""
     import pandas as pd
 
     schema = f"{id_col} long, frame_idx int, frame_sha int"
@@ -331,5 +339,121 @@ def frame_sample_stub(df, payload_col: str = "payload",
                     fsha.append(sum(data[f:f + 8]) % 65536)
             yield pd.DataFrame({id_col: ids, "frame_idx": fidx,
                                 "frame_sha": fsha})
+
+    return df.select(id_col, payload_col).mapInPandas(sample, schema)
+
+
+def gif_payload_col(n_frames_col, width_col, height_col):
+    """A structurally valid multi-frame GIF89a as a JVM binary
+    expression: header + logical screen descriptor + 2-entry global color
+    table, then per frame a graphic-control extension (4 cs delay) + an
+    image descriptor (full-frame geometry) + a minimal LZW data chain.
+    Deterministic test-data generator for the frame walk; no Python in
+    the path."""
+    from pyspark.sql import functions as F
+
+    frame_hex = F.concat(
+        F.lit("21F904" "00" "0400" "00" "00"),          # GCE: delay 4cs
+        F.lit("2C"), F.lit("0000" "0000"),              # descriptor at 0,0
+        _le_hex(width_col, 2), _le_hex(height_col, 2),
+        F.lit("00"),                                    # no local table
+        F.lit("02"),                                    # LZW min code size
+        F.lit("024C01"),                                # 1 sub-block (2 B)
+        F.lit("00"),                                    # block terminator
+    )
+    hex_str = F.concat(
+        F.lit("474946383961"),                          # "GIF89a"
+        _le_hex(width_col, 2), _le_hex(height_col, 2),
+        F.lit("80"),                                    # global table, 2 colors
+        F.lit("0000"),                                  # bg index + aspect
+        F.lit("000000" "FFFFFF"),                       # the color table
+        F.repeat(frame_hex, n_frames_col.cast("int")),
+        F.lit("3B"),                                    # trailer
+    )
+    return F.unhex(hex_str)
+
+
+def parse_gif_frames(data: bytes):
+    """[(frame_idx, left, top, width, height, delay_cs)] from GIF bytes
+    via the real block walk: header + logical screen descriptor, skip the
+    global color table, then iterate extension blocks (sub-block chains)
+    and image descriptors (local table + LZW sub-block chains) until the
+    trailer. Pure Python — container structure, not pixel decode."""
+    if len(data) < 13 or data[:6] not in (b"GIF87a", b"GIF89a"):
+        return None
+    flags = data[10]
+    pos = 13
+    if flags & 0x80:                        # global color table present
+        pos += 3 * (2 << (flags & 0x07))
+    frames = []
+    delay = 0
+    saw_trailer = False
+    while pos < len(data):
+        b = data[pos]
+        if b == 0x3B:                       # trailer
+            saw_trailer = True
+            break
+        if b == 0x21:                       # extension: label + sub-blocks
+            if pos + 2 > len(data):
+                return None
+            label = data[pos + 1]
+            pos += 2
+            if (label == 0xF9 and pos + 5 <= len(data)
+                    and data[pos] == 4):    # graphic control: grab delay
+                delay = struct.unpack("<H", data[pos + 2:pos + 4])[0]
+            while pos < len(data) and data[pos] != 0:
+                pos += 1 + data[pos]
+            pos += 1                        # the 0x00 chain terminator
+        elif b == 0x2C:                     # image descriptor
+            if pos + 10 > len(data):
+                return None
+            left, top, w, h = struct.unpack("<HHHH", data[pos + 1:pos + 9])
+            lflags = data[pos + 9]
+            pos += 10
+            if lflags & 0x80:               # local color table
+                pos += 3 * (2 << (lflags & 0x07))
+            pos += 1                        # LZW minimum code size
+            while pos < len(data) and data[pos] != 0:
+                pos += 1 + data[pos]
+            pos += 1
+            frames.append((len(frames), left, top, w, h, delay))
+            delay = 0
+        else:
+            return None                     # corrupt stream
+    # a stream that ends without the trailer is truncated, not valid
+    return frames if saw_trailer else None
+
+
+def frame_sample_gif(df, payload_col: str = "payload",
+                     id_col: str = "doc_id", every_n: int = 10):
+    """REAL video-container frame sampling over animated GIFs: walk the
+    block structure, emit every ``every_n``-th frame's geometry + delay
+    (what a frame-index probe does — pixel decode would need the LZW
+    codec). One row per sampled frame; undecodable payloads dropped.
+    Arrow-batched mapInPandas."""
+    import pandas as pd
+
+    schema = (f"{id_col} long, frame_idx int, n_frames int, "
+              "left int, top int, width int, height int, delay_cs int")
+
+    def sample(batches):
+        for pdf in batches:
+            cols = {k: [] for k in (id_col, "frame_idx", "n_frames",
+                                    "left", "top", "width", "height",
+                                    "delay_cs")}
+            for i, payload in zip(pdf[id_col], pdf[payload_col]):
+                frames = parse_gif_frames(bytes(payload))
+                if not frames:
+                    continue
+                for idx, left, top, w, h, delay in frames[::every_n]:
+                    cols[id_col].append(i)
+                    cols["frame_idx"].append(idx)
+                    cols["n_frames"].append(len(frames))
+                    cols["left"].append(left)
+                    cols["top"].append(top)
+                    cols["width"].append(w)
+                    cols["height"].append(h)
+                    cols["delay_cs"].append(delay)
+            yield pd.DataFrame(cols)
 
     return df.select(id_col, payload_col).mapInPandas(sample, schema)

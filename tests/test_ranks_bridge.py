@@ -538,3 +538,44 @@ def test_audio_features_match_numpy_reference(spark):
         rms, zcr = expect[(g["doc_id"], g["frame_idx"])]
         assert abs(g["rms"] - rms) < 1e-9
         assert abs(g["zcr"] - zcr) < 1e-12
+
+
+def test_gif_frame_walk_and_sampling(spark):
+    from qbeast_spark_spark.operators.multimodal import (
+        frame_sample_gif, gif_payload_col, parse_gif_frames)
+
+    docs = load(spark, "documents").limit(30)
+    nf = F.lit(5) + F.col("doc_id") % 20
+    w = F.lit(16) + F.col("doc_id") % 100
+    h = F.lit(16) + F.col("n_chars") % 100
+    payloads = docs.select(
+        "doc_id", gif_payload_col(nf, w, h).alias("payload"))
+
+    # the pure-Python walk sees exactly the generated frame structure
+    one = payloads.where("doc_id = 7").collect()[0]["payload"]
+    frames = parse_gif_frames(bytes(one))
+    assert frames is not None and len(frames) == 5 + 7 % 20
+    for idx, left, top, fw, fh, delay in frames:
+        assert (left, top, delay) == (0, 0, 4)
+        assert fw == 16 + 7 % 100
+
+    # distributed sampling: every 3rd frame, counts and geometry exact
+    out = frame_sample_gif(payloads, every_n=3).collect()
+    expect = {r["doc_id"]: (5 + r["doc_id"] % 20, 16 + r["doc_id"] % 100,
+                            16 + r["n_chars"] % 100)
+              for r in docs.collect()}
+    seen = {}
+    for r in out:
+        n, ew, eh = expect[r["doc_id"]]
+        assert r["n_frames"] == n
+        assert r["frame_idx"] % 3 == 0
+        assert (r["width"], r["height"]) == (ew, eh)
+        assert r["delay_cs"] == 4
+        seen[r["doc_id"]] = seen.get(r["doc_id"], 0) + 1
+    for doc_id, (n, _, _) in expect.items():
+        assert seen[doc_id] == (n + 2) // 3
+
+    # corrupt / non-GIF payloads are rejected, not mis-parsed
+    assert parse_gif_frames(b"GIF89a" + b"\x00" * 4) is None
+    assert parse_gif_frames(b"RIFF....WAVE") is None
+    assert parse_gif_frames(bytes(one)[:-5] + b"\xfe") is None
