@@ -282,6 +282,7 @@ def connected_components(pairs, id1: str = "id1", id2: str = "id2",
     labels = (edges.select(F.col("a").alias("node"))
               .distinct()
               .withColumn("label", F.col("node")))
+    prev_sum = None
     for _ in range(max_iter):
         neighbor_min = (edges.join(labels, edges.b == labels.node)
                         .groupBy("a")
@@ -294,12 +295,14 @@ def connected_components(pairs, id1: str = "id1", id2: str = "id2",
                                               F.col("label")))
                            .alias("label")))
         updated = updated.localCheckpoint(eager=True)
-        changed = (updated.alias("u")
-                   .join(labels.alias("l"), "node")
-                   .where(F.col("u.label") != F.col("l.label")).count())
+        # labels only ever decrease, so the label sum strictly drops on
+        # any change: one aggregation replaces a join+count per round
+        new_sum = updated.agg(
+            F.sum(F.col("label").cast("decimal(38,0)"))).collect()[0][0]
         labels = updated
-        if changed == 0:
+        if prev_sum is not None and new_sum == prev_sum:
             break
+        prev_sum = new_sum
     return labels.select(F.col("node"), F.col("label").alias("canonical"))
 
 

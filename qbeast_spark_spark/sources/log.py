@@ -214,6 +214,17 @@ class CommitLog:
         snap.properties = dict(state.get("properties", {}))
         return snap
 
+    def commits_after(self, version: int) -> List[tuple]:
+        """[(version, raw commit dict)] for every commit strictly after
+        ``version`` — the change-feed primitive; O(#newer commits)."""
+        out = []
+        for v in self._versions():
+            if v <= version:
+                continue
+            with open(os.path.join(self.log_dir, f"{v:012d}.json")) as fh:
+                out.append((v, json.load(fh)))
+        return out
+
     def snapshot(self, at_version: Optional[int] = None) -> Snapshot:
         """Replay the log; with ``at_version`` stop there (time travel —
         the versioned-commit model gives historical reads for free).

@@ -100,6 +100,27 @@ class QbeastTable:
         """Commit history (DESCRIBE HISTORY analogue), newest last."""
         return self.log.history()
 
+    def changes_since(self, version: int):
+        """Rows appended by data-changing commits AFTER ``version`` — the
+        change-data-feed primitive for incremental pipelines (Delta CDF's
+        insert stream, scoped to appends): process a table in increments
+        by remembering the last version consumed. Re-layout commits
+        (optimize; dataChange=False) contribute nothing, so increments
+        never re-deliver rewritten rows. Reads only the newly-added files
+        — O(new data), not O(table). Files must still be on disk (vacuum
+        retention covers the consumer lag window)."""
+        versions = self.log._versions()
+        if versions and version > versions[-1]:
+            raise ValueError(
+                f"version {version} is beyond the log (latest "
+                f"{versions[-1]})")
+        rels = []
+        for _v, commit in self.log.commits_after(version):
+            if not commit.get("dataChange", True):
+                continue
+            rels.extend(fo["path"] for fo in commit.get("add", []))
+        return self._df_for_files(rels)
+
     def vacuum(self, dry_run: bool = False,
                retention_hours: float = 168.0) -> List[str]:
         """Delete data files no longer referenced by the CURRENT snapshot

@@ -359,3 +359,33 @@ def test_log_checkpoint_time_travel_before_checkpoint(tmp_path):
     assert set(old.files) == {f"f{i}.parquet" for i in range(4)}
     cur = log.snapshot()
     assert len(cur.files) == CHECKPOINT_INTERVAL + 2
+
+
+def test_changes_since_delivers_appends_only(spark, tmp_table):
+    """CDF-lite: increments deliver exactly the appended rows; optimize
+    (dataChange=False) re-layouts are never re-delivered."""
+    li = load(spark, "lineitem")
+    qss.write(li.limit(500), tmp_table,
+              columns_to_index=["l_orderkey", "l_extendedprice"],
+              cube_size=200)
+    qt = qss.QbeastTable.for_path(spark, tmp_table)
+    v0 = qt.snapshot().version
+    qt.insert_into(li.limit(100))
+    qt.insert_into(li.limit(150))
+    qt = qss.QbeastTable.for_path(spark, tmp_table)
+    v2 = qt.snapshot(refresh=True).version
+
+    assert qt.changes_since(v0).count() == 250
+    qt.optimize()
+    qt = qss.QbeastTable.for_path(spark, tmp_table)
+    # the optimize commit rewrites files but adds no data
+    assert qt.changes_since(v2).count() == 0
+    qt.insert_into(li.limit(60))
+    qt = qss.QbeastTable.for_path(spark, tmp_table)
+    assert qt.changes_since(v2).count() == 60
+    # consuming from the latest version yields an empty, schema-stable df
+    latest = qt.snapshot(refresh=True).version
+    empty = qt.changes_since(latest)
+    assert empty.count() == 0 and empty.schema == qt.to_df().schema
+    with pytest.raises(ValueError):
+        qt.changes_since(latest + 5)
