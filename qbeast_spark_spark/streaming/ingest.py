@@ -14,7 +14,10 @@ the idiomatic bridges:
   watermark (dropDuplicatesWithinWatermark) — state stays finite;
 - ``stateful_running_totals``: custom stateful operator via
   applyInPandasWithState (per-key running count/sum with timeout-free
-  state), the pattern for operators Spark lacks natively.
+  state), the pattern for operators Spark lacks natively;
+- ``stream_stream_join``: watermarked stream-stream equi-join with a
+  time-interval condition — both sides' state stores stay bounded by
+  their watermarks + the interval width.
 """
 
 from __future__ import annotations
@@ -22,7 +25,7 @@ from __future__ import annotations
 from typing import List, Optional, Sequence
 
 __all__ = ["stream_write_qbeast", "windowed_aggregate", "session_aggregate",
-           "stream_dedup", "stateful_running_totals"]
+           "stream_dedup", "stateful_running_totals", "stream_stream_join"]
 
 
 def stream_write_qbeast(stream_df, path: str,
@@ -112,6 +115,32 @@ def stream_dedup(stream_df, keys: Sequence[str], ts_col: str,
     twin of operators.dedup.dedup_exact that never grows unbounded."""
     return (stream_df.withWatermark(ts_col, watermark)
             .dropDuplicatesWithinWatermark(list(keys)))
+
+
+def stream_stream_join(left, right, key: str,
+                       left_ts: str, right_ts: str,
+                       watermark: str = "1 hour",
+                       max_lag: str = "INTERVAL 15 MINUTES",
+                       join_type: str = "inner"):
+    """Watermarked stream-stream join: equi-join on ``key`` with the
+    time-interval condition ``left_ts <= right_ts <= left_ts + max_lag``
+    (the click-after-impression shape). Both watermarks plus the interval
+    bound the join state Spark must retain, so the state store can evict —
+    without them a stream-stream join buffers forever. Column names on the
+    right side are suffixed ``_r`` to keep the joined schema unambiguous.
+    """
+    from pyspark.sql import functions as F
+
+    lw = left.withWatermark(left_ts, watermark)
+    rw = right.withWatermark(right_ts, watermark)
+    rw = rw.select(*[F.col(c).alias(f"{c}_r") for c in rw.columns])
+    cond = (
+        (F.col(key) == F.col(f"{key}_r"))
+        & (F.col(f"{right_ts}_r") >= F.col(left_ts))
+        & (F.col(f"{right_ts}_r")
+           <= F.expr(f"{left_ts} + {max_lag}"))
+    )
+    return lw.join(rw, cond, join_type)
 
 
 def stateful_running_totals(stream_df, key_col: str, value_col: str,

@@ -389,3 +389,26 @@ def test_changes_since_delivers_appends_only(spark, tmp_table):
     assert empty.count() == 0 and empty.schema == qt.to_df().schema
     with pytest.raises(ValueError):
         qt.changes_since(latest + 5)
+
+
+def test_concurrent_commits_across_checkpoint_boundary(tmp_path):
+    """Two writers interleaving commits through the checkpoint boundary:
+    every commit lands at a unique version, the checkpoint reflects a
+    valid prefix, and the final snapshot sees every file."""
+    from qbeast_spark_spark.sources.log import (
+        CHECKPOINT_INTERVAL, Block, CommitLog, IndexFile)
+
+    path = str(tmp_path / "t")
+    w1, w2 = CommitLog(path), CommitLog(path)
+    n_total = CHECKPOINT_INTERVAL + 4
+    versions = []
+    for i in range(n_total):
+        log = w1 if i % 2 == 0 else w2
+        versions.append(log.commit(add=[
+            IndexFile(f"w{i % 2}_f{i}.parquet", 1, 1, 1,
+                      [Block("0:0", 0, 1, 1)])]))
+    assert versions == list(range(n_total))
+    snap = w1.snapshot()
+    assert len(snap.files) == n_total
+    assert snap.version == n_total - 1
+    assert w2._last_checkpoint_version() == CHECKPOINT_INTERVAL

@@ -187,3 +187,52 @@ def test_stream_dedup_within_watermark(spark, tmp_path):
     got = spark.read.parquet(out)
     assert got.count() == 100
     assert got.select("event_id").distinct().count() == 100
+
+
+def test_stream_stream_join_matches_batch(spark, tmp_path):
+    """Watermarked stream-stream interval join returns exactly the batch
+    join: every (impression, click) pair with the click inside the lag
+    window, and state bounded by the watermarks."""
+    from qbeast_spark_spark.streaming.ingest import stream_stream_join
+
+    left_src = str(tmp_path / "imps")
+    right_src = str(tmp_path / "clicks")
+    imps = _make_events(spark, 120)
+    clicks = (_make_events(spark, 120)
+              .withColumn("ts", F.col("ts")
+                          + F.expr("INTERVAL 5 MINUTES"))
+              .withColumnRenamed("event_id", "click_id"))
+    imps.coalesce(1).write.mode("append").parquet(left_src)
+    clicks.coalesce(1).write.mode("append").parquet(right_src)
+
+    click_schema = T.StructType([
+        T.StructField("click_id", T.LongType()),
+        T.StructField("user_id", T.LongType()),
+        T.StructField("ts", T.TimestampType()),
+        T.StructField("value", T.DoubleType()),
+    ])
+    lstream = spark.readStream.schema(EVENT_SCHEMA).parquet(left_src)
+    rstream = spark.readStream.schema(click_schema).parquet(right_src)
+    joined = stream_stream_join(
+        lstream, rstream, key="user_id", left_ts="ts", right_ts="ts",
+        watermark="3 hours", max_lag="INTERVAL 10 MINUTES")
+    out = str(tmp_path / "joined_out")
+    ckpt = str(tmp_path / "joined_ckpt")
+    q = (joined.writeStream.format("parquet")
+         .option("path", out).option("checkpointLocation", ckpt)
+         .outputMode("append").trigger(availableNow=True).start())
+    q.awaitTermination(120)
+
+    got = spark.read.parquet(out)
+    expect = (imps.alias("l")
+              .join(clicks.select(F.col("click_id").alias("click_id_r"),
+                                  F.col("user_id").alias("user_id_r"),
+                                  F.col("ts").alias("ts_r"),
+                                  F.col("value").alias("value_r")),
+                    (F.col("l.user_id") == F.col("user_id_r"))
+                    & (F.col("ts_r") >= F.col("l.ts"))
+                    & (F.col("ts_r") <= F.col("l.ts")
+                       + F.expr("INTERVAL 10 MINUTES"))))
+    assert got.count() == expect.count() > 0
+    assert got.select("event_id", "click_id_r").exceptAll(
+        expect.select("event_id", "click_id_r")).count() == 0
