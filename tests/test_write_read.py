@@ -247,3 +247,49 @@ def test_csv_source_ingestion(spark, tmp_path, lineitem):
     assert qt.to_df().count() == n
     assert qt.to_df().exceptAll(back).count() == 0
     assert abs(qt.sample(0.5).count() - 0.5 * n) <= 0.05 * n
+
+
+def test_random_filter_boxes_match_plain_where(spark, tmp_table, lineitem):
+    """Property test: for ANY conjunction/disjunction of range filters on
+    the indexed dims, the pruned read equals a plain WHERE on the raw
+    data. Deterministic seed; 24 random boxes per run."""
+    import random
+
+    _write(lineitem, tmp_table, ["l_orderkey", "l_extendedprice"],
+           cube_size=300)
+    qt = qss.QbeastTable.for_path(spark, tmp_table)
+    df = qt.to_df()
+    rng = random.Random(20260813)
+    ok_min, ok_max = 1, 6000
+    pr_min, pr_max = 900.0, 105000.0
+
+    def rand_box():
+        conj = []
+        if rng.random() < 0.8:
+            lo = rng.randint(ok_min, ok_max)
+            hi = rng.randint(lo, ok_max)
+            op_lo = rng.choice([">=", ">"])
+            op_hi = rng.choice(["<", "<="])
+            conj.append(("l_orderkey", op_lo, lo))
+            conj.append(("l_orderkey", op_hi, hi))
+        if rng.random() < 0.6 or not conj:
+            lo = rng.uniform(pr_min, pr_max)
+            hi = rng.uniform(lo, pr_max)
+            conj.append(("l_extendedprice", ">=", lo))
+            conj.append(("l_extendedprice", "<", hi))
+        return conj
+
+    def to_sql(conj):
+        return " AND ".join(f"{c} {op} {v!r}" for c, op, v in conj)
+
+    for trial in range(24):
+        if rng.random() < 0.3:   # disjunction of two boxes
+            b1, b2 = rand_box(), rand_box()
+            filters = [b1, b2]
+            sql = f"({to_sql(b1)}) OR ({to_sql(b2)})"
+        else:
+            filters = rand_box()
+            sql = to_sql(filters)
+        got = qt.read(filters).count()
+        expect = df.where(sql).count()
+        assert got == expect, (filters, got, expect)
