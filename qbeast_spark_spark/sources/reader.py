@@ -216,6 +216,50 @@ class QbeastTable:
             cond = cond & residual
         return df.where(cond)
 
+    def tolerance(self, col: str, precision: float,
+                  confidence: float = 0.95,
+                  pilot_fraction: float = 0.01):
+        """Tolerance-driven sampling: the smallest hash-range sample whose
+        mean of ``col`` is within ``precision`` RELATIVE error of the true
+        mean at ``confidence`` — the API the reference declares but leaves
+        unimplemented (implicits/package.scala:54-66, body is ``???``).
+
+        Plan: a pilot sample estimates the coefficient of variation, CLT
+        sizing gives n >= (z * cv / precision)^2, and the exact row count
+        from the commit log (no COUNT job) turns that into a fraction.
+        Both the pilot and the final read prune files through the index,
+        so cost scales with the returned fraction, not the table. The
+        guarantee is asymptotic (CLT) — for heavy-tailed columns treat
+        ``confidence`` as approximate. Returns (DataFrame, fraction)."""
+        from statistics import NormalDist
+
+        from pyspark.sql import functions as F
+
+        if not (0.0 < precision):
+            raise ValueError("precision must be > 0")
+        snap = self.snapshot(refresh=True)
+        total_rows = sum(f.rows for f in snap.files.values())
+        if total_rows == 0:
+            return self.to_df(), 1.0
+        pilot = (self.sample(min(max(pilot_fraction, 2000.0 / total_rows),
+                                 1.0))
+                 .agg(F.avg(col).alias("m"),
+                      F.stddev_pop(col).alias("s"),
+                      F.count(col).alias("n")).collect()[0])
+        if not pilot["n"] or pilot["m"] is None or not pilot["m"]:
+            raise ValueError(
+                f"tolerance needs a nonzero mean of {col!r} "
+                "(relative error is undefined at mean 0)")
+        cv = (pilot["s"] or 0.0) / abs(pilot["m"])
+        z = NormalDist().inv_cdf(0.5 + confidence / 2.0)
+        # 1.2x safety factor absorbs pilot-estimate noise in cv
+        n_needed = 1.2 * (z * cv / precision) ** 2
+        fraction = min(1.0, max(n_needed / total_rows,
+                                1000.0 / total_rows))
+        if fraction >= 1.0:
+            return self.to_df(), 1.0
+        return self.sample(fraction), fraction
+
     def sample_files(self, fraction: float, lower_bound: float = 0.0,
                      snap: Optional[Snapshot] = None) -> List[str]:
         """The pruned file list a sample(fraction) read would touch — the

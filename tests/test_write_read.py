@@ -293,3 +293,24 @@ def test_random_filter_boxes_match_plain_where(spark, tmp_table, lineitem):
         got = qt.read(filters).count()
         expect = df.where(sql).count()
         assert got == expect, (filters, got, expect)
+
+
+def test_tolerance_sampling_meets_precision(spark, tmp_table, lineitem):
+    """The tolerance() API (the reference declares it and leaves the body
+    unimplemented) returns a sample whose mean is within the requested
+    relative error, and looser precision asks for a smaller fraction."""
+    _write(lineitem, tmp_table, ["l_orderkey", "l_extendedprice"],
+           cube_size=300)
+    qt = qss.QbeastTable.for_path(spark, tmp_table)
+    true_avg = qt.to_df().agg(F.avg("l_extendedprice")).collect()[0][0]
+
+    sampled, frac = qt.tolerance("l_extendedprice", precision=0.02)
+    got_avg = sampled.agg(F.avg("l_extendedprice")).collect()[0][0]
+    assert abs(got_avg - true_avg) / true_avg <= 0.02
+    assert 0 < frac <= 1.0
+
+    _, frac_loose = qt.tolerance("l_extendedprice", precision=0.2)
+    assert frac_loose <= frac
+
+    with pytest.raises(ValueError):
+        qt.tolerance("l_extendedprice", precision=0.0)
