@@ -98,6 +98,9 @@ class Snapshot:
     cube_weights: Dict[int, Dict[str, int]] = field(default_factory=dict)
     # per revision: cube -> accumulated domain estimate (sum across commits)
     cube_domains: Dict[int, Dict[str, float]] = field(default_factory=dict)
+    # idempotent-write tracking: txn appId -> highest committed version
+    # (Delta SetTransaction semantics; docs/AdvancedConfiguration.md:119-152)
+    txns: Dict[str, int] = field(default_factory=dict)
 
     @property
     def is_initial(self) -> bool:
@@ -184,6 +187,7 @@ class CommitLog:
             "cubeDomains": {str(k): v for k, v in snap.cube_domains.items()},
             "schema": snap.schema_json,
             "properties": snap.properties,
+            "txns": snap.txns,
         }
         target = os.path.join(self.log_dir,
                               f"{snap.version:012d}.checkpoint.json")
@@ -212,6 +216,7 @@ class CommitLog:
                              state.get("cubeDomains", {}).items()}
         snap.schema_json = state.get("schema")
         snap.properties = dict(state.get("properties", {}))
+        snap.txns = {k: int(v) for k, v in state.get("txns", {}).items()}
         return snap
 
     def commits_after(self, version: int) -> List[tuple]:
@@ -270,6 +275,11 @@ class CommitLog:
                 dst_d = snap.cube_domains.setdefault(int(rid_s), {})
                 for cube, d in doms.items():
                     dst_d[cube] = dst_d.get(cube, 0.0) + d
+            txn = commit.get("txn")
+            if txn:
+                app = txn["appId"]
+                snap.txns[app] = max(snap.txns.get(app, -1),
+                                     int(txn["version"]))
             if commit.get("schema") is not None:
                 snap.schema_json = commit["schema"]
             snap.properties.update(commit.get("properties", {}))
@@ -282,6 +292,7 @@ class CommitLog:
                cube_weights: Dict[int, Dict[str, int]] = None,
                cube_domains: Dict[int, Dict[str, float]] = None,
                reset_stats: bool = False,
+               txn: Optional[Dict[str, Any]] = None,
                max_retries: int = 10) -> int:
         """Atomically append one commit; returns the committed version."""
         os.makedirs(self.log_dir, exist_ok=True)
@@ -296,6 +307,7 @@ class CommitLog:
             "cubeDomains": {str(k): v for k, v in (cube_domains or {}).items()},
             "schema": schema_json,
             "properties": dict(properties or {}),
+            "txn": dict(txn) if txn else None,
         }
         body = json.dumps(payload, sort_keys=True).encode()
         last_err = None

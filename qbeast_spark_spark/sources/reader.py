@@ -100,6 +100,27 @@ class QbeastTable:
         """Commit history (DESCRIBE HISTORY analogue), newest last."""
         return self.log.history()
 
+    # -- table-information accessors (docs/QbeastTable.md:12-26 parity) --
+
+    def indexed_columns(self) -> List[str]:
+        """Currently indexed columns (qbeastTable.indexedColumns())."""
+        rev = self.snapshot().latest_revision()
+        return rev.column_names if rev else []
+
+    def cube_size(self) -> Optional[int]:
+        """Current desired cube size (qbeastTable.cubeSize())."""
+        rev = self.snapshot().latest_revision()
+        return rev.desired_cube_size if rev else None
+
+    def all_revision_ids(self) -> List[int]:
+        """Every revision id in the log (allRevisionIDs())."""
+        return sorted(self.snapshot().revisions.keys())
+
+    def latest_revision_id(self) -> Optional[int]:
+        """The last revision id (lastRevisionID())."""
+        rev = self.snapshot().latest_revision()
+        return rev.revision_id if rev else None
+
     def changes_since(self, version: int):
         """Rows appended by data-changing commits AFTER ``version`` — the
         change-data-feed primitive for incremental pipelines (Delta CDF's

@@ -308,9 +308,18 @@ def write_qbeast(df, path: str,
                  cube_size: int = DEFAULT_CUBE_SIZE, mode: str = "append",
                  column_stats: Optional[Dict[str, Dict[str, Any]]] = None,
                  pre_commit_hooks: Optional[List] = None,
-                 merge_schema: bool = False) -> int:
+                 merge_schema: bool = False,
+                 txn_app_id: Optional[str] = None,
+                 txn_version: Optional[int] = None) -> int:
     """Index + write ``df`` as one transactional qbeast commit; returns the
     committed log version. See module docstring for the plan shape.
+
+    ``txn_app_id``/``txn_version`` make the write idempotent
+    (docs/AdvancedConfiguration.md:119-152, Delta SetTransaction
+    semantics): if the table already recorded this app id at an equal or
+    higher version, the write is skipped and the current log version is
+    returned — retried ingestion jobs and replayed streaming batches
+    commit their data exactly once.
 
     ``columns_to_index=None`` auto-selects up to 3 least-correlated columns
     (SparkColumnsToIndexSelector parity — the reference does the same when
@@ -346,7 +355,7 @@ def write_qbeast(df, path: str,
     try:
         return _write_qbeast_inner(df, path, columns_to_index, cube_size,
                                    mode, column_stats, pre_commit_hooks,
-                                   merge_schema)
+                                   merge_schema, txn_app_id, txn_version)
     finally:
         if _prev_batch is None:
             _spark.conf.unset(_ARROW_BATCH_KEY)
@@ -357,7 +366,8 @@ def write_qbeast(df, path: str,
 def _write_qbeast_inner(df, path: str, columns_to_index,
                         cube_size: int, mode: str,
                         column_stats, pre_commit_hooks,
-                        merge_schema: bool = False) -> int:
+                        merge_schema: bool = False,
+                        txn_app_id=None, txn_version=None) -> int:
     from pyspark.sql import functions as F
     from pyspark.sql import types as T
 
@@ -372,9 +382,15 @@ def _write_qbeast_inner(df, path: str, columns_to_index,
                              f"{list(field_types)}")
     column_types = [field_types[s.name] for s in specs]
 
+    if (txn_app_id is None) != (txn_version is None):
+        raise ValueError("txn_app_id and txn_version must be set together")
+
     os.makedirs(path, exist_ok=True)
     log = CommitLog(path)
     snapshot = log.snapshot()
+    if txn_app_id is not None and \
+            snapshot.txns.get(txn_app_id, -1) >= int(txn_version):
+        return snapshot.version        # already committed: idempotent skip
     pre_existing_files = list(snapshot.files.keys())
     if mode == "overwrite":
         snapshot.files = {}
@@ -428,7 +444,10 @@ def _write_qbeast_inner(df, path: str, columns_to_index,
                                                 column_stats)
     if n == 0:
         return log.commit(add=[], remove=[], schema_json=df.schema.json(),
-                          data_change=False)
+                          data_change=False,
+                          txn=({"appId": txn_app_id,
+                                "version": int(txn_version)}
+                               if txn_app_id is not None else None))
 
     revision, _is_new = _resolve_revision(snapshot, specs, column_types,
                                           transformations, cube_size)
@@ -483,5 +502,7 @@ def _write_qbeast_inner(df, path: str, columns_to_index,
                     **extra_props},
         data_change=True,
         reset_stats=(mode == "overwrite"),
+        txn=({"appId": txn_app_id, "version": int(txn_version)}
+             if txn_app_id is not None else None),
     )
     return version

@@ -4,9 +4,9 @@ The reference has no streaming support (SURVEY.md §2.10); this engine adds
 the idiomatic bridges:
 
 - ``stream_write_qbeast``: readStream -> foreachBatch -> indexed qbeast
-  commit per micro-batch (each batch is one transactional append, so the
-  table stays consistent under replay: a re-run batch re-appends — pair
-  with dedup on a batch id column for exactly-once semantics);
+  commit per micro-batch, EXACTLY-ONCE: each batch commits with the
+  query name as txn app id and the batch id as txn version, so a batch
+  replayed after a failure is recognized in the log and skipped;
 - ``windowed_aggregate``: watermarked tumbling/sliding window aggregation;
 - ``session_aggregate``: dynamic-gap session windows (F.session_window),
   the streaming twin of queries.q_sessionize;
@@ -34,14 +34,17 @@ def stream_write_qbeast(stream_df, path: str,
                         checkpoint: Optional[str] = None,
                         trigger_available_now: bool = False,
                         query_name: str = "qbeast-stream-ingest"):
-    """writeStream.foreachBatch -> qbeast.write append per micro-batch."""
+    """writeStream.foreachBatch -> qbeast.write append per micro-batch.
+    Exactly-once: the commit is tagged (query_name, batch_id), so a batch
+    replayed after a failure hits the idempotent-skip path."""
     from ..sources.writer import write_qbeast
 
     def sink(batch_df, batch_id: int):
         if batch_df.isEmpty():
             return
         write_qbeast(batch_df, path, columns_to_index=columns_to_index,
-                     cube_size=cube_size, mode="append")
+                     cube_size=cube_size, mode="append",
+                     txn_app_id=query_name, txn_version=batch_id)
 
     writer = (stream_df.writeStream.foreachBatch(sink)
               .queryName(query_name)

@@ -412,3 +412,54 @@ def test_concurrent_commits_across_checkpoint_boundary(tmp_path):
     assert len(snap.files) == n_total
     assert snap.version == n_total - 1
     assert w2._last_checkpoint_version() == CHECKPOINT_INTERVAL
+
+
+def test_txn_idempotent_writes(spark, tmp_table):
+    """docs/AdvancedConfiguration.md:119-152 parity: a write replayed with
+    the same (txnAppId, txnVersion) is ignored; higher versions commit;
+    accessors report table info; txn state survives a checkpoint."""
+    li = load(spark, "lineitem")
+    qss.write_qbeast(li.limit(300), tmp_table,
+                     columns_to_index=["l_orderkey", "l_extendedprice"],
+                     cube_size=200, txn_app_id="ingest", txn_version=1)
+    qt = qss.QbeastTable.for_path(spark, tmp_table)
+    assert qt.to_df().count() == 300
+    assert qt.indexed_columns() == ["l_orderkey", "l_extendedprice"]
+    assert qt.cube_size() == 200
+    assert qt.latest_revision_id() in qt.all_revision_ids()
+
+    # replay of version 1: ignored
+    qss.write_qbeast(li.limit(300), tmp_table,
+                     columns_to_index=["l_orderkey", "l_extendedprice"],
+                     txn_app_id="ingest", txn_version=1)
+    assert qss.QbeastTable.for_path(spark, tmp_table).to_df().count() == 300
+    # a LOWER version is also ignored (SetTransaction monotonicity)
+    qss.write_qbeast(li.limit(300), tmp_table,
+                     columns_to_index=["l_orderkey", "l_extendedprice"],
+                     txn_app_id="ingest", txn_version=0)
+    assert qss.QbeastTable.for_path(spark, tmp_table).to_df().count() == 300
+    # version 2 commits; a different app id is independent
+    qss.write_qbeast(li.limit(100), tmp_table,
+                     columns_to_index=["l_orderkey", "l_extendedprice"],
+                     txn_app_id="ingest", txn_version=2)
+    qss.write_qbeast(li.limit(50), tmp_table,
+                     columns_to_index=["l_orderkey", "l_extendedprice"],
+                     txn_app_id="backfill", txn_version=1)
+    qt = qss.QbeastTable.for_path(spark, tmp_table)
+    assert qt.to_df().count() == 450
+
+    with pytest.raises(ValueError):
+        qss.write_qbeast(li.limit(10), tmp_table,
+                         columns_to_index=["l_orderkey"], txn_app_id="x")
+
+    # txn state survives checkpointing: push past the interval, replay v2
+    from qbeast_spark_spark.sources.log import CHECKPOINT_INTERVAL, CommitLog
+    for _ in range(CHECKPOINT_INTERVAL):
+        qt.insert_into(li.limit(10))
+    log = CommitLog(tmp_table)
+    assert log._last_checkpoint_version() is not None
+    qss.write_qbeast(li.limit(100), tmp_table,
+                     columns_to_index=["l_orderkey", "l_extendedprice"],
+                     txn_app_id="ingest", txn_version=2)
+    assert qss.QbeastTable.for_path(spark, tmp_table).to_df().count() == \
+        450 + 10 * CHECKPOINT_INTERVAL
