@@ -72,16 +72,23 @@ class IndexFile:
     rows: int
     revision_id: int
     blocks: List[Block] = field(default_factory=list)
+    # per-column [min, max] over the file's non-null values (int/float/
+    # string columns) — Delta data-skipping stats
+    column_stats: Optional[Dict[str, list]] = None
 
     def to_json(self) -> Dict[str, Any]:
-        return {"path": self.path, "size": self.size, "rows": self.rows,
-                "revisionID": self.revision_id,
-                "blocks": [b.to_json() for b in self.blocks]}
+        out = {"path": self.path, "size": self.size, "rows": self.rows,
+               "revisionID": self.revision_id,
+               "blocks": [b.to_json() for b in self.blocks]}
+        if self.column_stats:
+            out["columnStats"] = self.column_stats
+        return out
 
     @staticmethod
     def from_json(o: Dict[str, Any]) -> "IndexFile":
         return IndexFile(o["path"], o["size"], o["rows"], o["revisionID"],
-                         [Block.from_json(b) for b in o.get("blocks", [])])
+                         [Block.from_json(b) for b in o.get("blocks", [])],
+                         o.get("columnStats"))
 
 
 @dataclass

@@ -41,6 +41,44 @@ def _parse_cube(s: str) -> Tuple[int, int]:
     return int(d), int(p or "0", 16)
 
 
+def _stats_exclude(f, filters) -> bool:
+    """True when the file's per-column [min, max] stats prove NO row can
+    satisfy the conjunction — comparison predicates never match nulls, so
+    a disjoint non-null range is a safe drop. Unknown columns, unknown
+    ops, and cross-type comparisons never prune (conservative)."""
+    cs = getattr(f, "column_stats", None)
+    if not cs:
+        return False
+    for t in filters:
+        col, op, val = t[0], t[1], (t[2] if len(t) > 2 else None)
+        rng = cs.get(col)
+        if rng is None:
+            continue
+        mn, mx = rng
+        try:
+            if op in ("=", "=="):
+                if val < mn or val > mx:
+                    return True
+            elif op == ">":
+                if mx <= val:
+                    return True
+            elif op == ">=":
+                if mx < val:
+                    return True
+            elif op == "<":
+                if mn >= val:
+                    return True
+            elif op == "<=":
+                if mn > val:
+                    return True
+            elif op == "in":
+                if all(v < mn or v > mx for v in val):
+                    return True
+        except TypeError:
+            continue    # incomparable types: never prune on this clause
+    return False
+
+
 class QbeastTable:
     """User facade (QbeastTable.scala:127-221 analogue)."""
 
@@ -378,7 +416,11 @@ class QbeastTable:
                 inter &= (frm[:, i] <= hi[i]) & (to[:, i] >= lo[i])
             for j in np.flatnonzero(inter):
                 keep.add(entries[j][0])
-        return sorted(keep)
+        # Delta-style data skipping on ANY column with recorded per-file
+        # [min, max] stats — prunes on non-indexed columns too, and
+        # composes with the cube pruning above (intersection)
+        return sorted(p for p in keep
+                      if not _stats_exclude(snap.files[p], filters))
 
     def _filters_to_column(self, filters: Sequence[FilterTuple]):
         from pyspark.sql import functions as F

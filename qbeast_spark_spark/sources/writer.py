@@ -57,7 +57,8 @@ FILE_COL = "_qbeast_file"
 DEPTH_COL = "_qbeast_cube_depth"
 PATH_COL = "_qbeast_cube_path"
 
-_META_SCHEMA = ("file string, cube_depth int, cube_path long, min_weight long, "
+_META_SCHEMA = ("file string, col_stats string, "
+                "cube_depth int, cube_path long, min_weight long, "
                 "max_weight long, element_count long, file_size long")
 
 
@@ -183,10 +184,34 @@ def _make_write_fn(table_path: str, helper_cols: List[str]):
     import pyarrow as pa
     import pyarrow.parquet as pq
 
+    import pyarrow.compute as pc
+
     def write(batches):
         writers: Dict[int, Tuple[Any, str]] = {}
         # (file_id, depth, path) -> [min_w, max_w, count]
         stats: Dict[Tuple[int, int, int], List[int]] = {}
+        # file_id -> {col: [min, max]} for int/float/string columns —
+        # Delta data-skipping stats, collected while the batches stream
+        # through (no extra scan)
+        col_stats: Dict[int, Dict[str, list]] = {}
+
+        def track_col_stats(fid: int, sub) -> None:
+            dst = col_stats.setdefault(fid, {})
+            for field_ in sub.schema:
+                t = field_.type
+                if not (pa.types.is_integer(t) or pa.types.is_floating(t)
+                        or pa.types.is_string(t)):
+                    continue
+                mm = pc.min_max(sub.column(field_.name))
+                mn, mx = mm["min"].as_py(), mm["max"].as_py()
+                if mn is None:          # all-null chunk: nothing to learn
+                    continue
+                cur = dst.get(field_.name)
+                if cur is None:
+                    dst[field_.name] = [mn, mx]
+                else:
+                    cur[0] = min(cur[0], mn)
+                    cur[1] = max(cur[1], mx)
 
         for batch in batches:
             tbl = pa.Table.from_batches([batch])
@@ -206,6 +231,7 @@ def _make_write_fn(table_path: str, helper_cols: List[str]):
                                          sub.schema, compression="snappy")
                     writers[int(fid)] = (w, name)
                 writers[int(fid)][0].write_table(sub)
+                track_col_stats(int(fid), sub)
                 # block stats per cube inside this file
                 d_sub, p_sub, w_sub = depths[idx], paths[idx], ws[idx]
                 okey = np.lexsort((p_sub, d_sub))
@@ -232,10 +258,16 @@ def _make_write_fn(table_path: str, helper_cols: List[str]):
             w.close()
             sizes[fid] = os.path.getsize(os.path.join(table_path, name))
 
-        rows = {"file": [], "cube_depth": [], "cube_path": [], "min_weight": [],
+        import json as _json
+
+        rows = {"file": [], "col_stats": [],
+                "cube_depth": [], "cube_path": [], "min_weight": [],
                 "max_weight": [], "element_count": [], "file_size": []}
+        stats_json = {fid: _json.dumps(cs, sort_keys=True)
+                      for fid, cs in col_stats.items()}
         for (fid, d, p), (mn, mx, cnt) in stats.items():
             rows["file"].append(writers[fid][1])
+            rows["col_stats"].append(stats_json.get(fid, "{}"))
             rows["cube_depth"].append(d)
             rows["cube_path"].append(p)
             rows["min_weight"].append(mn)
@@ -245,6 +277,7 @@ def _make_write_fn(table_path: str, helper_cols: List[str]):
         if rows["file"]:
             yield pa.RecordBatch.from_arrays(
                 [pa.array(rows["file"], type=pa.string()),
+                 pa.array(rows["col_stats"], type=pa.string()),
                  pa.array(rows["cube_depth"], type=pa.int32()),
                  pa.array(rows["cube_path"], type=pa.int64()),
                  pa.array(rows["min_weight"], type=pa.int64()),
@@ -291,11 +324,17 @@ def _materialize(prepared, revision: Revision, weights, file_map, num_files,
         .mapInArrow(_make_write_fn(path, helper_cols), _META_SCHEMA)
         .collect()
     )
+    import json as _json
+
     by_file: Dict[str, IndexFile] = {}
     for r in meta:
         f = by_file.setdefault(
             r["file"],
             IndexFile(r["file"], r["file_size"], 0, revision.revision_id))
+        if f.column_stats is None and r["col_stats"]:
+            cs = _json.loads(r["col_stats"])
+            if cs:
+                f.column_stats = cs
         f.blocks.append(Block(_cube_str(r["cube_depth"], r["cube_path"]),
                               r["min_weight"], r["max_weight"],
                               r["element_count"]))

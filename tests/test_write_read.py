@@ -314,3 +314,35 @@ def test_tolerance_sampling_meets_precision(spark, tmp_table, lineitem):
 
     with pytest.raises(ValueError):
         qt.tolerance("l_extendedprice", precision=0.0)
+
+
+def test_column_stats_skipping_on_unindexed_column(spark, tmp_table, lineitem):
+    """Per-file [min, max] stats prune on columns OUTSIDE the index: a
+    predicate on l_quantity (not indexed) must still read fewer files
+    when the data is clustered on it, and results stay exact."""
+    # cluster rows so files have narrow l_quantity ranges: index a column
+    # correlated with the probe column
+    df = lineitem.withColumn("qbucket", F.col("l_quantity").cast("long"))
+    _write(df, tmp_table, ["qbucket", "l_orderkey"], cube_size=200)
+    qt = qss.QbeastTable.for_path(spark, tmp_table)
+    snap = qt.snapshot()
+    assert any(f.column_stats for f in snap.files.values())
+    # stats recorded for numeric and string columns
+    f0 = next(f for f in snap.files.values() if f.column_stats)
+    assert "l_quantity" in f0.column_stats
+    assert "l_returnflag" in f0.column_stats
+
+    total = len(qt.file_paths())
+    # probe a non-indexed column; correctness first
+    got = qt.read([("l_quantity", "<", 3.0)])
+    expect = df.where("l_quantity < 3.0")
+    assert got.count() == expect.count() > 0
+    # pruning proof: strictly fewer files than the table holds
+    pruned = qt._prune_files(snap, [("l_quantity", "<", 3.0)])
+    assert 0 < len(pruned) < total
+
+    # string-column skipping: equality on a value outside every range
+    none = qt._prune_files(snap, [("l_returnflag", "=", "Z")])
+    assert none == []
+    # and IN with only out-of-range values
+    assert qt._prune_files(snap, [("l_quantity", "in", (-5.0, -1.0))]) == []
