@@ -130,6 +130,12 @@ def main() -> None:
         "files_read_1pct": len(qt.sample_files(0.01)),
         "relative_error": round(abs(samp_avg - full_avg) / full_avg, 6),
     }
+    # Data-skipping invariant: a selective range on the secondary indexed
+    # dim must read strictly fewer files than the table holds (per-file
+    # column stats + cube pruning compose).
+    snap = qt.snapshot()
+    sampling["files_read_pricelt1k"] = len(
+        qt._prune_files(snap, [("l_extendedprice", "<", 1000.0)]))
     timings["qb_fullscan_agg"] = t_full
     timings["qb_sample1pct_agg"] = t_samp
 

@@ -54,13 +54,18 @@ def export_delta_log(snapshot, table_path: str) -> str:
         }},
     ]
     for f in snapshot.files.values():
+        stats = {"numRecords": int(f.rows)}
+        cs = getattr(f, "column_stats", None)
+        if cs:     # Delta data-skipping stats: external readers can prune
+            stats["minValues"] = {c: v[0] for c, v in cs.items()}
+            stats["maxValues"] = {c: v[1] for c, v in cs.items()}
         actions.append({"add": {
             "path": f.path,
             "partitionValues": {},
             "size": int(f.size),
             "modificationTime": now,
             "dataChange": True,
-            "stats": json.dumps({"numRecords": int(f.rows)}),
+            "stats": json.dumps(stats),
         }})
     target = os.path.join(log_dir, "00000000000000000000.json")
     tmp = target + ".tmp"
