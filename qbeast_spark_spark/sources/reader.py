@@ -319,6 +319,34 @@ class QbeastTable:
             return self.to_df(), 1.0
         return self.sample(fraction), fraction
 
+    def approx_agg(self, fraction: float, sums: Sequence[str] = (),
+                   avgs: Sequence[str] = (), count: bool = True,
+                   filters: Optional[Sequence] = None):
+        """Approximate aggregates over a pruned ``fraction`` sample with
+        the unbiased scale-up applied engine-side: SUM and COUNT estimates
+        are the sample statistics divided by the fraction (Horvitz-
+        Thompson under murmur3-uniform weights), AVG needs no scaling.
+        One single-row DataFrame with columns ``<col>_sum_est``,
+        ``<col>_avg_est``, ``count_est`` — the AQP companion to
+        ``tolerance()`` (which sizes the fraction for a target error)."""
+        from pyspark.sql import functions as F
+
+        if not (0.0 < fraction <= 1.0):
+            raise ValueError("fraction must be in (0, 1]")
+        df = self.sample(fraction, filters=filters) if fraction < 1.0 \
+            else (self.to_df() if filters is None else self.read(filters))
+        aggs = []
+        if count:
+            aggs.append((F.count(F.lit(1)) / fraction)
+                        .cast("long").alias("count_est"))
+        for c in sums:
+            aggs.append((F.sum(c) / fraction).alias(f"{c}_sum_est"))
+        for c in avgs:
+            aggs.append(F.avg(c).alias(f"{c}_avg_est"))
+        if not aggs:
+            raise ValueError("nothing to aggregate")
+        return df.agg(*aggs)
+
     def sample_files(self, fraction: float, lower_bound: float = 0.0,
                      snap: Optional[Snapshot] = None) -> List[str]:
         """The pruned file list a sample(fraction) read would touch — the

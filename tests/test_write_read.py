@@ -346,3 +346,38 @@ def test_column_stats_skipping_on_unindexed_column(spark, tmp_table, lineitem):
     assert none == []
     # and IN with only out-of-range values
     assert qt._prune_files(snap, [("l_quantity", "in", (-5.0, -1.0))]) == []
+
+
+def test_approx_agg_scaled_estimates(spark, tmp_table, lineitem):
+    """approx_agg applies the 1/fraction scale-up engine-side: estimates
+    land within a few percent of the exact aggregates, composing with
+    filter pruning."""
+    _write(lineitem, tmp_table, ["l_orderkey", "l_extendedprice"],
+           cube_size=300)
+    qt = qss.QbeastTable.for_path(spark, tmp_table)
+    exact = lineitem.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("l_extendedprice").alias("s"),
+        F.avg("l_quantity").alias("a")).collect()[0]
+
+    est = qt.approx_agg(0.2, sums=["l_extendedprice"],
+                        avgs=["l_quantity"]).collect()[0]
+    assert abs(est["count_est"] - exact["n"]) / exact["n"] < 0.05
+    assert abs(est["l_extendedprice_sum_est"] - exact["s"]) / exact["s"] < 0.05
+    assert abs(est["l_quantity_avg_est"] - exact["a"]) / exact["a"] < 0.05
+
+    # fraction 1.0 is exact
+    full = qt.approx_agg(1.0, sums=["l_extendedprice"]).collect()[0]
+    assert full["count_est"] == exact["n"]
+    assert abs(full["l_extendedprice_sum_est"] - exact["s"]) < 1e-6
+
+    # composes with filters: estimate over a pruned slice
+    sl_exact = lineitem.where("l_orderkey < 3000").count()
+    sl = qt.approx_agg(0.5, count=True,
+                       filters=[("l_orderkey", "<", 3000)]).collect()[0]
+    assert abs(sl["count_est"] - sl_exact) / sl_exact < 0.1
+
+    with pytest.raises(ValueError):
+        qt.approx_agg(0.0)
+    with pytest.raises(ValueError):
+        qt.approx_agg(0.5, sums=(), avgs=(), count=False)
