@@ -25,7 +25,7 @@ from .text import TOKEN_RE
 __all__ = [
     "MINHASH_PERMS", "MINHASH_PRIME", "LSH_BAND_ROWS", "SIMHASH_BITS",
     "dedup_exact", "shingles", "jaccard_pairs", "minhash_signatures",
-    "lsh_candidate_pairs", "simhash", "simhash_pairs",
+    "lsh_candidate_pairs", "simhash", "simhash_pairs", "lsh_join",
 ]
 
 MINHASH_PRIME = 2147483647  # 2^31 - 1 (Mersenne prime)
@@ -304,6 +304,60 @@ def connected_components(pairs, id1: str = "id1", id2: str = "id2",
             break
         prev_sum = new_sum
     return labels.select(F.col("node"), F.col("label").alias("canonical"))
+
+
+def _bands_of(sigs, id_col: str, out_id: str):
+    """Explode a signature table into (id, band, band_val) rows — the
+    shared banding used by self-dedup and the cross-corpus join."""
+    from pyspark.sql import functions as F
+
+    n_bands = len(MINHASH_PERMS) // LSH_BAND_ROWS
+    band_structs = F.array(*[
+        F.struct(
+            F.lit(b).alias("band"),
+            F.concat_ws("_", *[
+                F.col(f"mh{b * LSH_BAND_ROWS + r}")
+                for r in range(LSH_BAND_ROWS)
+            ]).alias("band_val"))
+        for b in range(n_bands)
+    ])
+    return (sigs.select(F.col(id_col).alias(out_id),
+                        F.explode(band_structs).alias("bs"))
+            .select(out_id, F.col("bs.band").alias("band"),
+                    F.col("bs.band_val").alias("band_val")))
+
+
+def lsh_join(docs_a, docs_b, n: int = 3, id_col: str = "doc_id",
+             threshold: float = 0.5):
+    """Cross-corpus near-dup join — the production dedup shape: find
+    documents in ``docs_b`` (e.g. a new crawl) near-duplicating documents
+    in ``docs_a`` (the existing corpus). Both sides get MinHash
+    signatures (computed once each, persisted); candidates meet on a band
+    equi-join (never all pairs); survivors are scored by signature
+    agreement and thresholded. Returns (id_a, id_b, est_jaccard) — ids
+    may collide across corpora, the columns keep them apart."""
+    from pyspark.sql import functions as F
+
+    sig_a = minhash_signatures(docs_a, n, id_col).persist()
+    sig_b = minhash_signatures(docs_b, n, id_col).persist()
+    cands = (_bands_of(sig_a, id_col, "id_a")
+             .join(_bands_of(sig_b, id_col, "id_b"),
+                   ["band", "band_val"])
+             .select("id_a", "id_b").distinct())
+    a = sig_a.select(F.col(id_col).alias("id_a"),
+                     *[F.col(f"mh{j}").alias(f"a{j}")
+                       for j in range(len(MINHASH_PERMS))])
+    b = sig_b.select(F.col(id_col).alias("id_b"),
+                     *[F.col(f"mh{j}").alias(f"b{j}")
+                       for j in range(len(MINHASH_PERMS))])
+    agree = sum(
+        (F.when(F.col(f"a{j}") == F.col(f"b{j}"), 1).otherwise(0)
+         for j in range(1, len(MINHASH_PERMS))),
+        F.when(F.col("a0") == F.col("b0"), 1).otherwise(0))
+    est = agree.cast("double") / len(MINHASH_PERMS)
+    return (cands.join(a, "id_a").join(b, "id_b")
+            .select("id_a", "id_b", F.round(est, 6).alias("est_jaccard"))
+            .where(F.col("est_jaccard") >= threshold))
 
 
 def lsh_pairs_scored(docs, n: int = 3, id_col: str = "doc_id",

@@ -35,3 +35,31 @@ def test_ext_query_matches_oracle(spark, oracle, name):
     odf = oracle.execute(sql).fetchdf()
     verdict = compare(sdf, odf)
     assert verdict == "OK", verdict
+
+
+def test_lsh_join_finds_cross_corpus_near_dups(spark):
+    """Corpus B = exact copies of some A docs (offset ids) + unrelated
+    docs: the cross-corpus join must surface every copy pair at
+    est_jaccard 1.0 and nothing for the unrelated tail."""
+    from pyspark.sql import functions as F
+
+    from qbeast_spark_spark.operators.dedup import lsh_join
+
+    docs = (spark.read.parquet(f"{SF_DIR}/documents.parquet")
+            .select("doc_id", "text").limit(200))
+    copies = (docs.limit(40)
+              .select((F.col("doc_id") + 100000).alias("doc_id"), "text"))
+    unrelated = (docs.where("doc_id >= 120").limit(40)
+                 .select((F.col("doc_id") + 200000).alias("doc_id"),
+                         F.reverse(F.col("text")).alias("text")))
+    corpus_b = copies.unionByName(unrelated)
+
+    pairs = lsh_join(docs, corpus_b, threshold=0.9).collect()
+    exact = {(r["id_a"], r["id_b"]) for r in pairs
+             if r["est_jaccard"] >= 0.999}
+    # every copied doc is found against its original
+    orig_ids = [r["doc_id"] for r in docs.limit(40).collect()]
+    for oid in orig_ids:
+        assert (oid, oid + 100000) in exact
+    # reversed-text docs never reach the 0.9 threshold
+    assert all(r["id_b"] < 200000 for r in pairs)
