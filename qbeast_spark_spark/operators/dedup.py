@@ -160,23 +160,10 @@ def lsh_candidate_pairs(docs, n: int = 3, id_col: str = "doc_id",
 
     sigs = sig_df if sig_df is not None else minhash_signatures(
         docs, n, id_col)
-    n_bands = len(MINHASH_PERMS) // LSH_BAND_ROWS
-    # one explode over an inline struct array, NOT a per-band unionAll: a
-    # union of N selects re-executes the whole shingle+minhash aggregation
-    # once per band per join side; the explode computes it once.
-    band_structs = F.array(*[
-        F.struct(
-            F.lit(b).alias("band"),
-            F.concat_ws("_", *[
-                F.col(f"mh{b * LSH_BAND_ROWS + r}")
-                for r in range(LSH_BAND_ROWS)
-            ]).alias("band_val"))
-        for b in range(n_bands)
-    ])
-    allbands = (sigs.select(F.col(id_col),
-                            F.explode(band_structs).alias("bs"))
-                .select(F.col(id_col), F.col("bs.band").alias("band"),
-                        F.col("bs.band_val").alias("band_val")))
+    # one explode over an inline struct array (_bands_of), NOT a per-band
+    # unionAll: a union of N selects re-executes the whole shingle+minhash
+    # aggregation once per band per join side; the explode computes it once.
+    allbands = _bands_of(sigs, id_col, id_col)
     a = allbands.alias("a")
     b2 = allbands.alias("b")
     return (
