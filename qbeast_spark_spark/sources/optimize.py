@@ -153,6 +153,35 @@ def snap_default_cube_size(snap) -> int:
         return DEFAULT_CUBE_SIZE
 
 
+def _footer_column_stats(md) -> Optional[Dict[str, list]]:
+    """Harvest per-column [min, max] from the parquet footer's row-group
+    statistics (already computed by whatever wrote the file) so converted
+    and staged tables data-skip from day one. Only int/float/str values
+    are kept — same restriction as the write-path stats."""
+    out: Dict[str, list] = {}
+    for rg in range(md.num_row_groups):
+        row_group = md.row_group(rg)
+        for ci in range(row_group.num_columns):
+            col = row_group.column(ci)
+            st = col.statistics
+            if st is None or not st.has_min_max:
+                continue
+            mn, mx = st.min, st.max
+            if not isinstance(mn, (int, float, str)) or \
+                    isinstance(mn, bool) or type(mn) is not type(mx):
+                continue
+            name = col.path_in_schema
+            if "." in name:
+                continue        # nested columns: skip
+            cur = out.get(name)
+            if cur is None:
+                out[name] = [mn, mx]
+            else:
+                cur[0] = min(cur[0], mn)
+                cur[1] = max(cur[1], mx)
+    return out or None
+
+
 def convert_to_qbeast(spark, path: str,
                       columns_to_index: Optional[Sequence[str]] = None,
                       cube_size: Optional[int] = None) -> int:
@@ -173,11 +202,13 @@ def convert_to_qbeast(spark, path: str,
     schema_json = spark.read.parquet(*data_files).schema.json()
     add = []
     for p in data_files:
-        rows = pq.ParquetFile(p).metadata.num_rows
+        md = pq.ParquetFile(p).metadata
+        rows = md.num_rows
         add.append(IndexFile(
             os.path.basename(p), os.path.getsize(p), rows,
             STAGING_REVISION_ID,
-            [Block(_cube_str(0, 0), INT_MIN, INT_MAX, rows)]))
+            [Block(_cube_str(0, 0), INT_MIN, INT_MAX, rows)],
+            _footer_column_stats(md)))
 
     staging = Revision(STAGING_REVISION_ID, int(time.time() * 1000),
                        cube_size or 5_000_000, [], [], [])
@@ -211,11 +242,17 @@ def write_staging(df, path: str) -> int:
     helper_cols = [WEIGHT_COL, FILE_COL, DEPTH_COL, PATH_COL]
     meta = prepared.mapInArrow(_make_write_fn(path, helper_cols),
                                _META_SCHEMA).collect()
+    import json as _json
+
     by_file: Dict[str, IndexFile] = {}
     for r in meta:
         f = by_file.setdefault(
             r["file"], IndexFile(r["file"], r["file_size"], 0,
                                  STAGING_REVISION_ID))
+        if f.column_stats is None and r["col_stats"]:
+            cs = _json.loads(r["col_stats"])
+            if cs:
+                f.column_stats = cs
         # staging blocks cover the full weight range (StagingUtils semantics)
         f.blocks = [Block(_cube_str(0, 0), INT_MIN, INT_MAX,
                           f.rows + r["element_count"])]

@@ -463,3 +463,32 @@ def test_txn_idempotent_writes(spark, tmp_table):
                      txn_app_id="ingest", txn_version=2)
     assert qss.QbeastTable.for_path(spark, tmp_table).to_df().count() == \
         450 + 10 * CHECKPOINT_INTERVAL
+
+
+def test_convert_and_staging_harvest_column_stats(spark, tmp_path):
+    """Converted tables data-skip from day one: footer min/max become
+    column_stats; staged appends collect stats through the writer kernel."""
+    li = load(spark, "lineitem")
+    plain = str(tmp_path / "plain")
+    (li.repartitionByRange(4, "l_orderkey")
+     .write.mode("overwrite").parquet(plain))
+    for extra in os.listdir(plain):
+        if not (extra.endswith(".parquet") or extra.startswith("_")):
+            os.remove(os.path.join(plain, extra))
+    qss.convert_to_qbeast(spark, plain)
+    qt = qss.QbeastTable.for_path(spark, plain)
+    snap = qt.snapshot()
+    assert all(f.column_stats and "l_orderkey" in f.column_stats
+               for f in snap.files.values())
+    total = len(qt.file_paths())
+    # range-clustered on l_orderkey -> a narrow probe skips files
+    pruned = qt._prune_files(snap, [("l_orderkey", "<", 100)])
+    assert 0 < len(pruned) < total
+    got = qt.read([("l_orderkey", "<", 100)]).count()
+    assert got == li.where("l_orderkey < 100").count()
+
+    # staging lane: appended plain files also carry stats
+    qss.write_staging(li.limit(50), plain)
+    snap2 = qss.QbeastTable.for_path(spark, plain).snapshot()
+    staged = [f for f in snap2.files.values() if f.path not in snap.files]
+    assert staged and all(f.column_stats for f in staged)
