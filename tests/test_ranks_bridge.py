@@ -579,3 +579,29 @@ def test_gif_frame_walk_and_sampling(spark):
     assert parse_gif_frames(b"GIF89a" + b"\x00" * 4) is None
     assert parse_gif_frames(b"RIFF....WAVE") is None
     assert parse_gif_frames(bytes(one)[:-5] + b"\xfe") is None
+
+
+def test_media_parsers_never_raise_on_arbitrary_bytes():
+    """Fuzz the byte-level parsers: any input either parses or returns
+    None — no exceptions, no hangs (executor safety: one malformed blob
+    must not kill a 100 TB decode stage)."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from qbeast_spark_spark.operators.multimodal import (
+        parse_gif_frames, parse_image_header, parse_wav_header)
+
+    valid_prefixes = [b"", b"GIF89a", b"GIF87a", b"RIFF", b"\x89PNG\r\n\x1a\n",
+                      b"\xff\xd8\xff", b"RIFF1234WAVE"]
+
+    @settings(max_examples=300, deadline=None)
+    @given(prefix=st.sampled_from(valid_prefixes),
+           tail=st.binary(max_size=400))
+    def fuzz(prefix, tail):
+        data = prefix + tail
+        for parser in (parse_gif_frames, parse_image_header,
+                       parse_wav_header):
+            out = parser(data)
+            assert out is None or out
+
+    fuzz()
