@@ -22,11 +22,30 @@ _NPART_MEMO: OrderedDict = OrderedDict()
 _MEMO_CAP = 256
 
 
-def _num_partitions(df) -> Optional[int]:
+def _memo_key(df):
+    """semanticHash alone is stable across data growth (a re-read of the
+    same path after appends hashes identically), so the key also folds in
+    the input-file count and the session's parallelism knobs — cheap
+    driver-side metadata that changes exactly when the split count would
+    (ADVICE r2)."""
     try:
-        key = df.semanticHash()
+        h = df.semanticHash()
     except Exception:
-        key = None
+        return None
+    try:
+        nf = len(df.inputFiles())
+    except Exception:
+        nf = -1
+    sess = df.sparkSession
+    try:
+        shuffle_parts = sess.conf.get("spark.sql.shuffle.partitions")
+    except Exception:
+        shuffle_parts = ""
+    return (h, nf, sess.sparkContext.defaultParallelism, shuffle_parts)
+
+
+def _num_partitions(df) -> Optional[int]:
+    key = _memo_key(df)
     if key is not None and key in _NPART_MEMO:
         _NPART_MEMO.move_to_end(key)
         return _NPART_MEMO[key]

@@ -269,7 +269,6 @@ def connected_components(pairs, id1: str = "id1", id2: str = "id2",
     labels = (edges.select(F.col("a").alias("node"))
               .distinct()
               .withColumn("label", F.col("node")))
-    prev_sum = None
     for _ in range(max_iter):
         neighbor_min = (edges.join(labels, edges.b == labels.node)
                         .groupBy("a")
@@ -277,19 +276,22 @@ def connected_components(pairs, id1: str = "id1", id2: str = "id2",
         updated = (labels.join(neighbor_min,
                                labels.node == neighbor_min.a, "left")
                    .select(F.col("node"),
+                           F.col("label").alias("_prev"),
                            F.least(F.col("label"),
                                    F.coalesce(F.col("nmin"),
                                               F.col("label")))
                            .alias("label")))
         updated = updated.localCheckpoint(eager=True)
-        # labels only ever decrease, so the label sum strictly drops on
-        # any change: one aggregation replaces a join+count per round
-        new_sum = updated.agg(
-            F.sum(F.col("label").cast("decimal(38,0)"))).collect()[0][0]
-        labels = updated
-        if prev_sum is not None and new_sum == prev_sum:
+        # convergence = no node relabeled this round. Carrying the previous
+        # label through the join makes this one count-aggregation over the
+        # checkpointed result — no extra join, and type-agnostic (a numeric
+        # label-sum would cast string ids to NULL and never fire; ADVICE r2)
+        changed = updated.agg(
+            F.count(F.when(F.col("label") != F.col("_prev"), 1))
+        ).collect()[0][0]
+        labels = updated.select("node", "label")
+        if changed == 0:
             break
-        prev_sum = new_sum
     return labels.select(F.col("node"), F.col("label").alias("canonical"))
 
 

@@ -34,6 +34,29 @@ def _check_meta(meta: dict) -> None:
         raise ValueError("column-mapping Delta tables are not supported")
 
 
+# Reader features whose presence alone is harmless here: timestampNtz is
+# plain parquet on the read path, and columnMapping / deletionVectors are
+# independently detected and rejected where actually USED (metaData
+# configuration / add actions). Anything else — v2Checkpoint's UUID-named
+# checkpoints especially — must fail loudly instead of surfacing later as
+# an opaque FileNotFoundError (ADVICE r2).
+_TOLERATED_READER_FEATURES = {"timestampNtz", "columnMapping",
+                              "deletionVectors"}
+
+
+def _check_protocol(protocol: dict) -> None:
+    mrv = int(protocol.get("minReaderVersion") or 1)
+    if mrv > 3:
+        raise ValueError(
+            f"Delta minReaderVersion {mrv} is not supported (this importer "
+            "implements the v1-v3 reader protocol)")
+    unsupported = sorted(
+        set(protocol.get("readerFeatures") or []) - _TOLERATED_READER_FEATURES)
+    if unsupported:
+        raise ValueError(
+            f"Delta reader features not supported: {unsupported}")
+
+
 def _checkpoint_state(log_dir: str
                       ) -> Tuple[int, Dict[str, dict], Optional[str],
                                  List[str]]:
@@ -61,7 +84,8 @@ def _checkpoint_state(log_dir: str
     for name in names:
         tbl = pq.read_table(os.path.join(log_dir, name))
         cols = {c: tbl.column(c).to_pylist() for c in
-                ("add", "remove", "metaData") if c in tbl.column_names}
+                ("add", "remove", "metaData", "protocol")
+                if c in tbl.column_names}
         n = tbl.num_rows
         for i in range(n):
             add = cols.get("add", [None] * n)[i]
@@ -72,6 +96,9 @@ def _checkpoint_state(log_dir: str
                 schema_json = meta["schemaString"]
                 part_cols = list(meta.get("partitionColumns") or [])
                 _check_meta(meta)
+            proto = cols.get("protocol", [None] * n)[i]
+            if proto and proto.get("minReaderVersion") is not None:
+                _check_protocol(proto)
     return version, files, schema_json, part_cols
 
 
@@ -109,6 +136,8 @@ def _snapshot_state(table_path: str
                     part_cols = list(meta.get("partitionColumns")
                                      or part_cols)
                     _check_meta(meta)
+                elif "protocol" in action:
+                    _check_protocol(action["protocol"])
     return schema_json, part_cols, files
 
 

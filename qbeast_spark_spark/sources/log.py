@@ -319,6 +319,15 @@ class CommitLog:
         body = json.dumps(payload, sort_keys=True).encode()
         last_err = None
         for _ in range(max_retries):
+            if txn is not None:
+                # Close the check-then-act window (ADVICE r2): the writer's
+                # idempotent skip reads a snapshot taken before this commit,
+                # so two concurrent writers sharing (appId, version) could
+                # both pass it. Re-reading committed txns here — and again
+                # after every lost O_EXCL race — makes the loser skip.
+                snap = self.snapshot()
+                if snap.txns.get(txn["appId"], -1) >= int(txn["version"]):
+                    return snap.version
             versions = self._versions()
             next_v = (versions[-1] + 1) if versions else 0
             target = os.path.join(self.log_dir, f"{next_v:012d}.json")

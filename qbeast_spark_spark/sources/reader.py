@@ -239,9 +239,12 @@ class QbeastTable:
         w_from = fraction_to_weight(lower_bound)
         selected = self.sample_files(fraction, lower_bound, snap=snap)
         residual = None
-        if filters is not None:
-            from pyspark.sql import Column
+        from pyspark.sql import Column
 
+        if filters is not None and not isinstance(filters, (str, Column)) \
+                and len(filters) == 0:
+            filters = None      # mirror read(): empty filter list == no filter
+        if filters is not None:
             if isinstance(filters, (str, Column)):
                 from .predicates import to_dnf_filters
 
