@@ -19,6 +19,8 @@ from .functions.selection import compute_quantiles, select_columns_to_index
 from .functions.skew import salted_join
 from .sources.delta_import import (convert_delta_to_qbeast,
                                    read_delta_snapshot, read_delta_table)
+from .sources.qbeast_format import (attach_qbeast_delta,
+                                    read_qbeast_delta_snapshot)
 from .sources.optimize import convert_to_qbeast, optimize_table, write_staging
 from .sources.reader import QbeastTable, read_qbeast
 from .sources.writer import write_qbeast

@@ -25,6 +25,7 @@ __all__ = [
     "Transformation",
     "LinearTransformation",
     "HashTransformation",
+    "ForeignHashTransformation",
     "QuantilesTransformation",
     "IdentityTransformation",
     "EmptyTransformation",
@@ -180,6 +181,10 @@ class HashTransformation(Transformation):
     """
 
     kind = "hashing"
+    # False = write-side coordinates came from this engine's F.hash twin,
+    # so planning-time string-equality lookups may map a literal to its
+    # exact point coordinate. ForeignHashTransformation flips this.
+    foreign = False
 
     def spark_column(self, col_name: str, spark_type: str):
         from pyspark.sql import functions as F
@@ -194,6 +199,24 @@ class HashTransformation(Transformation):
 
     def to_json(self) -> Dict[str, Any]:
         return {"kind": self.kind}
+
+
+class ForeignHashTransformation(HashTransformation):
+    """Hash dimension imported from a REFERENCE-written table.
+
+    The reference's space coordinates for hashed columns come from Scala's
+    ``MurmurHash3.bytesHash`` (HashTransformation.scala:26-40) — a
+    different function than the ``F.hash`` twin this engine writes with.
+    Sampling is unaffected (record weights are QbeastMurmur3Hash ==
+    ``F.hash`` in both engines), but a planning-time equality lookup must
+    NOT map a literal through our hash: it would land in the wrong cube
+    chain and prune files that contain matches. ``foreign = True`` makes
+    the query-space builder treat this dimension as the full [0,1]
+    interval instead (always sound).
+    """
+
+    kind = "hashing-foreign"
+    foreign = True
 
 
 class QuantilesTransformation(Transformation):
@@ -290,6 +313,7 @@ class EmptyTransformation(Transformation):
 _KINDS = {
     "linear": LinearTransformation,
     "hashing": HashTransformation,
+    "hashing-foreign": ForeignHashTransformation,
     "quantiles": QuantilesTransformation,
     "identity": IdentityTransformation,
     "empty": EmptyTransformation,
@@ -303,6 +327,8 @@ def transformation_from_json(obj: Dict[str, Any]) -> Transformation:
                                     obj.get("nullValue"))
     if kind == "hashing":
         return HashTransformation()
+    if kind == "hashing-foreign":
+        return ForeignHashTransformation()
     if kind == "quantiles":
         return QuantilesTransformation(obj["quantiles"], obj.get("isString", False))
     if kind == "identity":

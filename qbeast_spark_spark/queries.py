@@ -75,11 +75,21 @@ def _indexed_lineitem(spark, sf_dir: str) -> str:
 
 
 def qb_roundtrip(spark, sf_dir):
-    """W1-W7 + R4: indexed write then full read returns exactly the input."""
+    """W1-W7 + R4 + qbeast-Delta interop: indexed write, then the read
+    goes through the REFERENCE on-disk format — the snapshot is exported
+    as a qbeast-tagged Delta log (revision JSON in metaData.configuration,
+    Block lists in AddFile.tags — docs/QbeastFormat.md:85-190) and read
+    back via ``QbeastTable.for_delta``, which rebuilds the index from
+    those tags alone (sources/qbeast_format.py). The full read must still
+    return exactly the input, proving the format roundtrip is lossless."""
     from .sources.reader import QbeastTable
 
     path = _indexed_lineitem(spark, sf_dir)
-    return QbeastTable.for_path(spark, path).to_df()
+    # re-export every call: other queries (qb_optimize) re-layout the
+    # shared table, and each export appends a fresh Delta version
+    # mirroring the current snapshot (versioned-export semantics)
+    QbeastTable.for_path(spark, path).export_delta_log()
+    return QbeastTable.for_delta(spark, path).to_df()
 
 
 QB_ROUNDTRIP_SQL = "SELECT * FROM lineitem"

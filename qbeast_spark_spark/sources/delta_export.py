@@ -1,18 +1,31 @@
-"""Delta-log export: make a qbeast table's CURRENT snapshot readable by any
-Delta Lake client (delta-rs, DuckDB delta extension, delta-spark).
+"""Delta-log export: make a qbeast table's snapshot readable by any Delta
+Lake client (delta-rs, DuckDB delta extension, delta-spark) — and, when
+the index is representable, by the REFERENCE qbeast engine itself, index
+intact.
 
-The reference persists its index metadata INSIDE a Delta log, so its tables
-are Delta tables (delta/src/main/scala/io/qbeast/spark/delta/
+The reference persists its index metadata INSIDE a Delta log, so its
+tables are Delta tables (delta/src/main/scala/io/qbeast/spark/delta/
 DeltaQbeastSnapshot.scala:45-297). This engine's `_qbeast_log/` is
 self-contained (delta-spark is unavailable in this container —
-sources/log.py:1-19), so interop goes the other way: `export_delta_log()`
-writes a standard `_delta_log/` next to `_qbeast_log/` with the minimal
-action set every Delta reader understands — protocol (reader v1),
-metaData (parquet format + Spark schemaString), and one add per live data
-file with size + numRecords stats.
+sources/log.py:1-19), so interop goes through this exporter, which writes
+a standard `_delta_log/` next to `_qbeast_log/` with:
 
-Scale note: O(#files) driver work and one JSON file — same order as a
-Delta checkpoint commit; no data is rewritten or copied.
+- protocol (reader v1) + metaData (parquet format, Spark schemaString);
+- one add per live data file with size + numRecords + min/max stats;
+- when every revision is faithfully representable (no hash dimensions —
+  their layout hash differs between engines, see qbeast_format.py),
+  the reference's own index metadata: ``qbeast.revision.N`` JSON in
+  ``metaData.configuration`` and Block lists in ``add.tags``
+  (docs/QbeastFormat.md:85-190), so a reference reader samples and
+  prunes the exported table without re-indexing.
+
+Exports are VERSIONED: each call appends log version N+1 with removes for
+files no longer live plus adds for the current snapshot, so a Delta
+client that already replayed version N sees a valid incremental history
+(log files are never rewritten — Delta log immutability holds).
+
+Scale note: O(#files) driver work and one JSON file per export — same
+order as a Delta checkpoint commit; no data is rewritten or copied.
 """
 
 from __future__ import annotations
@@ -21,24 +34,87 @@ import hashlib
 import json
 import os
 import time
-from typing import List
+from typing import Dict, List, Optional
 
 __all__ = ["export_delta_log", "DELTA_LOG_DIR"]
 
 DELTA_LOG_DIR = "_delta_log"
 
 
-def export_delta_log(snapshot, table_path: str) -> str:
-    """Write `<table>/_delta_log/00000000000000000000.json` describing
-    ``snapshot``'s live files; returns the written path. Re-exporting
-    overwrites version 0 (the export mirrors the current snapshot, it is
-    not an incremental mirror of qbeast history)."""
+def _existing_versions(log_dir: str) -> List[int]:
+    if not os.path.isdir(log_dir):
+        return []
+    return sorted(int(n[:-5]) for n in os.listdir(log_dir)
+                  if n.endswith(".json") and n[:-5].isdigit())
+
+
+def _qbeast_config_and_tags(snapshot, table_id: str):
+    """(configuration dict, {path: tags dict}) carrying the reference's
+    index metadata, or ({}, {}) when any revision is unrepresentable
+    (hash dims — layout hash differs between engines, exporting the index
+    would let a reference reader over-prune equality lookups)."""
+    from .qbeast_format import encode_cube_string, revision_to_reference_json
+
+    indexed = {rid: r for rid, r in snapshot.revisions.items() if rid > 0}
+    if not indexed:
+        return {}, {}
+    config: Dict[str, str] = {}
+    for rid, rev in sorted(indexed.items()):
+        ref_json = revision_to_reference_json(rev, table_id)
+        if ref_json is None:
+            return {}, {}
+        config[f"qbeast.revision.{rid}"] = json.dumps(ref_json,
+                                                      sort_keys=True)
+    config["qbeast.lastRevisionID"] = str(max(indexed))
+    tags: Dict[str, dict] = {}
+    for f in snapshot.files.values():
+        if f.revision_id <= 0 or f.revision_id not in indexed:
+            continue  # staging files stay un-tagged (hybrid-state rule)
+        dims = max(indexed[f.revision_id].dims, 1)
+        blocks = []
+        for b in f.blocks:
+            depth_s, _, path_s = b.cube.partition(":")
+            blocks.append({
+                "cubeId": encode_cube_string(dims, int(depth_s),
+                                             int(path_s or "0", 16)),
+                "minWeight": int(b.min_weight),
+                "maxWeight": int(b.max_weight),
+                "elementCount": int(b.count),
+            })
+        tags[f.path] = {"revision": str(f.revision_id),
+                        "blocks": json.dumps(blocks)}
+    return config, tags
+
+
+def export_delta_log(snapshot, table_path: str,
+                     include_index: bool = True) -> str:
+    """Append one Delta log version describing ``snapshot``'s live files;
+    returns the written path. The first export writes version 0; each
+    subsequent export appends version N+1 (removes for vanished files +
+    adds for the snapshot), so incremental Delta readers replay a
+    consistent history. ``include_index=False`` forces a plain-parquet
+    manifest even when the index is representable."""
     log_dir = os.path.join(table_path, DELTA_LOG_DIR)
     os.makedirs(log_dir, exist_ok=True)
     now = int(time.time() * 1000)
     # deterministic table id: re-exports keep the same identity
     table_id = hashlib.sha256(
         os.path.abspath(table_path).encode()).hexdigest()[:32]
+
+    versions = _existing_versions(log_dir)
+    next_v = (versions[-1] + 1) if versions else 0
+    previously_live: List[str] = []
+    if versions:
+        from .delta_import import _snapshot_state
+
+        _, _, prev_files, _ = _snapshot_state(table_path)
+        previously_live = list(prev_files)
+
+    config: Dict[str, str] = {}
+    tags: Dict[str, dict] = {}
+    if include_index:
+        config, tags = _qbeast_config_and_tags(snapshot, table_id)
+
     actions: List[dict] = [
         {"commitInfo": {"timestamp": now, "operation": "WRITE",
                         "operationParameters": {"mode": "Overwrite"},
@@ -49,25 +125,33 @@ def export_delta_log(snapshot, table_path: str) -> str:
             "format": {"provider": "parquet", "options": {}},
             "schemaString": snapshot.schema_json or "{}",
             "partitionColumns": [],
-            "configuration": {},
+            "configuration": config,
             "createdTime": now,
         }},
     ]
+    for rel in previously_live:
+        if rel not in snapshot.files:
+            actions.append({"remove": {"path": rel,
+                                       "deletionTimestamp": now,
+                                       "dataChange": True}})
     for f in snapshot.files.values():
         stats = {"numRecords": int(f.rows)}
         cs = getattr(f, "column_stats", None)
         if cs:     # Delta data-skipping stats: external readers can prune
             stats["minValues"] = {c: v[0] for c, v in cs.items()}
             stats["maxValues"] = {c: v[1] for c, v in cs.items()}
-        actions.append({"add": {
+        add = {
             "path": f.path,
             "partitionValues": {},
             "size": int(f.size),
             "modificationTime": now,
             "dataChange": True,
             "stats": json.dumps(stats),
-        }})
-    target = os.path.join(log_dir, "00000000000000000000.json")
+        }
+        if f.path in tags:
+            add["tags"] = tags[f.path]
+        actions.append({"add": add})
+    target = os.path.join(log_dir, f"{next_v:020d}.json")
     tmp = target + ".tmp"
     with open(tmp, "w") as fh:
         for a in actions:

@@ -59,13 +59,13 @@ def _check_protocol(protocol: dict) -> None:
 
 def _checkpoint_state(log_dir: str
                       ) -> Tuple[int, Dict[str, dict], Optional[str],
-                                 List[str]]:
-    """(last_checkpointed_version, live files, schema, partition_cols)
-    from the newest checkpoint, or (-1, {}, None, []) when the log has
-    none."""
+                                 List[str], Dict[str, str]]:
+    """(last_checkpointed_version, live files, schema, partition_cols,
+    table configuration) from the newest checkpoint, or
+    (-1, {}, None, [], {}) when the log has none."""
     lc = os.path.join(log_dir, "_last_checkpoint")
     if not os.path.exists(lc):
-        return -1, {}, None, []
+        return -1, {}, None, [], {}
     with open(lc) as fh:
         info = json.load(fh)
     version = int(info["version"])
@@ -81,6 +81,7 @@ def _checkpoint_state(log_dir: str
     files: Dict[str, dict] = {}
     schema_json: Optional[str] = None
     part_cols: List[str] = []
+    config: Dict[str, str] = {}
     for name in names:
         tbl = pq.read_table(os.path.join(log_dir, name))
         cols = {c: tbl.column(c).to_pylist() for c in
@@ -95,21 +96,26 @@ def _checkpoint_state(log_dir: str
             if meta and meta.get("schemaString"):
                 schema_json = meta["schemaString"]
                 part_cols = list(meta.get("partitionColumns") or [])
+                config = dict(meta.get("configuration") or {})
                 _check_meta(meta)
             proto = cols.get("protocol", [None] * n)[i]
             if proto and proto.get("minReaderVersion") is not None:
                 _check_protocol(proto)
-    return version, files, schema_json, part_cols
+    return version, files, schema_json, part_cols, config
 
 
 def _snapshot_state(table_path: str
-                    ) -> Tuple[Optional[str], List[str], Dict[str, dict]]:
-    """(schemaString, partition_cols, live add-actions keyed by path) of
-    the Delta table's current version."""
+                    ) -> Tuple[Optional[str], List[str], Dict[str, dict],
+                               Dict[str, str]]:
+    """(schemaString, partition_cols, live add-actions keyed by path,
+    table configuration) of the Delta table's current version. The
+    configuration carries the reference engine's index metadata
+    (``qbeast.revision.N`` JSON — docs/QbeastFormat.md:85-146)."""
     log_dir = os.path.join(table_path, "_delta_log")
     if not os.path.isdir(log_dir):
         raise FileNotFoundError(f"{log_dir} does not exist")
-    ckpt_version, files, schema_json, part_cols = _checkpoint_state(log_dir)
+    ckpt_version, files, schema_json, part_cols, config = \
+        _checkpoint_state(log_dir)
     versions = sorted(
         int(name[:-5]) for name in os.listdir(log_dir)
         if name.endswith(".json") and name[:-5].isdigit())
@@ -135,17 +141,18 @@ def _snapshot_state(table_path: str
                     schema_json = meta.get("schemaString", schema_json)
                     part_cols = list(meta.get("partitionColumns")
                                      or part_cols)
+                    config = dict(meta.get("configuration") or config)
                     _check_meta(meta)
                 elif "protocol" in action:
                     _check_protocol(action["protocol"])
-    return schema_json, part_cols, files
+    return schema_json, part_cols, files, config
 
 
 def read_delta_snapshot(table_path: str
                         ) -> Tuple[Optional[str], List[str]]:
     """(schemaString, absolute live data-file paths) of the Delta table at
     ``table_path``'s current version."""
-    schema_json, _, files = _snapshot_state(table_path)
+    schema_json, _, files, _ = _snapshot_state(table_path)
     return schema_json, [os.path.join(table_path, p) for p in sorted(files)]
 
 
@@ -160,7 +167,7 @@ def read_delta_table(spark, table_path: str):
     from pyspark.sql import functions as F
     from pyspark.sql import types as T
 
-    schema_json, part_cols, files = _snapshot_state(table_path)
+    schema_json, part_cols, files, _ = _snapshot_state(table_path)
     if not files:
         raise ValueError(f"{table_path} has no live files")
     full = (T.StructType.fromJson(json.loads(schema_json))

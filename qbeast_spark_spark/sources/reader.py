@@ -92,6 +92,20 @@ class QbeastTable:
     def for_path(spark, path: str) -> "QbeastTable":
         return QbeastTable(spark, path)
 
+    @staticmethod
+    def for_delta(spark, path: str) -> "QbeastTable":
+        """Open a REFERENCE-written qbeast table (index metadata inside a
+        Delta log — docs/QbeastFormat.md) read-only: sample(), read(),
+        where(), to_df() all prune through the imported index without
+        re-indexing. For the mutating surface (appends, optimize, vacuum)
+        adopt the table first with ``attach_qbeast_delta(path)`` and open
+        it with ``for_path``."""
+        from .qbeast_format import DeltaQbeastLog
+
+        qt = QbeastTable(spark, path)
+        qt.log = DeltaQbeastLog(path)
+        return qt
+
     # -- snapshot access ----------------------------------------------------
 
     def snapshot(self, refresh: bool = False) -> Snapshot:
@@ -638,8 +652,10 @@ def _query_space(rev: Revision, filters: Sequence[FilterTuple]
             # Non-string hashed dims conservatively skip the constraint.
             is_string_col = (i < len(rev.column_types)
                              and rev.column_types[i].lower() == "string")
+            # foreign (reference-written) hash dims used a different hash
+            # for their layout — never map literals to point coordinates
             if op.lower() in ("=", "==") and isinstance(val, str) \
-                    and is_string_col:
+                    and is_string_col and not tr.foreign:
                 from ..core.weight import murmur3_string_hash
 
                 h = murmur3_string_hash(val)

@@ -134,14 +134,21 @@ def test_export_delta_log(spark, tmp_table):
     plain = spark.read.parquet(*paths)
     assert plain.count() == n
     assert plain.exceptAll(qt.to_df()).count() == 0
-    # re-export after optimize mirrors the NEW snapshot
+    # re-export after optimize APPENDS a new log version mirroring the
+    # NEW snapshot (version 0 is immutable; incremental readers replay
+    # the removes + adds and land on the current file set)
     qt.optimize()
     qt2 = qss.QbeastTable.for_path(spark, tmp_table)
-    qt2.export_delta_log()
-    actions2 = [json.loads(line) for line in open(target)]
+    target2 = qt2.export_delta_log()
+    assert os.path.basename(target2) == "00000000000000000001.json"
+    actions2 = [json.loads(line) for line in open(target2)]
     adds2 = [a["add"] for a in actions2 if "add" in a]
     assert {a["path"] for a in adds2} == \
         {os.path.basename(p) for p in qt2.file_paths()}
+    live = {a["path"] for a in adds} - \
+        {a["remove"]["path"] for a in actions2 if "remove" in a} | \
+        {a["path"] for a in adds2}
+    assert live == {os.path.basename(p) for p in qt2.file_paths()}
 
 
 def test_image_header_parser():
