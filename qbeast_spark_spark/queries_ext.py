@@ -352,17 +352,20 @@ LIMIT 20
 def q22_inactive_rich(spark, sf_dir):
     """Scalar-subquery threshold + anti-join (every synthetic customer has
     orders, so "no orders at all" is vacuous — adapted to "no orders since
-    2000-01-01")."""
+    2000-01-01"). The threshold stays in-plan as a broadcast crossJoin of
+    the 1-row aggregate (one job instead of a driver collect + second
+    job)."""
     from pyspark.sql import functions as F
 
     c = _t(spark, sf_dir, "customer")
     o = _t(spark, sf_dir, "orders")
     avg_bal = (c.where(F.col("c_acctbal") > 0)
-               .agg(F.avg("c_acctbal").alias("t")).collect()[0]["t"])
+               .agg(F.avg("c_acctbal").alias("_avg_bal")))
     recent = o.where(
         F.col("o_orderdate") >= F.lit("2000-01-01").cast("timestamp_ntz"))
     return (
-        c.where(F.col("c_acctbal") > avg_bal)
+        c.crossJoin(F.broadcast(avg_bal))
+        .where(F.col("c_acctbal") > F.col("_avg_bal"))
         .join(recent, c.c_custkey == recent.o_custkey, "left_anti")
         .groupBy("c_mktsegment")
         .agg(F.count("*").alias("numcust"),

@@ -219,6 +219,19 @@ _INVERT = {">": "<=", ">=": "<", "<": ">=", "<=": ">"}
 
 
 def _negate_conj(conj):
+    """Negate a parsed conjunction for pruning purposes — sound but
+    deliberately shallow. Only a single range comparison inverts
+    (``NOT a > 5`` -> ``a <= 5``); any other shape degrades to
+    "unconstrained", i.e. the NOT branch reads the full table:
+
+        NOT (a > 5)          -> [("a", "<=", 5)]   (still prunes)
+        NOT (a > 5 AND b<2)  -> []  — De Morgan would need an OR of
+                                     negations; [] never over-prunes
+        NOT (a = 5) / IN / IS NULL -> []  — complement is 2 open rays /
+                                     a set complement: no single box
+
+    The residual row-level predicate restores exactness either way; the
+    cost of [] is only a wider file list."""
     if len(conj) != 1:
         return []  # NOT(a AND b) -> unconstrained (safe)
     col, op, val = conj[0]

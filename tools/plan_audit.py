@@ -35,6 +35,7 @@ SINGLE_PART_OK = {
     "q6_forecast_revenue", "q14_promo_effect", "q_funnel",
     "q17_19_part_predicates", "q15_top_supplier",
     "qb_sample",            # scalar aggregate over the sample (1-row result)
+    "q22_inactive_rich",    # 1-row scalar-subquery aggregate (avg threshold)
 }
 # intentional nested-loop / cartesian shapes
 NESTED_LOOP_OK = {
@@ -43,6 +44,8 @@ NESTED_LOOP_OK = {
     "sim_otree_topk",   # broadcast query matrix vs pruned candidates
     "q4_order_priority",  # non-equi semi-join condition
     "q_interval_join",  # bucketed equi-join + range residual
+    "q22_inactive_rich",  # broadcast crossJoin of the 1-row scalar agg —
+                          # how Spark itself executes a scalar subquery
 }
 
 
