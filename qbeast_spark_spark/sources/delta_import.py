@@ -57,6 +57,17 @@ def _check_protocol(protocol: dict) -> None:
             f"Delta reader features not supported: {unsupported}")
 
 
+def _norm_maps(action: dict, keys: Tuple[str, ...]) -> dict:
+    """Parquet checkpoints type map columns as MAP; pyarrow's to_pylist
+    renders those as [(key, value), ...] where the JSON commits have
+    dicts. Normalize so downstream .get() code sees one shape."""
+    for k in keys:
+        v = action.get(k)
+        if isinstance(v, list):
+            action[k] = dict(v)
+    return action
+
+
 def _checkpoint_state(log_dir: str
                       ) -> Tuple[int, Dict[str, dict], Optional[str],
                                  List[str], Dict[str, str]]:
@@ -91,9 +102,11 @@ def _checkpoint_state(log_dir: str
         for i in range(n):
             add = cols.get("add", [None] * n)[i]
             if add and add.get("path"):
-                files[add["path"]] = add
+                files[add["path"]] = _norm_maps(
+                    add, ("partitionValues", "tags"))
             meta = cols.get("metaData", [None] * n)[i]
             if meta and meta.get("schemaString"):
+                _norm_maps(meta, ("configuration",))
                 schema_json = meta["schemaString"]
                 part_cols = list(meta.get("partitionColumns") or [])
                 config = dict(meta.get("configuration") or {})

@@ -330,6 +330,77 @@ def test_export_import_roundtrip_and_attach(spark, tmp_path):
         qss.attach_qbeast_delta(p)
 
 
+def test_import_checkpointed_reference_log(spark, tmp_path):
+    """Reference tables checkpoint their Delta log every N commits: the
+    qbeast tags then live in a PARQUET checkpoint whose map columns
+    pyarrow renders as key/value pair lists, not dicts. The importer must
+    read revisions + blocks from the checkpoint path identically."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    dl = str(tmp_path / "ref_ckpt")
+    os.makedirs(os.path.join(dl, "_delta_log"))
+    li = load(spark, "lineitem").select("l_orderkey", "l_extendedprice")
+    name, size = _one_parquet(li, dl)
+    n = li.count()
+    rev = _linear_revision(1, ["l_orderkey", "l_extendedprice"],
+                           [0, 0.0], [10000, 100000.0],
+                           ["bigint", "double"])
+    config = [("qbeast.revision.1", json.dumps(rev)),
+              ("qbeast.lastRevisionID", "1")]
+    tags = [("revision", "1"),
+            ("blocks", json.dumps([{"cubeId": "", "minWeight": INT_MIN,
+                                    "maxWeight": 0, "elementCount": n}]))]
+    map_t = pa.map_(pa.string(), pa.string())
+    add_t = pa.struct([
+        pa.field("path", pa.string()),
+        pa.field("partitionValues", map_t),
+        pa.field("size", pa.int64()),
+        pa.field("modificationTime", pa.int64()),
+        pa.field("dataChange", pa.bool_()),
+        pa.field("stats", pa.string()),
+        pa.field("tags", map_t)])
+    meta_t = pa.struct([
+        pa.field("id", pa.string()),
+        pa.field("schemaString", pa.string()),
+        pa.field("partitionColumns", pa.list_(pa.string())),
+        pa.field("configuration", map_t)])
+    proto_t = pa.struct([pa.field("minReaderVersion", pa.int32()),
+                         pa.field("minWriterVersion", pa.int32())])
+    rows = [
+        {"add": None, "metaData": None,
+         "protocol": {"minReaderVersion": 1, "minWriterVersion": 2}},
+        {"add": None, "protocol": None,
+         "metaData": {"id": "t", "schemaString": li.schema.json(),
+                      "partitionColumns": [], "configuration": config}},
+        {"metaData": None, "protocol": None,
+         "add": {"path": name, "partitionValues": [], "size": size,
+                 "modificationTime": 0, "dataChange": True,
+                 "stats": json.dumps({"numRecords": n}), "tags": tags}},
+    ]
+    schema = pa.schema([pa.field("add", add_t), pa.field("metaData", meta_t),
+                        pa.field("protocol", proto_t)])
+    tbl = pa.Table.from_pylist(rows, schema=schema)
+    ck = os.path.join(dl, "_delta_log", f"{2:020d}.checkpoint.parquet")
+    pq.write_table(tbl, ck)
+    with open(os.path.join(dl, "_delta_log", "_last_checkpoint"),
+              "w") as fh:
+        json.dump({"version": 2, "size": len(rows)}, fh)
+
+    qt = qss.QbeastTable.for_delta(spark, dl)
+    snap = qt.snapshot()
+    assert sorted(snap.revisions) == [0, 1]
+    f = snap.files[name]
+    assert f.revision_id == 1 and f.blocks[0].cube == "0:0"
+    assert f.blocks[0].max_weight == 0 and f.rows == n
+    assert qt.to_df().count() == n
+    # the [MIN, 0] weight range caps the sample at ~50%: a fraction above
+    # it keeps the file, and rows come back deterministically
+    assert qt.sample_files(0.9) == [name]
+    assert qt.read([("l_orderkey", "<", 100)]).count() == \
+        li.where("l_orderkey < 100").count()
+
+
 def test_versioned_export_appends_log_versions(spark, tmp_path):
     """Re-exporting appends version 1 (removes + fresh adds) instead of
     rewriting version 0, so an incremental Delta reader replaying both
