@@ -420,8 +420,10 @@ def parse_gif_frames(data: bytes):
             delay = 0
         else:
             return None                     # corrupt stream
-    # a stream that ends without the trailer is truncated, not valid
-    return frames if saw_trailer else None
+    # a stream that ends without the trailer is truncated, not valid; a
+    # trailer with zero image descriptors is a degenerate GIF — report
+    # "nothing decodable" (None), never an empty-but-valid frame list
+    return frames if (saw_trailer and frames) else None
 
 
 def frame_sample_gif(df, payload_col: str = "payload",

@@ -75,6 +75,9 @@ class IndexFile:
     # per-column [min, max] over the file's non-null values (int/float/
     # string columns) — Delta data-skipping stats
     column_stats: Optional[Dict[str, list]] = None
+    # opt-in per-column Bloom filters (zlib+base64) for string point
+    # lookups — functions/bloom.py
+    blooms: Optional[Dict[str, str]] = None
 
     def to_json(self) -> Dict[str, Any]:
         out = {"path": self.path, "size": self.size, "rows": self.rows,
@@ -82,13 +85,15 @@ class IndexFile:
                "blocks": [b.to_json() for b in self.blocks]}
         if self.column_stats:
             out["columnStats"] = self.column_stats
+        if self.blooms:
+            out["blooms"] = self.blooms
         return out
 
     @staticmethod
     def from_json(o: Dict[str, Any]) -> "IndexFile":
         return IndexFile(o["path"], o["size"], o["rows"], o["revisionID"],
                          [Block.from_json(b) for b in o.get("blocks", [])],
-                         o.get("columnStats"))
+                         o.get("columnStats"), o.get("blooms"))
 
 
 @dataclass

@@ -132,7 +132,12 @@ def optimize_table(spark, path: str, fraction: float = 1.0,
     file_map = _complete_file_map(weights.keys(), rollup, rev.dims)
     num_files = max(1, len(set(rollup.values())))
 
-    add = _materialize(prepared, rev, weights, file_map, num_files, path)
+    # preserve bloom coverage across the re-layout: rewritten files keep
+    # filters for every column the selected files had one for
+    bloom_cols = sorted({c for f in selected
+                         for c in (f.blooms or {})})
+    add = _materialize(prepared, rev, weights, file_map, num_files, path,
+                       bloom_cols=tuple(bloom_cols))
     return log.commit(
         add=add,
         remove=[f.path for f in selected],

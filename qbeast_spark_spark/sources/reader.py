@@ -462,10 +462,14 @@ class QbeastTable:
             for j in np.flatnonzero(inter):
                 keep.add(entries[j][0])
         # Delta-style data skipping on ANY column with recorded per-file
-        # [min, max] stats — prunes on non-indexed columns too, and
-        # composes with the cube pruning above (intersection)
+        # [min, max] stats — prunes on non-indexed columns too — plus
+        # opt-in Bloom filters for string point lookups; both compose
+        # with the cube pruning above (intersection)
+        from ..functions.bloom import blooms_exclude
+
         return sorted(p for p in keep
-                      if not _stats_exclude(snap.files[p], filters))
+                      if not _stats_exclude(snap.files[p], filters)
+                      and not blooms_exclude(snap.files[p].blooms, filters))
 
     def _filters_to_column(self, filters: Sequence[FilterTuple]):
         from pyspark.sql import functions as F

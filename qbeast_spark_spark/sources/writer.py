@@ -57,7 +57,7 @@ FILE_COL = "_qbeast_file"
 DEPTH_COL = "_qbeast_cube_depth"
 PATH_COL = "_qbeast_cube_path"
 
-_META_SCHEMA = ("file string, col_stats string, "
+_META_SCHEMA = ("file string, col_stats string, blooms string, "
                 "cube_depth int, cube_path long, min_weight long, "
                 "max_weight long, element_count long, file_size long")
 
@@ -178,7 +178,9 @@ def _make_assign_fn(level_map: LevelMap, dims: int, norm_cols: List[str],
     return assign
 
 
-def _make_write_fn(table_path: str, helper_cols: List[str]):
+def _make_write_fn(table_path: str, helper_cols: List[str],
+                   bloom_cols: Tuple[str, ...] = (),
+                   bloom_bits: int = 16384):
     """Per-task streaming parquet writer + Block stats accumulator
     (IndexFileWriter.scala:44-96 re-expressed with pyarrow)."""
     import pyarrow as pa
@@ -187,6 +189,8 @@ def _make_write_fn(table_path: str, helper_cols: List[str]):
     import pyarrow.compute as pc
 
     def write(batches):
+        from ..functions.bloom import bloom_add_many, bloom_encode, bloom_new
+
         writers: Dict[int, Tuple[Any, str]] = {}
         # (file_id, depth, path) -> [min_w, max_w, count]
         stats: Dict[Tuple[int, int, int], List[int]] = {}
@@ -194,6 +198,20 @@ def _make_write_fn(table_path: str, helper_cols: List[str]):
         # Delta data-skipping stats, collected while the batches stream
         # through (no extra scan)
         col_stats: Dict[int, Dict[str, list]] = {}
+        # file_id -> {col: bitmap} opt-in string point-lookup blooms
+        blooms: Dict[int, Dict[str, Any]] = {}
+
+        def track_blooms(fid: int, sub) -> None:
+            if not bloom_cols:
+                return
+            dst = blooms.setdefault(fid, {})
+            for c in bloom_cols:
+                if c not in sub.column_names:
+                    continue
+                bm = dst.get(c)
+                if bm is None:
+                    bm = dst[c] = bloom_new(bloom_bits)
+                bloom_add_many(bm, sub.column(c).to_pylist())
 
         def track_col_stats(fid: int, sub) -> None:
             dst = col_stats.setdefault(fid, {})
@@ -232,6 +250,7 @@ def _make_write_fn(table_path: str, helper_cols: List[str]):
                     writers[int(fid)] = (w, name)
                 writers[int(fid)][0].write_table(sub)
                 track_col_stats(int(fid), sub)
+                track_blooms(int(fid), sub)
                 # block stats per cube inside this file
                 d_sub, p_sub, w_sub = depths[idx], paths[idx], ws[idx]
                 okey = np.lexsort((p_sub, d_sub))
@@ -260,14 +279,19 @@ def _make_write_fn(table_path: str, helper_cols: List[str]):
 
         import json as _json
 
-        rows = {"file": [], "col_stats": [],
+        rows = {"file": [], "col_stats": [], "blooms": [],
                 "cube_depth": [], "cube_path": [], "min_weight": [],
                 "max_weight": [], "element_count": [], "file_size": []}
         stats_json = {fid: _json.dumps(cs, sort_keys=True)
                       for fid, cs in col_stats.items()}
+        blooms_json = {fid: _json.dumps({c: bloom_encode(bm)
+                                         for c, bm in bms.items()},
+                                        sort_keys=True)
+                       for fid, bms in blooms.items()}
         for (fid, d, p), (mn, mx, cnt) in stats.items():
             rows["file"].append(writers[fid][1])
             rows["col_stats"].append(stats_json.get(fid, "{}"))
+            rows["blooms"].append(blooms_json.get(fid, "{}"))
             rows["cube_depth"].append(d)
             rows["cube_path"].append(p)
             rows["min_weight"].append(mn)
@@ -278,6 +302,7 @@ def _make_write_fn(table_path: str, helper_cols: List[str]):
             yield pa.RecordBatch.from_arrays(
                 [pa.array(rows["file"], type=pa.string()),
                  pa.array(rows["col_stats"], type=pa.string()),
+                 pa.array(rows["blooms"], type=pa.string()),
                  pa.array(rows["cube_depth"], type=pa.int32()),
                  pa.array(rows["cube_path"], type=pa.int64()),
                  pa.array(rows["min_weight"], type=pa.int64()),
@@ -290,7 +315,8 @@ def _make_write_fn(table_path: str, helper_cols: List[str]):
 
 
 def _materialize(prepared, revision: Revision, weights, file_map, num_files,
-                 path: str) -> List[IndexFile]:
+                 path: str, bloom_cols: Tuple[str, ...] = (),
+                 bloom_bits: int = 16384) -> List[IndexFile]:
     """Job 3: assign -> shuffle on rollup id -> per-task parquet writing.
     Returns the IndexFile list (with Block stats) for the commit."""
     from pyspark.sql import functions as F
@@ -321,7 +347,8 @@ def _materialize(prepared, revision: Revision, weights, file_map, num_files,
     meta = (
         assigned.repartition(num_files, F.col(FILE_COL))
         .sortWithinPartitions(FILE_COL, DEPTH_COL, PATH_COL, WEIGHT_COL)
-        .mapInArrow(_make_write_fn(path, helper_cols), _META_SCHEMA)
+        .mapInArrow(_make_write_fn(path, helper_cols, tuple(bloom_cols),
+                                   bloom_bits), _META_SCHEMA)
         .collect()
     )
     import json as _json
@@ -335,6 +362,10 @@ def _materialize(prepared, revision: Revision, weights, file_map, num_files,
             cs = _json.loads(r["col_stats"])
             if cs:
                 f.column_stats = cs
+        if f.blooms is None and r["blooms"]:
+            bm = _json.loads(r["blooms"])
+            if bm:
+                f.blooms = bm
         f.blocks.append(Block(_cube_str(r["cube_depth"], r["cube_path"]),
                               r["min_weight"], r["max_weight"],
                               r["element_count"]))
@@ -349,9 +380,17 @@ def write_qbeast(df, path: str,
                  pre_commit_hooks: Optional[List] = None,
                  merge_schema: bool = False,
                  txn_app_id: Optional[str] = None,
-                 txn_version: Optional[int] = None) -> int:
+                 txn_version: Optional[int] = None,
+                 bloom_columns: Optional[Sequence[str]] = None,
+                 bloom_bits: int = 16384) -> int:
     """Index + write ``df`` as one transactional qbeast commit; returns the
     committed log version. See module docstring for the plan shape.
+
+    ``bloom_columns`` opts string columns into per-file Bloom filters
+    (functions/bloom.py): equality / IN literals that test negative prove
+    the file holds no match, so point lookups skip files the min/max
+    stats can't (beyond-reference data skipping; parquet-native blooms
+    are unavailable in this container's pyarrow).
 
     ``txn_app_id``/``txn_version`` make the write idempotent
     (docs/AdvancedConfiguration.md:119-152, Delta SetTransaction
@@ -394,7 +433,8 @@ def write_qbeast(df, path: str,
     try:
         return _write_qbeast_inner(df, path, columns_to_index, cube_size,
                                    mode, column_stats, pre_commit_hooks,
-                                   merge_schema, txn_app_id, txn_version)
+                                   merge_schema, txn_app_id, txn_version,
+                                   bloom_columns, bloom_bits)
     finally:
         if _prev_batch is None:
             _spark.conf.unset(_ARROW_BATCH_KEY)
@@ -406,7 +446,8 @@ def _write_qbeast_inner(df, path: str, columns_to_index,
                         cube_size: int, mode: str,
                         column_stats, pre_commit_hooks,
                         merge_schema: bool = False,
-                        txn_app_id=None, txn_version=None) -> int:
+                        txn_app_id=None, txn_version=None,
+                        bloom_columns=None, bloom_bits: int = 16384) -> int:
     from pyspark.sql import functions as F
     from pyspark.sql import types as T
 
@@ -415,6 +456,11 @@ def _write_qbeast_inner(df, path: str, columns_to_index,
 
     specs = parse_columns_to_index(columns_to_index)
     field_types = {f.name: f.dataType.simpleString() for f in df.schema.fields}
+    for c in (bloom_columns or ()):
+        if field_types.get(c) != "string":
+            raise ValueError(
+                f"bloom_columns entries must be string columns; {c!r} is "
+                f"{field_types.get(c, 'absent')}")
     for s in specs:
         if s.name not in field_types:
             raise ValueError(f"column to index {s.name!r} not in schema "
@@ -515,7 +561,9 @@ def _write_qbeast_inner(df, path: str, columns_to_index,
 
     # -- job 3: assign -> shuffle on rollup id -> write ---------------------
     add_files = _materialize(prepared, revision, weights, file_map,
-                             num_files, path)
+                             num_files, path,
+                             bloom_cols=tuple(bloom_columns or ()),
+                             bloom_bits=bloom_bits)
     remove = pre_existing_files if mode == "overwrite" else []
 
     if pre_commit_hooks:
