@@ -188,9 +188,13 @@ def _make_write_fn(table_path: str, helper_cols: List[str],
 
     import pyarrow.compute as pc
 
-    def write(batches):
-        from ..functions.bloom import bloom_add_many, bloom_encode, bloom_new
+    # resolve the bloom kernels HERE (driver scope) so cloudpickle ships
+    # them by value with the closure — an import inside write() would
+    # resolve by name on the executor, where this package is not on
+    # sys.path (the classic driver-only-library failure)
+    from ..functions.bloom import bloom_add_many, bloom_encode, bloom_new
 
+    def write(batches):
         writers: Dict[int, Tuple[Any, str]] = {}
         # (file_id, depth, path) -> [min_w, max_w, count]
         stats: Dict[Tuple[int, int, int], List[int]] = {}
