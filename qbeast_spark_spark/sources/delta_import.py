@@ -117,21 +117,34 @@ def _checkpoint_state(log_dir: str
     return version, files, schema_json, part_cols, config
 
 
-def _snapshot_state(table_path: str
+def _snapshot_state(table_path: str, at_version: Optional[int] = None
                     ) -> Tuple[Optional[str], List[str], Dict[str, dict],
                                Dict[str, str]]:
     """(schemaString, partition_cols, live add-actions keyed by path,
-    table configuration) of the Delta table's current version. The
-    configuration carries the reference engine's index metadata
-    (``qbeast.revision.N`` JSON — docs/QbeastFormat.md:85-146)."""
+    table configuration) of the Delta table at ``at_version`` (default:
+    current). The configuration carries the reference engine's index
+    metadata (``qbeast.revision.N`` JSON — docs/QbeastFormat.md:85-146).
+
+    Time travel before the newest checkpoint falls back to a full JSON
+    replay (same rule as the native log: commit files are never deleted
+    here, so any version still reconstructs)."""
     log_dir = os.path.join(table_path, "_delta_log")
     if not os.path.isdir(log_dir):
         raise FileNotFoundError(f"{log_dir} does not exist")
-    ckpt_version, files, schema_json, part_cols, config = \
-        _checkpoint_state(log_dir)
     versions = sorted(
         int(name[:-5]) for name in os.listdir(log_dir)
         if name.endswith(".json") and name[:-5].isdigit())
+    if at_version is None:
+        ckpt_version, files, schema_json, part_cols, config = \
+            _checkpoint_state(log_dir)
+    else:
+        if at_version not in versions:
+            raise ValueError(
+                f"version {at_version} not in the Delta log "
+                f"(have {versions[:5]}..{versions[-1:]})")
+        versions = [v for v in versions if v <= at_version]
+        ckpt_version, files, schema_json, part_cols, config = \
+            -1, {}, None, [], {}
     for v in versions:
         if v <= ckpt_version:
             continue

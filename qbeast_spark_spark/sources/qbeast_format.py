@@ -331,14 +331,17 @@ def _file_from_add(rel_path: str, add: Dict[str, Any],
                      rev_id, blocks, column_stats)
 
 
-def read_qbeast_delta_snapshot(table_path: str) -> Snapshot:
+def read_qbeast_delta_snapshot(table_path: str,
+                               at_version: Optional[int] = None) -> Snapshot:
     """Build this engine's Snapshot straight from a reference-written
     qbeast Delta table — revisions from ``qbeast.revision.N``
     configuration, Blocks from AddFile tags — WITHOUT re-indexing. Plain
     Delta/parquet AddFiles (no tags) land in the staging revision and are
     read (and sampled, row-level) but never pruned, exactly like the
-    reference's hybrid qbeast+delta state."""
-    schema_json, part_cols, files, config = _snapshot_state(table_path)
+    reference's hybrid qbeast+delta state. ``at_version`` time-travels
+    the Delta log (VERSION AS OF semantics)."""
+    schema_json, part_cols, files, config = _snapshot_state(table_path,
+                                                            at_version)
     if part_cols:
         raise ValueError(
             "qbeast tables are never partitioned (the reference rejects "
@@ -355,7 +358,12 @@ def read_qbeast_delta_snapshot(table_path: str) -> Snapshot:
         # synthesize the staging revision for hybrid tables
         revisions[0] = Revision(0, 0, 5_000_000, [], [], [])
 
-    snap = Snapshot(table_path=table_path, version=0)
+    if at_version is None:
+        log_dir = os.path.join(table_path, "_delta_log")
+        known = [int(n[:-5]) for n in os.listdir(log_dir)
+                 if n.endswith(".json") and n[:-5].isdigit()]
+        at_version = max(known) if known else 0
+    snap = Snapshot(table_path=table_path, version=at_version)
     snap.schema_json = schema_json
     snap.revisions = revisions
     snap.properties = {k: v for k, v in config.items()
@@ -420,11 +428,10 @@ class DeltaQbeastLog:
         return os.path.isdir(self.log_dir)
 
     def snapshot(self, at_version: Optional[int] = None) -> Snapshot:
-        if at_version is not None:
-            raise NotImplementedError(
-                "time travel over a foreign Delta log is not supported; "
-                "attach_qbeast_delta() and use native versioning")
-        return read_qbeast_delta_snapshot(self.table_path)
+        """Current state, or VERSION AS OF when ``at_version`` is given
+        (the Delta log replays to any version whose JSON commits still
+        exist — same free time travel as the native log)."""
+        return read_qbeast_delta_snapshot(self.table_path, at_version)
 
     def commit(self, **_kw):
         raise NotImplementedError(

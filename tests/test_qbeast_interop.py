@@ -435,3 +435,12 @@ def test_versioned_export_appends_log_versions(spark, tmp_path):
     assert {os.path.basename(f) for f in live} == \
         {os.path.basename(f) for f in qt.snapshot(refresh=True).files}
     assert qss.read_delta_table(spark, p).count() == 200
+
+    # foreign time travel: VERSION AS OF over the exported Delta log
+    fqt = qss.QbeastTable.for_delta(spark, p)
+    assert fqt.to_df().count() == 200
+    assert fqt.to_df(version=0).count() == 500
+    old = qss.read_qbeast_delta_snapshot(p, at_version=0)
+    assert set(old.files) == files_v0 and old.version == 0
+    with pytest.raises(ValueError, match="not in the Delta log"):
+        qss.read_qbeast_delta_snapshot(p, at_version=99)
