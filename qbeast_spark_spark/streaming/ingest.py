@@ -33,10 +33,13 @@ def stream_write_qbeast(stream_df, path: str,
                         cube_size: int = 100_000,
                         checkpoint: Optional[str] = None,
                         trigger_available_now: bool = False,
-                        query_name: str = "qbeast-stream-ingest"):
+                        query_name: str = "qbeast-stream-ingest",
+                        **write_kwargs):
     """writeStream.foreachBatch -> qbeast.write append per micro-batch.
     Exactly-once: the commit is tagged (query_name, batch_id), so a batch
-    replayed after a failure hits the idempotent-skip path."""
+    replayed after a failure hits the idempotent-skip path. Extra
+    keyword arguments (bloom_columns, column_stats, merge_schema, ...)
+    pass straight through to write_qbeast for every batch."""
     from ..sources.writer import write_qbeast
 
     def sink(batch_df, batch_id: int):
@@ -44,7 +47,8 @@ def stream_write_qbeast(stream_df, path: str,
             return
         write_qbeast(batch_df, path, columns_to_index=columns_to_index,
                      cube_size=cube_size, mode="append",
-                     txn_app_id=query_name, txn_version=batch_id)
+                     txn_app_id=query_name, txn_version=batch_id,
+                     **write_kwargs)
 
     writer = (stream_df.writeStream.foreachBatch(sink)
               .queryName(query_name)

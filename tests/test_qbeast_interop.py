@@ -401,6 +401,85 @@ def test_import_checkpointed_reference_log(spark, tmp_path):
         li.where("l_orderkey < 100").count()
 
 
+def test_import_multipart_checkpoint(spark, tmp_path):
+    """Multi-part classic checkpoints (NNN.checkpoint.i.of.n.parquet +
+    parts field in _last_checkpoint) merge into one state."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    dl = str(tmp_path / "ref_mp")
+    os.makedirs(os.path.join(dl, "_delta_log"))
+    li = load(spark, "lineitem").select("l_orderkey", "l_extendedprice")
+    half = li.count() // 2
+    f1, s1 = _one_parquet(li.limit(half), dl)
+    f2, s2 = _one_parquet(li.exceptAll(li.limit(half)), dl)
+    rev = _linear_revision(1, ["l_orderkey", "l_extendedprice"],
+                           [0, 0.0], [10000, 100000.0],
+                           ["bigint", "double"])
+    map_t = pa.map_(pa.string(), pa.string())
+    add_t = pa.struct([pa.field("path", pa.string()),
+                       pa.field("partitionValues", map_t),
+                       pa.field("size", pa.int64()),
+                       pa.field("modificationTime", pa.int64()),
+                       pa.field("dataChange", pa.bool_()),
+                       pa.field("stats", pa.string()),
+                       pa.field("tags", map_t)])
+    meta_t = pa.struct([pa.field("id", pa.string()),
+                        pa.field("schemaString", pa.string()),
+                        pa.field("partitionColumns", pa.list_(pa.string())),
+                        pa.field("configuration", map_t)])
+    schema = pa.schema([pa.field("add", add_t), pa.field("metaData", meta_t)])
+
+    def add_row(name, size, n):
+        return {"metaData": None,
+                "add": {"path": name, "partitionValues": [], "size": size,
+                        "modificationTime": 0, "dataChange": True,
+                        "stats": json.dumps({"numRecords": n}),
+                        "tags": [("revision", "1"), ("blocks", json.dumps(
+                            [{"cubeId": "", "minWeight": INT_MIN,
+                              "maxWeight": INT_MAX, "elementCount": n}]))]}}
+
+    meta_row = {"add": None,
+                "metaData": {"id": "t", "schemaString": li.schema.json(),
+                             "partitionColumns": [],
+                             "configuration": [
+                                 ("qbeast.revision.1", json.dumps(rev)),
+                                 ("qbeast.lastRevisionID", "1")]}}
+    parts = [[meta_row, add_row(f1, s1, half)],
+             [add_row(f2, s2, li.count() - half)]]
+    for i, rows in enumerate(parts):
+        name = (f"{1:020d}.checkpoint.{i + 1:010d}.{len(parts):010d}"
+                ".parquet")
+        pq.write_table(pa.Table.from_pylist(rows, schema=schema),
+                       os.path.join(dl, "_delta_log", name))
+    with open(os.path.join(dl, "_delta_log", "_last_checkpoint"),
+              "w") as fh:
+        json.dump({"version": 1, "size": 3, "parts": len(parts)}, fh)
+
+    qt = qss.QbeastTable.for_delta(spark, dl)
+    snap = qt.snapshot()
+    assert set(snap.files) == {f1, f2}
+    assert sorted(snap.revisions) == [0, 1]
+    assert qt.to_df().count() == li.count()
+
+
+def test_foreign_table_metrics_and_view(spark, tmp_path):
+    """index_metrics and the SQL-view bridge work over an imported table
+    (they only consume the snapshot)."""
+    p = str(tmp_path / "t")
+    li = load(spark, "lineitem")
+    qss.write(li, p, columns_to_index=["l_orderkey", "l_extendedprice"],
+              cube_size=500)
+    qss.QbeastTable.for_path(spark, p).export_delta_log()
+    qt = qss.QbeastTable.for_delta(spark, p)
+    m = qt.index_metrics()
+    assert m["files"] == len(qt.snapshot().files)
+    assert m["rows"] == li.count() and m["height"] >= 1
+    qt.create_view("foreign_li")
+    assert spark.sql("SELECT COUNT(*) c FROM foreign_li").first()["c"] == \
+        li.count()
+
+
 def test_versioned_export_appends_log_versions(spark, tmp_path):
     """Re-exporting appends version 1 (removes + fresh adds) instead of
     rewriting version 0, so an incremental Delta reader replaying both
