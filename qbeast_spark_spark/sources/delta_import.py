@@ -13,8 +13,17 @@ the data files), so the read groups files by partition tuple and injects
 the values as typed literal columns. Driver work is O(#files), like any
 Delta snapshot build.
 
-Unsupported (raises): column-mapping modes and deletion vectors — both
-announce themselves in metaData/protocol, so detection is reliable.
+Column mapping ('name' and delta-spark-written 'id' mode) is supported:
+the logical schema's per-field ``delta.columnMapping.physicalName``
+metadata drives a physical-schema parquet read, renamed back to logical
+names with one positional struct cast (Delta spec "Column Mapping";
+partitionValues keys are physical names when mapping is enabled). A
+footer probe of one data file guards against 'id'-mode files whose
+parquet columns don't carry physical names (e.g. raw Iceberg imports) —
+those raise instead of silently reading nulls.
+
+Unsupported (raises): deletion vectors — they announce themselves in the
+add actions, so detection is reliable.
 """
 
 from __future__ import annotations
@@ -29,9 +38,47 @@ __all__ = ["read_delta_snapshot", "read_delta_table",
 
 def _check_meta(meta: dict) -> None:
     cfg = meta.get("configuration") or {}
-    if str(cfg.get("delta.columnMapping.mode", "none")) not in ("none",
-                                                                "None"):
-        raise ValueError("column-mapping Delta tables are not supported")
+    mode = str(cfg.get("delta.columnMapping.mode", "none"))
+    if mode not in ("none", "None", "name", "id"):
+        raise ValueError(
+            f"delta.columnMapping.mode={mode!r} is not supported")
+
+
+def _physical_schema_json(t):
+    """Schema-JSON subtree with every struct field renamed to its
+    ``delta.columnMapping.physicalName`` (recursing through struct /
+    array / map element types), as written to parquet under column
+    mapping."""
+    if isinstance(t, dict):
+        if t.get("type") == "struct":
+            fields = []
+            for f in t.get("fields") or []:
+                meta = f.get("metadata") or {}
+                fields.append(dict(
+                    f, name=meta.get("delta.columnMapping.physicalName",
+                                     f["name"]),
+                    type=_physical_schema_json(f["type"])))
+            return dict(t, fields=fields)
+        if t.get("type") == "array":
+            return dict(t, elementType=_physical_schema_json(
+                t["elementType"]))
+        if t.get("type") == "map":
+            return dict(t, keyType=_physical_schema_json(t["keyType"]),
+                        valueType=_physical_schema_json(t["valueType"]))
+    return t
+
+
+def _column_mapping(schema_json: Optional[str], config: Dict[str, str]):
+    """(physical schemaString dict, logical->physical top-level name map)
+    when column mapping is enabled, else None."""
+    mode = str((config or {}).get("delta.columnMapping.mode", "none"))
+    if mode in ("none", "None") or not schema_json:
+        return None
+    logical = json.loads(schema_json)
+    physical = _physical_schema_json(logical)
+    names = {lf["name"]: pf["name"]
+             for lf, pf in zip(logical["fields"], physical["fields"])}
+    return physical, names
 
 
 # Reader features whose presence alone is harmless here: timestampNtz is
@@ -193,40 +240,80 @@ def read_delta_table(spark, table_path: str):
     from pyspark.sql import functions as F
     from pyspark.sql import types as T
 
-    schema_json, part_cols, files, _ = _snapshot_state(table_path)
+    schema_json, part_cols, files, config = _snapshot_state(table_path)
     if not files:
         raise ValueError(f"{table_path} has no live files")
     full = (T.StructType.fromJson(json.loads(schema_json))
             if schema_json else None)
+    mapping = _column_mapping(schema_json, config)
+    if mapping:
+        phys_json, name_map = mapping
+        phys_full = T.StructType.fromJson(phys_json)
+        _probe_physical_names(
+            os.path.join(table_path, sorted(files)[0]),
+            [name_map[c] for c in name_map if c not in part_cols])
+    else:
+        name_map = {f.name: f.name for f in full.fields} if full else {}
+        phys_full = full
     paths = {p: os.path.join(table_path, p) for p in files}
+
+    def to_logical(df, fields):
+        """Physical-name scan -> logical names; the positional struct
+        cast renames nested fields too (struct casts match by position)."""
+        if not mapping:
+            return df
+        return df.select(*[
+            F.col(name_map[f.name]).cast(f.dataType).alias(f.name)
+            for f in fields])
+
     if not part_cols:
         reader = spark.read
-        if full is not None:
-            reader = reader.schema(full)
-        return reader.parquet(*[paths[p] for p in sorted(paths)])
+        if phys_full is not None:
+            reader = reader.schema(phys_full)
+        df = reader.parquet(*[paths[p] for p in sorted(paths)])
+        return to_logical(df, full.fields if full else [])
     if full is None:
         raise ValueError("partitioned Delta table without a schemaString")
-    data_schema = T.StructType(
-        [f for f in full.fields if f.name not in part_cols])
+    data_fields = [f for f in full.fields if f.name not in part_cols]
+    phys_data_schema = T.StructType(
+        [f for f in phys_full.fields
+         if f.name not in {name_map[c] for c in part_cols}])
     part_types = {f.name: f.dataType for f in full.fields
                   if f.name in part_cols}
     # group live files by their partition tuple -> one typed-literal
-    # injection per group
+    # injection per group (partitionValues keys are PHYSICAL names when
+    # column mapping is enabled — Delta spec, Column Mapping)
     groups: Dict[tuple, List[str]] = {}
     for p in sorted(files):
         pv = files[p].get("partitionValues") or {}
-        key = tuple(pv.get(c) for c in part_cols)
+        key = tuple(pv.get(name_map[c]) for c in part_cols)
         groups.setdefault(key, []).append(paths[p])
     out = None
     for key, grp in sorted(groups.items(),
                            key=lambda kv: tuple(map(str, kv[0]))):
-        df = spark.read.schema(data_schema).parquet(*grp)
+        df = to_logical(spark.read.schema(phys_data_schema).parquet(*grp),
+                        data_fields)
         for c, raw in zip(part_cols, key):
             lit = (F.lit(None) if raw is None else F.lit(raw))
             df = df.withColumn(c, lit.cast(part_types[c]))
         df = df.select(*[f.name for f in full.fields])
         out = df if out is None else out.unionByName(df)
     return out
+
+
+def _probe_physical_names(data_file: str, expect: List[str]) -> None:
+    """One-footer guard: 'id'-mode tables whose files predate the mapping
+    (raw Iceberg imports) don't store physical names in parquet; applying
+    the physical schema would read every column as NULL. Fail loudly."""
+    import pyarrow.parquet as pq
+
+    have = set(pq.read_schema(data_file).names)
+    missing = sorted(set(expect) - have)
+    if missing:
+        raise ValueError(
+            "column-mapping physical names not present in the data files "
+            f"(first file lacks {missing[:3]}); id-mapped files without "
+            "physical parquet names are not supported")
 
 
 def convert_delta_to_qbeast(spark, delta_path: str, out_path: str,

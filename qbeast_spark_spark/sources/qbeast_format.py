@@ -347,6 +347,12 @@ def read_qbeast_delta_snapshot(table_path: str,
             "qbeast tables are never partitioned (the reference rejects "
             "conversion of partitioned tables); use read_delta_table for "
             "plain partitioned Delta")
+    if str(config.get("delta.columnMapping.mode", "none")) not in (
+            "none", "None"):
+        raise ValueError(
+            "column-mapped qbeast Delta tables are not supported (the "
+            "reference writer never enables mapping); use "
+            "read_delta_table + convert_delta_to_qbeast to re-index")
     revisions: Dict[int, Revision] = {}
     for key, value in config.items():
         if not key.startswith("qbeast.revision."):

@@ -612,3 +612,114 @@ def test_media_parsers_never_raise_on_arbitrary_bytes():
             assert out is None or out
 
     fuzz()
+
+
+def _cm_log(dl, logical_schema, adds, part_cols=()):
+    import json
+    import os
+
+    actions = [
+        {"protocol": {"minReaderVersion": 2, "minWriterVersion": 5}},
+        {"metaData": {"id": "cm", "schemaString": json.dumps(logical_schema),
+                      "partitionColumns": list(part_cols),
+                      "configuration": {
+                          "delta.columnMapping.mode": "name",
+                          "delta.columnMapping.maxColumnId": "9"}}},
+    ] + [{"add": dict(a, size=1, modificationTime=0, dataChange=True)}
+         for a in adds]
+    os.makedirs(os.path.join(dl, "_delta_log"), exist_ok=True)
+    with open(os.path.join(dl, "_delta_log", "0" * 20 + ".json"),
+              "w") as fh:
+        for a in actions:
+            fh.write(json.dumps(a) + "\n")
+
+
+def _cm_field(name, typ, phys, cid):
+    return {"name": name, "type": typ, "nullable": True,
+            "metadata": {"delta.columnMapping.id": cid,
+                         "delta.columnMapping.physicalName": phys}}
+
+
+def test_delta_import_column_mapping_name_mode(spark, tmp_path):
+    """'name'-mode tables store UUID-ish physical names in parquet; the
+    import must rename them (nested struct fields too, via the positional
+    struct cast) back to the logical schema."""
+    import os
+
+    from qbeast_spark_spark.sources.delta_import import read_delta_table
+
+    dl = str(tmp_path / "cm")
+    os.makedirs(dl)
+    spark.range(100).select(
+        F.col("id").alias("col-a1"),
+        (F.col("id") * 2.0).alias("col-a2"),
+        F.struct(F.col("id").cast("int").alias("col-n1"))
+         .alias("col-a3")).coalesce(1).write.mode("append").parquet(dl)
+    name = next(p for p in os.listdir(dl) if p.endswith(".parquet"))
+    logical = {"type": "struct", "fields": [
+        _cm_field("id", "long", "col-a1", 1),
+        _cm_field("price", "double", "col-a2", 2),
+        _cm_field("info", {"type": "struct", "fields": [
+            _cm_field("n", "integer", "col-n1", 4)]}, "col-a3", 3)]}
+    _cm_log(dl, logical, [{"path": name, "partitionValues": {}}])
+
+    out = read_delta_table(spark, dl)
+    assert out.columns == ["id", "price", "info"]
+    assert out.schema["info"].dataType.fieldNames() == ["n"]
+    assert out.count() == 100
+    assert out.agg(F.sum("price")).first()[0] == float(sum(
+        i * 2.0 for i in range(100)))
+    assert out.where("info.n = 7").count() == 1
+
+
+def test_delta_import_column_mapping_partitioned(spark, tmp_path):
+    """partitionValues keys are PHYSICAL names under column mapping; the
+    injected logical partition column must still come back typed."""
+    import os
+
+    from qbeast_spark_spark.sources.delta_import import read_delta_table
+
+    dl = str(tmp_path / "cmp")
+    os.makedirs(dl)
+    adds = []
+    for part in (1, 2):
+        spark.range(part * 10).select(
+            F.col("id").alias("col-a1")).coalesce(1).write.mode(
+            "append").parquet(dl)
+        seen = {p for p in os.listdir(dl) if p.endswith(".parquet")}
+        new = seen - {a["path"] for a in adds}
+        adds.append({"path": new.pop(),
+                     "partitionValues": {"col-p1": str(part)}})
+    logical = {"type": "struct", "fields": [
+        _cm_field("id", "long", "col-a1", 1),
+        _cm_field("bucket", "integer", "col-p1", 2)]}
+    _cm_log(dl, logical, adds, part_cols=["bucket"])
+
+    out = read_delta_table(spark, dl)
+    assert sorted(out.columns) == ["bucket", "id"]
+    assert dict(out.dtypes)["bucket"] == "int"
+    got = dict(out.groupBy("bucket").count().collect())
+    assert got == {1: 10, 2: 20}
+
+
+def test_delta_import_column_mapping_missing_physical_raises(spark,
+                                                             tmp_path):
+    """Files whose parquet columns lack the physical names (id-mapped
+    Iceberg imports) would read as all-NULL under a physical schema; the
+    footer probe must refuse instead."""
+    import os
+
+    import pytest as _pytest
+
+    from qbeast_spark_spark.sources.delta_import import read_delta_table
+
+    dl = str(tmp_path / "cmbad")
+    os.makedirs(dl)
+    spark.range(10).coalesce(1).write.mode("append").parquet(dl)
+    name = next(p for p in os.listdir(dl) if p.endswith(".parquet"))
+    logical = {"type": "struct", "fields": [
+        _cm_field("id", "long", "col-zz", 1)]}
+    _cm_log(dl, logical, [{"path": name, "partitionValues": {}}])
+
+    with _pytest.raises(ValueError, match="physical names not present"):
+        read_delta_table(spark, dl)
