@@ -77,13 +77,17 @@ def _build_transformations(df, revision_cols, column_types, column_stats):
     from pyspark.sql import functions as F
 
     aggs = []
-    linear_idx = []
+    scanned = set()
     for i, (spec, ctype) in enumerate(zip(revision_cols, column_types)):
         kind = spec.transformer or transformer_for_type(ctype)
-        if kind == "linear":
+        stats = (column_stats or {}).get(spec.name, {})
+        if kind == "linear" and not ("min" in stats and "max" in stats):
+            # user-provided columnStats skip the data pass for that column
+            # (reference option.columnStats parity) — at scale the stats
+            # job then degrades to a count, answered from parquet footers
             v = numeric_view(spec.name, ctype)
             aggs += [F.min(v).alias(f"min_{i}"), F.max(v).alias(f"max_{i}")]
-            linear_idx.append(i)
+            scanned.add(i)
     aggs.append(F.count(F.lit(1)).alias("_n"))
     row = df.agg(*aggs).collect()[0]
     n = row["_n"]
@@ -93,8 +97,8 @@ def _build_transformations(df, revision_cols, column_types, column_stats):
         kind = spec.transformer or transformer_for_type(ctype)
         stats = (column_stats or {}).get(spec.name, {})
         if kind == "linear":
-            mn = stats.get("min", row[f"min_{i}"])
-            mx = stats.get("max", row[f"max_{i}"])
+            mn = stats.get("min", row[f"min_{i}"] if i in scanned else None)
+            mx = stats.get("max", row[f"max_{i}"] if i in scanned else None)
             if mn is None or mx is None:
                 transformations.append(IdentityTransformation())
             else:
@@ -446,6 +450,14 @@ def write_qbeast(df, path: str,
             _spark.conf.set(_ARROW_BATCH_KEY, _prev_batch)
 
 
+# Wall-clock of the last write's phases (transform stats job / domain
+# estimation job / assign+shuffle+write job / log commit), refreshed by
+# every _write_qbeast_inner call. Diagnostic only — bench.py surfaces it
+# as qb_write.* submetrics so a write-time regression is attributable to
+# a phase instead of showing up as one opaque number.
+LAST_WRITE_PHASES: Dict[str, float] = {}
+
+
 def _write_qbeast_inner(df, path: str, columns_to_index,
                         cube_size: int, mode: str,
                         column_stats, pre_commit_hooks,
@@ -529,8 +541,11 @@ def _write_qbeast_inner(df, path: str, columns_to_index,
             old.fields + [f for f in df.schema.fields
                           if f.name not in old_by_name])
 
+    _t0 = time.perf_counter()
     transformations, n = _build_transformations(df, specs, column_types,
                                                 column_stats)
+    LAST_WRITE_PHASES.clear()
+    LAST_WRITE_PHASES["transform"] = time.perf_counter() - _t0
     if n == 0:
         return log.commit(add=[], remove=[], schema_json=df.schema.json(),
                           data_change=False,
@@ -545,7 +560,9 @@ def _write_qbeast_inner(df, path: str, columns_to_index,
     prepared = with_index_columns(df, revision)
 
     # -- job 2: domains; driver: weights + rollup ---------------------------
+    _t0 = time.perf_counter()
     new_domains = estimate_cube_domains(prepared, revision, n)
+    LAST_WRITE_PHASES["domains"] = time.perf_counter() - _t0
     existing_domains = {
         _parse_cube(c): d
         for c, d in snapshot.cube_domains.get(revision.revision_id, {}).items()
@@ -564,10 +581,12 @@ def _write_qbeast_inner(df, path: str, columns_to_index,
     num_files = max(1, len(set(rollup.values())))
 
     # -- job 3: assign -> shuffle on rollup id -> write ---------------------
+    _t0 = time.perf_counter()
     add_files = _materialize(prepared, revision, weights, file_map,
                              num_files, path,
                              bloom_cols=tuple(bloom_columns or ()),
                              bloom_bits=bloom_bits)
+    LAST_WRITE_PHASES["materialize"] = time.perf_counter() - _t0
     remove = pre_existing_files if mode == "overwrite" else []
 
     if pre_commit_hooks:
@@ -580,6 +599,7 @@ def _write_qbeast_inner(df, path: str, columns_to_index,
         extra_props = {}
 
     data_schema = schema_to_commit.json()
+    _t0 = time.perf_counter()
     version = log.commit(
         add=add_files,
         remove=remove,
@@ -596,4 +616,5 @@ def _write_qbeast_inner(df, path: str, columns_to_index,
         txn=({"appId": txn_app_id, "version": int(txn_version)}
              if txn_app_id is not None else None),
     )
+    LAST_WRITE_PHASES["commit"] = time.perf_counter() - _t0
     return version

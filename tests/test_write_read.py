@@ -381,3 +381,23 @@ def test_approx_agg_scaled_estimates(spark, tmp_table, lineitem):
         qt.approx_agg(0.0)
     with pytest.raises(ValueError):
         qt.approx_agg(0.5, sums=(), avgs=(), count=False)
+
+
+def test_provided_column_stats_bound_transformations(spark, lineitem):
+    """columnStats min/max win over the data and REMOVE that column from
+    the stats scan (at scale the job degrades to a footer count); partial
+    stats (min only) still fall back to the data pass for the max."""
+    from qbeast_spark_spark.core.revision import parse_columns_to_index
+    from qbeast_spark_spark.sources.writer import _build_transformations
+
+    tf, n = _build_transformations(
+        lineitem, parse_columns_to_index(["l_orderkey", "l_extendedprice"]),
+        ["bigint", "double"],
+        {"l_orderkey": {"min": -5, "max": 99999}})
+    assert n == lineitem.count()
+    assert (tf[0].min_value, tf[0].max_value) == (-5.0, 99999.0)
+    data_max = float(lineitem.agg(F.max("l_orderkey")).first()[0])
+    tf2, _ = _build_transformations(
+        lineitem, parse_columns_to_index(["l_orderkey"]), ["bigint"],
+        {"l_orderkey": {"min": 0}})
+    assert (tf2[0].min_value, tf2[0].max_value) == (0.0, data_max)
