@@ -27,7 +27,7 @@ CPUS = os.environ.get("SPARK_GRAFT_CPUS", "32")
 # headline set: qbeast surface + heaviest relational + pipeline operators
 BENCH_QUERIES = [
     "qb_roundtrip", "qb_sample", "qb_range_read", "qb_sql_view",
-    "qb_events_timeslice",
+    "qb_events_timeslice", "qb_dml",
     "q1_pricing_summary", "q3_shipping_priority", "q5_local_supplier",
     "q6_forecast_revenue", "q7_volume_shipping", "q18_large_volume",
     "q_top_orders_per_customer", "q_window_funcs",
@@ -35,7 +35,7 @@ BENCH_QUERIES = [
     "q_time_windows", "q_ntile_quartiles",
     "dedup_ngram_jaccard", "dedup_lsh_scored", "dedup_simhash",
     "dedup_canonical",
-    "text_stats", "text_lang_fingerprint", "sim_topk", "sim_pairs",
+    "text_analysis", "sim_topk", "sim_pairs",
     "sim_otree_topk", "mm_binary_metadata",
 ]
 

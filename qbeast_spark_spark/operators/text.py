@@ -11,7 +11,7 @@ from __future__ import annotations
 
 __all__ = [
     "TOKEN_RE", "STOPWORDS_EN", "tokens_col", "text_stats", "language_guess",
-    "token_counts", "fingerprint", "fingerprint_col",
+    "token_counts", "fingerprint", "fingerprint_col", "text_analysis",
 ]
 
 # word-ish tokens: lowercase alnum runs (a deliberate, documented convention
@@ -136,6 +136,60 @@ def language_guess(docs, id_col: str = "doc_id", text_col: str = "text",
     if include_fingerprint:
         cols.append(F.col("_fp").alias("fingerprint"))
     return tokenized.select(*cols)
+
+
+def text_analysis(docs, id_col: str = "doc_id", text_col: str = "text",
+                  threshold: float = 0.05, tri_threshold: float = 0.01):
+    """Quality stats + language-ID + fingerprint in ONE pass: a single
+    intermediate projection materializes every shared input (token array,
+    char counts, trigram hits, fingerprint), then one final select emits
+    the union of text_stats and language_guess columns. No join, no
+    second scan — the shape both standalone operators use, merged."""
+    from pyspark.sql import functions as F
+
+    from ..functions.partitioning import spread
+
+    lower = F.lower(F.col(text_col))
+    docs = spread(docs).select(
+        F.col(id_col), F.length(F.col(text_col)).alias("_n_chars"),
+        F.length(F.regexp_replace(F.col(text_col), r"[^A-Za-z]", ""))
+        .alias("_n_alpha"),
+        F.length(F.regexp_replace(F.col(text_col), r"[^.,;:!?'\"()-]", ""))
+        .alias("_n_punct"),
+        F.size(F.split(F.trim(F.col(text_col)), r"\s+")).alias("_ws_tokens"),
+        *[(F.length(lower) - F.length(
+            F.replace(lower, F.lit(tri), F.lit(""))))
+          .alias(f"_tri_{tri}") for tri in EN_TRIGRAMS],
+        fingerprint_col(text_col).alias("_fp"),
+        tokens_col(text_col).alias("_toks"))
+    toks = F.col("_toks")
+    stop_arr = F.array(*[F.lit(s) for s in STOPWORDS_EN])
+    n_toks = F.size(toks)
+    total_len = F.aggregate(toks, F.lit(0), lambda acc, t: acc + F.length(t))
+    n_stop = F.size(F.filter(toks, lambda t: F.array_contains(stop_arr, t)))
+    chars = F.greatest(F.col("_n_chars"), F.lit(1))
+    ratio = n_stop.cast("double") / F.greatest(n_toks, F.lit(1))
+    tri_hits = sum((F.col(f"_tri_{t}") / 3 for t in EN_TRIGRAMS[1:]),
+                   F.col(f"_tri_{EN_TRIGRAMS[0]}") / 3)
+    tri_score = tri_hits.cast("double") / chars
+    return docs.select(
+        F.col(id_col),
+        F.col("_n_chars").alias("n_chars_measured"),
+        F.col("_ws_tokens").alias("ws_tokens"),
+        n_toks.alias("n_tokens"),
+        F.round(total_len.cast("double") /
+                F.greatest(n_toks, F.lit(1)), 4).alias("avg_token_len"),
+        F.round(ratio, 4).alias("stopword_ratio"),
+        F.round(F.col("_n_alpha").cast("double") / chars, 4)
+        .alias("alpha_ratio"),
+        F.round(F.col("_n_punct").cast("double") / chars, 4)
+        .alias("punct_ratio"),
+        F.round(ratio, 4).alias("en_score"),
+        F.round(tri_score, 4).alias("trigram_score"),
+        F.when((ratio >= threshold) & (tri_score >= tri_threshold),
+               F.lit("en")).otherwise(F.lit("unk")).alias("lang_guess"),
+        F.col("_fp").alias("fingerprint"),
+    )
 
 
 def token_counts(docs, id_col: str = "doc_id", text_col: str = "text"):

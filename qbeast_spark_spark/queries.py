@@ -30,6 +30,7 @@ from .operators.text import (
     STOPWORDS_EN,
     TOKEN_RE,
     language_guess,
+    text_analysis,
     text_stats,
 )
 
@@ -93,6 +94,44 @@ def qb_roundtrip(spark, sf_dir):
 
 
 QB_ROUNDTRIP_SQL = "SELECT * FROM lineitem"
+
+
+def qb_dml(spark, sf_dir):
+    """DML that keeps the index readable (sources/dml.py — the verbs the
+    reference hands to the DeltaTable API at the cost of its index: after
+    a delete "the table should only be read using delta",
+    docs/Quickstart.md:409-427): fresh indexed copy of lineitem, DELETE a
+    key range, UPDATE a measure over a price slice, then read the result
+    back through the indexed surface. Rebuilt from scratch every call so
+    repeated runs (bench medians) are deterministic."""
+    from . import write_qbeast
+    from .sources.reader import QbeastTable
+
+    key = os.path.abspath(sf_dir)
+    tag = key.strip("/").replace("/", "_")
+    path = f"/tmp/qss_tables/{tag}/lineitem_dml"
+    shutil.rmtree(path, ignore_errors=True)
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_extendedprice", "l_quantity", "l_returnflag")
+    write_qbeast(li, path,
+                 columns_to_index=["l_orderkey", "l_extendedprice"],
+                 cube_size=5000)
+    qt = QbeastTable.for_path(spark, path)
+    qt.delete([("l_orderkey", "<", 1000)])
+    qt.update({"l_quantity": "l_quantity + 5"},
+              [("l_extendedprice", "<", 10000.0)])
+    return qt.to_df().select("l_orderkey", "l_extendedprice",
+                             "l_quantity", "l_returnflag")
+
+
+QB_DML_SQL = """
+SELECT l_orderkey, l_extendedprice,
+       CASE WHEN l_extendedprice < 10000.0
+            THEN l_quantity + 5 ELSE l_quantity END AS l_quantity,
+       l_returnflag
+FROM lineitem
+WHERE l_orderkey >= 1000
+"""
 
 
 def qb_range_read(spark, sf_dir):
@@ -780,6 +819,45 @@ FROM s
 """
 
 
+def tx_analysis(spark, sf_dir):
+    """The full text-analysis battery — quality stats, token counting
+    (both conventions), language-ID, fingerprint — as ONE single-pass
+    projection (operators/text.py::text_analysis). Merges the former
+    text_stats and text_lang_fingerprint probes without a join or a
+    second scan; every column of both survives under the oracle."""
+    return text_analysis(_t(spark, sf_dir, "documents"))
+
+
+TX_ANALYSIS_SQL = f"""
+WITH t AS (SELECT doc_id, text,
+                  regexp_extract_all(lower(text), '{TOKEN_RE}') AS toks
+           FROM documents),
+s AS (SELECT doc_id, text, toks,
+             len(list_filter(toks, t -> list_contains({_STOP_SQL}, t)))::DOUBLE
+               / GREATEST(len(toks), 1) AS ratio,
+             ({_tri_sql()})::DOUBLE
+               / GREATEST(LENGTH(text), 1) AS tri
+      FROM t)
+SELECT doc_id,
+       LENGTH(text) AS n_chars_measured,
+       len(regexp_split_to_array(trim(text), '\\s+')) AS ws_tokens,
+       len(toks) AS n_tokens,
+       ROUND(list_sum(list_transform(toks, t -> len(t)))::DOUBLE
+             / GREATEST(len(toks), 1), 4) AS avg_token_len,
+       ROUND(ratio, 4) AS stopword_ratio,
+       ROUND(LENGTH(regexp_replace(text, '[^A-Za-z]', '', 'g'))::DOUBLE
+             / GREATEST(LENGTH(text), 1), 4) AS alpha_ratio,
+       ROUND(LENGTH(regexp_replace(text, '[^.,;:!?''"()-]', '', 'g'))::DOUBLE
+             / GREATEST(LENGTH(text), 1), 4) AS punct_ratio,
+       ROUND(ratio, 4) AS en_score,
+       ROUND(tri, 4) AS trigram_score,
+       CASE WHEN ratio >= 0.05 AND tri >= 0.01
+            THEN 'en' ELSE 'unk' END AS lang_guess,
+       md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS fingerprint
+FROM s
+"""
+
+
 def sim_topk(spark, sf_dir):
     """ANN top-k family in one result: brute-force cosine (the exact
     correctness baseline — broadcast query side, shuffle only at the
@@ -962,6 +1040,7 @@ FROM documents
 QUERIES: Dict[str, Tuple[Callable, Optional[str]]] = {
     # qbeast-native surface
     "qb_roundtrip": (qb_roundtrip, QB_ROUNDTRIP_SQL),
+    "qb_dml": (qb_dml, QB_DML_SQL),
     "qb_range_read": (qb_range_read, QB_RANGE_READ_SQL),
     "qb_sql_view": (qb_sql_view, QB_SQL_VIEW_SQL),
     "qb_sample": (qb_sample, None),
@@ -988,8 +1067,9 @@ QUERIES: Dict[str, Tuple[Callable, Optional[str]]] = {
     "dedup_exact": (dd_exact, DD_EXACT_SQL),
     "dedup_ngram_jaccard": (dd_jaccard, DD_JACCARD_SQL),
     "dedup_simhash": (dd_simhash, DD_SIMHASH_SQL),
-    "text_stats": (tx_stats, TX_STATS_SQL),
-    "text_lang_fingerprint": (tx_lang, TX_LANG_SQL),
+    # tx_stats / tx_lang stay implemented + pytest-covered; the registered
+    # text_analysis probe is their single-pass merge (every column kept)
+    "text_analysis": (tx_analysis, TX_ANALYSIS_SQL),
     "sim_topk": (sim_topk, SIM_TOPK_SQL),
     "sim_pairs": (sim_pairs, SIM_PAIRS_SQL),
     "mm_binary_metadata": (mm_metadata, MM_META_SQL),

@@ -227,17 +227,16 @@ def convert_to_qbeast(spark, path: str,
                       data_change=False)
 
 
-def write_staging(df, path: str) -> int:
-    """Append non-indexed ("plain") files to a qbeast table — the staging
-    lane (revision 0): cheap ingest now, indexing deferred to optimize()."""
+def _write_staging_files(df, path: str) -> List[IndexFile]:
+    """Write ``df`` as staging (revision 0) data files and return their
+    IndexFile entries WITHOUT committing — callers compose the adds into
+    their own atomic commit (write_staging, DML rewrites)."""
     from pyspark.sql import functions as F
-    from pyspark.sql import types as T
 
     from .writer import DEPTH_COL, FILE_COL, PATH_COL, _META_SCHEMA, \
         _make_write_fn
 
     os.makedirs(path, exist_ok=True)
-    log = CommitLog(path)
     prepared = df.withColumns({
         WEIGHT_COL: F.lit(0),
         FILE_COL: F.spark_partition_id().cast("long"),
@@ -262,8 +261,16 @@ def write_staging(df, path: str) -> int:
         f.blocks = [Block(_cube_str(0, 0), INT_MIN, INT_MAX,
                           f.rows + r["element_count"])]
         f.rows += r["element_count"]
+    return list(by_file.values())
+
+
+def write_staging(df, path: str) -> int:
+    """Append non-indexed ("plain") files to a qbeast table — the staging
+    lane (revision 0): cheap ingest now, indexing deferred to optimize()."""
+    log = CommitLog(path)
+    add = _write_staging_files(df, path)
     staging = Revision(STAGING_REVISION_ID, int(time.time() * 1000),
                        5_000_000, [], [], [])
-    return log.commit(add=list(by_file.values()),
+    return log.commit(add=add,
                       revisions={STAGING_REVISION_ID: staging},
                       schema_json=df.schema.json(), data_change=True)

@@ -498,6 +498,60 @@ class QbeastTable:
                 raise ValueError(f"unsupported filter op {op!r}")
         return cond
 
+    def _candidates_and_residual(self, filters, snap):
+        """(candidate rel paths, residual Column) for a predicate in any
+        of read()'s filter languages. ``filters=None`` (or empty) means
+        every file with no residual; an untranslatable SQL/Column shape
+        degrades to every file WITH the residual — never under-selects."""
+        from functools import reduce
+
+        from pyspark.sql import Column
+        from pyspark.sql import functions as F
+
+        if filters is None or (not isinstance(filters, (str, Column))
+                               and len(filters) == 0):
+            return sorted(snap.files.keys()), None
+        if isinstance(filters, (str, Column)):
+            from .predicates import to_dnf_filters
+
+            residual = F.expr(filters) if isinstance(filters, str) \
+                else filters
+            dnf = to_dnf_filters(filters)
+            if dnf is None:
+                return sorted(snap.files.keys()), residual
+        else:
+            dnf = filters if isinstance(filters[0], list) else [filters]
+            residual = reduce(lambda a, b: a | b,
+                              [self._filters_to_column(c) for c in dnf])
+        selected: set = set()
+        for conj in dnf:
+            selected.update(self._prune_files(snap, conj))
+        return sorted(selected), residual
+
+    # -- DML ---------------------------------------------------------------
+
+    def delete(self, filters=None) -> dict:
+        """DELETE FROM ... WHERE: rewrite only the files containing
+        matching rows; the table stays fully qbeast-readable (the
+        reference loses its index to DeltaTable.delete —
+        docs/Quickstart.md:409-427). ``filters=None`` truncates
+        (metadata-only). Returns {version, rows_deleted, files_rewritten}."""
+        from .dml import delete_rows
+
+        out = delete_rows(self.spark, self.path, filters)
+        self._snapshot = None
+        return out
+
+    def update(self, assignments: dict, filters=None) -> dict:
+        """UPDATE ... SET ... WHERE: ``assignments`` maps column -> SQL
+        expression string or Column. Only files containing matching rows
+        are rewritten. Returns {version, rows_updated, files_rewritten}."""
+        from .dml import update_rows
+
+        out = update_rows(self.spark, self.path, assignments, filters)
+        self._snapshot = None
+        return out
+
     # -- SQL bridge (C1-lite) ----------------------------------------------
     # The reference exposes qbeast tables through a DSv2 catalog
     # (catalog/QbeastCatalog.scala:48-355, `CREATE TABLE ... USING qbeast`,
