@@ -115,6 +115,7 @@ def main() -> None:
     import statistics
 
     n_runs = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "3")))
+    dml_phases: dict[str, list] = {}
     for name in BENCH_QUERIES:
         fn, _sql = QUERIES[name]
         samples = []
@@ -123,6 +124,13 @@ def main() -> None:
             df = fn(spark, SF_DIR)
             df.write.format("noop").mode("overwrite").save()
             samples.append(time.time() - t0)
+            if name == "qb_dml":
+                # headline = the DML verbs; the probe's one-time setup
+                # index build is a submetric (same rule as qb_write)
+                from qbeast_spark_spark.queries import LAST_DML_PHASES
+                for k, v in LAST_DML_PHASES.items():
+                    dml_phases.setdefault(k, []).append(v)
+                samples[-1] -= LAST_DML_PHASES.get("setup", 0.0)
         timings[name] = round(statistics.median(samples), 3)
 
     # Flagship sampling demo (BASELINE.md / reference README.md:50-55):
@@ -181,6 +189,8 @@ def main() -> None:
         qt._prune_files(snap, conj)
     submetrics["qb_range_read.prune_driver"] = round(time.time() - t0, 3)
     submetrics.update(write_phases)
+    for k, v in dml_phases.items():
+        submetrics[f"qb_dml.{k}"] = round(statistics.median(v), 3)
 
     # maintenance surface: re-layout half the table (O1) — timed last so
     # the rewritten files never affect the query timings above

@@ -21,7 +21,7 @@ from .sources.delta_import import (convert_delta_to_qbeast,
                                    read_delta_snapshot, read_delta_table)
 from .sources.qbeast_format import (attach_qbeast_delta,
                                     read_qbeast_delta_snapshot)
-from .sources.dml import delete_rows, update_rows
+from .sources.dml import delete_rows, merge_rows, update_rows
 from .sources.optimize import convert_to_qbeast, optimize_table, write_staging
 from .sources.reader import QbeastTable, read_qbeast
 from .sources.writer import write_qbeast

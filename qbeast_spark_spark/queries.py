@@ -101,11 +101,17 @@ def qb_dml(spark, sf_dir):
     reference hands to the DeltaTable API at the cost of its index: after
     a delete "the table should only be read using delta",
     docs/Quickstart.md:409-427): fresh indexed copy of lineitem, DELETE a
-    key range, UPDATE a measure over a price slice, then read the result
-    back through the indexed surface. Rebuilt from scratch every call so
-    repeated runs (bench medians) are deterministic."""
+    key range, UPDATE a measure over a price slice, MERGE the deleted
+    keys back (insert-only, one row per key) and MERGE a matched update
+    over a surviving key range, then read the result back through the
+    indexed surface. Rebuilt from scratch every call so repeated runs
+    (bench medians) are deterministic."""
+    from pyspark.sql import functions as F
+
     from . import write_qbeast
     from .sources.reader import QbeastTable
+
+    import time as _time
 
     key = os.path.abspath(sf_dir)
     tag = key.strip("/").replace("/", "_")
@@ -113,24 +119,61 @@ def qb_dml(spark, sf_dir):
     shutil.rmtree(path, ignore_errors=True)
     li = _t(spark, sf_dir, "lineitem").select(
         "l_orderkey", "l_extendedprice", "l_quantity", "l_returnflag")
+    phases = LAST_DML_PHASES
+    phases.clear()
+    t0 = _time.time()
     write_qbeast(li, path,
                  columns_to_index=["l_orderkey", "l_extendedprice"],
                  cube_size=5000)
+    phases["setup"] = _time.time() - t0
     qt = QbeastTable.for_path(spark, path)
+    t0 = _time.time()
     qt.delete([("l_orderkey", "<", 1000)])
+    phases["delete"] = _time.time() - t0
+    t0 = _time.time()
     qt.update({"l_quantity": "l_quantity + 5"},
               [("l_extendedprice", "<", 10000.0)])
+    phases["update"] = _time.time() - t0
+    # merge the deleted low keys back, one row per key (all not-matched)
+    src_ins = (li.where("l_orderkey < 500").groupBy("l_orderkey")
+               .agg(F.min("l_extendedprice").alias("l_extendedprice"),
+                    F.min("l_quantity").alias("l_quantity"),
+                    F.min("l_returnflag").alias("l_returnflag")))
+    t0 = _time.time()
+    qt.merge(src_ins, on="l_orderkey", when_not_matched_insert="all")
+    phases["merge_insert"] = _time.time() - t0
+    # matched update over a surviving slice
+    src_upd = (li.where("l_orderkey BETWEEN 2000 AND 2500")
+               .select("l_orderkey").distinct())
+    t0 = _time.time()
+    qt.merge(src_upd, on="l_orderkey",
+             when_matched_update={"l_returnflag": "'M'"})
+    phases["merge_update"] = _time.time() - t0
     return qt.to_df().select("l_orderkey", "l_extendedprice",
                              "l_quantity", "l_returnflag")
 
 
+# per-phase wall times of the last qb_dml call (bench reports the DML
+# verbs as the headline and the one-time setup write as a submetric)
+LAST_DML_PHASES: Dict[str, float] = {}
+
+
 QB_DML_SQL = """
-SELECT l_orderkey, l_extendedprice,
-       CASE WHEN l_extendedprice < 10000.0
-            THEN l_quantity + 5 ELSE l_quantity END AS l_quantity,
-       l_returnflag
-FROM lineitem
-WHERE l_orderkey >= 1000
+WITH survivors AS (
+  SELECT l_orderkey, l_extendedprice,
+         CASE WHEN l_extendedprice < 10000.0
+              THEN l_quantity + 5 ELSE l_quantity END AS l_quantity,
+         l_returnflag
+  FROM lineitem WHERE l_orderkey >= 1000),
+ins AS (
+  SELECT l_orderkey, MIN(l_extendedprice) AS l_extendedprice,
+         MIN(l_quantity) AS l_quantity, MIN(l_returnflag) AS l_returnflag
+  FROM lineitem WHERE l_orderkey < 500 GROUP BY l_orderkey),
+u AS (SELECT * FROM survivors UNION ALL SELECT * FROM ins)
+SELECT l_orderkey, l_extendedprice, l_quantity,
+       CASE WHEN l_orderkey BETWEEN 2000 AND 2500
+            THEN 'M' ELSE l_returnflag END AS l_returnflag
+FROM u
 """
 
 

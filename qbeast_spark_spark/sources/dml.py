@@ -39,19 +39,25 @@ from ..index.analyzer import with_index_columns
 from .log import CommitLog
 from .writer import _complete_file_map, _cube_str, _materialize, _parse_cube
 
-__all__ = ["delete_rows", "update_rows"]
+__all__ = ["delete_rows", "update_rows", "merge_rows"]
 
 
-def _match_counts(qt, candidates: Sequence[str], residual
-                  ) -> Dict[str, int]:
+def _match_counts(qt, candidates: Sequence[str], residual,
+                  probe=None) -> Dict[str, int]:
     """{rel_path: matching row count} for candidate files that contain at
-    least one row matching ``residual`` — one job, O(#files) result."""
+    least one row matching ``residual`` — one job, O(#files) result.
+    ``probe=(df, keys)`` additionally left-semi joins the (column-pruned)
+    target scan against ``df`` on ``keys`` — merge's pass-1 shape."""
     from pyspark.sql import functions as F
 
     if not candidates:
         return {}
-    rows = (qt._df_for_files(candidates).where(residual)
-            .groupBy(F.input_file_name().alias("_f")).count().collect())
+    sel = (qt._df_for_files(candidates)
+           .withColumn("_f", F.input_file_name()).where(residual))
+    if probe is not None:
+        pdf, keys = probe
+        sel = sel.select("_f", *keys).join(pdf, keys, "left_semi")
+    rows = sel.groupBy("_f").count().collect()
     root = os.path.abspath(qt.path)
     out: Dict[str, int] = {}
     for r in rows:
@@ -60,11 +66,15 @@ def _match_counts(qt, candidates: Sequence[str], residual
     return out
 
 
-def _rewrite(qt, snap, matched: List[str], replacement) -> int:
+def _rewrite(qt, snap, matched: List[str], replacement,
+             staged=None) -> int:
     """Write ``replacement`` (the new contents of ``matched`` files)
     through the index pipeline against the existing cube weights, and
     commit adds + removes in one version. Mirrors optimize_table's
-    re-layout (IndexedTable.scala:399-552 analogue) with dataChange=True."""
+    re-layout (IndexedTable.scala:399-552 analogue) with dataChange=True.
+    ``staged`` rows (e.g. merge inserts outside the revision space) are
+    written as staging (revision 0) files inside the SAME commit —
+    readable immediately, indexed by the next optimize()."""
     from ..core.revision import STAGING_REVISION_ID, Revision
     from ..index.analyzer import compute_rollup_from_counts
     import time as _time
@@ -73,11 +83,27 @@ def _rewrite(qt, snap, matched: List[str], replacement) -> int:
     rev = snap.latest_revision()
     selected = [snap.files[rel] for rel in matched]
     bloom_cols = sorted({c for f in selected for c in (f.blooms or {})})
+    extra_add: List = []
+    extra_revs: Dict = {}
+    if staged is not None:
+        from .optimize import _write_staging_files
+
+        extra_add = _write_staging_files(staged, qt.path)
+        extra_revs[STAGING_REVISION_ID] = Revision(
+            STAGING_REVISION_ID, int(_time.time() * 1000),
+            5_000_000, [], [], [])
+        if replacement is None:
+            return log.commit(
+                add=extra_add, remove=matched, revisions=extra_revs,
+                schema_json=snap.schema_json or staged.schema.json(),
+                data_change=True)
 
     if rev is None:
         # staging-only table: replacement rows stay staging files
         from .optimize import _write_staging_files
 
+        if staged is not None:
+            replacement = replacement.unionByName(staged)
         add = _write_staging_files(replacement, qt.path)
         staging = Revision(STAGING_REVISION_ID, int(_time.time() * 1000),
                            5_000_000, [], [], [])
@@ -109,9 +135,9 @@ def _rewrite(qt, snap, matched: List[str], replacement) -> int:
     add = _materialize(prepared, rev, weights, file_map, num_files, qt.path,
                        bloom_cols=tuple(bloom_cols))
     return log.commit(
-        add=add,
+        add=add + extra_add,
         remove=matched,
-        revisions={rev.revision_id: rev},
+        revisions={rev.revision_id: rev, **extra_revs},
         cube_weights={rev.revision_id: {
             _cube_str(d, p): int(w) for (d, p), w in weights.items()}},
         schema_json=snap.schema_json or replacement.schema.json(),
@@ -200,20 +226,204 @@ def update_rows(spark, path: str, assignments: Dict[str, Any],
             "files_rewritten": len(matched)}
 
 
-def _check_revision_space(qt, snap, df, assigned: set) -> None:
-    """Updated linear-indexed columns must stay inside the revision space:
-    out-of-space values would be clamp-assigned to edge cubes, skewing
-    future pruning. One tiny agg over the (already pruned) rewrite set."""
+def merge_rows(spark, path: str, source, on,
+               when_matched_update=None, when_matched_delete: bool = False,
+               when_not_matched_insert=None) -> dict:
+    """MERGE INTO <path> USING <source> ON <equi keys> — the upsert verb
+    the reference hands to the DeltaTable API at the cost of its index;
+    here the table stays fully qbeast-readable (module docstring).
+
+    ``on``: key column name or list of names (equi-join keys).
+    ``when_matched_update``: ``"all"`` (every target column takes the
+    source value — source must carry all target columns) or a dict
+    mapping target column -> SQL string / Column; expressions see target
+    columns by name and source columns as ``__src_<name>``. Mutually
+    exclusive with ``when_matched_delete=True`` (matched rows removed).
+    ``when_not_matched_insert``: ``"all"`` or a dict over source columns
+    (unassigned target columns become NULL); ``None`` inserts nothing.
+
+    Scale shape (Delta MERGE's two-pass plan): pass 1 joins the
+    column-pruned target key scan against the distinct source keys to
+    find the files that contain a match (O(#files) driver result);
+    pass 2 rewrites only those files — matched rows transformed by a
+    single equi-join with the source, not-matched source rows appended
+    through the existing cube weights — and commits adds + removes in
+    ONE atomic log version. A target row matching more than one source
+    row raises (Delta's multiple-source-match error)."""
+    from pyspark.sql import Column
     from pyspark.sql import functions as F
 
-    rev = snap.latest_revision()
-    if rev is None:
-        return
+    from .reader import QbeastTable
+
+    keys = [on] if isinstance(on, str) else list(on)
+    if not keys:
+        raise ValueError("merge needs at least one key column in `on`")
+    if when_matched_update is not None and when_matched_delete:
+        raise ValueError("when_matched_update and when_matched_delete "
+                         "are mutually exclusive")
+    has_matched = when_matched_update is not None or when_matched_delete
+    if not has_matched and when_not_matched_insert is None:
+        raise ValueError("merge needs at least one WHEN clause")
+    missing = [k for k in keys if k not in source.columns]
+    if missing:
+        raise ValueError(f"source lacks merge key column(s) {missing}")
+
+    qt = QbeastTable(spark, path)
+    snap = qt.snapshot(refresh=True)
+    schema = qt.schema()
+    tcols = [f.name for f in schema.fields] if schema \
+        else list(source.columns)
+    by_name = {f.name: f for f in schema.fields} if schema else {}
+    clash = [c for c in source.columns if c.startswith("__src_")]
+    if clash:
+        raise ValueError(f"source columns may not start with __src_: "
+                         f"{clash}")
+
+    def _to_target_schema(df, exprs: Dict[str, Any]):
+        """Project ``exprs`` (target col -> Column) to the full target
+        schema, NULL-filling and casting to declared types."""
+        cols = []
+        for c in tcols:
+            e = exprs.get(c)
+            if e is None:
+                e = F.lit(None)
+            if by_name:
+                e = e.cast(by_name[c].dataType)
+            cols.append(e.alias(c))
+        return df.select(*cols)
+
+    # pass 1: which files contain a matched row (column-pruned key scan)
+    per_file: Dict[str, int] = {}
+    if has_matched and snap.files:
+        per_file = _match_counts(
+            qt, sorted(snap.files),
+            F.lit(True),
+            probe=(source.select(*keys).distinct(), keys))
+    matched = sorted(per_file)
+
+    if matched:
+        # Delta's multiple-source-match guard, restricted to keys that
+        # actually matched (scans only the matched files + the source)
+        dup = (source.groupBy(*keys).count()
+               .where(F.col("count") > 1).drop("count")
+               .join(qt._df_for_files(matched).select(*keys).distinct(),
+                     keys, "left_semi").limit(1).count())
+        if dup:
+            raise ValueError(
+                "merge source has multiple rows for a matched key; "
+                "aggregate the source to one row per key first")
+
+    # not-matched source rows -> insert set (bounded by the source size)
+    inserts = None
+    n_ins = 0
+    if when_not_matched_insert is not None:
+        anti = source
+        if snap.files:
+            anti = source.join(qt.to_df().select(*keys).distinct(),
+                               keys, "left_anti")
+        if when_not_matched_insert == "all":
+            lacking = [c for c in tcols if c not in source.columns]
+            if lacking:
+                raise ValueError(
+                    f"insert='all' needs every target column in the "
+                    f"source; missing {lacking}")
+            exprs = {c: F.col(c) for c in tcols}
+        else:
+            exprs = {}
+            for c, e in when_not_matched_insert.items():
+                if by_name and c not in by_name:
+                    raise ValueError(f"unknown target column {c!r}")
+                e = F.expr(e) if isinstance(e, str) else e
+                exprs[c] = e if isinstance(e, Column) else F.lit(e)
+            for k in keys:
+                exprs.setdefault(k, F.col(k))
+        inserts = _to_target_schema(anti, exprs).persist()
+        n_ins = inserts.count()
+
+    # pass 2: new contents of the matched files
+    updated = None
+    if matched:
+        cur = qt._df_for_files(matched)
+        if when_matched_delete:
+            updated = cur.join(source.select(*keys).distinct(),
+                               keys, "left_anti")
+        else:
+            src = source.select(
+                *keys, *[F.col(c).alias(f"__src_{c}")
+                         for c in source.columns if c not in keys])
+            joined = cur.join(
+                src.withColumn("__src__m", F.lit(True)), keys, "left")
+            hit = F.col("__src__m").isNotNull()
+            if when_matched_update == "all":
+                lacking = [c for c in tcols if c not in source.columns]
+                if lacking:
+                    raise ValueError(
+                        f"update='all' needs every target column in the "
+                        f"source; missing {lacking}")
+                assignments = {c: F.col(f"__src_{c}")
+                               for c in tcols if c not in keys}
+            else:
+                assignments = {}
+                for c, e in when_matched_update.items():
+                    if by_name and c not in by_name:
+                        raise ValueError(f"unknown target column {c!r}")
+                    if c in keys:
+                        raise ValueError(f"merge may not update key {c!r}")
+                    e = F.expr(e) if isinstance(e, str) else e
+                    assignments[c] = e if isinstance(e, Column) else F.lit(e)
+            exprs = {}
+            for c in tcols:
+                e = assignments.get(c)
+                base = F.col(c)
+                exprs[c] = base if e is None else F.when(hit, e) \
+                    .otherwise(base)
+            updated = _to_target_schema(joined, exprs)
+
+    if updated is None and n_ins == 0:
+        if inserts is not None:
+            inserts.unpersist()
+        return {"version": None, "files_rewritten": 0, "rows_inserted": 0,
+                "rows_updated": 0, "rows_deleted": 0}
+
+    if updated is not None and when_matched_update is not None:
+        assigned = set(tcols) - set(keys) if when_matched_update == "all" \
+            else set(when_matched_update)
+        _check_revision_space(qt, snap, updated, assigned)
+    # inserts that fit the revision space index through the existing cube
+    # weights; out-of-space inserts go to the staging lane (revision 0)
+    # inside the same commit — readable now, indexed by the next optimize()
+    replacement, staged = updated, None
+    if inserts is not None and n_ins:
+        rev = snap.latest_revision()
+        if rev is not None and _space_violation(
+                rev, inserts, set(rev.column_names)) is not None:
+            staged = inserts
+        else:
+            replacement = inserts if replacement is None \
+                else replacement.unionByName(inserts)
+    version = _rewrite(qt, snap, matched, replacement, staged=staged)
+    if inserts is not None:
+        inserts.unpersist()
+    n_matched = int(sum(per_file.values()))
+    return {"version": version, "files_rewritten": len(matched),
+            "rows_inserted": int(n_ins),
+            "inserts_staged": staged is not None,
+            "rows_updated": n_matched if when_matched_update is not None
+            else 0,
+            "rows_deleted": n_matched if when_matched_delete else 0}
+
+
+def _space_violation(rev, df, cols: set):
+    """None if every linear-indexed column in ``cols`` stays inside the
+    revision space over ``df``, else a description of the first breach.
+    One tiny agg over the (already pruned) rewrite set."""
+    from pyspark.sql import functions as F
+
     checks = [
         (name, t) for name, t in zip(rev.column_names, rev.transformations)
-        if name in assigned and isinstance(t, LinearTransformation)]
+        if name in cols and isinstance(t, LinearTransformation)]
     if not checks:
-        return
+        return None
     aggs = []
     for name, _t in checks:
         aggs += [F.min(name).alias(f"mn_{name}"),
@@ -224,8 +434,21 @@ def _check_revision_space(qt, snap, df, assigned: set) -> None:
         if mn is None:
             continue
         if float(mn) < t.min_value or float(mx) > t.max_value:
-            raise ValueError(
-                f"update moves indexed column {name!r} outside the "
-                f"revision space [{t.min_value}, {t.max_value}] "
-                f"(new range [{mn}, {mx}]); delete the rows and append "
-                "them through write() so the revision can grow instead")
+            return (f"indexed column {name!r} outside the revision space "
+                    f"[{t.min_value}, {t.max_value}] "
+                    f"(new range [{mn}, {mx}])")
+    return None
+
+
+def _check_revision_space(qt, snap, df, assigned: set) -> None:
+    """Updated linear-indexed columns must stay inside the revision space:
+    out-of-space values would be clamp-assigned to edge cubes, skewing
+    future pruning."""
+    rev = snap.latest_revision()
+    if rev is None:
+        return
+    violation = _space_violation(rev, df, assigned)
+    if violation is not None:
+        raise ValueError(
+            f"update moves {violation}; delete the rows and append "
+            "them through write() so the revision can grow instead")

@@ -552,6 +552,25 @@ class QbeastTable:
         self._snapshot = None
         return out
 
+    def merge(self, source, on, when_matched_update=None,
+              when_matched_delete: bool = False,
+              when_not_matched_insert=None) -> dict:
+        """MERGE INTO (upsert): equi-key merge of ``source`` into this
+        table — matched rows updated (``"all"`` or {col: expr}, source
+        columns visible as ``__src_<name>``) or deleted, not-matched
+        source rows inserted through the existing cube weights. Only
+        files containing a matched key are rewritten; one atomic commit.
+        Returns {version, files_rewritten, rows_inserted, rows_updated,
+        rows_deleted}."""
+        from .dml import merge_rows
+
+        out = merge_rows(self.spark, self.path, source, on,
+                         when_matched_update=when_matched_update,
+                         when_matched_delete=when_matched_delete,
+                         when_not_matched_insert=when_not_matched_insert)
+        self._snapshot = None
+        return out
+
     # -- SQL bridge (C1-lite) ----------------------------------------------
     # The reference exposes qbeast tables through a DSv2 catalog
     # (catalog/QbeastCatalog.scala:48-355, `CREATE TABLE ... USING qbeast`,

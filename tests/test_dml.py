@@ -170,3 +170,130 @@ def test_delete_preserves_blooms(spark, tmp_table):
     assert rewritten, "rewritten files must keep bloom coverage"
     # absent-key point lookup still prunes to zero files
     assert qt.read([("tag", "==", "no-such-tag")]).count() == 0
+
+# -- MERGE INTO --------------------------------------------------------------
+
+def test_merge_upsert_update_and_insert(spark, table):
+    path, li = table
+    qt = qss.QbeastTable.for_path(spark, path)
+    # delete a key range, then merge it back with modified measures plus
+    # matched updates on a surviving range
+    qt.delete([("l_orderkey", "<", 800)])
+    aggs = []
+    for c in li.columns:
+        if c == "l_orderkey":
+            continue
+        elif c == "l_quantity":
+            aggs.append(F.lit(99.0).alias(c))
+        elif c == "l_returnflag":
+            aggs.append(F.lit("M").alias(c))
+        else:
+            aggs.append(F.min(c).alias(c))
+    src = li.where("l_orderkey < 1200").groupBy("l_orderkey").agg(*aggs)
+    n_ins = src.where("l_orderkey < 800").count()
+    n_upd_rows = li.where("l_orderkey >= 800 AND l_orderkey < 1200").count()
+    out = qt.merge(src, on="l_orderkey",
+                   when_matched_update={"l_returnflag": "'M'"},
+                   when_not_matched_insert="all")
+    assert out["rows_inserted"] == n_ins
+    assert out["rows_updated"] == n_upd_rows
+    got = qt.to_df()
+    assert got.count() == li.where("l_orderkey >= 800").count() + n_ins
+    # inserted rows carry the source values
+    ins = got.where("l_orderkey < 800")
+    assert ins.count() == n_ins
+    assert ins.where("l_quantity <> 99.0 OR l_returnflag <> 'M'").count() == 0
+    # matched rows flagged, everything else untouched
+    assert got.where(
+        "l_orderkey >= 800 AND l_orderkey < 1200 AND l_returnflag <> 'M'"
+    ).count() == 0
+    rest = got.where("l_orderkey >= 1200")
+    base = li.where("l_orderkey >= 1200")
+    assert rest.exceptAll(base).count() == 0
+    assert base.exceptAll(rest).count() == 0
+    # sampling still works after the merge rewrite
+    n = got.count()
+    assert abs(qt.sample(0.2).count() - 0.2 * n) / n < 0.05
+
+
+def test_merge_update_all_takes_source_row(spark, tmp_table):
+    df = spark.createDataFrame(
+        [(1, 10.0, "a"), (2, 20.0, "b"), (3, 30.0, "c")], ["k", "v", "s"])
+    qss.write(df, tmp_table, columns_to_index=["k"], cube_size=10)
+    qt = qss.QbeastTable.for_path(spark, tmp_table)
+    src = spark.createDataFrame([(2, 200.0, "B"), (4, 400.0, "D")],
+                                ["k", "v", "s"])
+    out = qt.merge(src, on="k", when_matched_update="all",
+                   when_not_matched_insert="all")
+    assert out["rows_updated"] == 1 and out["rows_inserted"] == 1
+    # k=4 is outside the tiny [1,3] revision space -> staged, not lost
+    assert out["inserts_staged"] is True
+    got = {r["k"]: (r["v"], r["s"]) for r in qt.to_df().collect()}
+    assert got == {1: (10.0, "a"), 2: (200.0, "B"),
+                   3: (30.0, "c"), 4: (400.0, "D")}
+    # the staging lane is real: optimize() folds it into the index
+    qss.optimize_table(spark, tmp_table)
+    got2 = {r["k"]: (r["v"], r["s"]) for r in qt.to_df().collect()}
+    assert got2 == got
+
+
+def test_merge_matched_delete(spark, tmp_table):
+    df = spark.createDataFrame([(i, float(i)) for i in range(20)],
+                               ["k", "v"])
+    qss.write(df, tmp_table, columns_to_index=["k"], cube_size=10)
+    qt = qss.QbeastTable.for_path(spark, tmp_table)
+    src = spark.createDataFrame([(k,) for k in (3, 5, 7, 99)], ["k"])
+    out = qt.merge(src, on="k", when_matched_delete=True)
+    assert out["rows_deleted"] == 3 and out["rows_inserted"] == 0
+    left = {r["k"] for r in qt.to_df().collect()}
+    assert left == set(range(20)) - {3, 5, 7}
+
+
+def test_merge_duplicate_matched_source_keys_raise(spark, tmp_table):
+    df = spark.createDataFrame([(1, 1.0), (2, 2.0)], ["k", "v"])
+    qss.write(df, tmp_table, columns_to_index=["k"], cube_size=10)
+    qt = qss.QbeastTable.for_path(spark, tmp_table)
+    src = spark.createDataFrame([(1, 9.0), (1, 8.0), (5, 5.0)], ["k", "v"])
+    with pytest.raises(ValueError, match="multiple rows"):
+        qt.merge(src, on="k", when_matched_update="all")
+    # duplicate UNmatched keys are fine: both rows insert (Delta semantics)
+    out = qt.merge(src.where("k = 5").unionAll(src.where("k = 5")),
+                   on="k", when_matched_update="all",
+                   when_not_matched_insert="all")
+    assert out["rows_inserted"] == 2
+
+
+def test_merge_insert_only_and_expression_insert(spark, tmp_table):
+    df = spark.createDataFrame([(1, 1.0, "x")], ["k", "v", "s"])
+    qss.write(df, tmp_table, columns_to_index=["k"], cube_size=10)
+    qt = qss.QbeastTable.for_path(spark, tmp_table)
+    src = spark.createDataFrame([(1, 100.0), (2, 2.0)], ["k", "w"])
+    # insert-only merge: matched source rows ignored, no files rewritten
+    out = qt.merge(src, on="k",
+                   when_not_matched_insert={"k": "k", "v": "w * 10"})
+    assert out["rows_inserted"] == 1
+    assert out["rows_updated"] == 0 and out["files_rewritten"] == 0
+    got = {r["k"]: (r["v"], r["s"]) for r in qt.to_df().collect()}
+    assert got == {1: (1.0, "x"), 2: (20.0, None)}
+
+
+def test_merge_out_of_space_inserts_go_to_staging(spark, table):
+    path, li = table
+    qt = qss.QbeastTable.for_path(spark, path)
+    n0 = li.count()
+    # inserts beyond the revision space are staged (revision 0) in the
+    # same atomic commit, not clamp-indexed and not rejected
+    src = (li.limit(5)
+           .withColumn("l_orderkey", F.col("l_orderkey") + 10_000_000_000))
+    out = qt.merge(src, on="l_orderkey", when_not_matched_insert="all")
+    assert out["rows_inserted"] == 5 and out["inserts_staged"] is True
+    assert qt.to_df().count() == n0 + 5
+    assert qt.to_df().where("l_orderkey >= 10000000000").count() == 5
+    # update-only merge against the same wide source still works and the
+    # strict in-place update check still raises when moving indexed cols
+    with pytest.raises(ValueError, match="outside the revision space"):
+        qt.update({"l_extendedprice": "l_extendedprice + 1e9"},
+                  [("l_orderkey", "<", 100)])
+    # merge with no WHEN clause is rejected
+    with pytest.raises(ValueError, match="WHEN clause"):
+        qt.merge(li.limit(1), on="l_orderkey")
