@@ -52,8 +52,7 @@ def _match_counts(qt, candidates: Sequence[str], residual,
 
     if not candidates:
         return {}
-    sel = (qt._df_for_files(candidates)
-           .withColumn("_f", F.input_file_name()).where(residual))
+    sel = qt._df_for_files(candidates, file_col="_f").where(residual)
     if probe is not None:
         pdf, keys = probe
         sel = sel.select("_f", *keys).join(pdf, keys, "left_semi")
@@ -145,21 +144,39 @@ def _rewrite(qt, snap, matched: List[str], replacement,
     )
 
 
-def delete_rows(spark, path: str, filters=None) -> dict:
+def delete_rows(spark, path: str, filters=None,
+                mode: str = "rewrite") -> dict:
     """DELETE FROM <path> WHERE <filters>; see module docstring.
     ``filters`` speaks read()'s languages (tuple DNF, SQL string, Column);
-    ``None`` truncates the table without touching any data file."""
+    ``None`` truncates the table without touching any data file.
+
+    ``mode`` picks the physical strategy:
+
+    - ``"rewrite"``: rewrite the matched files without the matched rows
+      (survivors re-indexed through the existing cube weights).
+    - ``"dv"``: write DELETION VECTORS — a roaring-bitmap sidecar per
+      matched file (sources/deletion_vectors.py, Delta's on-disk DV
+      format) and a metadata-only commit; no data file is rewritten. The
+      100 TB shape: a selective delete touches O(matched files) bitmaps,
+      not O(matched bytes) of parquet. Reads anti-join the bitmaps until
+      ``optimize()`` rewrites the files and drops them.
+    - ``"auto"``: ``"dv"`` when the matched rows are a minority (<50%) of
+      the matched files' live rows (read-amplification guard), else
+      ``"rewrite"``.
+    """
     from pyspark.sql import functions as F
 
     from .reader import QbeastTable
 
+    if mode not in ("rewrite", "dv", "auto"):
+        raise ValueError(f"unknown delete mode {mode!r}")
     qt = QbeastTable(spark, path)
     snap = qt.snapshot(refresh=True)
     if not snap.files:
         return {"version": None, "rows_deleted": 0, "files_rewritten": 0}
     candidates, residual = qt._candidates_and_residual(filters, snap)
     if residual is None:
-        rows = sum(f.rows for f in snap.files.values())
+        rows = sum(f.live_rows for f in snap.files.values())
         version = qt.log.commit(add=[], remove=list(snap.files.keys()),
                                 schema_json=snap.schema_json,
                                 data_change=True)
@@ -169,12 +186,110 @@ def delete_rows(spark, path: str, filters=None) -> dict:
     if not per_file:
         return {"version": None, "rows_deleted": 0, "files_rewritten": 0}
     matched = sorted(per_file)
-    survivors = qt._df_for_files(matched).where(
+    if mode == "auto":
+        live = sum(snap.files[rel].live_rows for rel in matched)
+        mode = "dv" if sum(per_file.values()) < 0.5 * max(live, 1) \
+            else "rewrite"
+    if mode == "dv":
+        return _delete_with_dvs(qt, snap, matched, residual)
+    survivors = qt._df_for_files(matched, snap=snap).where(
         ~F.coalesce(residual, F.lit(False)))
     version = _rewrite(qt, snap, matched, survivors)
     return {"version": version,
             "rows_deleted": int(sum(per_file.values())),
             "files_rewritten": len(matched)}
+
+
+def _delete_with_dvs(qt, snap, matched: List[str], residual) -> dict:
+    """Metadata-only delete: per matched file, union the newly matched
+    row positions into its deletion vector and commit re-adds carrying
+    the new descriptors. Position sets never touch the driver — each
+    file's bitmap is built and written by one executor task
+    (applyInPandas over ``_metadata.row_index`` groups), and the driver
+    collects only O(#matched files) descriptor rows."""
+    from pyspark.sql import functions as F
+
+    from .deletion_vectors import (DVDescriptor, _ensure_shipped,
+                                   descriptor_positions, dv_abs_path,
+                                   roaring_array_encode, write_dv_file,
+                                   z85_encode)
+
+    _ensure_shipped()
+    spark = qt.spark
+    table_path = os.path.abspath(qt.path)
+    # raw scan (existing DVs NOT applied): new positions are diffed
+    # against the old bitmap inside the kernel, so already-deleted rows
+    # neither recount nor disappear from the union
+    schema = qt.schema()
+    paths = [os.path.join(qt.path, rel) for rel in matched]
+    reader = spark.read
+    if schema is not None:
+        reader = reader.schema(schema)
+    hits = (reader.parquet(*paths).where(residual)
+            .select(F.col("_metadata.file_path").alias("fp"),
+                    F.col("_metadata.row_index").alias("ri")))
+    old_dv = {}     # file URI -> existing descriptor json
+    uri_to_rel = {}
+    for rel in matched:
+        from .deletion_vectors import _file_uri
+
+        uri = _file_uri(os.path.join(table_path, rel))
+        uri_to_rel[uri] = rel
+        if snap.files[rel].dv:
+            old_dv[uri] = snap.files[rel].dv
+
+    def _build(key, pdf):
+        import uuid as _u
+
+        import numpy as _np
+        import pandas as pd
+
+        fp = key[0]
+        new = _np.unique(pdf["ri"].to_numpy(dtype="int64"))
+        prev = _np.empty(0, dtype="int64")
+        desc_json = old_dv.get(fp)
+        if desc_json:
+            prev = descriptor_positions(
+                table_path, DVDescriptor.from_json(desc_json))
+        union = _np.union1d(prev, new)
+        uid = _u.uuid4()
+        name = f"deletion_vector_{uid}.bin"
+        data = roaring_array_encode(union)
+        offset, size = write_dv_file(
+            os.path.join(table_path, name), data)
+        return pd.DataFrame({
+            "fp": [fp], "enc": [z85_encode(uid.bytes)],
+            "offset": [offset], "size": [size],
+            "cardinality": [len(union)],
+            "new_deletes": [len(union) - len(prev)]})
+
+    out = (hits.repartition(max(1, len(matched)), "fp")
+           .groupBy("fp")
+           .applyInPandas(_build, schema="fp string, enc string, "
+                          "offset long, size long, cardinality long, "
+                          "new_deletes long")
+           .collect())
+    add: List = []
+    total_new = 0
+    import dataclasses
+
+    for r in out:
+        rel = uri_to_rel[r["fp"]]
+        f = dataclasses.replace(snap.files[rel], dv={
+            "storageType": "u", "pathOrInlineDv": r["enc"],
+            "offset": int(r["offset"]), "sizeInBytes": int(r["size"]),
+            "cardinality": int(r["cardinality"])})
+        add.append(f)
+        total_new += int(r["new_deletes"])
+    version = qt.log.commit(add=add, remove=[],
+                            schema_json=snap.schema_json,
+                            data_change=True)
+    # superseded bitmaps are dead the moment the commit lands (their file
+    # entry now points at the new sidecar) — unlike data files they are
+    # never referenced by older READ paths we support mutating, but time
+    # travel still wants them, so defer actual deletion to vacuum()
+    return {"version": version, "rows_deleted": int(total_new),
+            "files_rewritten": 0, "files_dv": len(add)}
 
 
 def update_rows(spark, path: str, assignments: Dict[str, Any],

@@ -78,6 +78,16 @@ class IndexFile:
     # opt-in per-column Bloom filters (zlib+base64) for string point
     # lookups — functions/bloom.py
     blooms: Optional[Dict[str, str]] = None
+    # deletion-vector descriptor in the Delta wire shape (storageType /
+    # pathOrInlineDv / offset / sizeInBytes / cardinality) — rows whose
+    # position is set in the bitmap are logically deleted without a file
+    # rewrite (sources/deletion_vectors.py); None = no deleted rows
+    dv: Optional[Dict[str, Any]] = None
+
+    @property
+    def live_rows(self) -> int:
+        """Logical row count: physical rows minus DV-deleted rows."""
+        return self.rows - (int(self.dv["cardinality"]) if self.dv else 0)
 
     def to_json(self) -> Dict[str, Any]:
         out = {"path": self.path, "size": self.size, "rows": self.rows,
@@ -87,13 +97,16 @@ class IndexFile:
             out["columnStats"] = self.column_stats
         if self.blooms:
             out["blooms"] = self.blooms
+        if self.dv:
+            out["deletionVector"] = self.dv
         return out
 
     @staticmethod
     def from_json(o: Dict[str, Any]) -> "IndexFile":
         return IndexFile(o["path"], o["size"], o["rows"], o["revisionID"],
                          [Block.from_json(b) for b in o.get("blocks", [])],
-                         o.get("columnStats"), o.get("blooms"))
+                         o.get("columnStats"), o.get("blooms"),
+                         o.get("deletionVector"))
 
 
 @dataclass

@@ -128,15 +128,42 @@ class QbeastTable:
 
     # -- reads --------------------------------------------------------------
 
-    def _df_for_files(self, rel_paths: Sequence[str]):
+    def _df_for_files(self, rel_paths: Sequence[str], snap=None,
+                      file_col: Optional[str] = None):
+        """Scan the given files. ``file_col`` materializes the source file
+        URI (``_metadata.file_path``) as a visible column CAPTURED AT THE
+        SCAN — callers that need per-file attribution (DML match counts)
+        must use this instead of ``input_file_name()``, which goes blank
+        if the deletion-vector anti-join below shuffles."""
+        from pyspark.sql import functions as F
+
         schema = self.schema()
         if not rel_paths:
-            return self.spark.createDataFrame([], schema)
+            df = self.spark.createDataFrame([], schema)
+            return df.withColumn(file_col, F.lit("")) if file_col else df
         paths = [os.path.join(self.path, p) for p in rel_paths]
         reader = self.spark.read
         if schema is not None:
             reader = reader.schema(schema)
-        return reader.parquet(*paths)
+        df = reader.parquet(*paths)
+        if file_col:
+            df = df.withColumn(file_col, F.col("_metadata.file_path"))
+        # logical deletes: anti-join away DV'd positions (no-op plan change
+        # when no listed file carries a deletion vector — the common case)
+        snap = snap if snap is not None else self.snapshot()
+        dv_entries = []
+        for rel in rel_paths:
+            f = snap.files.get(rel)
+            if f is not None and f.dv:
+                from .deletion_vectors import DVDescriptor
+
+                dv_entries.append((os.path.join(self.path, rel),
+                                   DVDescriptor.from_json(f.dv)))
+        if dv_entries:
+            from .deletion_vectors import with_dv_filter
+
+            df = with_dv_filter(df, self.spark, dv_entries, self.path)
+        return df
 
     def to_df(self, version: Optional[int] = None):
         """R4 — plain read of every live file. ``version`` reads the table
@@ -146,7 +173,7 @@ class QbeastTable:
             snap = self.log.snapshot(at_version=version)
         else:
             snap = self.snapshot(refresh=True)
-        return self._df_for_files(list(snap.files.keys()))
+        return self._df_for_files(list(snap.files.keys()), snap=snap)
 
     def history(self):
         """Commit history (DESCRIBE HISTORY analogue), newest last."""
@@ -208,10 +235,32 @@ class QbeastTable:
         in-flight write would delete its uncommitted files (ADVICE r1)."""
         import time as _time
 
-        live = set(self.snapshot(refresh=True).files.keys())
+        snap = self.snapshot(refresh=True)
+        live = set(snap.files.keys())
+        # deletion-vector sidecars referenced by live files stay; bitmaps
+        # superseded by later deletes or dropped by optimize rewrites go
+        from .deletion_vectors import DVDescriptor, dv_abs_path
+
+        live_dvs = set()
+        for f in snap.files.values():
+            if f.dv:
+                p = dv_abs_path(self.path, DVDescriptor.from_json(f.dv))
+                if p:
+                    live_dvs.add(os.path.relpath(os.path.abspath(p),
+                                                 os.path.abspath(self.path)))
         cutoff = _time.time() - retention_hours * 3600.0
         victims = []
         for name in os.listdir(self.path):
+            if (name.startswith("deletion_vector_") and name.endswith(".bin")
+                    and name not in live_dvs):
+                try:
+                    if os.path.getmtime(os.path.join(self.path,
+                                                     name)) > cutoff:
+                        continue
+                except OSError:
+                    continue
+                victims.append(name)
+                continue
             if name.endswith(".parquet") and name not in live:
                 try:
                     if os.path.getmtime(os.path.join(self.path, name)) > cutoff:
@@ -279,7 +328,7 @@ class QbeastTable:
                 for conj in dnf:
                     boxed.update(self._prune_files(snap, conj))
                 selected = [p for p in selected if p in boxed]
-        df = self._df_for_files(selected)
+        df = self._df_for_files(selected, snap=snap)
         rev = snap.latest_revision()
         if rev is None:
             df = df.sample(fraction)  # unindexed table: vanilla sample
@@ -414,7 +463,8 @@ class QbeastTable:
             selected: set = set()
             for conj in dnf:
                 selected.update(self._prune_files(snap, conj))
-            return self._df_for_files(sorted(selected)).where(residual)
+            return self._df_for_files(sorted(selected),
+                                      snap=snap).where(residual)
 
         if not filters:
             return self.to_df()
@@ -423,7 +473,7 @@ class QbeastTable:
         selected: set = set()
         for conj in disjuncts:
             selected.update(self._prune_files(snap, conj))
-        df = self._df_for_files(sorted(selected))
+        df = self._df_for_files(sorted(selected), snap=snap)
         residual = reduce(lambda a, b: a | b,
                           [self._filters_to_column(conj)
                            for conj in disjuncts])
@@ -530,15 +580,17 @@ class QbeastTable:
 
     # -- DML ---------------------------------------------------------------
 
-    def delete(self, filters=None) -> dict:
+    def delete(self, filters=None, mode: str = "rewrite") -> dict:
         """DELETE FROM ... WHERE: rewrite only the files containing
         matching rows; the table stays fully qbeast-readable (the
         reference loses its index to DeltaTable.delete —
         docs/Quickstart.md:409-427). ``filters=None`` truncates
-        (metadata-only). Returns {version, rows_deleted, files_rewritten}."""
+        (metadata-only). ``mode="dv"`` writes deletion vectors instead of
+        rewriting files and ``"auto"`` picks by matched fraction — see
+        dml.delete_rows. Returns {version, rows_deleted, files_rewritten}."""
         from .dml import delete_rows
 
-        out = delete_rows(self.spark, self.path, filters)
+        out = delete_rows(self.spark, self.path, filters, mode=mode)
         self._snapshot = None
         return out
 
