@@ -115,11 +115,22 @@ def export_delta_log(snapshot, table_path: str,
     if include_index:
         config, tags = _qbeast_config_and_tags(snapshot, table_id)
 
+    # files carrying deletion vectors require the feature-gated protocol
+    # (Delta spec: DV tables are readerVersion 3 / writerVersion 7 with
+    # the deletionVectors feature listed); DV-free snapshots keep the
+    # maximally-compatible v1 protocol
+    has_dvs = any(getattr(f, "dv", None) for f in snapshot.files.values())
+    protocol = ({"minReaderVersion": 3, "minWriterVersion": 7,
+                 "readerFeatures": ["deletionVectors"],
+                 "writerFeatures": ["deletionVectors"]}
+                if has_dvs else
+                {"minReaderVersion": 1, "minWriterVersion": 2})
+
     actions: List[dict] = [
         {"commitInfo": {"timestamp": now, "operation": "WRITE",
                         "operationParameters": {"mode": "Overwrite"},
                         "engineInfo": "qbeast-spark-spark-export"}},
-        {"protocol": {"minReaderVersion": 1, "minWriterVersion": 2}},
+        {"protocol": protocol},
         {"metaData": {
             "id": table_id,
             "format": {"provider": "parquet", "options": {}},
@@ -150,6 +161,12 @@ def export_delta_log(snapshot, table_path: str,
         }
         if f.path in tags:
             add["tags"] = tags[f.path]
+        if getattr(f, "dv", None):
+            # the sidecar already lives in the table dir in Delta's .bin
+            # framing with the UUID naming — the descriptor exports as-is
+            add["deletionVector"] = dict(f.dv)
+            stats["numRecords"] = int(f.rows)   # physical rows, per spec
+            add["stats"] = json.dumps(stats)
         actions.append({"add": add})
     target = os.path.join(log_dir, f"{next_v:020d}.json")
     tmp = target + ".tmp"

@@ -22,8 +22,11 @@ footer probe of one data file guards against 'id'-mode files whose
 parquet columns don't carry physical names (e.g. raw Iceberg imports) —
 those raise instead of silently reading nulls.
 
-Unsupported (raises): deletion vectors — they announce themselves in the
-add actions, so detection is reliable.
+Deletion vectors are SUPPORTED: an add action's ``deletionVector``
+descriptor (storageType u/i/p) is decoded through
+sources/deletion_vectors.py — executor-side roaring-bitmap expansion,
+``_metadata.row_index`` anti-join on the scan — so tables that went
+through Delta DML with DVs enabled read their LOGICAL rows here.
 """
 
 from __future__ import annotations
@@ -83,8 +86,7 @@ def _column_mapping(schema_json: Optional[str], config: Dict[str, str]):
 
 # Reader features whose presence alone is harmless here: timestampNtz is
 # plain parquet on the read path, and columnMapping / deletionVectors are
-# independently detected and rejected where actually USED (metaData
-# configuration / add actions). Anything else — v2Checkpoint's UUID-named
+# both implemented. Anything else — v2Checkpoint's UUID-named
 # checkpoints especially — must fail loudly instead of surfacing later as
 # an opaque FileNotFoundError (ADVICE r2).
 _TOLERATED_READER_FEATURES = {"timestampNtz", "columnMapping",
@@ -203,9 +205,6 @@ def _snapshot_state(table_path: str, at_version: Optional[int] = None
                 action = json.loads(line)
                 if "add" in action:
                     a = action["add"]
-                    if a.get("deletionVector"):
-                        raise ValueError(
-                            "deletion-vector Delta tables are not supported")
                     files[a["path"]] = a
                 elif "remove" in action:
                     files.pop(action["remove"]["path"], None)
@@ -266,11 +265,30 @@ def read_delta_table(spark, table_path: str):
             F.col(name_map[f.name]).cast(f.dataType).alias(f.name)
             for f in fields])
 
+    def dv_entries(rel_paths):
+        out = []
+        for p in rel_paths:
+            d = files[p].get("deletionVector")
+            if d:
+                from .deletion_vectors import DVDescriptor
+
+                out.append((paths[p], DVDescriptor.from_json(d)))
+        return out
+
+    def apply_dvs(df, rel_paths):
+        entries = dv_entries(rel_paths)
+        if not entries:
+            return df
+        from .deletion_vectors import with_dv_filter
+
+        return with_dv_filter(df, spark, entries, table_path)
+
     if not part_cols:
         reader = spark.read
         if phys_full is not None:
             reader = reader.schema(phys_full)
-        df = reader.parquet(*[paths[p] for p in sorted(paths)])
+        rels = sorted(paths)
+        df = apply_dvs(reader.parquet(*[paths[p] for p in rels]), rels)
         return to_logical(df, full.fields if full else [])
     if full is None:
         raise ValueError("partitioned Delta table without a schemaString")
@@ -287,12 +305,13 @@ def read_delta_table(spark, table_path: str):
     for p in sorted(files):
         pv = files[p].get("partitionValues") or {}
         key = tuple(pv.get(name_map[c]) for c in part_cols)
-        groups.setdefault(key, []).append(paths[p])
+        groups.setdefault(key, []).append(p)
     out = None
     for key, grp in sorted(groups.items(),
                            key=lambda kv: tuple(map(str, kv[0]))):
-        df = to_logical(spark.read.schema(phys_data_schema).parquet(*grp),
-                        data_fields)
+        scan = spark.read.schema(phys_data_schema).parquet(
+            *[paths[p] for p in grp])
+        df = to_logical(apply_dvs(scan, grp), data_fields)
         for c, raw in zip(part_cols, key):
             lit = (F.lit(None) if raw is None else F.lit(raw))
             df = df.withColumn(c, lit.cast(part_types[c]))

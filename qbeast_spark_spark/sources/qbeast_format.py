@@ -327,8 +327,12 @@ def _file_from_add(rel_path: str, add: Dict[str, Any],
         # (DeltaQbeastFileUtils.fromAddFile:75-78 — root block fallback)
         rev_id = 0
         blocks = [Block("0:0", INT_MIN, INT_MAX, rows)]
+    # Delta DML with DVs enabled leaves deletionVector descriptors on the
+    # add actions; carried into the snapshot so for_delta reads (and any
+    # adopt-then-mutate flow) see logical rows (sources/deletion_vectors)
     return IndexFile(rel_path, int(add.get("size", 0) or 0), rows,
-                     rev_id, blocks, column_stats)
+                     rev_id, blocks, column_stats,
+                     dv=add.get("deletionVector") or None)
 
 
 def read_qbeast_delta_snapshot(table_path: str,
