@@ -112,6 +112,7 @@ def main() -> None:
     # n>=3 runs per query, report the MEDIAN: single-run timings on a
     # shared VM made sub-1.5s deltas unattributable (round-2 judge nit —
     # q3/q5 "regressions" were probably noise; medians settle it).
+    import gc
     import statistics
 
     n_runs = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "3")))
@@ -132,6 +133,16 @@ def main() -> None:
                     dml_phases.setdefault(k, []).append(v)
                 samples[-1] -= LAST_DML_PHASES.get("setup", 0.0)
         timings[name] = round(statistics.median(samples), 3)
+        # Isolation between queries: some pipelines persist intermediates
+        # (LSH signature tables) or localCheckpoint loop state (connected
+        # components); dropping the SQL cache and collecting the Python
+        # wrappers (so the JVM ContextCleaner can reclaim checkpoint
+        # blocks) keeps one query's leftover blocks from inflating the
+        # next query's timing (r3 recorded dedup_simhash at 4.5s from
+        # cross-query interference; it runs at ~1s in isolation).
+        spark.catalog.clearCache()
+        del df
+        gc.collect()
 
     # Flagship sampling demo (BASELINE.md / reference README.md:50-55):
     # the same aggregate on the full indexed table vs a 1% sample. The
@@ -197,6 +208,12 @@ def main() -> None:
     t0 = time.time()
     qss.optimize_table(spark, qt.path, fraction=0.5)
     timings["qb_optimize"] = round(time.time() - t0, 3)
+
+    # small-file compaction (bin-pack, no re-index) over the optimized
+    # table — a submetric so the headline set stays round-comparable
+    t0 = time.time()
+    qss.compact_table(spark, qt.path, target_file_bytes=256 * 1024 * 1024)
+    submetrics["qb_compact"] = round(time.time() - t0, 3)
 
     sf = os.path.basename(os.path.normpath(SF_DIR)).replace("sf", "")
     try:
