@@ -23,6 +23,7 @@ from .sources.qbeast_format import (attach_qbeast_delta,
                                     read_qbeast_delta_snapshot)
 from .sources.compact import compact_table
 from .sources.dml import delete_rows, merge_rows, update_rows
+from .sources.maintenance import auto_maintain
 from .sources.optimize import convert_to_qbeast, optimize_table, write_staging
 from .sources.reader import QbeastTable, read_qbeast
 from .sources.writer import write_qbeast
@@ -56,7 +57,8 @@ read = read_qbeast
 __all__ = [
     "CubeId", "Revision", "DEFAULT_CUBE_SIZE", "QbeastTable",
     "write", "read", "write_qbeast", "read_qbeast",
-    "optimize_table", "compact_table", "convert_to_qbeast", "write_staging",
+    "optimize_table", "compact_table", "auto_maintain",
+    "convert_to_qbeast", "write_staging",
     "convert_delta_to_qbeast", "read_delta_snapshot", "read_delta_table",
     "select_columns_to_index", "compute_quantiles",
     "fraction_to_weight", "weight_to_fraction",

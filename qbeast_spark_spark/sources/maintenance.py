@@ -1,0 +1,74 @@
+"""Policy-driven table maintenance: one call that keeps an ingest-heavy
+table healthy.
+
+Streaming / micro-batch ingest fragments a table three ways: staging
+files pile up un-indexed (the cheap write lane), indexed files arrive
+under-sized, and rewrite verbs (DML, optimize, compaction) strand old
+files on disk. The reference leaves the scheduling to the user (separate
+optimize() calls — IndexedTable.scala:399-552); ``auto_maintain`` packages
+the standard policy loop so a foreachBatch sink can call one verb every N
+batches:
+
+1. staging backlog -> optimize (index the plain files) once it crosses
+   ``max_staging_rows``;
+2. small-file count -> compact_table (bin-pack, no re-index) once it
+   crosses ``max_small_files``;
+3. optionally vacuum files dropped before ``vacuum_retention_hours``.
+
+Every step is itself a metadata-bounded driver decision: thresholds are
+evaluated against the snapshot (O(#files)), never by scanning data."""
+
+from __future__ import annotations
+
+from typing import Any, Dict, Optional
+
+from ..core.revision import STAGING_REVISION_ID
+from .compact import compact_table
+from .log import CommitLog
+from .optimize import optimize_table
+
+__all__ = ["auto_maintain"]
+
+
+def auto_maintain(spark, path: str, *,
+                  max_staging_rows: int = 1_000_000,
+                  max_small_files: int = 8,
+                  small_file_bytes: int = 32 * 1024 * 1024,
+                  target_file_bytes: int = 128 * 1024 * 1024,
+                  vacuum_retention_hours: Optional[float] = None,
+                  columns_to_index=None) -> Dict[str, Any]:
+    """Run whichever maintenance steps the table currently needs; returns
+    a report of what ran (step -> committed version / file list, absent
+    when the step was skipped). Safe to call unconditionally after every
+    ingest batch — a healthy table costs one snapshot read."""
+    report: Dict[str, Any] = {}
+    log = CommitLog(path)
+    if not log.exists():
+        return report
+    snap = log.snapshot()
+
+    staging = [f for f in snap.files.values()
+               if f.revision_id == STAGING_REVISION_ID]
+    if sum(f.live_rows for f in staging) > max_staging_rows:
+        v = optimize_table(spark, path,
+                           file_paths=[f.path for f in staging],
+                           columns_to_index=columns_to_index)
+        if v is not None:
+            report["optimize_staging"] = v
+            snap = log.snapshot()
+
+    small = [f for f in snap.files.values() if f.size < small_file_bytes]
+    if len(small) >= max_small_files:
+        v = compact_table(spark, path, target_file_bytes=target_file_bytes,
+                          min_file_bytes=small_file_bytes)
+        if v is not None:
+            report["compact"] = v
+
+    if vacuum_retention_hours is not None:
+        from .reader import QbeastTable
+
+        deleted = QbeastTable.for_path(spark, path).vacuum(
+            retention_hours=vacuum_retention_hours)
+        if deleted:
+            report["vacuum"] = deleted
+    return report

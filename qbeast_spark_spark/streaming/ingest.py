@@ -34,21 +34,33 @@ def stream_write_qbeast(stream_df, path: str,
                         checkpoint: Optional[str] = None,
                         trigger_available_now: bool = False,
                         query_name: str = "qbeast-stream-ingest",
+                        maintain_every: Optional[int] = None,
+                        maintain_kwargs: Optional[dict] = None,
                         **write_kwargs):
     """writeStream.foreachBatch -> qbeast.write append per micro-batch.
     Exactly-once: the commit is tagged (query_name, batch_id), so a batch
     replayed after a failure hits the idempotent-skip path. Extra
     keyword arguments (bloom_columns, column_stats, merge_schema, ...)
-    pass straight through to write_qbeast for every batch."""
+    pass straight through to write_qbeast for every batch.
+
+    ``maintain_every=N`` runs auto_maintain (index the staging backlog,
+    compact small files, optionally vacuum — sources/maintenance.py)
+    after every Nth batch, the standard counter to micro-batch
+    fragmentation; its thresholds come from ``maintain_kwargs``."""
     from ..sources.writer import write_qbeast
 
     def sink(batch_df, batch_id: int):
-        if batch_df.isEmpty():
-            return
-        write_qbeast(batch_df, path, columns_to_index=columns_to_index,
-                     cube_size=cube_size, mode="append",
-                     txn_app_id=query_name, txn_version=batch_id,
-                     **write_kwargs)
+        if not batch_df.isEmpty():
+            write_qbeast(batch_df, path, columns_to_index=columns_to_index,
+                         cube_size=cube_size, mode="append",
+                         txn_app_id=query_name, txn_version=batch_id,
+                         **write_kwargs)
+        if maintain_every and (batch_id + 1) % maintain_every == 0:
+            from ..sources.maintenance import auto_maintain
+
+            auto_maintain(batch_df.sparkSession, path,
+                          columns_to_index=columns_to_index,
+                          **(maintain_kwargs or {}))
 
     writer = (stream_df.writeStream.foreachBatch(sink)
               .queryName(query_name)

@@ -1,0 +1,113 @@
+"""auto_maintain (sources/maintenance.py): the threshold-driven
+maintenance loop — index the staging backlog, compact small files,
+vacuum — and its hook in the streaming ingest sink."""
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from conftest import load
+
+
+def test_noop_on_healthy_table(spark, tmp_table):
+    import qbeast_spark_spark as qss
+
+    li = load(spark, "lineitem").limit(1000)
+    qss.write(li, tmp_table, columns_to_index=["l_orderkey"])
+    report = qss.auto_maintain(spark, tmp_table, max_small_files=10_000)
+    assert "optimize_staging" not in report
+    assert "compact" not in report
+
+
+def test_noop_on_missing_table(spark, tmp_table):
+    import qbeast_spark_spark as qss
+
+    assert qss.auto_maintain(spark, tmp_table) == {}
+
+
+def test_staging_backlog_gets_indexed(spark, tmp_table):
+    import qbeast_spark_spark as qss
+    from qbeast_spark_spark.core.revision import STAGING_REVISION_ID
+
+    li = load(spark, "lineitem").limit(2000)
+    qss.write(li.where(F.col("l_orderkey") % 2 == 0), tmp_table,
+              columns_to_index=["l_orderkey"], cube_size=500)
+    qss.write_staging(li.where(F.col("l_orderkey") % 2 == 1), tmp_table)
+    n = qss.QbeastTable.for_path(spark, tmp_table).to_df().count()
+
+    report = qss.auto_maintain(spark, tmp_table, max_staging_rows=10,
+                               max_small_files=10_000)
+    assert "optimize_staging" in report
+    qt = qss.QbeastTable.for_path(spark, tmp_table)
+    snap = qt.snapshot()
+    assert not any(f.revision_id == STAGING_REVISION_ID
+                   for f in snap.files.values())
+    assert qt.to_df().count() == n
+
+
+def test_small_files_get_compacted(spark, tmp_table):
+    import qbeast_spark_spark as qss
+
+    li = load(spark, "lineitem").limit(3000)
+    qss.write(li, tmp_table, columns_to_index=["l_orderkey"], cube_size=200)
+    qt = qss.QbeastTable.for_path(spark, tmp_table)
+    before = len(qt.file_paths())
+    assert before > 2
+    n = qt.to_df().count()
+
+    report = qss.auto_maintain(spark, tmp_table, max_small_files=2)
+    assert "compact" in report
+    qt2 = qss.QbeastTable.for_path(spark, tmp_table)
+    assert len(qt2.file_paths()) < before
+    assert qt2.to_df().count() == n
+
+
+def test_vacuum_step_reclaims_dropped_files(spark, tmp_table):
+    import qbeast_spark_spark as qss
+
+    li = load(spark, "lineitem").limit(3000)
+    qss.write(li, tmp_table, columns_to_index=["l_orderkey"], cube_size=200)
+    qss.compact_table(spark, tmp_table)
+
+    # without vacuum: old files linger on disk
+    on_disk = [p for p in os.listdir(tmp_table) if p.endswith(".parquet")]
+    live = [os.path.basename(p) for p in
+            qss.QbeastTable.for_path(spark, tmp_table).file_paths()]
+    assert len(on_disk) > len(live)
+
+    report = qss.auto_maintain(spark, tmp_table, max_small_files=10_000,
+                               vacuum_retention_hours=0.0)
+    assert report.get("vacuum")
+    on_disk2 = [p for p in os.listdir(tmp_table) if p.endswith(".parquet")]
+    assert sorted(on_disk2) == sorted(live)
+
+
+def test_streaming_sink_runs_maintenance(spark, tmp_path):
+    import qbeast_spark_spark as qss
+    from qbeast_spark_spark.streaming.ingest import stream_write_qbeast
+
+    li = load(spark, "lineitem").limit(3000)
+    src = str(tmp_path / "src")
+    # several source files -> several micro-batches
+    li.repartition(6).write.parquet(src)
+    table = str(tmp_path / "table")
+    ckpt = str(tmp_path / "ckpt")
+
+    stream = (spark.readStream.schema(li.schema)
+              .option("maxFilesPerTrigger", "2").parquet(src))
+    q = stream_write_qbeast(
+        stream, table, columns_to_index=["l_orderkey"], cube_size=300,
+        checkpoint=ckpt, trigger_available_now=True,
+        maintain_every=2,
+        maintain_kwargs={"max_small_files": 2,
+                         "small_file_bytes": 32 * 1024 * 1024})
+    q.awaitTermination(120)
+
+    qt = qss.QbeastTable.for_path(spark, table)
+    assert qt.to_df().count() == 3000
+    # maintenance compacted at least once: a dataChange=false commit exists
+    history = qt.log.history()
+    assert any(c.get("dataChange") is False for c in history)
+    # and the result still reads exactly
+    assert qt.to_df().exceptAll(spark.read.parquet(src)).count() == 0
