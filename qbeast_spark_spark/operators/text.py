@@ -12,6 +12,7 @@ from __future__ import annotations
 __all__ = [
     "TOKEN_RE", "STOPWORDS_EN", "tokens_col", "text_stats", "language_guess",
     "token_counts", "fingerprint", "fingerprint_col", "text_analysis",
+    "PII_PATTERNS", "pii_scan",
 ]
 
 # word-ish tokens: lowercase alnum runs (a deliberate, documented convention
@@ -189,6 +190,40 @@ def text_analysis(docs, id_col: str = "doc_id", text_col: str = "text",
         F.when((ratio >= threshold) & (tri_score >= tri_threshold),
                F.lit("en")).otherwise(F.lit("unk")).alias("lang_guess"),
         F.col("_fp").alias("fingerprint"),
+    )
+
+
+# PII probes for training-data redaction triage. Patterns deliberately use
+# only constructs whose matching semantics agree between Java regex
+# (Spark) and RE2 (DuckDB oracle): character classes, bounded/greedy
+# quantifiers — no backrefs, no lookaround. Shared with the oracle SQL
+# generator in queries.py.
+PII_PATTERNS = {
+    "email": r"[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\.[a-zA-Z][a-zA-Z]+",
+    "url": r"https?://[^ \t\n]+",
+    # 9+ digit runs allowing common separators, anchored on digits at
+    # both ends (catches phone-ish and id-ish sequences)
+    "phone": r"[0-9][0-9 ().-]{7,}[0-9]",
+}
+
+
+def pii_scan(docs, id_col: str = "doc_id", text_col: str = "text"):
+    """Per-document PII hit counts (emails / URLs / phone-like digit
+    runs) + their total — the triage pass before redaction in a
+    training-data pipeline (filter ``n_pii_total > 0``). All-JVM
+    ``regexp_count`` expressions (one scan, whole-stage codegen); at
+    100 TB this is a map-only pass."""
+    from pyspark.sql import functions as F
+
+    from ..functions.partitioning import spread
+
+    counts = {name: F.regexp_count(F.col(text_col), F.lit(pat))
+              for name, pat in PII_PATTERNS.items()}
+    return spread(docs).select(
+        F.col(id_col),
+        *[c.alias(f"n_{name}") for name, c in counts.items()],
+        sum(list(counts.values())[1:], list(counts.values())[0])
+        .cast("int").alias("n_pii_total"),
     )
 
 

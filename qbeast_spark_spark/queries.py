@@ -904,9 +904,13 @@ FROM s
 def sim_topk(spark, sf_dir):
     """ANN top-k family in one result: brute-force cosine (the exact
     correctness baseline — broadcast query side, shuffle only at the
-    per-query top-k window) and IVF (broadcast centroids + equi-join on
-    centroid id, the scale path), labeled by method."""
+    per-query top-k window), IVF (broadcast centroids + equi-join on
+    centroid id, the scale path), and int8-quantized cosine (the
+    4x-memory serving path, operators/embeddings.py), labeled by
+    method."""
     from pyspark.sql import functions as F
+
+    from .operators.embeddings import quantized_topk
 
     emb = _t(spark, sf_dir, "embeddings")
     queries = (emb.where(F.col("vec_id") < 5)
@@ -919,7 +923,9 @@ def sim_topk(spark, sf_dir):
                          F.col("embedding").alias("c_embedding")))
     ivf = (ivf_topk(emb.where(F.col("vec_id") >= 5), queries, centroids, k=5)
            .withColumn("method", F.lit("ivf")))
-    return brute.unionByName(ivf)
+    q8 = (quantized_topk(emb.where(F.col("vec_id") >= 5), queries, k=5)
+          .withColumn("method", F.lit("q8")))
+    return brute.unionByName(ivf).unionByName(q8)
 
 
 SIM_TOPK_BRUTE_SQL = """
@@ -1013,9 +1019,45 @@ SELECT q_id, vec_id, cos, rank FROM (
 WHERE rank <= 5
 """
 
+# int8-quantized lane: the arithmetic mirrors operators/embeddings.py
+# bit-for-bit — floor(x/s + 0.5) quantizer (floor, not round: DuckDB
+# round() is half-away-from-zero, Java HALF_UP; floor agrees), exact
+# integer dot products, and the same multiplication association
+# ((dot*sa)*sb) / ((sqrt(ii)*sa)*(sqrt(jj)*sb)). Ranking uses the
+# ROUNDED cos on both engines so discrete quantized ties break
+# identically (by vec_id).
+_SIM_Q8_SQL = """
+WITH q8 AS (
+  SELECT vec_id,
+         CASE WHEN amax > 0 THEN
+           list_transform(emb, x -> CAST(floor(x / (amax/127.0) + 0.5)
+                                         AS BIGINT))
+         ELSE list_transform(emb, x -> CAST(0 AS BIGINT)) END AS q,
+         amax / 127.0 AS s
+  FROM (SELECT vec_id, embedding::DOUBLE[] AS emb,
+               list_max(list_transform(embedding::DOUBLE[],
+                                       x -> abs(x))) AS amax
+        FROM embeddings))
+SELECT q_id, vec_id, cos, rank FROM (
+  SELECT q.vec_id AS q_id, v.vec_id AS vec_id,
+         ROUND(((list_dot_product(v.q, q.q) * v.s) * q.s)
+               / ((sqrt(list_dot_product(v.q, v.q)) * v.s)
+                  * (sqrt(list_dot_product(q.q, q.q)) * q.s)), 6) AS cos,
+         ROW_NUMBER() OVER (
+           PARTITION BY q.vec_id
+           ORDER BY ROUND(((list_dot_product(v.q, q.q) * v.s) * q.s)
+               / ((sqrt(list_dot_product(v.q, v.q)) * v.s)
+                  * (sqrt(list_dot_product(q.q, q.q)) * q.s)), 6) DESC,
+             v.vec_id) AS rank
+  FROM q8 v, q8 q WHERE q.vec_id < 5 AND v.vec_id >= 5)
+WHERE rank <= 5
+"""
+
 SIM_TOPK_SQL = (SIM_TOPK_BRUTE_SQL
                 + "\nUNION ALL\nSELECT 'ivf' AS method, q_id, vec_id, cos,"
-                  " rank FROM (" + _SIM_IVF_SQL + ")")
+                  " rank FROM (" + _SIM_IVF_SQL + ")"
+                + "\nUNION ALL\nSELECT 'q8' AS method, q_id, vec_id, cos,"
+                  " rank FROM (" + _SIM_Q8_SQL + ")")
 
 
 def mm_metadata(spark, sf_dir):

@@ -1,0 +1,155 @@
+"""pii_scan (operators/text.py) and the int8 embedding utilities
+(operators/embeddings.py) — including DuckDB-dialect parity checks on
+crafted data, since the synthetic corpus contains no PII and quantization
+must agree bit-for-bit with a SQL twin to be oracle-able."""
+
+import duckdb
+import pytest
+from pyspark.sql import functions as F
+
+from conftest import load
+
+CRAFTED = [
+    (1, "contact me at alice.smith+spam@example.co.uk or visit "
+        "https://example.com/a?b=1 today"),
+    (2, "two mails: a@b.io c.d@e-f.org and no url"),
+    (3, "phone 415 555 1234 9 and serial 123-456-7890"),
+    (4, "nothing suspicious here just words"),
+    (5, "edge@case. trailing dot not a tld hit http://x.y/z"),
+    (6, "digits 12345678 too short, 1234567890123 long enough"),
+    (7, ""),
+]
+
+
+def test_pii_scan_counts(spark):
+    from qbeast_spark_spark.operators.text import pii_scan
+
+    docs = spark.createDataFrame(CRAFTED, "doc_id long, text string")
+    got = {r["doc_id"]: r for r in pii_scan(docs).collect()}
+    assert got[1]["n_email"] == 1 and got[1]["n_url"] == 1
+    assert got[2]["n_email"] == 2 and got[2]["n_url"] == 0
+    assert got[3]["n_phone"] >= 1
+    assert got[4]["n_pii_total"] == 0
+    assert got[7]["n_pii_total"] == 0
+    for r in got.values():
+        assert r["n_pii_total"] == r["n_email"] + r["n_url"] + r["n_phone"]
+
+
+def test_pii_scan_matches_duckdb_dialect(spark):
+    """The patterns restrict themselves to constructs Java regex and RE2
+    count identically — prove it on the crafted set."""
+    from qbeast_spark_spark.operators.text import PII_PATTERNS, pii_scan
+
+    docs = spark.createDataFrame(CRAFTED, "doc_id long, text string")
+    got = {r["doc_id"]: r for r in pii_scan(docs).collect()}
+
+    con = duckdb.connect()
+    con.execute("CREATE TABLE d (doc_id BIGINT, text VARCHAR)")
+    con.executemany("INSERT INTO d VALUES (?, ?)", CRAFTED)
+    sel = ", ".join(
+        f"len(regexp_extract_all(text, '{pat}')) AS n_{name}"
+        for name, pat in PII_PATTERNS.items())
+    for doc_id, *counts in con.execute(
+            f"SELECT doc_id, {sel} FROM d ORDER BY doc_id").fetchall():
+        for (name, _), n in zip(PII_PATTERNS.items(), counts):
+            assert got[doc_id][f"n_{name}"] == n, (doc_id, name)
+
+
+@pytest.fixture(scope="module")
+def emb(spark):
+    return load(spark, "embeddings").limit(200)
+
+
+def test_l2_normalize_unit_norms(spark, emb):
+    from qbeast_spark_spark.operators.embeddings import l2_normalize
+
+    out = l2_normalize(emb, out_col="unit")
+    norm = F.sqrt(F.aggregate(
+        F.col("unit").cast("array<double>"),
+        F.lit(0.0), lambda a, x: a + x * x))
+    mx = out.select(F.max(F.abs(norm - 1.0)).alias("e")).first()["e"]
+    assert mx < 1e-9
+
+
+def test_quantize_roundtrip_error_bounded(spark, emb):
+    from qbeast_spark_spark.operators.embeddings import (dequantize_int8,
+                                                         quantize_int8)
+
+    q = dequantize_int8(quantize_int8(emb))
+    err = F.aggregate(
+        F.zip_with(F.col("embedding").cast("array<double>"),
+                   F.col("embedding_deq"),
+                   lambda a, b: F.abs(a - b)),
+        F.lit(0.0), lambda acc, x: F.greatest(acc, x))
+    # worst-case quantization step is scale/2 per component
+    bad = (q.select((err > F.col("q8_scale") * 0.5 + 1e-12).alias("b"))
+           .where("b").count())
+    assert bad == 0
+    # int8 payload really is tinyint
+    assert dict(quantize_int8(emb).dtypes)["embedding_q8"] == "array<tinyint>"
+
+
+def test_quantized_cosine_close_and_ranking_preserved(spark, emb):
+    from qbeast_spark_spark.operators.embeddings import (quantize_int8,
+                                                         quantized_cosine_col)
+    from qbeast_spark_spark.operators.similarity import cosine_col
+
+    vec = quantize_int8(emb)
+    qs = (vec.where(F.col("vec_id") < 3)
+          .select(F.col("vec_id").alias("q_id"),
+                  F.col("embedding").alias("q_emb"),
+                  F.col("embedding_q8").alias("q_q8"),
+                  F.col("q8_scale").alias("q_scale")))
+    joined = vec.crossJoin(F.broadcast(qs)).where("vec_id != q_id")
+    both = joined.select(
+        "q_id", "vec_id",
+        cosine_col(F.col("embedding").cast("array<double>"),
+                   F.col("q_emb").cast("array<double>")).alias("exact"),
+        quantized_cosine_col(F.col("embedding_q8"), F.col("q8_scale"),
+                             F.col("q_q8"), F.col("q_scale")).alias("approx"))
+    mx = both.select(F.max(F.abs(F.col("exact") - F.col("approx")))
+                     .alias("e")).first()["e"]
+    assert mx < 0.02
+    # top-5 by approx overlaps top-5 exact in >= 4 of 5 slots per query
+    rows = both.collect()
+    for qid in {r["q_id"] for r in rows}:
+        sub = [r for r in rows if r["q_id"] == qid]
+        top_e = {r["vec_id"] for r in
+                 sorted(sub, key=lambda r: -r["exact"])[:5]}
+        top_a = {r["vec_id"] for r in
+                 sorted(sub, key=lambda r: -r["approx"])[:5]}
+        assert len(top_e & top_a) >= 4
+
+
+def test_quantization_matches_duckdb_arithmetic(spark):
+    """floor(x/s + 0.5) agrees between Spark and DuckDB, negatives
+    included — the precondition for using the quantizer under a SQL
+    oracle."""
+    from qbeast_spark_spark.operators.embeddings import quantize_int8
+
+    data = [(1, [0.5, -0.25, 0.125, -1.0]),
+            (2, [3.0, 2.9999, -2.5, 0.0]),
+            (3, [0.0, 0.0, 0.0, 0.0]),
+            (4, [-1e-8, 1e-8, 1.0, -0.5])]
+    df = spark.createDataFrame(data, "vec_id long, embedding array<double>")
+    got = {r["vec_id"]: (list(r["embedding_q8"]), r["q8_scale"])
+           for r in quantize_int8(df).collect()}
+
+    con = duckdb.connect()
+    con.execute("CREATE TABLE e (vec_id BIGINT, embedding DOUBLE[])")
+    con.executemany("INSERT INTO e VALUES (?, ?)", data)
+    sql = """
+    SELECT vec_id,
+           CASE WHEN amax > 0 THEN
+             list_transform(embedding, x -> CAST(floor(x / (amax/127.0)
+                                                 + 0.5) AS TINYINT))
+           ELSE list_transform(embedding, x -> CAST(0 AS TINYINT)) END AS q,
+           amax / 127.0 AS s
+    FROM (SELECT vec_id, embedding,
+                 list_max(list_transform(embedding, x -> abs(x))) AS amax
+          FROM e)
+    ORDER BY vec_id
+    """
+    for vec_id, q, s in con.execute(sql).fetchall():
+        assert got[vec_id][0] == list(q), vec_id
+        assert abs(got[vec_id][1] - s) < 1e-15
