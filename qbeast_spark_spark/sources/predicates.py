@@ -15,6 +15,14 @@ to be sound where it claims support:
 - a disjunct it cannot parse becomes unconstrained (matches all files: safe);
 - if nothing useful parses, the result is None (no pruning, full read).
 
+NOT is pushed all the way down (De Morgan through AND/OR, complement at
+the leaves), so ``NOT (a > 5 AND b < 2)`` prunes as ``a <= 5 OR b >= 2``
+and ``a != 3`` / ``NOT a = 3`` prune as the two open rays
+``a < 3 OR a > 3`` (numeric/temporal literals; a string complement-ray
+would lean on lexicographic stats only, so strings degrade to
+unconstrained). ``NOT x IN (...)`` has no box form and degrades to
+unconstrained — never over-prunes, the residual restores exactness.
+
 Grammar (case-insensitive keywords):
     expr     := or_expr
     or_expr  := and_expr (OR and_expr)*
@@ -87,6 +95,13 @@ def _coerce(kind: str, raw: str) -> Any:
     return s
 
 
+# AST nodes: ("and", [children]) | ("or", [children]) | ("not", child)
+# | ("leaf", col, op, val) with op in {<,<=,>,>=,==,!=,in,is_null,
+# is_not_null}. A separate pass pushes NOT down and emits DNF, so
+# negation composes through every construct instead of only the one
+# single-comparison special case (round-2 "what's wrong" #3).
+
+
 class _Parser:
     def __init__(self, tokens: List[Tuple[str, str]]) -> None:
         self.toks = tokens
@@ -112,31 +127,25 @@ class _Parser:
             raise _Unsupported(f"expected {word}")
         self.next()
 
-    # returns DNF: list of conjunctions; each conjunction a list of tuples
-    # or the sentinel True meaning "unconstrained conjunct" (dropped later)
     def parse(self):
-        dnf = self.or_expr()
+        ast = self.or_expr()
         if self.peek() is not None:
             raise _Unsupported("trailing tokens")
-        return dnf
+        return ast
 
     def or_expr(self):
-        dnf = self.and_expr()
+        kids = [self.and_expr()]
         while self.is_word("OR"):
             self.next()
-            dnf = dnf + self.and_expr()
-        return dnf
+            kids.append(self.and_expr())
+        return kids[0] if len(kids) == 1 else ("or", kids)
 
     def and_expr(self):
-        dnf = self.unit()
+        kids = [self.unit()]
         while self.is_word("AND"):
             self.next()
-            right = self.unit()
-            # distribute: (A1|A2) & (B1|B2) -> A1B1|A1B2|A2B1|A2B2
-            if len(dnf) * len(right) > 64:
-                raise _Unsupported("DNF expansion too large")
-            dnf = [a + b for a in dnf for b in right]
-        return dnf
+            kids.append(self.unit())
+        return kids[0] if len(kids) == 1 else ("and", kids)
 
     def unit(self):
         t = self.peek()
@@ -151,10 +160,8 @@ class _Parser:
             return inner
         if self.is_word("NOT"):
             self.next()
-            inner = self.unit()
-            return [_negate_conj(c) for c in inner] \
-                if len(inner) == 1 else [[]]  # NOT(or) unsupported: drop
-        return [self.predicate()]
+            return ("not", self.unit())
+        return self.predicate()
 
     def predicate(self):
         t = self.next()
@@ -168,14 +175,15 @@ class _Parser:
             op = self.next()[1]
             lit = self._literal()
             if op in ("!=", "<>"):
-                return []  # cannot prune ranges on inequality: drop
-            return [(col, "==" if op in ("=", "==") else op, lit)]
+                return ("leaf", col, "!=", lit)
+            return ("leaf", col, "==" if op in ("=", "==") else op, lit)
         if self.is_word("BETWEEN"):
             self.next()
             lo = self._literal()
             self.expect_word("AND")
             hi = self._literal()
-            return [(col, ">=", lo), (col, "<=", hi)]
+            return ("and", [("leaf", col, ">=", lo),
+                            ("leaf", col, "<=", hi)])
         if self.is_word("IN"):
             self.next()
             if self.peek() is None or self.peek()[0] != "lp":
@@ -188,7 +196,7 @@ class _Parser:
             if self.peek() is None or self.peek()[0] != "rp":
                 raise _Unsupported("IN missing )")
             self.next()
-            return [(col, "in", vals)]
+            return ("leaf", col, "in", vals)
         if self.is_word("IS"):
             self.next()
             neg = False
@@ -196,7 +204,7 @@ class _Parser:
                 self.next()
                 neg = True
             self.expect_word("NULL")
-            return [(col, "is_not_null" if neg else "is_null", None)]
+            return ("leaf", col, "is_not_null" if neg else "is_null", None)
         raise _Unsupported(f"unsupported predicate after {col}")
 
     def _literal(self):
@@ -217,27 +225,57 @@ class _Parser:
 
 _INVERT = {">": "<=", ">=": "<", "<": ">=", "<=": ">"}
 
+# DNF is a list of conjunctions (lists of filter tuples); an EMPTY
+# conjunction means "unconstrained" — matches every file. Inside an AND
+# it is the cross-product identity; surviving to the top level it makes
+# the whole predicate unprunable (to_dnf_filters then returns None).
+_UNCONSTRAINED = [[]]
 
-def _negate_conj(conj):
-    """Negate a parsed conjunction for pruning purposes — sound but
-    deliberately shallow. Only a single range comparison inverts
-    (``NOT a > 5`` -> ``a <= 5``); any other shape degrades to
-    "unconstrained", i.e. the NOT branch reads the full table:
 
-        NOT (a > 5)          -> [("a", "<=", 5)]   (still prunes)
-        NOT (a > 5 AND b<2)  -> []  — De Morgan would need an OR of
-                                     negations; [] never over-prunes
-        NOT (a = 5) / IN / IS NULL -> []  — complement is 2 open rays /
-                                     a set complement: no single box
+def _rangeable(val: Any) -> bool:
+    """Complement rays (x < v OR x > v) are emitted only for totally
+    ordered literal types the cube space understands; a string ray would
+    lean on lexicographic file stats alone and the hash-transformed cube
+    dimension cannot check it — degrade to unconstrained instead."""
+    return isinstance(val, (int, float, _dt.datetime, _dt.date)) \
+        and not isinstance(val, bool)
 
-    The residual row-level predicate restores exactness either way; the
-    cost of [] is only a wider file list."""
-    if len(conj) != 1:
-        return []  # NOT(a AND b) -> unconstrained (safe)
-    col, op, val = conj[0]
+
+def _leaf_dnf(col: str, op: str, val: Any, neg: bool):
     if op in _INVERT:
-        return [(col, _INVERT[op], val)]
-    return []  # NOT(=/in/null): no range info
+        return [[(col, _INVERT[op] if neg else op, val)]]
+    if op in ("==", "!="):
+        if (op == "==") != neg:          # effective equality
+            return [[(col, "==", val)]]
+        if _rangeable(val):              # effective inequality: two rays
+            return [[(col, "<", val)], [(col, ">", val)]]
+        return _UNCONSTRAINED
+    if op == "in":
+        return [[(col, "in", val)]] if not neg else _UNCONSTRAINED
+    if op in ("is_null", "is_not_null"):
+        if neg:
+            op = "is_not_null" if op == "is_null" else "is_null"
+        return [[(col, op, None)]]
+    return _UNCONSTRAINED
+
+
+def _to_dnf(node, neg: bool = False):
+    kind = node[0]
+    if kind == "not":
+        return _to_dnf(node[1], not neg)
+    if kind == "leaf":
+        return _leaf_dnf(node[1], node[2], node[3], neg)
+    # De Morgan: negation swaps the connective
+    effective_and = (kind == "and") != neg
+    parts = [_to_dnf(c, neg) for c in node[1]]
+    if not effective_and:
+        return [conj for dnf in parts for conj in dnf]
+    out = [[]]
+    for dnf in parts:
+        if len(out) * len(dnf) > 64:
+            raise _Unsupported("DNF expansion too large")
+        out = [a + b for a in out for b in dnf]
+    return out
 
 
 def column_expr_text(col) -> Optional[str]:
@@ -260,7 +298,7 @@ def to_dnf_filters(pred) -> Optional[List[List[Tuple[str, str, Any]]]]:
         if text is None:
             return None
     try:
-        dnf = _Parser(_tokenize(text)).parse()
+        dnf = _to_dnf(_Parser(_tokenize(text)).parse())
     except _Unsupported:
         return None
     cleaned = []

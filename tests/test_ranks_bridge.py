@@ -225,6 +225,20 @@ def test_read_accepts_sql_string_and_column(spark, tmp_table):
     q_fn = "pmod(l_orderkey, 7) = 3"
     assert qt.read(q_fn).count() == li.where(q_fn).count()
 
+    # NOT pushes through the tree (De Morgan): exact AND still pruned
+    # (the complement slab l_orderkey < 300 is selective at this SF)
+    q_not = "NOT (l_orderkey >= 300 OR l_extendedprice < 20000.0)"
+    got = qt.read(q_not)
+    assert got.count() == li.where(q_not).count()
+    assert _pruned_files(got) < total_files
+    # NOT of a conjunction: exact (pruning best-effort, rays may cover
+    # most of the space)
+    q_notand = "NOT (l_orderkey >= 1000 AND l_orderkey < 50000)"
+    assert qt.read(q_notand).count() == li.where(q_notand).count()
+    # numeric != : exact, and single-valued files would be stats-skipped
+    q_ne = "l_orderkey != 17 AND l_orderkey < 300"
+    assert qt.read(q_ne).count() == li.where(q_ne).count()
+
 
 def test_predicate_parser_units():
     import datetime
@@ -240,10 +254,26 @@ def test_predicate_parser_units():
     assert ts == [[("ts", ">=", datetime.datetime(2024, 1, 10))]]
     assert to_dnf_filters("a IS NOT NULL") == [[("a", "is_not_null", None)]]
     assert to_dnf_filters("NOT a > 5") == [[("a", "<=", 5)]]
-    # != carries no range info: conjunct dropped, sibling kept
-    assert to_dnf_filters("a != 3 AND b > 1") == [[("b", ">", 1)]]
-    # a lone != disjunct would match all files -> no pruning at all
-    assert to_dnf_filters("a != 3") is None
+    # numeric inequality = two open rays (files holding only the value
+    # are skippable via stats); the AND distributes over them
+    assert to_dnf_filters("a != 3") == [[("a", "<", 3)], [("a", ">", 3)]]
+    assert to_dnf_filters("a != 3 AND b > 1") == [
+        [("a", "<", 3), ("b", ">", 1)], [("a", ">", 3), ("b", ">", 1)]]
+    # NOT pushes through AND/OR by De Morgan down to the leaves
+    assert to_dnf_filters("NOT (a > 5 AND b < 2)") == [
+        [("a", "<=", 5)], [("b", ">=", 2)]]
+    assert to_dnf_filters("NOT (a > 5 OR b < 2)") == [
+        [("a", "<=", 5), ("b", ">=", 2)]]
+    assert to_dnf_filters("NOT (NOT a > 5)") == [[("a", ">", 5)]]
+    assert to_dnf_filters("NOT (a BETWEEN 2 AND 7)") == [
+        [("a", "<", 2)], [("a", ">", 7)]]
+    assert to_dnf_filters("NOT a IS NULL") == [[("a", "is_not_null", None)]]
+    # string inequality leans on lexicographic stats only: unconstrained
+    assert to_dnf_filters("a != 'x'") is None
+    # set complement has no box form: NOT IN degrades to unconstrained
+    assert to_dnf_filters("NOT a IN (1, 2)") is None
+    # ...but an unconstrained branch inside an AND just widens that side
+    assert to_dnf_filters("NOT a IN (1, 2) AND b > 1") == [[("b", ">", 1)]]
     assert to_dnf_filters("some_udf(a) = 3") is None
 
 
