@@ -88,19 +88,24 @@ def cosine_pairs(vectors, threshold: float, vec_col: str = "embedding",
 def ivf_topk(vectors, queries, centroids, k: int = 5,
              vec_col: str = "embedding", id_col: str = "vec_id",
              q_id_col: str = "q_id", q_vec_col: str = "q_embedding",
-             c_id_col: str = "c_id", c_vec_col: str = "c_embedding"):
-    """IVF (inverted-file) approximate top-k, probe=1.
+             c_id_col: str = "c_id", c_vec_col: str = "c_embedding",
+             probe: int = 1):
+    """IVF (inverted-file) approximate top-k.
 
-    Both vectors and queries are assigned to their max-cosine centroid
-    (broadcast cross join + row_number window); the search join is then an
-    equi-join on the centroid id — at scale this is the difference between
-    scanning 100 TB and scanning 100 TB / K."""
+    Vectors are assigned to their max-cosine centroid; queries probe
+    their ``probe`` nearest centroids (the standard nprobe recall knob —
+    a true neighbor just across a Voronoi boundary is only visible from
+    the adjacent cell). Assignment is a broadcast cross join + row_number
+    window; the search join is then an equi-join on the centroid id — at
+    scale this is the difference between scanning 100 TB and scanning
+    ``probe``/K of it. Each (query, vector) pair meets at most once
+    because a vector lives in exactly one cell."""
     from pyspark.sql import Window
     from pyspark.sql import functions as F
 
     from ..functions.partitioning import spread
 
-    def assign(df, idc, vc):
+    def assign(df, idc, vc, n_best):
         joined = spread(df).crossJoin(F.broadcast(centroids))
         cos = cosine_col(_as_double(vc), _as_double(c_vec_col))
         w = Window.partitionBy(idc).orderBy(
@@ -108,12 +113,12 @@ def ivf_topk(vectors, queries, centroids, k: int = 5,
         return (
             joined.withColumn("_ccos", cos)
             .withColumn("_crank", F.row_number().over(w))
-            .where(F.col("_crank") == 1)
+            .where(F.col("_crank") <= n_best)
             .drop("_ccos", "_crank", c_vec_col)
         )
 
-    v_assigned = assign(vectors, id_col, vec_col)
-    q_assigned = assign(queries, q_id_col, q_vec_col)
+    v_assigned = assign(vectors, id_col, vec_col, 1)
+    q_assigned = assign(queries, q_id_col, q_vec_col, max(1, probe))
     joined = v_assigned.join(q_assigned, c_id_col)
     cos = cosine_col(_as_double(vec_col), _as_double(q_vec_col))
     w = Window.partitionBy(q_id_col).orderBy(

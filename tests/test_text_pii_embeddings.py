@@ -121,6 +121,37 @@ def test_quantized_cosine_close_and_ranking_preserved(spark, emb):
         assert len(top_e & top_a) >= 4
 
 
+def test_ivf_multiprobe_recall_monotone(spark):
+    """nprobe > 1 must recover neighbors lost across Voronoi boundaries:
+    recall vs brute-force is monotone in probe, and probing every
+    centroid equals brute force exactly."""
+    from pyspark.sql import functions as F
+
+    from qbeast_spark_spark.operators.similarity import cosine_topk, ivf_topk
+
+    emb = load(spark, "embeddings").limit(300)
+    queries = (emb.where(F.col("vec_id") < 5)
+               .select(F.col("vec_id").alias("q_id"),
+                       F.col("embedding").alias("q_embedding")))
+    vecs = emb.where(F.col("vec_id") >= 5)
+    cents = (emb.where(F.col("vec_id") % 40 == 0)
+             .select(F.col("vec_id").alias("c_id"),
+                     F.col("embedding").alias("c_embedding")))
+    n_cents = cents.count()
+    truth = {(r["q_id"], r["vec_id"])
+             for r in cosine_topk(vecs, queries, k=5).collect()}
+
+    def recall(probe):
+        got = {(r["q_id"], r["vec_id"])
+               for r in ivf_topk(vecs, queries, cents, k=5,
+                                 probe=probe).collect()}
+        return len(got & truth) / len(truth)
+
+    r1, r2 = recall(1), recall(2)
+    assert r1 <= r2 <= 1.0
+    assert recall(n_cents) == 1.0
+
+
 def test_quantization_matches_duckdb_arithmetic(spark):
     """floor(x/s + 0.5) agrees between Spark and DuckDB, negatives
     included — the precondition for using the quantizer under a SQL
