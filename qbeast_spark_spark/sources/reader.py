@@ -699,6 +699,29 @@ class QbeastTable:
         self._snapshot = None
         return version
 
+    def compact(self, target_file_bytes: int = 128 * 1024 * 1024,
+                min_file_bytes: Optional[int] = None,
+                revision_id: Optional[int] = None) -> Optional[int]:
+        """Bin-pack small files without re-indexing (sources/compact.py);
+        purges deletion vectors along the way."""
+        from .compact import compact_table
+
+        version = compact_table(self.spark, self.path,
+                                target_file_bytes=target_file_bytes,
+                                min_file_bytes=min_file_bytes,
+                                revision_id=revision_id)
+        self._snapshot = None
+        return version
+
+    def maintain(self, **kwargs) -> dict:
+        """Threshold-driven maintenance loop (sources/maintenance.py):
+        index the staging backlog, compact small files, optional vacuum."""
+        from .maintenance import auto_maintain
+
+        report = auto_maintain(self.spark, self.path, **kwargs)
+        self._snapshot = None
+        return report
+
     def append_staging(self, df) -> int:
         """Staging lane: append non-indexed files (revision 0)."""
         from .optimize import write_staging

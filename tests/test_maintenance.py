@@ -492,3 +492,38 @@ def test_convert_and_staging_harvest_column_stats(spark, tmp_path):
     snap2 = qss.QbeastTable.for_path(spark, plain).snapshot()
     staged = [f for f in snap2.files.values() if f.path not in snap.files]
     assert staged and all(f.column_stats for f in staged)
+
+
+def test_crashed_writer_orphans_are_invisible_then_vacuumed(
+        spark, tmp_table):
+    """A writer that dies after materializing parquet but before the log
+    commit must leave the table unaffected: reads ignore the orphan, a
+    fresh vacuum within retention keeps it (it might be an in-flight
+    write), retention-0 vacuum reclaims it, and maintenance verbs run
+    unperturbed throughout."""
+    import shutil
+
+    li = load(spark, "lineitem").limit(2000)
+    qss.write(li, tmp_table, columns_to_index=["l_orderkey"], cube_size=300)
+    qt = qss.QbeastTable.for_path(spark, tmp_table)
+    n = qt.to_df().count()
+    live = {os.path.basename(p) for p in qt.file_paths()}
+
+    # simulate the crash: a data file present on disk, absent from the log
+    orphan = os.path.join(tmp_table, "deadbeef0123456789.parquet")
+    shutil.copyfile(os.path.join(tmp_table, sorted(live)[0]), orphan)
+
+    qt2 = qss.QbeastTable.for_path(spark, tmp_table)
+    assert qt2.to_df().count() == n                     # read unaffected
+    assert qt2.sample(0.5).count() < n
+    # default retention treats the young orphan as possibly in-flight
+    assert "deadbeef0123456789.parquet" not in qt2.vacuum(dry_run=True)
+    # maintenance runs fine around it
+    assert qss.compact_table(spark, tmp_table) is not None
+    qt3 = qss.QbeastTable.for_path(spark, tmp_table)
+    assert qt3.to_df().count() == n
+    # past retention the orphan is garbage
+    deleted = qt3.vacuum(retention_hours=0.0)
+    assert "deadbeef0123456789.parquet" in deleted
+    assert not os.path.exists(orphan)
+    assert qss.QbeastTable.for_path(spark, tmp_table).to_df().count() == n

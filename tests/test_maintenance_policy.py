@@ -111,3 +111,19 @@ def test_streaming_sink_runs_maintenance(spark, tmp_path):
     assert any(c.get("dataChange") is False for c in history)
     # and the result still reads exactly
     assert qt.to_df().exceptAll(spark.read.parquet(src)).count() == 0
+
+
+def test_table_facade_compact_and_maintain(spark, tmp_table):
+    import qbeast_spark_spark as qss
+
+    li = load(spark, "lineitem").limit(3000)
+    qss.write(li, tmp_table, columns_to_index=["l_orderkey"], cube_size=200)
+    qt = qss.QbeastTable.for_path(spark, tmp_table)
+    before = len(qt.file_paths())
+    n = qt.to_df().count()
+    v = qt.compact()
+    assert v is not None
+    # facade refreshes its own snapshot
+    assert len(qt.file_paths()) < before
+    assert qt.to_df().count() == n
+    assert qt.maintain(max_small_files=10_000) == {}
