@@ -261,14 +261,23 @@ def connected_components(pairs, id1: str = "id1", id2: str = "id2",
     # materialize the edge list once: it re-enters the loop every round,
     # and without truncation each iteration would re-execute the entire
     # upstream candidate-pair pipeline (e.g. the Jaccard self-join).
+    # No distinct(): every built-in candidate generator already emits
+    # de-duplicated (id1 < id2) pairs, and the directed union of a
+    # strictly-ordered pair list cannot collide — a distinct here was one
+    # full shuffle of the edge table for nothing. (Caller-supplied
+    # duplicate pairs stay CORRECT — groupBy-min absorbs them — they just
+    # inflate the per-round join.)
     edges = (pairs.select(F.col(id1).alias("a"), F.col(id2).alias("b"))
              .unionAll(pairs.select(F.col(id2).alias("a"),
                                     F.col(id1).alias("b")))
-             .distinct()
              .localCheckpoint(eager=True))
-    labels = (edges.select(F.col("a").alias("node"))
-              .distinct()
-              .withColumn("label", F.col("node")))
+    # seed with round 0 fused into the node extraction: label = min(self,
+    # min neighbor) straight off the edge list (every node occurs as "a"
+    # in the bidirectional edges), saving one join+checkpoint round
+    labels = (edges.groupBy("a").agg(F.min("b").alias("_nmin"))
+              .select(F.col("a").alias("node"),
+                      F.least(F.col("a"), F.col("_nmin")).alias("label"))
+              .localCheckpoint(eager=True))
     for _ in range(max_iter):
         neighbor_min = (edges.join(labels, edges.b == labels.node)
                         .groupBy("a")
