@@ -11,9 +11,17 @@ batches:
 
 1. staging backlog -> optimize (index the plain files) once it crosses
    ``max_staging_rows``;
-2. small-file count -> compact_table (bin-pack, no re-index) once it
+2. revision sprawl -> consolidate: appends that widen the indexed space
+   mint a new revision each time (SparkRevisionFactory.scala:230-270), so
+   append-heavy ingest strands files across many narrow revisions — files
+   outside the latest revision can never be optimized by fraction nor
+   binned together by compaction. Once live non-staging revisions exceed
+   ``max_revisions``, every old-revision file is re-indexed into the
+   latest revision (always valid: revision spaces only ever widen, so
+   the newest space covers all older data);
+3. small-file count -> compact_table (bin-pack, no re-index) once it
    crosses ``max_small_files``;
-3. optionally vacuum files dropped before ``vacuum_retention_hours``.
+4. optionally vacuum files dropped before ``vacuum_retention_hours``.
 
 Every step is itself a metadata-bounded driver decision: thresholds are
 evaluated against the snapshot (O(#files)), never by scanning data."""
@@ -32,6 +40,7 @@ __all__ = ["auto_maintain"]
 
 def auto_maintain(spark, path: str, *,
                   max_staging_rows: int = 1_000_000,
+                  max_revisions: int = 3,
                   max_small_files: int = 8,
                   small_file_bytes: int = 32 * 1024 * 1024,
                   target_file_bytes: int = 128 * 1024 * 1024,
@@ -55,6 +64,18 @@ def auto_maintain(spark, path: str, *,
                            columns_to_index=columns_to_index)
         if v is not None:
             report["optimize_staging"] = v
+            snap = log.snapshot()
+
+    live_revs = sorted({f.revision_id for f in snap.files.values()
+                        if f.revision_id != STAGING_REVISION_ID})
+    if len(live_revs) > max_revisions:
+        old_files = [f.path for f in snap.files.values()
+                     if f.revision_id != STAGING_REVISION_ID
+                     and f.revision_id != live_revs[-1]]
+        v = optimize_table(spark, path, file_paths=old_files,
+                           columns_to_index=columns_to_index)
+        if v is not None:
+            report["consolidate_revisions"] = v
             snap = log.snapshot()
 
     small = [f for f in snap.files.values() if f.size < small_file_bytes]

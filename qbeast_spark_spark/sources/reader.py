@@ -221,6 +221,44 @@ class QbeastTable:
             rels.extend(fo["path"] for fo in commit.get("add", []))
         return self._df_for_files(rels)
 
+    def restore(self, version: int) -> int:
+        """Delta RESTORE parity: roll the table back to ``version`` as a
+        NEW commit (history is preserved — a restore is itself
+        time-travelable and vacuum-safe). Metadata-only: the target
+        version's files are still on disk because vacuum only reclaims
+        past retention; the commit removes the current live set and
+        re-adds the old one, and re-installs the old revision definitions
+        and per-revision cube stats so subsequent appends index against
+        the restored state, not the rolled-back one."""
+        from .deletion_vectors import DVDescriptor, dv_abs_path
+
+        old = self.log.snapshot(at_version=version)
+        cur = self.snapshot(refresh=True)
+        missing = [rel for rel in old.files
+                   if not os.path.exists(os.path.join(self.path, rel))]
+        for f in old.files.values():
+            if f.dv:
+                p = dv_abs_path(self.path, DVDescriptor.from_json(f.dv))
+                if p and not os.path.exists(p):
+                    missing.append(os.path.relpath(p, self.path))
+        if missing:
+            raise ValueError(
+                f"cannot restore to version {version}: {len(missing)} "
+                f"data file(s) already vacuumed (e.g. {missing[0]!r})")
+        v = self.log.commit(
+            add=list(old.files.values()),
+            remove=[rel for rel in cur.files if rel not in old.files],
+            revisions=old.revisions,
+            cube_weights=old.cube_weights,
+            cube_domains=old.cube_domains,
+            reset_stats=True,
+            schema_json=old.schema_json,
+            properties=old.properties,
+            data_change=True,
+        )
+        self._snapshot = None
+        return v
+
     def vacuum(self, dry_run: bool = False,
                retention_hours: float = 168.0) -> List[str]:
         """Delete data files no longer referenced by the CURRENT snapshot

@@ -127,3 +127,79 @@ def test_table_facade_compact_and_maintain(spark, tmp_table):
     assert len(qt.file_paths()) < before
     assert qt.to_df().count() == n
     assert qt.maintain(max_small_files=10_000) == {}
+
+
+def test_revision_sprawl_gets_consolidated(spark, tmp_table):
+    """Appends that widen the space mint new revisions; files stranded on
+    old revisions can neither optimize-by-fraction nor compact together.
+    auto_maintain folds them into the latest revision."""
+    import qbeast_spark_spark as qss
+
+    li = load(spark, "lineitem").limit(3000)
+    for i in range(3):   # each chunk widens the space -> 3 revisions
+        qss.write(li.where(F.col("l_orderkey") % 3 == i), tmp_table,
+                  columns_to_index=["l_orderkey", "l_extendedprice"],
+                  cube_size=300)
+    qt = qss.QbeastTable.for_path(spark, tmp_table)
+    n = qt.to_df().count()
+    revs = {f.revision_id for f in qt.snapshot().files.values()}
+    assert len(revs) == 3
+
+    report = qss.auto_maintain(spark, tmp_table, max_revisions=1,
+                               max_small_files=10_000)
+    assert "consolidate_revisions" in report
+    qt2 = qss.QbeastTable.for_path(spark, tmp_table)
+    revs2 = {f.revision_id for f in qt2.snapshot().files.values()}
+    assert len(revs2) == 1
+    assert qt2.to_df().count() == n
+    # the consolidated table samples with pruning like any indexed table
+    assert 0 < qt2.sample(0.3).count() < n
+    # and now compaction CAN bin everything together
+    if len(qt2.file_paths()) > 1:
+        assert qss.compact_table(spark, tmp_table) is not None
+        assert qss.QbeastTable.for_path(
+            spark, tmp_table).to_df().count() == n
+
+
+def test_restore_rolls_back_and_preserves_history(spark, tmp_table):
+    import qbeast_spark_spark as qss
+
+    li = load(spark, "lineitem").limit(2000)
+    qss.write(li.where(F.col("l_orderkey") % 2 == 0), tmp_table,
+              columns_to_index=["l_orderkey"], cube_size=500)
+    qt = qss.QbeastTable.for_path(spark, tmp_table)
+    v0 = qt.snapshot().version
+    n0 = qt.to_df().count()
+    data0 = sorted(map(tuple, qt.to_df().collect()))
+
+    qss.write(li.where(F.col("l_orderkey") % 2 == 1), tmp_table,
+              columns_to_index=["l_orderkey"], cube_size=500)
+    qt = qss.QbeastTable.for_path(spark, tmp_table)
+    assert qt.to_df().count() > n0
+
+    v_restore = qt.restore(v0)
+    assert v_restore > v0
+    assert qt.to_df().count() == n0
+    assert sorted(map(tuple, qt.to_df().collect())) == data0
+    # history preserved: the pre-restore state is still time-travelable
+    assert qt.to_df(version=v_restore - 1).count() > n0
+    # sampling and appends work on the restored state
+    assert 0 < qt.sample(0.5).count() < n0
+    qss.write(li.where(F.col("l_orderkey") % 2 == 1), tmp_table,
+              columns_to_index=["l_orderkey"], cube_size=500)
+    qt2 = qss.QbeastTable.for_path(spark, tmp_table)
+    assert qt2.to_df().count() == li.count()
+    assert qt2.to_df().exceptAll(li).count() == 0
+
+
+def test_restore_refuses_after_vacuum(spark, tmp_table):
+    import qbeast_spark_spark as qss
+
+    li = load(spark, "lineitem").limit(2000)
+    qss.write(li, tmp_table, columns_to_index=["l_orderkey"], cube_size=300)
+    qt = qss.QbeastTable.for_path(spark, tmp_table)
+    v0 = qt.snapshot().version
+    qt.optimize()                        # rewrites files; old ones dangle
+    qt.vacuum(retention_hours=0.0)       # ...and are now gone
+    with pytest.raises(ValueError, match="vacuumed"):
+        qt.restore(v0)
