@@ -1,0 +1,103 @@
+"""Model-based fuzz of the whole mutable-table surface: a seeded random
+sequence of append / delete (rewrite and DV) / update / compact /
+optimize / restore / vacuum steps runs against both the real table and a
+driver-side pandas model; after EVERY step the table must read exactly
+the model's rows. This is the interaction-bug harness — each verb is
+unit-tested in isolation, this checks their compositions (DV then
+compact, restore then append, update after consolidation, ...)."""
+
+import random
+
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from conftest import load
+
+KEY_COLS = ["l_orderkey", "l_linenumber", "l_partkey", "l_suppkey"]
+
+
+def _assert_equal(spark, qt, model: pd.DataFrame, step: str):
+    got = qt.to_df(version=None).select(
+        "l_orderkey", "l_linenumber", "l_extendedprice").toPandas()
+    want = model[["l_orderkey", "l_linenumber", "l_extendedprice"]]
+    g = sorted(map(tuple, got.itertuples(index=False)))
+    w = sorted(map(tuple, want.itertuples(index=False)))
+    assert len(g) == len(w), f"{step}: {len(g)} rows vs model {len(w)}"
+    assert g == w, f"{step}: content diverged"
+
+
+@pytest.mark.parametrize("seed", [0xC0FFEE, 7, 20260813])
+def test_random_op_sequences_match_model(spark, tmp_table, seed):
+    import qbeast_spark_spark as qss
+
+    li = load(spark, "lineitem").limit(4000)
+    pdf_all = li.toPandas()
+    rng = random.Random(seed)
+
+    # initial table: first half, space pinned over the full key range so
+    # appends reuse the revision or widen it — both paths get exercised
+    init = pdf_all.iloc[:1500]
+    rest = pdf_all.iloc[1500:]
+    qss.write(spark.createDataFrame(init), tmp_table,
+              columns_to_index=["l_orderkey", "l_extendedprice"],
+              cube_size=400)
+    model = init.copy()
+    qt = qss.QbeastTable.for_path(spark, tmp_table)
+    versions = {qt.snapshot().version: model.copy()}
+    appended = 0
+
+    for step_no in range(14):
+        op = rng.choice(["append", "delete_rw", "delete_dv", "update",
+                         "compact", "optimize", "restore", "vacuum"])
+        if op == "append" and appended < len(rest):
+            chunk = rest.iloc[appended:appended + 500]
+            appended += 500
+            qss.write(spark.createDataFrame(chunk), tmp_table,
+                      columns_to_index=["l_orderkey", "l_extendedprice"],
+                      cube_size=400)
+            model = pd.concat([model, chunk], ignore_index=True)
+        elif op in ("delete_rw", "delete_dv"):
+            lo = rng.randrange(0, 50000)
+            hi = lo + rng.randrange(500, 5000)
+            filt = [("l_orderkey", ">=", lo), ("l_orderkey", "<", hi)]
+            qss.delete_rows(spark, tmp_table, filt,
+                            mode="rewrite" if op == "delete_rw" else "dv")
+            model = model[~((model.l_orderkey >= lo)
+                            & (model.l_orderkey < hi))]
+        elif op == "update":
+            lo = rng.randrange(0, 40000)
+            filt = [("l_orderkey", ">=", lo),
+                    ("l_orderkey", "<", lo + 2000)]
+            qss.update_rows(spark, tmp_table,
+                            {"l_extendedprice": "l_extendedprice + 1.0"},
+                            filt)
+            m = (model.l_orderkey >= lo) & (model.l_orderkey < lo + 2000)
+            model = model.copy()
+            model.loc[m, "l_extendedprice"] += 1.0
+        elif op == "compact":
+            qss.compact_table(spark, tmp_table)
+        elif op == "optimize":
+            qss.optimize_table(spark, tmp_table, fraction=1.0)
+        elif op == "restore" and len(versions) > 1:
+            qt = qss.QbeastTable.for_path(spark, tmp_table)
+            target = rng.choice(sorted(versions)[:-1])
+            try:
+                qt.restore(target)
+                model = versions[target].copy()
+            except ValueError:
+                pass    # a vacuum step made that version unreachable: ok
+        elif op == "vacuum":
+            qss.QbeastTable.for_path(spark, tmp_table).vacuum(
+                retention_hours=0.0)
+            # versions before the current one may now be unrestorable;
+            # keep them in `versions` — restore() raising is the contract
+        qt = qss.QbeastTable.for_path(spark, tmp_table)
+        versions[qt.snapshot().version] = model.copy()
+        _assert_equal(spark, qt, model, f"step {step_no}:{op}")
+
+    # end with the maintenance loop and a final equality check
+    qss.auto_maintain(spark, tmp_table, max_revisions=1, max_small_files=2,
+                      vacuum_retention_hours=0.0)
+    _assert_equal(spark, qss.QbeastTable.for_path(spark, tmp_table),
+                  model, "final maintain")
