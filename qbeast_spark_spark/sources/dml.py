@@ -335,6 +335,10 @@ def update_rows(spark, path: str, assignments: Dict[str, Any],
         df = df.withColumn(cname, F.when(pred, e)
                            .otherwise(F.col(cname)))
     _check_revision_space(qt, snap, df, set(assignments))
+    from .constraints import constraints_of, validate_constraints
+
+    validate_constraints(df, constraints_of(snap.properties),
+                         context="UPDATE")
     version = _rewrite(qt, snap, matched, df)
     return {"version": version,
             "rows_updated": int(sum(per_file.values())),
@@ -516,6 +520,17 @@ def merge_rows(spark, path: str, source, on,
         else:
             replacement = inserts if replacement is None \
                 else replacement.unionByName(inserts)
+    from .constraints import constraints_of, validate_constraints
+
+    # only the frames carrying NEW values need checking: updated rows
+    # (when an update clause ran) and inserted rows (staged or in-space);
+    # delete-only rewrites just drop rows
+    checks = constraints_of(snap.properties)
+    if checks:
+        if when_matched_update is not None and updated is not None:
+            validate_constraints(updated, checks, context="MERGE update")
+        if inserts is not None and n_ins:
+            validate_constraints(inserts, checks, context="MERGE insert")
     version = _rewrite(qt, snap, matched, replacement, staged=staged)
     if inserts is not None:
         inserts.unpersist()

@@ -221,6 +221,40 @@ class QbeastTable:
             rels.extend(fo["path"] for fo in commit.get("add", []))
         return self._df_for_files(rels)
 
+    def constraints(self) -> dict:
+        """Active CHECK constraints ({name: SQL boolean expr})."""
+        from .constraints import constraints_of
+
+        return constraints_of(self.snapshot(refresh=True).properties)
+
+    def add_constraint(self, name: str, expr: str) -> int:
+        """ALTER TABLE ADD CONSTRAINT parity: validate the EXISTING rows
+        against ``expr`` (one scan), then persist it — every later
+        write/UPDATE/MERGE batch must satisfy it (sources/constraints.py).
+        Raises if current data violates, like Delta."""
+        from .constraints import CONSTRAINT_PREFIX, validate_constraints
+
+        if not name or not expr:
+            raise ValueError("constraint needs a name and an expression")
+        validate_constraints(self.to_df(), {name: expr},
+                             context=f"existing data of {self.path}")
+        v = self.log.commit(properties={f"{CONSTRAINT_PREFIX}{name}": expr},
+                            data_change=False)
+        self._snapshot = None
+        return v
+
+    def drop_constraint(self, name: str) -> int:
+        """Disable a CHECK constraint (the versioned log merges
+        properties, so dropping stores an empty value)."""
+        from .constraints import CONSTRAINT_PREFIX
+
+        if name not in self.constraints():
+            raise ValueError(f"no such constraint {name!r}")
+        v = self.log.commit(properties={f"{CONSTRAINT_PREFIX}{name}": ""},
+                            data_change=False)
+        self._snapshot = None
+        return v
+
     def restore(self, version: int) -> int:
         """Delta RESTORE parity: roll the table back to ``version`` as a
         NEW commit (history is preserved — a restore is itself

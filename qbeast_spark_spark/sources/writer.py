@@ -390,9 +390,16 @@ def write_qbeast(df, path: str,
                  txn_app_id: Optional[str] = None,
                  txn_version: Optional[int] = None,
                  bloom_columns: Optional[Sequence[str]] = None,
-                 bloom_bits: int = 16384) -> int:
+                 bloom_bits: int = 16384,
+                 constraints: Optional[Dict[str, str]] = None) -> int:
     """Index + write ``df`` as one transactional qbeast commit; returns the
     committed log version. See module docstring for the plan shape.
+
+    ``constraints`` adds named CHECK constraints ({name: SQL boolean
+    expr}, persisted as ``qbeast.constraint.<name>`` properties); this
+    batch and every later write/UPDATE/MERGE validates against the
+    table's full constraint set before committing
+    (sources/constraints.py).
 
     ``bloom_columns`` opts string columns into per-file Bloom filters
     (functions/bloom.py): equality / IN literals that test negative prove
@@ -442,7 +449,7 @@ def write_qbeast(df, path: str,
         return _write_qbeast_inner(df, path, columns_to_index, cube_size,
                                    mode, column_stats, pre_commit_hooks,
                                    merge_schema, txn_app_id, txn_version,
-                                   bloom_columns, bloom_bits)
+                                   bloom_columns, bloom_bits, constraints)
     finally:
         if _prev_batch is None:
             _spark.conf.unset(_ARROW_BATCH_KEY)
@@ -463,7 +470,8 @@ def _write_qbeast_inner(df, path: str, columns_to_index,
                         column_stats, pre_commit_hooks,
                         merge_schema: bool = False,
                         txn_app_id=None, txn_version=None,
-                        bloom_columns=None, bloom_bits: int = 16384) -> int:
+                        bloom_columns=None, bloom_bits: int = 16384,
+                        constraints=None) -> int:
     from pyspark.sql import functions as F
     from pyspark.sql import types as T
 
@@ -492,6 +500,20 @@ def _write_qbeast_inner(df, path: str, columns_to_index,
     if txn_app_id is not None and \
             snapshot.txns.get(txn_app_id, -1) >= int(txn_version):
         return snapshot.version        # already committed: idempotent skip
+    # CHECK constraints: the incoming batch must satisfy the table's
+    # stored set plus any newly declared ones (one agg job; NULL passes,
+    # Delta semantics). Constraints survive overwrite — properties merge
+    # across commits — matching Delta's INSERT OVERWRITE.
+    from .constraints import CONSTRAINT_PREFIX, constraints_of, \
+        validate_constraints
+
+    all_constraints = {**constraints_of(snapshot.properties),
+                       **(constraints or {})}
+    validate_constraints(df, all_constraints,
+                         context=f"{mode} to {path}")
+    constraint_props = {f"{CONSTRAINT_PREFIX}{name}": expr
+                        for name, expr in (constraints or {}).items()}
+
     pre_existing_files = list(snapshot.files.keys())
     if mode == "overwrite":
         snapshot.files = {}
@@ -549,6 +571,7 @@ def _write_qbeast_inner(df, path: str, columns_to_index,
     if n == 0:
         return log.commit(add=[], remove=[], schema_json=df.schema.json(),
                           data_change=False,
+                          properties=constraint_props or None,
                           txn=({"appId": txn_app_id,
                                 "version": int(txn_version)}
                                if txn_app_id is not None else None))
@@ -610,7 +633,7 @@ def _write_qbeast_inner(df, path: str, columns_to_index,
             _cube_str(d, p): float(v) for (d, p), v in new_domains.items()}},
         schema_json=data_schema,
         properties={"qbeast.lastRevisionID": str(revision.revision_id),
-                    **extra_props},
+                    **extra_props, **constraint_props},
         data_change=True,
         reset_stats=(mode == "overwrite"),
         txn=({"appId": txn_app_id, "version": int(txn_version)}
