@@ -221,6 +221,32 @@ class QbeastTable:
             rels.extend(fo["path"] for fo in commit.get("add", []))
         return self._df_for_files(rels)
 
+    def detail(self) -> dict:
+        """DESCRIBE DETAIL parity: one metadata-only summary dict —
+        location, row/file/byte totals, small-file and deletion-vector
+        counts, revision ids, constraint names, log version, properties.
+        O(#files) driver work; feeds dashboards and the auto_maintain
+        thresholds."""
+        from .constraints import constraints_of
+
+        snap = self.snapshot(refresh=True)
+        files = list(snap.files.values())
+        return {
+            "location": self.path,
+            "version": snap.version,
+            "numFiles": len(files),
+            "numRows": sum(f.live_rows for f in files),
+            "sizeInBytes": sum(f.size for f in files),
+            "numSmallFiles(<32MB)": sum(
+                1 for f in files if f.size < 32 * 1024 * 1024),
+            "numFilesWithDeletionVectors": sum(1 for f in files if f.dv),
+            "numStagingFiles": sum(
+                1 for f in files if f.revision_id == 0),
+            "revisions": sorted({f.revision_id for f in files}),
+            "constraints": sorted(constraints_of(snap.properties)),
+            "properties": dict(snap.properties),
+        }
+
     def constraints(self) -> dict:
         """Active CHECK constraints ({name: SQL boolean expr})."""
         from .constraints import constraints_of

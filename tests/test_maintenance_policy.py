@@ -203,3 +203,25 @@ def test_restore_refuses_after_vacuum(spark, tmp_table):
     qt.vacuum(retention_hours=0.0)       # ...and are now gone
     with pytest.raises(ValueError, match="vacuumed"):
         qt.restore(v0)
+
+
+def test_detail_summary(spark, tmp_table):
+    import qbeast_spark_spark as qss
+
+    li = load(spark, "lineitem").limit(2000)
+    qss.write(li, tmp_table, columns_to_index=["l_orderkey"], cube_size=400,
+              constraints={"qty_pos": "l_quantity > 0"})
+    qss.write_staging(li.limit(100), tmp_table)
+    qt = qss.QbeastTable.for_path(spark, tmp_table)
+    d = qt.detail()
+    assert d["numRows"] == 2100
+    assert d["numFiles"] == len(qt.file_paths())
+    assert d["sizeInBytes"] > 0
+    assert d["numStagingFiles"] >= 1
+    assert 0 in d["revisions"] and len(d["revisions"]) == 2
+    assert d["constraints"] == ["qty_pos"]
+    assert d["version"] == qt.snapshot().version
+    qss.delete_rows(spark, tmp_table, [("l_orderkey", "<", 500)], mode="dv")
+    d2 = qss.QbeastTable.for_path(spark, tmp_table).detail()
+    assert d2["numFilesWithDeletionVectors"] >= 1
+    assert d2["numRows"] < 2100
