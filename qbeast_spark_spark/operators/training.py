@@ -1,0 +1,164 @@
+"""Training-set assembly operators: deterministic splits, token-bounded
+chunking, and sequence packing.
+
+These are the last-mile ops between a cleaned corpus and an LLM training
+run. All three are built for 100 TB:
+
+- ``hash_split`` is a pure column expression (murmur3, no shuffle, no
+  state) — the split of a row never changes as the corpus grows, the
+  property that keeps eval sets stable across dataset versions;
+- ``chunk_text`` is a single JVM projection (sequence + slice over the
+  token array; no UDF, no explode-then-join);
+- ``pack_sequences`` is the classic first-fit-decreasing bin pack done
+  PARTITION-LOCALLY (Arrow-batched applyInPandas over salted groups):
+  exact global FFD is inherently sequential, so each task packs its own
+  slice and bins never span partitions — the standard distributed
+  approximation (waste is bounded by one partial bin per partition).
+"""
+
+from __future__ import annotations
+
+from typing import Dict, List, Sequence, Tuple
+
+from .text import TOKEN_RE
+
+__all__ = ["hash_split", "chunk_text", "pack_sequences"]
+
+
+def hash_split(df, weights: Dict[str, float], id_col: str = "doc_id",
+               seed: int = 42, out_col: str = "split"):
+    """Deterministic train/val/test assignment: murmur3(id, seed) maps to
+    [0,1); cumulative weight ranges pick the split. Rows keep their split
+    forever — appends can't reshuffle existing membership."""
+    from pyspark.sql import functions as F
+
+    total = sum(weights.values())
+    if total <= 0:
+        raise ValueError("split weights must sum to > 0")
+    u = ((F.hash(F.col(id_col), F.lit(seed))
+          .bitwiseAND(F.lit(0x7FFFFFFF))) / F.lit(2147483647.0))
+    expr = None
+    acc = 0.0
+    names = list(weights)
+    for name in names[:-1]:
+        acc += weights[name] / total
+        cond = u < acc
+        expr = F.when(cond, name) if expr is None else \
+            expr.when(cond, name)
+    expr = (F.lit(names[-1]) if expr is None
+            else expr.otherwise(names[-1]))
+    return df.withColumn(out_col, expr)
+
+
+def chunk_text(docs, max_tokens: int = 128, overlap: int = 0,
+               id_col: str = "doc_id", text_col: str = "text"):
+    """Split documents into token-bounded chunks with optional overlap:
+    (id, chunk_id, n_tokens, chunk) rows. One projection — tokens
+    materialize once, chunk starts come from ``sequence()``, each chunk
+    is a ``slice`` + ``concat_ws`` (JVM higher-order functions, no UDF).
+    Whitespace inside the original text is normalized to single spaces
+    (chunks re-join tokens)."""
+    from pyspark.sql import functions as F
+
+    from ..functions.partitioning import spread
+
+    if not 0 <= overlap < max_tokens:
+        raise ValueError("need 0 <= overlap < max_tokens")
+    step = max_tokens - overlap
+    tokenized = spread(docs).select(
+        F.col(id_col),
+        F.regexp_extract_all(F.lower(F.col(text_col)), F.lit(TOKEN_RE), 0)
+        .alias("_toks"))
+    n = F.size(F.col("_toks"))
+    # chunk start offsets 0, step, 2*step, ...: a start must contribute at
+    # least one NEW token (start < n - overlap), else the final chunk
+    # would be pure overlap of its predecessor
+    starts = F.sequence(F.lit(0),
+                        F.greatest(n - overlap - 1, F.lit(0)),
+                        F.lit(step))
+    chunks = (tokenized
+              .where(n > 0)
+              .select(F.col(id_col), F.col("_toks"),
+                      F.posexplode(starts).alias("chunk_id", "_start"))
+              .select(
+                  F.col(id_col), F.col("chunk_id"),
+                  F.slice(F.col("_toks"), F.col("_start") + 1,
+                          F.lit(max_tokens)).alias("_chunk_toks")))
+    return chunks.select(
+        F.col(id_col), F.col("chunk_id"),
+        F.size(F.col("_chunk_toks")).alias("n_tokens"),
+        F.concat_ws(" ", F.col("_chunk_toks")).alias("chunk"))
+
+
+def pack_sequences(docs, budget_tokens: int = 2048,
+                   id_col: str = "doc_id", tokens_col: str = "n_tokens",
+                   num_partitions: int | None = None):
+    """Sample packing: group documents into bins whose token totals stay
+    within ``budget_tokens`` (first-fit decreasing). Returns (id, tokens,
+    bin_id, bin_tokens) — every input row appears exactly once; documents
+    longer than the budget get a singleton bin (truncation is the
+    caller's policy call).
+
+    Distributed shape: rows hash-salt into ``num_partitions`` groups (ONE
+    shuffle), each task packs its group with best-fit-decreasing (a
+    bisect over the sorted remaining-capacity list: O(n log n)
+    comparisons — same packing quality class as first-fit-decreasing),
+    and bin ids are salted by group so they are globally unique. Exact
+    global FFD is a sequential algorithm; per-group packing is the
+    standard approximation and its waste is at most one under-filled bin
+    per group — negligible when groups hold thousands of documents."""
+    from pyspark.sql import functions as F
+
+    spark = docs.sparkSession
+    nparts = num_partitions or spark.sparkContext.defaultParallelism
+    narrow = (docs.select(F.col(id_col).alias("__id"),
+                          F.col(tokens_col).cast("long").alias("_tok"))
+              .withColumn("_part",
+                          F.pmod(F.hash("__id"), F.lit(nparts))))
+
+    def pack(pdf):
+        import bisect
+
+        pdf = pdf.sort_values("_tok", ascending=False, kind="mergesort")
+        part = int(pdf["_part"].iloc[0]) if len(pdf) else 0
+        rems: List[int] = []     # open-bin remaining capacities, sorted
+        slot_bin: List[int] = []  # parallel: bin index per slot
+        totals: List[int] = []
+        assign = []
+        for tok in pdf["_tok"]:
+            tok = int(tok)
+            pos = bisect.bisect_left(rems, tok)
+            if pos == len(rems):          # nothing fits: open a bin
+                idx = len(totals)
+                totals.append(tok)
+                rem = budget_tokens - tok
+                if rem > 0:
+                    at = bisect.bisect_left(rems, rem)
+                    rems.insert(at, rem)
+                    slot_bin.insert(at, idx)
+            else:                          # tightest bin that fits
+                idx = slot_bin.pop(pos)
+                rem = rems.pop(pos) - tok
+                totals[idx] += tok
+                if rem > 0:
+                    at = bisect.bisect_left(rems, rem)
+                    rems.insert(at, rem)
+                    slot_bin.insert(at, idx)
+            assign.append(idx)
+        pdf = pdf.assign(
+            bin_id=[part * 1_000_000_000 + a for a in assign])
+        pdf["bin_tokens"] = [totals[a] for a in assign]
+        return pdf[["__id", "_tok", "bin_id", "bin_tokens"]]
+
+    from pyspark.sql import types as T
+
+    out_schema = T.StructType([
+        T.StructField("__id", docs.schema[id_col].dataType),
+        T.StructField("_tok", T.LongType()),
+        T.StructField("bin_id", T.LongType()),
+        T.StructField("bin_tokens", T.LongType()),
+    ])
+    packed = narrow.groupBy("_part").applyInPandas(pack, out_schema)
+    return packed.select(
+        F.col("__id").alias(id_col), F.col("_tok").alias(tokens_col),
+        "bin_id", "bin_tokens")

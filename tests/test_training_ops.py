@@ -1,0 +1,102 @@
+"""Training-set assembly ops (operators/training.py): deterministic
+hash splits, token-bounded chunking (with a DuckDB twin for the token
+convention), and sequence packing invariants."""
+
+import duckdb
+import pytest
+from pyspark.sql import functions as F
+
+from conftest import load
+
+
+def test_hash_split_deterministic_and_proportional(spark):
+    from qbeast_spark_spark.operators.training import hash_split
+
+    docs = load(spark, "documents")
+    n = docs.count()
+    w = {"train": 0.8, "val": 0.1, "test": 0.1}
+    a = hash_split(docs, w).groupBy("split").count().collect()
+    b = hash_split(docs, w).groupBy("split").count().collect()
+    assert sorted(map(tuple, a)) == sorted(map(tuple, b))  # deterministic
+    counts = {r["split"]: r["count"] for r in a}
+    assert set(counts) <= {"train", "val", "test"}
+    assert counts["train"] / n == pytest.approx(0.8, abs=0.08)
+    # membership is stable under corpus growth: the half-corpus split
+    # agrees with the full-corpus split on shared ids
+    half = hash_split(docs.limit(n // 2), w).select("doc_id", "split")
+    full = hash_split(docs, w).select("doc_id",
+                                      F.col("split").alias("split_full"))
+    diff = (half.join(full, "doc_id")
+            .where("split != split_full").count())
+    assert diff == 0
+    # a different seed produces a different assignment
+    c = {r["split"]: r["count"]
+         for r in hash_split(docs, w, seed=7).groupBy("split")
+         .count().collect()}
+    assert c != counts or True  # proportions may coincide; just run it
+
+
+def test_chunk_text_covers_tokens_with_overlap(spark):
+    from qbeast_spark_spark.operators.training import chunk_text
+    from qbeast_spark_spark.operators.text import TOKEN_RE
+
+    docs = load(spark, "documents").limit(100)
+    chunks = chunk_text(docs, max_tokens=16, overlap=4)
+    got = chunks.collect()
+    assert all(1 <= r["n_tokens"] <= 16 for r in got)
+    # token accounting: sum over chunks == tokens + overlap re-counts
+    con = duckdb.connect()
+    tok_counts = {r[0]: r[1] for r in con.execute(f"""
+        SELECT doc_id, len(regexp_extract_all(lower(text), '{TOKEN_RE}'))
+        FROM '/root/testdata/sf0.001/documents.parquet'
+        WHERE doc_id < 100""").fetchall()}
+    per_doc = {}
+    for r in got:
+        per_doc.setdefault(r["doc_id"], []).append(r)
+    step = 16 - 4
+    for doc_id, rows in per_doc.items():
+        n = tok_counts[doc_id]
+        import math
+        expect_chunks = max(1, math.ceil(max(n - 4, 1) / step))
+        assert len(rows) == expect_chunks, doc_id
+        # chunks except the last are full
+        by_id = sorted(rows, key=lambda r: r["chunk_id"])
+        assert all(r["n_tokens"] == 16 for r in by_id[:-1])
+        # reconstruction: stripping the overlap from non-first chunks
+        # yields the original token stream
+        toks = []
+        for i, r in enumerate(by_id):
+            ts = r["chunk"].split(" ")
+            toks.extend(ts if i == 0 else ts[4:])
+        assert len(toks) == n, doc_id
+
+
+def test_pack_sequences_invariants(spark):
+    from qbeast_spark_spark.operators.text import token_counts
+    from qbeast_spark_spark.operators.training import pack_sequences
+
+    docs = load(spark, "documents")
+    with_counts = token_counts(docs).select(
+        "doc_id", F.col("re_tokens").alias("n_tokens"))
+    total_docs = with_counts.count()
+    budget = 600
+    packed = pack_sequences(with_counts, budget_tokens=budget,
+                            num_partitions=4)
+    rows = packed.collect()
+    # every document packed exactly once
+    assert len(rows) == total_docs
+    assert len({r["doc_id"] for r in rows}) == total_docs
+    # no bin over budget unless it is a singleton oversized doc
+    by_bin = {}
+    for r in rows:
+        by_bin.setdefault(r["bin_id"], []).append(r)
+    for bin_id, members in by_bin.items():
+        tot = sum(r["n_tokens"] for r in members)
+        assert tot == members[0]["bin_tokens"]
+        if tot > budget:
+            assert len(members) == 1        # oversized singleton
+    # packing is reasonably tight: mean fill of multi-doc bins > 60%
+    fills = [sum(r["n_tokens"] for r in m) / budget
+             for m in by_bin.values() if len(m) > 1]
+    if fills:
+        assert sum(fills) / len(fills) > 0.6
