@@ -242,7 +242,6 @@ def main() -> None:
     best_opt = None
     for _ in range(2):
         shutil.rmtree(f"/tmp/qss_tables/{tag}", ignore_errors=True)
-        _indexed_lineitem(spark, SF_DIR)
         qt = qss.QbeastTable.for_path(spark, _indexed_lineitem(spark, SF_DIR))
         t0 = time.time()
         qss.optimize_table(spark, qt.path, fraction=0.5)

@@ -164,7 +164,9 @@ def compact_table(spark, path: str,
     Files smaller than ``min_file_bytes`` (default: the target size, as
     in Delta OPTIMIZE) are candidates; bins form within one revision in
     cube-tree order. Rows masked by deletion vectors are dropped during
-    the rewrite, so compaction doubles as a "materialize deletes" pass.
+    the rewrite, so compaction doubles as a "materialize deletes" pass;
+    with ``purge_deletion_vectors=False`` DV-carrying files are excluded
+    from compaction entirely (a DV cannot survive concatenation).
 
     Concurrency: like optimize(), compaction assumes no concurrent DML
     rewrites the SAME files. As a guard, the snapshot is re-read just
@@ -184,6 +186,11 @@ def compact_table(spark, path: str,
     by_rev: Dict[int, List[IndexFile]] = {}
     for f in snap.files.values():
         if revision_id is not None and f.revision_id != revision_id:
+            continue
+        if f.dv and not purge_deletion_vectors:
+            # a DV cannot survive concatenation (positions shift) and
+            # dropping it would resurrect the masked rows — without the
+            # purge, DV-carrying files are simply not candidates
             continue
         if f.size < cutoff:
             by_rev.setdefault(f.revision_id, []).append(f)

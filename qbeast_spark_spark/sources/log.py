@@ -307,7 +307,14 @@ class CommitLog:
                                      int(txn["version"]))
             if commit.get("schema") is not None:
                 snap.schema_json = commit["schema"]
-            snap.properties.update(commit.get("properties", {}))
+            # a null property value DELETES the key (properties otherwise
+            # only ever merge — restore() needs removal to roll back
+            # settings added after its target version)
+            for pk, pv in commit.get("properties", {}).items():
+                if pv is None:
+                    snap.properties.pop(pk, None)
+                else:
+                    snap.properties[pk] = pv
             snap.version = v
         return snap
 

@@ -66,10 +66,13 @@ def optimize_table(spark, path: str, fraction: float = 1.0,
         rev = snap.latest_revision()
 
     # -- select files -------------------------------------------------------
+    # set-ify once: membership runs per snapshot file, and callers pass
+    # O(#files)-sized lists (auto_maintain consolidation)
+    fp_set = None if file_paths is None else set(file_paths)
     selected: List[IndexFile] = []
     for rel, f in snap.files.items():
-        if file_paths is not None:
-            if rel in file_paths or os.path.join(path, rel) in file_paths:
+        if fp_set is not None:
+            if rel in fp_set or os.path.join(path, rel) in fp_set:
                 selected.append(f)
             continue
         if f.revision_id == STAGING_REVISION_ID:
@@ -266,8 +269,15 @@ def _write_staging_files(df, path: str) -> List[IndexFile]:
 
 def write_staging(df, path: str) -> int:
     """Append non-indexed ("plain") files to a qbeast table — the staging
-    lane (revision 0): cheap ingest now, indexing deferred to optimize()."""
+    lane (revision 0): cheap ingest now, indexing deferred to optimize().
+    CHECK constraints validate here like on every other ingest path (the
+    staging lane is cheaper, not laxer)."""
+    from .constraints import constraints_of, validate_constraints
+
     log = CommitLog(path)
+    if log.exists():
+        validate_constraints(df, constraints_of(log.snapshot().properties),
+                             context=f"staging append to {path}")
     add = _write_staging_files(df, path)
     staging = Revision(STAGING_REVISION_ID, int(time.time() * 1000),
                        5_000_000, [], [], [])

@@ -21,7 +21,7 @@ from typing import Any, Dict, List, Optional, Sequence, Tuple
 
 import numpy as np
 
-from ..core.revision import Revision
+from ..core.revision import Revision, STAGING_REVISION_ID
 from ..core.transform import HashTransformation, literal_to_number
 from ..core.weight import fraction_to_weight
 from ..index.vectorized import cube_ranges
@@ -241,7 +241,8 @@ class QbeastTable:
                 1 for f in files if f.size < 32 * 1024 * 1024),
             "numFilesWithDeletionVectors": sum(1 for f in files if f.dv),
             "numStagingFiles": sum(
-                1 for f in files if f.revision_id == 0),
+                1 for f in files
+                if f.revision_id == STAGING_REVISION_ID),
             "revisions": sorted({f.revision_id for f in files}),
             "constraints": sorted(constraints_of(snap.properties)),
             "properties": dict(snap.properties),
@@ -270,13 +271,14 @@ class QbeastTable:
         return v
 
     def drop_constraint(self, name: str) -> int:
-        """Disable a CHECK constraint (the versioned log merges
-        properties, so dropping stores an empty value)."""
+        """Drop a CHECK constraint (deleted via the null-value property
+        protocol; empty-string values from older logs read as dropped
+        too)."""
         from .constraints import CONSTRAINT_PREFIX
 
         if name not in self.constraints():
             raise ValueError(f"no such constraint {name!r}")
-        v = self.log.commit(properties={f"{CONSTRAINT_PREFIX}{name}": ""},
+        v = self.log.commit(properties={f"{CONSTRAINT_PREFIX}{name}": None},
                             data_change=False)
         self._snapshot = None
         return v
@@ -305,6 +307,14 @@ class QbeastTable:
             raise ValueError(
                 f"cannot restore to version {version}: {len(missing)} "
                 f"data file(s) already vacuumed (e.g. {missing[0]!r})")
+        # roll properties back too: keys added after the target version
+        # are deleted via the null-value protocol (log replay otherwise
+        # only merges properties, so e.g. a constraint added at v+1 would
+        # survive a restore to v)
+        props = dict(old.properties)
+        for k in cur.properties:
+            if k not in old.properties:
+                props[k] = None
         v = self.log.commit(
             add=list(old.files.values()),
             remove=[rel for rel in cur.files if rel not in old.files],
@@ -313,7 +323,7 @@ class QbeastTable:
             cube_domains=old.cube_domains,
             reset_stats=True,
             schema_json=old.schema_json,
-            properties=old.properties,
+            properties=props,
             data_change=True,
         )
         self._snapshot = None

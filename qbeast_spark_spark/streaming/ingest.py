@@ -58,9 +58,9 @@ def stream_write_qbeast(stream_df, path: str,
         if maintain_every and (batch_id + 1) % maintain_every == 0:
             from ..sources.maintenance import auto_maintain
 
-            auto_maintain(batch_df.sparkSession, path,
-                          columns_to_index=columns_to_index,
-                          **(maintain_kwargs or {}))
+            mk = dict(maintain_kwargs or {})
+            mk.setdefault("columns_to_index", columns_to_index)
+            auto_maintain(batch_df.sparkSession, path, **mk)
 
     writer = (stream_df.writeStream.foreachBatch(sink)
               .queryName(query_name)

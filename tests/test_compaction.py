@@ -195,3 +195,29 @@ def test_compact_refreshes_column_stats_and_blooms(spark, tmp_table):
     # bloom still answers point lookups (present id hits somewhere)
     assert any(bloom_might_contain(f.blooms["rid"], some_rid)
                for f in snap.files.values())
+
+
+def test_compact_without_purge_skips_dv_files(spark, small_file_table):
+    """purge_deletion_vectors=False must never resurrect DV-masked rows:
+    DV-carrying files are not candidates (a DV cannot survive
+    concatenation), other files still compact."""
+    import qbeast_spark_spark as qss
+
+    qt = qss.QbeastTable.for_path(spark, small_file_table)
+    n = qt.to_df().count()
+    gone = qt.read([("l_orderkey", "<", 500)]).count()
+    qss.delete_rows(spark, small_file_table,
+                    [("l_orderkey", "<", 500)], mode="dv")
+    dv_files = {f.path for f in qss.QbeastTable.for_path(
+        spark, small_file_table).snapshot().files.values() if f.dv}
+    assert dv_files
+
+    qss.compact_table(spark, small_file_table,
+                      purge_deletion_vectors=False)
+    qt2 = qss.QbeastTable.for_path(spark, small_file_table)
+    snap = qt2.snapshot()
+    # deleted rows stay deleted; DV files survive untouched
+    assert qt2.to_df().count() == n - gone
+    assert qt2.read([("l_orderkey", "<", 500)]).count() == 0
+    assert dv_files <= set(snap.files)
+    assert all(snap.files[p].dv for p in dv_files)

@@ -107,3 +107,29 @@ def test_constraints_survive_overwrite_and_insert_into(spark, table):
     bad = li.limit(10).withColumn("l_quantity", F.lit(-2.0))
     with pytest.raises(ValueError, match="qty_positive"):
         qt.insert_into(bad)
+
+
+def test_staging_lane_enforces_constraints(spark, table):
+    path, li = table
+    qt = qss.QbeastTable.for_path(spark, path)
+    bad = li.limit(30).withColumn("l_quantity", F.lit(-4.0))
+    with pytest.raises(ValueError, match="staging.*qty_positive"):
+        qss.write_staging(bad, path)
+    with pytest.raises(ValueError, match="qty_positive"):
+        qt.append_staging(bad)
+    # conforming staging rows pass
+    qss.write_staging(li.limit(30), path)
+
+
+def test_restore_rolls_back_constraints(spark, tmp_table):
+    li = load(spark, "lineitem").limit(500)
+    qss.write(li, tmp_table, columns_to_index=["l_orderkey"])
+    qt = qss.QbeastTable.for_path(spark, tmp_table)
+    v0 = qt.snapshot().version
+    qt.add_constraint("cap", "l_extendedprice < 1e9")
+    assert "cap" in qt.constraints()
+    qt.restore(v0)
+    assert "cap" not in qt.constraints()
+    # and a batch violating the rolled-back constraint now passes
+    qss.write(li.limit(10).withColumn("l_extendedprice", F.lit(2e9)),
+              tmp_table, columns_to_index=["l_orderkey"])
