@@ -225,3 +225,53 @@ def test_detail_summary(spark, tmp_table):
     d2 = qss.QbeastTable.for_path(spark, tmp_table).detail()
     assert d2["numFilesWithDeletionVectors"] >= 1
     assert d2["numRows"] < 2100
+
+
+def test_concurrent_appends_race_compaction(spark, tmp_table):
+    """Appends from several threads racing a compactor: the O_EXCL commit
+    protocol serializes log versions, compaction's late-conflict guard
+    drops bins whose inputs changed, and no row is lost or duplicated.
+    (Appends only ADD files, so a compacted input can never vanish —
+    the one maintenance/DML combination that is race-safe by design.)"""
+    import threading
+
+    import qbeast_spark_spark as qss
+
+    li = load(spark, "lineitem").limit(2400).cache()
+    li.count()
+    qss.write(li.where(F.col("l_orderkey") % 4 == 0), tmp_table,
+              columns_to_index=["l_orderkey"], cube_size=400,
+              column_stats={"l_orderkey": {"min": 0, "max": 70000}})
+    errors = []
+
+    def appender(i):
+        try:
+            qss.write(li.where(F.col("l_orderkey") % 4 == i), tmp_table,
+                      columns_to_index=["l_orderkey"], cube_size=400)
+        except Exception as e:       # pragma: no cover
+            errors.append(e)
+
+    def compactor():
+        try:
+            for _ in range(3):
+                qss.compact_table(spark, tmp_table,
+                                  target_file_bytes=64 * 1024 * 1024)
+        except Exception as e:       # pragma: no cover
+            errors.append(e)
+
+    threads = [threading.Thread(target=appender, args=(i,))
+               for i in (1, 2, 3)] + [threading.Thread(target=compactor)]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join()
+    assert not errors, errors
+
+    qt = qss.QbeastTable.for_path(spark, tmp_table)
+    got = qt.to_df()
+    assert got.count() == li.count()
+    assert got.exceptAll(li).count() == 0
+    # block accounting stayed consistent through the races
+    for f in qt.snapshot().files.values():
+        assert sum(b.count for b in f.blocks) == f.rows
+    li.unpersist()
