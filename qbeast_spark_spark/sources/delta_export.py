@@ -114,6 +114,13 @@ def export_delta_log(snapshot, table_path: str,
     tags: Dict[str, dict] = {}
     if include_index:
         config, tags = _qbeast_config_and_tags(snapshot, table_id)
+    # CHECK constraints export in Delta's own configuration convention
+    # (delta.constraints.<name>), so a Delta engine writing to the
+    # exported table keeps enforcing them
+    from .constraints import constraints_of
+
+    config.update({f"delta.constraints.{n}": e
+                   for n, e in constraints_of(snapshot.properties).items()})
 
     # files carrying deletion vectors require the feature-gated protocol
     # (Delta spec: DV tables are readerVersion 3 / writerVersion 7 with

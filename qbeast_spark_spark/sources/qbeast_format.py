@@ -378,6 +378,14 @@ def read_qbeast_delta_snapshot(table_path: str,
     snap.revisions = revisions
     snap.properties = {k: v for k, v in config.items()
                        if k.startswith("qbeast.")}
+    # adopt Delta CHECK constraints under this engine's property
+    # convention so the mutable surface keeps enforcing them
+    from .constraints import CONSTRAINT_PREFIX
+
+    snap.properties.update({
+        CONSTRAINT_PREFIX + k[len("delta.constraints."):]: v
+        for k, v in config.items()
+        if k.startswith("delta.constraints.") and v})
     cube_weights: Dict[int, Dict[str, int]] = {}
     for rel, add in files.items():
         rel = urllib.parse.unquote(rel)
@@ -413,6 +421,12 @@ def attach_qbeast_delta(table_path: str) -> int:
     props = {"qbeast.importedFrom": "delta"}
     if last_rev is not None:
         props["qbeast.lastRevisionID"] = str(last_rev)
+    # carry imported CHECK constraints into the native log so appends
+    # through this engine keep enforcing them
+    from .constraints import CONSTRAINT_PREFIX
+
+    props.update({k: v for k, v in snap.properties.items()
+                  if k.startswith(CONSTRAINT_PREFIX)})
     return log.commit(
         add=list(snap.files.values()),
         remove=[],

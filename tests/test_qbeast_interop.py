@@ -523,3 +523,39 @@ def test_versioned_export_appends_log_versions(spark, tmp_path):
     assert set(old.files) == files_v0 and old.version == 0
     with pytest.raises(ValueError, match="not in the Delta log"):
         qss.read_qbeast_delta_snapshot(p, at_version=99)
+
+
+def test_constraints_roundtrip_through_delta_interop(spark, tmp_path):
+    """CHECK constraints export as delta.constraints.* (Delta's own
+    convention, so a Delta writer keeps enforcing them) and come back as
+    qbeast.constraint.* on import/attach — violating appends are rejected
+    on the attached table."""
+    from pyspark.sql import functions as F
+
+    p = str(tmp_path / "t")
+    li = load(spark, "lineitem").limit(800)
+    qss.write(li, p, columns_to_index=["l_orderkey"], cube_size=400,
+              constraints={"qty_positive": "l_quantity > 0"})
+    qss.QbeastTable.for_path(spark, p).export_delta_log()
+
+    with open(os.path.join(p, "_delta_log", f"{0:020d}.json")) as fh:
+        acts = [json.loads(line) for line in fh]
+    meta = next(a["metaData"] for a in acts if "metaData" in a)
+    assert meta["configuration"].get(
+        "delta.constraints.qty_positive") == "l_quantity > 0"
+
+    # import direction: the snapshot surfaces the constraint natively
+    snap = qss.read_qbeast_delta_snapshot(p)
+    assert snap.properties.get(
+        "qbeast.constraint.qty_positive") == "l_quantity > 0"
+
+    # attach: the adopted table enforces on append
+    import shutil
+
+    shutil.rmtree(os.path.join(p, "_qbeast_log"))
+    qss.attach_qbeast_delta(p)
+    qt = qss.QbeastTable.for_path(spark, p)
+    assert qt.constraints() == {"qty_positive": "l_quantity > 0"}
+    bad = li.limit(10).withColumn("l_quantity", F.lit(-1.0))
+    with pytest.raises(ValueError, match="qty_positive"):
+        qss.write(bad, p, columns_to_index=["l_orderkey"], mode="append")
