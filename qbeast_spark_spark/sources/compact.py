@@ -222,7 +222,9 @@ def compact_table(spark, path: str,
                 "path": f.path,
                 "blocks": [[blk.cube, blk.min_weight, blk.max_weight,
                             blk.count] for blk in f.blocks],
-                "dv": f.dv if purge_deletion_vectors else None,
+                # every DV file reaching a bin IS being purged (non-purge
+                # mode excluded them from candidacy above)
+                "dv": f.dv,
             } for f in b],
             "bloom_cols": bloom_cols,
         })))

@@ -20,15 +20,21 @@ from __future__ import annotations
 
 from typing import Dict, Mapping, Optional
 
-__all__ = ["CONSTRAINT_PREFIX", "constraints_of", "validate_constraints"]
+__all__ = ["CONSTRAINT_PREFIX", "DELTA_CONSTRAINT_PREFIX",
+           "constraints_of", "validate_constraints"]
 
 CONSTRAINT_PREFIX = "qbeast.constraint."
+# Delta's own convention for the same concept — the export/import wire
+# key (PROTOCOL.md "CHECK Constraints"); shared so the two directions
+# cannot drift
+DELTA_CONSTRAINT_PREFIX = "delta.constraints."
 
 
 def constraints_of(properties: Mapping[str, str]) -> Dict[str, str]:
-    """Active constraints from table properties (an empty value means the
-    constraint was dropped — the versioned log merges properties, it
-    never deletes keys)."""
+    """Active constraints from table properties. Dropped constraints are
+    DELETED via the log's null-value property protocol (log.py replay);
+    an empty-string value (the pre-null legacy spelling) also reads as
+    dropped."""
     return {k[len(CONSTRAINT_PREFIX):]: v
             for k, v in (properties or {}).items()
             if k.startswith(CONSTRAINT_PREFIX) and v}

@@ -116,22 +116,30 @@ def export_delta_log(snapshot, table_path: str,
         config, tags = _qbeast_config_and_tags(snapshot, table_id)
     # CHECK constraints export in Delta's own configuration convention
     # (delta.constraints.<name>), so a Delta engine writing to the
-    # exported table keeps enforcing them
-    from .constraints import constraints_of
+    # exported table keeps enforcing them (protocol gated below)
+    from .constraints import DELTA_CONSTRAINT_PREFIX, constraints_of
 
-    config.update({f"delta.constraints.{n}": e
-                   for n, e in constraints_of(snapshot.properties).items()})
+    exported_constraints = constraints_of(snapshot.properties)
+    config.update({f"{DELTA_CONSTRAINT_PREFIX}{n}": e
+                   for n, e in exported_constraints.items()})
 
     # files carrying deletion vectors require the feature-gated protocol
     # (Delta spec: DV tables are readerVersion 3 / writerVersion 7 with
     # the deletionVectors feature listed); DV-free snapshots keep the
-    # maximally-compatible v1 protocol
+    # most-compatible legacy protocol. CHECK constraints gate the WRITER
+    # version (spec: writer v3+, or the checkConstraints table feature) —
+    # without the gate a protocol-2 writer could legally append rows that
+    # violate the exported constraints.
     has_dvs = any(getattr(f, "dv", None) for f in snapshot.files.values())
-    protocol = ({"minReaderVersion": 3, "minWriterVersion": 7,
-                 "readerFeatures": ["deletionVectors"],
-                 "writerFeatures": ["deletionVectors"]}
-                if has_dvs else
-                {"minReaderVersion": 1, "minWriterVersion": 2})
+    if has_dvs:
+        wf = ["deletionVectors"] + (
+            ["checkConstraints"] if exported_constraints else [])
+        protocol = {"minReaderVersion": 3, "minWriterVersion": 7,
+                    "readerFeatures": ["deletionVectors"],
+                    "writerFeatures": wf}
+    else:
+        protocol = {"minReaderVersion": 1,
+                    "minWriterVersion": 3 if exported_constraints else 2}
 
     actions: List[dict] = [
         {"commitInfo": {"timestamp": now, "operation": "WRITE",

@@ -244,6 +244,30 @@ class CommitLog:
         snap.txns = {k: int(v) for k, v in state.get("txns", {}).items()}
         return snap
 
+    def table_properties(self) -> Dict[str, str]:
+        """Current table properties WITHOUT materializing file state —
+        the checkpoint/commits are parsed but no IndexFile objects are
+        built, so hot metadata-only paths (e.g. constraint lookup on the
+        staging fast lane) skip the O(#files) object construction a full
+        snapshot() pays."""
+        versions = self._versions()
+        ckpt = self._last_checkpoint_version()
+        props: Dict[str, str] = {}
+        if ckpt is not None:
+            with open(os.path.join(self.log_dir,
+                                   f"{ckpt:012d}.checkpoint.json")) as fh:
+                props.update(json.load(fh).get("properties", {}))
+            versions = [v for v in versions if v > ckpt]
+        for v in versions:
+            with open(os.path.join(self.log_dir, f"{v:012d}.json")) as fh:
+                commit = json.load(fh)
+            for pk, pv in commit.get("properties", {}).items():
+                if pv is None:
+                    props.pop(pk, None)
+                else:
+                    props[pk] = pv
+        return props
+
     def commits_after(self, version: int) -> List[tuple]:
         """[(version, raw commit dict)] for every commit strictly after
         ``version`` — the change-feed primitive; O(#newer commits)."""

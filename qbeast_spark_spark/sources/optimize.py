@@ -276,7 +276,9 @@ def write_staging(df, path: str) -> int:
 
     log = CommitLog(path)
     if log.exists():
-        validate_constraints(df, constraints_of(log.snapshot().properties),
+        # properties-only log read: the staging lane stays cheap (no
+        # O(#files) snapshot materialization just to look up constraints)
+        validate_constraints(df, constraints_of(log.table_properties()),
                              context=f"staging append to {path}")
     add = _write_staging_files(df, path)
     staging = Revision(STAGING_REVISION_ID, int(time.time() * 1000),

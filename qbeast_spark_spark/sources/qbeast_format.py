@@ -380,12 +380,12 @@ def read_qbeast_delta_snapshot(table_path: str,
                        if k.startswith("qbeast.")}
     # adopt Delta CHECK constraints under this engine's property
     # convention so the mutable surface keeps enforcing them
-    from .constraints import CONSTRAINT_PREFIX
+    from .constraints import CONSTRAINT_PREFIX, DELTA_CONSTRAINT_PREFIX
 
     snap.properties.update({
-        CONSTRAINT_PREFIX + k[len("delta.constraints."):]: v
+        CONSTRAINT_PREFIX + k[len(DELTA_CONSTRAINT_PREFIX):]: v
         for k, v in config.items()
-        if k.startswith("delta.constraints.") and v})
+        if k.startswith(DELTA_CONSTRAINT_PREFIX) and v})
     cube_weights: Dict[int, Dict[str, int]] = {}
     for rel, add in files.items():
         rel = urllib.parse.unquote(rel)

@@ -543,6 +543,10 @@ def test_constraints_roundtrip_through_delta_interop(spark, tmp_path):
     meta = next(a["metaData"] for a in acts if "metaData" in a)
     assert meta["configuration"].get(
         "delta.constraints.qty_positive") == "l_quantity > 0"
+    # protocol gating (Delta spec): CHECK constraints need writer v3+,
+    # else a protocol-2 writer could legally skip enforcement
+    proto = next(a["protocol"] for a in acts if "protocol" in a)
+    assert proto["minWriterVersion"] >= 3
 
     # import direction: the snapshot surfaces the constraint natively
     snap = qss.read_qbeast_delta_snapshot(p)
@@ -559,3 +563,13 @@ def test_constraints_roundtrip_through_delta_interop(spark, tmp_path):
     bad = li.limit(10).withColumn("l_quantity", F.lit(-1.0))
     with pytest.raises(ValueError, match="qty_positive"):
         qss.write(bad, p, columns_to_index=["l_orderkey"], mode="append")
+
+    # DV + constraints together: the table-features protocol must list
+    # checkConstraints alongside deletionVectors
+    qss.delete_rows(spark, p, [("l_orderkey", "<", 200)], mode="dv")
+    v = qss.QbeastTable.for_path(spark, p).export_delta_log()
+    with open(v) as fh:
+        acts2 = [json.loads(line) for line in fh]
+    proto2 = next(a["protocol"] for a in acts2 if "protocol" in a)
+    assert "deletionVectors" in proto2["writerFeatures"]
+    assert "checkConstraints" in proto2["writerFeatures"]
