@@ -270,4 +270,5 @@ def compact_table(spark, path: str,
         removed.extend(f.path for f in b)
     if not final_add and not removed:
         return None
-    return log.commit(add=final_add, remove=removed, data_change=False)
+    return log.commit(add=final_add, remove=removed, data_change=False,
+                      operation="COMPACT")

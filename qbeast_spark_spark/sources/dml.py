@@ -66,7 +66,7 @@ def _match_counts(qt, candidates: Sequence[str], residual,
 
 
 def _rewrite(qt, snap, matched: List[str], replacement,
-             staged=None) -> int:
+             staged=None, operation: str = "WRITE") -> int:
     """Write ``replacement`` (the new contents of ``matched`` files)
     through the index pipeline against the existing cube weights, and
     commit adds + removes in one version. Mirrors optimize_table's
@@ -95,7 +95,7 @@ def _rewrite(qt, snap, matched: List[str], replacement,
             return log.commit(
                 add=extra_add, remove=matched, revisions=extra_revs,
                 schema_json=snap.schema_json or staged.schema.json(),
-                data_change=True)
+                data_change=True, operation=operation)
 
     if rev is None:
         # staging-only table: replacement rows stay staging files
@@ -106,7 +106,7 @@ def _rewrite(qt, snap, matched: List[str], replacement,
         add = _write_staging_files(replacement, qt.path)
         staging = Revision(STAGING_REVISION_ID, int(_time.time() * 1000),
                            5_000_000, [], [], [])
-        return log.commit(add=add, remove=matched,
+        return log.commit(add=add, remove=matched, operation=operation,
                           revisions={STAGING_REVISION_ID: staging},
                           schema_json=snap.schema_json
                           or replacement.schema.json(),
@@ -141,6 +141,7 @@ def _rewrite(qt, snap, matched: List[str], replacement,
             _cube_str(d, p): int(w) for (d, p), w in weights.items()}},
         schema_json=snap.schema_json or replacement.schema.json(),
         data_change=True,
+        operation=operation,
     )
 
 
@@ -179,7 +180,7 @@ def delete_rows(spark, path: str, filters=None,
         rows = sum(f.live_rows for f in snap.files.values())
         version = qt.log.commit(add=[], remove=list(snap.files.keys()),
                                 schema_json=snap.schema_json,
-                                data_change=True)
+                                data_change=True, operation="DELETE")
         return {"version": version, "rows_deleted": int(rows),
                 "files_rewritten": 0}
     per_file = _match_counts(qt, candidates, residual)
@@ -194,7 +195,7 @@ def delete_rows(spark, path: str, filters=None,
         return _delete_with_dvs(qt, snap, matched, residual)
     survivors = qt._df_for_files(matched, snap=snap).where(
         ~F.coalesce(residual, F.lit(False)))
-    version = _rewrite(qt, snap, matched, survivors)
+    version = _rewrite(qt, snap, matched, survivors, operation="DELETE")
     return {"version": version,
             "rows_deleted": int(sum(per_file.values())),
             "files_rewritten": len(matched)}
@@ -283,7 +284,7 @@ def _delete_with_dvs(qt, snap, matched: List[str], residual) -> dict:
         total_new += int(r["new_deletes"])
     version = qt.log.commit(add=add, remove=[],
                             schema_json=snap.schema_json,
-                            data_change=True)
+                            data_change=True, operation="DELETE")
     # superseded bitmaps are dead the moment the commit lands (their file
     # entry now points at the new sidecar) — unlike data files they are
     # never referenced by older READ paths we support mutating, but time
@@ -339,7 +340,7 @@ def update_rows(spark, path: str, assignments: Dict[str, Any],
 
     validate_constraints(df, constraints_of(snap.properties),
                          context="UPDATE")
-    version = _rewrite(qt, snap, matched, df)
+    version = _rewrite(qt, snap, matched, df, operation="UPDATE")
     return {"version": version,
             "rows_updated": int(sum(per_file.values())),
             "files_rewritten": len(matched)}
@@ -531,7 +532,8 @@ def merge_rows(spark, path: str, source, on,
             validate_constraints(updated, checks, context="MERGE update")
         if inserts is not None and n_ins:
             validate_constraints(inserts, checks, context="MERGE insert")
-    version = _rewrite(qt, snap, matched, replacement, staged=staged)
+    version = _rewrite(qt, snap, matched, replacement, staged=staged,
+                       operation="MERGE")
     if inserts is not None:
         inserts.unpersist()
     n_matched = int(sum(per_file.values()))

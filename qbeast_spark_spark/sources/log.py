@@ -179,6 +179,7 @@ class CommitLog:
             out.append({
                 "version": v,
                 "timestamp": c.get("timestamp"),
+                "operation": c.get("operation") or "WRITE",
                 "dataChange": c.get("dataChange", True),
                 "numAddedFiles": len(c.get("add", [])),
                 "numRemovedFiles": len(c.get("remove", [])),
@@ -349,11 +350,15 @@ class CommitLog:
                cube_domains: Dict[int, Dict[str, float]] = None,
                reset_stats: bool = False,
                txn: Optional[Dict[str, Any]] = None,
+               operation: Optional[str] = None,
                max_retries: int = 10) -> int:
-        """Atomically append one commit; returns the committed version."""
+        """Atomically append one commit; returns the committed version.
+        ``operation`` is a DESCRIBE-HISTORY-style verb name (WRITE,
+        DELETE, OPTIMIZE, ...) — audit metadata only, replay ignores it."""
         os.makedirs(self.log_dir, exist_ok=True)
         payload = {
             "timestamp": int(time.time() * 1000),
+            "operation": operation,
             "dataChange": bool(data_change),
             "resetStats": bool(reset_stats),
             "add": [f.to_json() for f in add],

@@ -149,6 +149,7 @@ def optimize_table(spark, path: str, fraction: float = 1.0,
             _cube_str(d, p): int(w) for (d, p), w in weights.items()}},
         schema_json=snap.schema_json or df.schema.json(),
         data_change=False,
+        operation="OPTIMIZE",
     )
 
 
@@ -227,7 +228,7 @@ def convert_to_qbeast(spark, path: str,
         props["qbeast.cubeSize"] = str(cube_size)
     return log.commit(add=add, revisions={STAGING_REVISION_ID: staging},
                       schema_json=schema_json, properties=props,
-                      data_change=False)
+                      data_change=False, operation="CONVERT")
 
 
 def _write_staging_files(df, path: str) -> List[IndexFile]:
@@ -285,4 +286,5 @@ def write_staging(df, path: str) -> int:
                        5_000_000, [], [], [])
     return log.commit(add=add,
                       revisions={STAGING_REVISION_ID: staging},
-                      schema_json=df.schema.json(), data_change=True)
+                      schema_json=df.schema.json(), data_change=True,
+                      operation="STAGING WRITE")

@@ -435,6 +435,7 @@ def attach_qbeast_delta(table_path: str) -> int:
         schema_json=snap.schema_json,
         properties=props,
         data_change=True,
+        operation="ATTACH",
     )
 
 

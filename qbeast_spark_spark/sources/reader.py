@@ -266,7 +266,8 @@ class QbeastTable:
         validate_constraints(self.to_df(), {name: expr},
                              context=f"existing data of {self.path}")
         v = self.log.commit(properties={f"{CONSTRAINT_PREFIX}{name}": expr},
-                            data_change=False)
+                            data_change=False,
+                            operation="ADD CONSTRAINT")
         self._snapshot = None
         return v
 
@@ -279,7 +280,8 @@ class QbeastTable:
         if name not in self.constraints():
             raise ValueError(f"no such constraint {name!r}")
         v = self.log.commit(properties={f"{CONSTRAINT_PREFIX}{name}": None},
-                            data_change=False)
+                            data_change=False,
+                            operation="DROP CONSTRAINT")
         self._snapshot = None
         return v
 
@@ -325,6 +327,7 @@ class QbeastTable:
             schema_json=old.schema_json,
             properties=props,
             data_change=True,
+            operation="RESTORE",
         )
         self._snapshot = None
         return v

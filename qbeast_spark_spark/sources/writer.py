@@ -570,7 +570,7 @@ def _write_qbeast_inner(df, path: str, columns_to_index,
     LAST_WRITE_PHASES["transform"] = time.perf_counter() - _t0
     if n == 0:
         return log.commit(add=[], remove=[], schema_json=df.schema.json(),
-                          data_change=False,
+                          data_change=False, operation="WRITE",
                           properties=constraint_props or None,
                           txn=({"appId": txn_app_id,
                                 "version": int(txn_version)}
@@ -635,6 +635,7 @@ def _write_qbeast_inner(df, path: str, columns_to_index,
         properties={"qbeast.lastRevisionID": str(revision.revision_id),
                     **extra_props, **constraint_props},
         data_change=True,
+        operation=mode.upper(),  # WRITE-verb audit tag: APPEND / OVERWRITE
         reset_stats=(mode == "overwrite"),
         txn=({"appId": txn_app_id, "version": int(txn_version)}
              if txn_app_id is not None else None),

@@ -275,3 +275,24 @@ def test_concurrent_appends_race_compaction(spark, tmp_table):
     for f in qt.snapshot().files.values():
         assert sum(b.count for b in f.blocks) == f.rows
     li.unpersist()
+
+
+def test_history_records_operation_verbs(spark, tmp_table):
+    import qbeast_spark_spark as qss
+
+    li = load(spark, "lineitem").limit(2000)
+    qss.write(li, tmp_table, columns_to_index=["l_orderkey"], cube_size=300)
+    qss.delete_rows(spark, tmp_table, [("l_orderkey", "<", 200)],
+                    mode="rewrite")
+    qss.update_rows(spark, tmp_table,
+                    {"l_quantity": "l_quantity + 1.0"},
+                    [("l_orderkey", "<", 1000)])
+    qss.compact_table(spark, tmp_table)
+    qt = qss.QbeastTable.for_path(spark, tmp_table)
+    v0 = qt.snapshot().version
+    qt.add_constraint("qp", "l_quantity > 0")
+    qt.restore(v0)
+    qt.optimize()
+    ops = [h["operation"] for h in qt.log.history()]
+    assert ops == ["APPEND", "DELETE", "UPDATE", "COMPACT",
+                   "ADD CONSTRAINT", "RESTORE", "OPTIMIZE"]
