@@ -25,6 +25,8 @@ from .sources.compact import compact_table
 from .sources.dml import delete_rows, merge_rows, update_rows
 from .sources.maintenance import auto_maintain
 from .sources.optimize import convert_to_qbeast, optimize_table, write_staging
+from .sources.pyds import QbeastDataSource
+from .sources.pyds import register as register_data_source
 from .sources.reader import QbeastTable, read_qbeast
 from .sources.writer import write_qbeast
 
@@ -63,4 +65,5 @@ __all__ = [
     "select_columns_to_index", "compute_quantiles",
     "fraction_to_weight", "weight_to_fraction",
     "rows_at_ranks", "exact_ntile_cuts", "salted_join",
+    "QbeastDataSource", "register_data_source",
 ]

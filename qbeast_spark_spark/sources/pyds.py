@@ -1,0 +1,560 @@
+"""``format("qbeast")`` — a real Spark data source, in pure Python.
+
+The reference plugs into Spark as a JVM DataSource V2 + Catalyst rules
+(src/main/scala/io/qbeast/sources/QbeastDataSource.scala,
+internal/rules/SampleRule.scala) — machinery a pure-Python engine could
+not reach until Spark 4's Python Data Source API (SPARK-44076). This
+module closes that gap: the standard reader/writer/streaming surface
+works against a qbeast table with the index engaged.
+
+    spark.dataSource.register(QbeastDataSource)        # once per session
+    df = spark.read.format("qbeast").load(path)        # plain read
+    spark.read.format("qbeast").option("fraction", 0.01).load(path)
+    spark.read.format("qbeast").option("versionAsOf", 3).load(path)
+    df.filter("price < 100")          # file pruning via pushed filters
+    df.write.format("qbeast").mode("append").save(path)    # staging lane
+    spark.readStream.format("qbeast").load(path)       # incremental source
+
+Semantics and scale notes:
+
+- **Reads prune through the index**: pushed filters (EqualTo/GreaterThan/
+  LessThan/In/IsNull...) run the same ``prune_files`` the native reader
+  uses — cube intersection + per-file column stats + blooms — and every
+  pushed filter is also returned to Spark, which re-applies it row-level
+  (pruning can only shrink the file list, exactness is Spark's).
+- ``option("fraction", f)`` is the ``df.sample(f)`` pushdown the
+  reference implements as a Catalyst rule: block-level file pruning plus
+  the EXACT residual weight predicate, evaluated in the Python worker by
+  the NumPy murmur3 twin (core/sparkhash.py) — returns byte-for-byte the
+  rows ``QbeastTable.sample(f)`` returns.
+- **The streaming source replays the commit log**: offsets are log
+  versions, the first batch is the table snapshot at stream start (like
+  Delta's initial snapshot), later batches are exactly the files added
+  by data-changing commits. Re-layout commits (optimize/compact,
+  dataChange=false) are never re-delivered. A data-changing commit that
+  REMOVES files (DELETE/UPDATE/overwrite) fails the stream unless
+  ``option("skipChangeCommits", "true")`` skips the whole commit —
+  Delta-source semantics.
+- **Writes land in the staging lane** (revision 0, StagingUtils
+  semantics): executors stream Arrow batches straight to parquet with
+  per-file column stats; the driver commits them atomically. CHECK
+  constraints are validated per batch (via DuckDB over the Arrow data —
+  the write task has no SparkSession). Indexing is deferred to
+  ``optimize()`` / ``auto_maintain`` — the micro-batch ingest shape.
+  Streaming writes accept ``option("txnAppId", ...)`` for exactly-once
+  (txn version = epoch id).
+- **Throughput**: this path moves data through Python workers
+  (Arrow-batched). It is the *compatibility* surface; the native
+  ``QbeastTable`` read path (JVM parquet scan) is the performance path
+  for large scans. Per-file partitions parallelize across executors, so
+  it scales out — each task touches one file.
+"""
+
+from __future__ import annotations
+
+import os
+import time
+import uuid
+from dataclasses import dataclass, field
+from typing import Any, Dict, Iterator, List, Optional, Sequence, Tuple
+
+from ..core.revision import Revision, STAGING_REVISION_ID
+from ..core.sparkhash import spark_hash_batches
+from ..core.weight import INT_MAX, INT_MIN, fraction_to_weight
+from .constraints import constraints_of
+from .deletion_vectors import DVDescriptor, descriptor_positions
+from .log import Block, CommitLog, IndexFile, Snapshot
+from .reader import prune_files
+
+__all__ = ["QbeastDataSource", "register"]
+
+
+# --------------------------------------------------------------------------
+# planning helpers (driver-side python worker: no SparkSession, local FS)
+# --------------------------------------------------------------------------
+
+def _load_snapshot(path: str, version: Optional[int] = None) -> Snapshot:
+    log = CommitLog(path)
+    if not log.exists():
+        raise FileNotFoundError(
+            f"{path} is not a qbeast table (no _qbeast_log). Use "
+            f"QbeastTable.for_delta for reference-written Delta tables.")
+    return log.snapshot(at_version=version)
+
+
+def _filters_to_tuples(filters) -> Tuple[list, list]:
+    """Spark Filter objects -> (tuple conjuncts we can prune on,
+    indices of filters we claim... none: every filter is returned to
+    Spark as unsupported so it re-applies them row-level; we use the
+    translatable subset purely to shrink the file list (sound: pruning
+    never drops a matching row, the residual restores exactness)."""
+    from pyspark.sql.datasource import (EqualTo, GreaterThan,
+                                        GreaterThanOrEqual, In, IsNotNull,
+                                        IsNull, LessThan, LessThanOrEqual)
+
+    tuples = []
+    for f in filters:
+        attr = getattr(f, "attribute", None)
+        if attr is None or len(attr) != 1:
+            continue                      # nested/complex: skip
+        col = attr[0]
+        if isinstance(f, EqualTo):
+            tuples.append((col, "=", f.value))
+        elif isinstance(f, GreaterThan):
+            tuples.append((col, ">", f.value))
+        elif isinstance(f, GreaterThanOrEqual):
+            tuples.append((col, ">=", f.value))
+        elif isinstance(f, LessThan):
+            tuples.append((col, "<", f.value))
+        elif isinstance(f, LessThanOrEqual):
+            tuples.append((col, "<=", f.value))
+        elif isinstance(f, In):
+            tuples.append((col, "in", list(f.values)))
+        elif isinstance(f, IsNull):
+            tuples.append((col, "is_null", None))
+        elif isinstance(f, IsNotNull):
+            tuples.append((col, "is_not_null", None))
+    return tuples, []
+
+
+def _align_batch(tbl, arrow_schema):
+    """Project a parquet-read Table onto the scan schema: missing columns
+    (schema evolution) become nulls, order follows the schema, types cast
+    to the declared arrow types (e.g. timestamp unit widening)."""
+    import pyarrow as pa
+
+    cols = []
+    for fld in arrow_schema:
+        if fld.name in tbl.schema.names:
+            c = tbl.column(fld.name)
+            if c.type != fld.type:
+                c = c.cast(fld.type)
+            cols.append(c)
+        else:
+            cols.append(pa.nulls(tbl.num_rows, type=fld.type))
+    return pa.table(cols, schema=arrow_schema)
+
+
+try:
+    from pyspark.sql.datasource import InputPartition as _InputPartition
+except ImportError:  # pragma: no cover
+    _InputPartition = object
+
+
+@dataclass
+class _FilePartition(_InputPartition):
+    """One parquet file of the table = one scan task."""
+
+    abs_path: str
+    table_path: str
+    dv_json: Optional[dict] = None
+    # residual sample predicate: weight in [w_from, w_to) over hash_cols
+    hash_cols: Optional[List[str]] = None
+    w_from: int = INT_MIN
+    w_to: int = INT_MAX
+
+
+def _read_file_partition(part: _FilePartition, arrow_schema,
+                         batch_size: int = 1 << 16):
+    """Executor-side scan of one file: parquet -> DV mask -> residual
+    sample filter -> aligned Arrow batches."""
+    import numpy as np
+    import pyarrow.parquet as pq
+
+    tbl = pq.read_table(part.abs_path)
+    if part.dv_json:
+        pos = descriptor_positions(part.table_path,
+                                   DVDescriptor.from_json(part.dv_json))
+        keep = np.ones(tbl.num_rows, dtype=bool)
+        keep[pos[pos < tbl.num_rows]] = False
+        tbl = tbl.filter(keep)
+    if part.hash_cols is not None and tbl.num_rows:
+        h = spark_hash_batches(tbl, part.hash_cols)
+        mask = h < np.int64(part.w_to)
+        if part.w_from > INT_MIN:
+            mask &= h >= np.int64(part.w_from)
+        tbl = tbl.filter(mask)
+    tbl = _align_batch(tbl, arrow_schema)
+    yield from tbl.to_batches(max_chunksize=batch_size)
+
+
+# --------------------------------------------------------------------------
+# batch reader
+# --------------------------------------------------------------------------
+
+class QbeastBatchReader:
+    def __init__(self, path: str, options, arrow_schema) -> None:
+        self.path = path
+        self.arrow_schema = arrow_schema
+        self.fraction = float(options.get("fraction") or 1.0)
+        self.lower_bound = float(options.get("lowerbound") or 0.0)
+        v = options.get("versionasof")
+        self.version = int(v) if v is not None else None
+        self._tuples: list = []
+
+    def pushFilters(self, filters):
+        """Translate what we can for FILE PRUNING; hand every filter back
+        to Spark for row-level application (sound + exact)."""
+        self._tuples, _ = _filters_to_tuples(filters)
+        return iter(filters)
+
+    def partitions(self):
+        snap = _load_snapshot(self.path, self.version)
+        rels = list(snap.files.keys())
+        hash_cols = None
+        w_from, w_to = INT_MIN, INT_MAX
+        if self.fraction < 1.0 or self.lower_bound > 0.0:
+            rev = snap.latest_revision()
+            if rev is None:
+                raise ValueError(
+                    "option('fraction') needs an indexed table (staging-"
+                    "only tables have no weights); optimize() it first")
+            hash_cols = rev.column_names
+            w_to = fraction_to_weight(self.fraction)
+            w_from = fraction_to_weight(self.lower_bound)
+            rels = [r for r in rels
+                    if any(b.min_weight < w_to and b.max_weight >= w_from
+                           for b in snap.files[r].blocks)]
+        if self._tuples:
+            boxed = set(prune_files(snap, self._tuples))
+            rels = [r for r in rels if r in boxed]
+        return [
+            _FilePartition(
+                abs_path=os.path.join(self.path, r),
+                table_path=self.path,
+                dv_json=snap.files[r].dv,
+                hash_cols=hash_cols, w_from=w_from, w_to=w_to)
+            for r in rels
+        ]
+
+    def read(self, partition: _FilePartition):
+        yield from _read_file_partition(partition, self.arrow_schema)
+
+
+# --------------------------------------------------------------------------
+# streaming reader (offsets = commit-log versions)
+# --------------------------------------------------------------------------
+
+class QbeastStreamReader:
+    def __init__(self, path: str, options, arrow_schema) -> None:
+        self.path = path
+        self.arrow_schema = arrow_schema
+        sv = options.get("startingversion")
+        self.starting_version = int(sv) if sv is not None else None
+        self.skip_change_commits = str(
+            options.get("skipchangecommits") or "false").lower() == "true"
+
+    def initialOffset(self) -> dict:
+        if self.starting_version is not None:
+            # increments only, starting AT startingVersion (Delta parity)
+            return {"v": self.starting_version - 1, "snap": True}
+        return {"v": -1, "snap": False}
+
+    def latestOffset(self) -> dict:
+        log = CommitLog(self.path)
+        versions = log._versions()
+        return {"v": versions[-1] if versions else -1, "snap": True}
+
+    def partitions(self, start: dict, end: dict):
+        if end["v"] <= start["v"] and start.get("snap", True):
+            return []
+        log = CommitLog(self.path)
+        parts: List[_FilePartition] = []
+        if not start.get("snap", True):
+            # first batch = the full table as of `end` (initial snapshot;
+            # handles pre-stream removes/overwrites correctly)
+            snap = log.snapshot(at_version=end["v"])
+            for r, f in snap.files.items():
+                parts.append(_FilePartition(
+                    abs_path=os.path.join(self.path, r),
+                    table_path=self.path, dv_json=f.dv))
+            return parts
+        for v, commit in log.commits_after(start["v"]):
+            if v > end["v"]:
+                break
+            if not commit.get("dataChange", True):
+                continue        # optimize/compact: never re-delivered
+            if commit.get("remove"):
+                if self.skip_change_commits:
+                    continue    # skip the WHOLE commit (Delta semantics)
+                raise RuntimeError(
+                    f"commit {v} of {self.path} removed files "
+                    f"(DELETE/UPDATE/overwrite). A qbeast streaming "
+                    f"source only tails appends; set option("
+                    f"'skipChangeCommits', 'true') to skip such commits.")
+            for fo in commit.get("add", []):
+                parts.append(_FilePartition(
+                    abs_path=os.path.join(self.path, fo["path"]),
+                    table_path=self.path, dv_json=fo.get("deletionVector")))
+        return parts
+
+    def read(self, partition: _FilePartition):
+        yield from _read_file_partition(partition, self.arrow_schema)
+
+    def commit(self, end: dict) -> None:
+        pass                    # offsets live in the stream checkpoint
+
+    def stop(self) -> None:
+        pass
+
+
+# --------------------------------------------------------------------------
+# writers (staging lane)
+# --------------------------------------------------------------------------
+
+try:
+    from pyspark.sql.datasource import WriterCommitMessage as _CommitMsg
+except ImportError:  # pragma: no cover
+    _CommitMsg = object
+
+
+@dataclass
+class _WriteMessage(_CommitMsg):
+    rel_path: str = ""
+    size: int = 0
+    rows: int = 0
+    col_stats: Optional[dict] = None
+
+
+def _write_task(path: str, arrow_batches, constraints: Dict[str, str]):
+    """Executor-side: stream Arrow batches into one parquet file under the
+    table root, tracking min/max column stats; validate CHECK constraints
+    per batch with DuckDB (no SparkSession in a write task)."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    import pyarrow.compute as pc
+
+    writer = None
+    name = f"{uuid.uuid4().hex}.parquet"
+    target = os.path.join(path, name)
+    rows = 0
+    stats: Dict[str, list] = {}
+    for batch in arrow_batches:
+        tbl = pa.Table.from_batches([batch])
+        if constraints:
+            import duckdb
+
+            con = duckdb.connect()
+            con.register("_batch", tbl)
+            for cname, expr in constraints.items():
+                bad = con.execute(
+                    f"SELECT count(*) FROM _batch WHERE NOT coalesce("
+                    f"({expr}), TRUE)").fetchone()[0]
+                if bad:
+                    raise ValueError(
+                        f"CHECK constraint {cname!r} ({expr}) violated by "
+                        f"{bad} row(s) in this batch")
+            con.close()
+        if writer is None:
+            writer = pq.ParquetWriter(target, tbl.schema,
+                                      compression="snappy")
+        writer.write_table(tbl)
+        rows += tbl.num_rows
+        for fld in tbl.schema:
+            t = fld.type
+            if not (pa.types.is_integer(t) or pa.types.is_floating(t)
+                    or pa.types.is_string(t)):
+                continue
+            mm = pc.min_max(tbl.column(fld.name))
+            mn, mx = mm["min"].as_py(), mm["max"].as_py()
+            if mn is None:
+                continue
+            cur = stats.get(fld.name)
+            if cur is None:
+                stats[fld.name] = [mn, mx]
+            else:
+                cur[0] = min(cur[0], mn)
+                cur[1] = max(cur[1], mx)
+    if writer is None:
+        return None             # empty task: no file
+    writer.close()
+    return _WriteMessage(name, os.path.getsize(target), rows,
+                         stats or None)
+
+
+def _commit_staging(path: str, messages, schema_json: str,
+                    overwrite: bool, txn: Optional[dict] = None,
+                    operation: str = "PYDS WRITE") -> int:
+    adds = [
+        IndexFile(m.rel_path, m.size, m.rows, STAGING_REVISION_ID,
+                  [Block("0:0", INT_MIN, INT_MAX, m.rows)], m.col_stats)
+        for m in messages if m is not None
+    ]
+    log = CommitLog(path)
+    remove: List[str] = []
+    if overwrite and log.exists():
+        remove = list(log.snapshot().files.keys())
+    staging = Revision(STAGING_REVISION_ID, int(time.time() * 1000),
+                       5_000_000, [], [], [])
+    return log.commit(add=adds, remove=remove,
+                      revisions={STAGING_REVISION_ID: staging},
+                      schema_json=schema_json, data_change=True,
+                      txn=txn, operation=operation)
+
+
+class QbeastBatchWriter:
+    def __init__(self, path: str, schema_json: str, overwrite: bool,
+                 constraints: Dict[str, str]) -> None:
+        self.path = path
+        self.schema_json = schema_json
+        self.overwrite = overwrite
+        self.constraints = constraints
+        os.makedirs(path, exist_ok=True)
+
+    def write(self, iterator):
+        msg = _write_task(self.path, iterator, self.constraints)
+        return msg if msg is not None else _WriteMessage("", 0, 0)
+
+    def commit(self, messages):
+        _commit_staging(self.path,
+                        [m for m in messages if m and m.rel_path],
+                        self.schema_json, self.overwrite)
+
+    def abort(self, messages):
+        for m in messages:
+            if m and m.rel_path:
+                try:
+                    os.remove(os.path.join(self.path, m.rel_path))
+                except OSError:
+                    pass
+
+
+class QbeastStreamWriter(QbeastBatchWriter):
+    """foreachBatch-free streaming sink: each epoch commits its files to
+    the staging lane; ``option("txnAppId", ...)`` makes epoch replays
+    idempotent (txn version = epoch id, Delta SetTransaction parity)."""
+
+    def __init__(self, path: str, schema_json: str, overwrite: bool,
+                 constraints: Dict[str, str],
+                 txn_app_id: Optional[str]) -> None:
+        super().__init__(path, schema_json, overwrite, constraints)
+        self.txn_app_id = txn_app_id
+
+    def commit(self, messages, batchId: int):   # noqa: N803 (API name)
+        txn = ({"appId": self.txn_app_id, "version": int(batchId)}
+               if self.txn_app_id else None)
+        _commit_staging(self.path,
+                        [m for m in messages if m and m.rel_path],
+                        self.schema_json, overwrite=False, txn=txn,
+                        operation="PYDS STREAMING WRITE")
+
+    def abort(self, messages, batchId: int):    # noqa: N803 (API name)
+        super().abort(messages)
+
+
+# --------------------------------------------------------------------------
+# the DataSource
+# --------------------------------------------------------------------------
+
+try:
+    from pyspark.sql.datasource import (
+        DataSource as _DataSource,
+        DataSourceArrowWriter as _ArrowWriter,
+        DataSourceReader as _Reader,
+        DataSourceStreamArrowWriter as _SWriter,
+        DataSourceStreamReader as _SReader)
+except ImportError:  # pragma: no cover - pyspark >= 4 always present here
+    _DataSource = object
+    _ArrowWriter = _Reader = _SReader = _SWriter = object
+
+
+class _BatchReaderImpl(QbeastBatchReader, _Reader):
+    pass
+
+
+class _StreamReaderImpl(QbeastStreamReader, _SReader):
+    pass
+
+
+class _BatchWriterImpl(QbeastBatchWriter, _ArrowWriter):
+    pass
+
+
+class _StreamWriterImpl(QbeastStreamWriter, _SWriter):
+    pass
+
+
+class QbeastDataSource(_DataSource):
+    """``spark.dataSource.register(QbeastDataSource)`` -> format("qbeast")."""
+
+    @classmethod
+    def name(cls) -> str:
+        return "qbeast"
+
+    def _path(self) -> str:
+        p = self.options.get("path")
+        if not p:
+            raise ValueError("format('qbeast') needs a path: .load(path) "
+                             "or .save(path)")
+        return p
+
+    def schema(self):
+        import json as _json
+
+        from pyspark.sql.types import StructType
+
+        snap = _load_snapshot(self._path())
+        if not snap.schema_json:
+            raise ValueError(f"{self._path()} has no schema in its log")
+        return StructType.fromJson(_json.loads(snap.schema_json))
+
+    def _arrow_schema(self, schema):
+        from pyspark.sql.pandas.types import to_arrow_schema
+
+        return to_arrow_schema(schema)
+
+    def reader(self, schema):
+        return _BatchReaderImpl(self._path(), self.options,
+                                self._arrow_schema(schema))
+
+    def streamReader(self, schema):
+        return _StreamReaderImpl(self._path(), self.options,
+                                 self._arrow_schema(schema))
+
+    def _constraints(self) -> Dict[str, str]:
+        log = CommitLog(self._path())
+        return constraints_of(log.table_properties()) if log.exists() else {}
+
+    def writer(self, schema, overwrite: bool):
+        return _BatchWriterImpl(self._path(), schema.json(), overwrite,
+                                self._constraints())
+
+    def streamWriter(self, schema, overwrite: bool):
+        return _StreamWriterImpl(self._path(), schema.json(), overwrite,
+                                 self._constraints(),
+                                 self.options.get("txnappid"))
+
+
+def register(spark) -> None:
+    """Register format('qbeast') on this session (idempotent). Also turns
+    on ``spark.sql.python.filterPushdown.enabled`` (runtime-settable) —
+    Spark refuses a reader that implements pushFilters() while the flag
+    is off, and without it every filtered read would scan all files."""
+    try:
+        spark.conf.set("spark.sql.python.filterPushdown.enabled", "true")
+    except Exception:
+        pass
+    spark.dataSource.register(QbeastDataSource)
+
+
+# classes defined here are pickled by value into Spark's Python workers
+# (planner + executors) — register this module like __init__ does for the
+# rest of the package, since pyds may be imported after package init ran
+def _self_register() -> None:
+    import sys
+
+    try:
+        from pyspark import cloudpickle
+    except ImportError:  # pragma: no cover
+        return
+    for name in (__name__, "qbeast_spark_spark.core.sparkhash"):
+        mod = sys.modules.get(name)
+        if mod is not None:
+            try:
+                cloudpickle.register_pickle_by_value(mod)
+            except Exception:
+                pass
+
+
+_self_register()

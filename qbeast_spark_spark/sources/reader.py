@@ -24,6 +24,7 @@ import numpy as np
 from ..core.revision import Revision, STAGING_REVISION_ID
 from ..core.transform import HashTransformation, literal_to_number
 from ..core.weight import fraction_to_weight
+from ..functions.bloom import blooms_exclude
 from ..index.vectorized import cube_ranges
 from .log import CommitLog, Snapshot
 
@@ -595,42 +596,11 @@ class QbeastTable:
     def _prune_files(self, snap: Snapshot,
                      filters: Sequence[FilterTuple]) -> List[str]:
         """Keep files having >= 1 block whose cube region intersects the
-        query space of the filters (QuerySpace.intersectsWith:81-97)."""
-        by_rev: Dict[int, List[Tuple[str, str]]] = {}
-        for rel, f in snap.files.items():
-            by_rev.setdefault(f.revision_id, []).extend(
-                (rel, b.cube) for b in f.blocks)
-
-        keep: set = set()
-        for rev_id, entries in by_rev.items():
-            rev = snap.revisions.get(rev_id)
-            if rev is None or rev.is_staging:
-                keep.update(rel for rel, _ in entries)  # cannot prune staging
-                continue
-            space = _query_space(rev, filters)
-            if space is None:  # no indexed-column predicate -> no pruning
-                keep.update(rel for rel, _ in entries)
-                continue
-            lo, hi = space
-            depths = np.array([_parse_cube(c)[0] for _, c in entries],
-                              dtype=np.int64)
-            paths = np.array([_parse_cube(c)[1] for _, c in entries],
-                             dtype=np.int64)
-            frm, to = cube_ranges(depths, paths, rev.dims)
-            inter = np.ones(len(entries), dtype=bool)
-            for i in range(rev.dims):
-                inter &= (frm[:, i] <= hi[i]) & (to[:, i] >= lo[i])
-            for j in np.flatnonzero(inter):
-                keep.add(entries[j][0])
-        # Delta-style data skipping on ANY column with recorded per-file
-        # [min, max] stats — prunes on non-indexed columns too — plus
-        # opt-in Bloom filters for string point lookups; both compose
-        # with the cube pruning above (intersection)
-        from ..functions.bloom import blooms_exclude
-
-        return sorted(p for p in keep
-                      if not _stats_exclude(snap.files[p], filters)
-                      and not blooms_exclude(snap.files[p].blooms, filters))
+        query space of the filters (QuerySpace.intersectsWith:81-97).
+        Delegates to module-level ``prune_files`` so the Python Data
+        Source planner (sources/pyds.py, no SparkSession) prunes with
+        the exact same logic."""
+        return prune_files(snap, filters)
 
     def _filters_to_column(self, filters: Sequence[FilterTuple]):
         from pyspark.sql import functions as F
@@ -962,3 +932,47 @@ def read_qbeast(spark, path: str,
                 filters: Optional[Sequence[FilterTuple]] = None):
     qt = QbeastTable.for_path(spark, path)
     return qt.read(filters) if filters else qt.to_df()
+
+
+def prune_files(snap: Snapshot,
+                filters: Sequence[FilterTuple]) -> List[str]:
+    """Keep files having >= 1 block whose cube region intersects the
+    query space of the filters (QuerySpace.intersectsWith:81-97), then
+    apply per-file column-stats / Bloom skipping. Module-level (needs no
+    SparkSession) so the Python Data Source planner (sources/pyds.py)
+    prunes with the exact same logic as QbeastTable."""
+    by_rev: Dict[int, List[Tuple[str, str]]] = {}
+    for rel, f in snap.files.items():
+        by_rev.setdefault(f.revision_id, []).extend(
+            (rel, b.cube) for b in f.blocks)
+
+    keep: set = set()
+    for rev_id, entries in by_rev.items():
+        rev = snap.revisions.get(rev_id)
+        if rev is None or rev.is_staging:
+            keep.update(rel for rel, _ in entries)  # cannot prune staging
+            continue
+        space = _query_space(rev, filters)
+        if space is None:  # no indexed-column predicate -> no pruning
+            keep.update(rel for rel, _ in entries)
+            continue
+        lo, hi = space
+        depths = np.array([_parse_cube(c)[0] for _, c in entries],
+                          dtype=np.int64)
+        paths = np.array([_parse_cube(c)[1] for _, c in entries],
+                         dtype=np.int64)
+        frm, to = cube_ranges(depths, paths, rev.dims)
+        inter = np.ones(len(entries), dtype=bool)
+        for i in range(rev.dims):
+            inter &= (frm[:, i] <= hi[i]) & (to[:, i] >= lo[i])
+        for j in np.flatnonzero(inter):
+            keep.add(entries[j][0])
+    # Delta-style data skipping on ANY column with recorded per-file
+    # [min, max] stats — prunes on non-indexed columns too — plus
+    # opt-in Bloom filters for string point lookups; both compose
+    # with the cube pruning above (intersection). blooms_exclude is a
+    # module-level import: a lazy import here would resolve by name in
+    # Spark's Python workers, where this package is not on sys.path.
+    return sorted(p for p in keep
+                  if not _stats_exclude(snap.files[p], filters)
+                  and not blooms_exclude(snap.files[p].blooms, filters))

@@ -1,0 +1,212 @@
+"""format("qbeast") — the Python Data Source (sources/pyds.py).
+
+Covers the four surfaces: batch read (parity, filter-pushdown pruning,
+sample pushdown, time travel, deletion vectors), batch write (staging
+lane, overwrite, constraints), streaming read (initial snapshot +
+increments, dataChange=false skipped, change commits fail/skip), and
+streaming write (txn idempotency)."""
+
+import os
+import shutil
+
+import pytest
+
+import qbeast_spark_spark as qss
+from qbeast_spark_spark.sources.pyds import (_BatchReaderImpl,
+                                             QbeastDataSource, register)
+from tests.conftest import load
+
+
+@pytest.fixture(scope="module")
+def ds_spark(spark):
+    register(spark)
+    return spark
+
+
+@pytest.fixture(scope="module")
+def indexed_table(ds_spark, tmp_path_factory):
+    path = str(tmp_path_factory.mktemp("pyds") / "tbl")
+    li = load(ds_spark, "lineitem")
+    qss.write(li, path, columns_to_index=["l_orderkey", "l_extendedprice"],
+              cube_size=200)
+    return path
+
+
+def _same_rows(a, b) -> bool:
+    return a.exceptAll(b).count() == 0 and b.exceptAll(a).count() == 0
+
+
+def test_batch_read_parity(ds_spark, indexed_table):
+    df = ds_spark.read.format("qbeast").load(indexed_table)
+    qt = qss.QbeastTable.for_path(ds_spark, indexed_table)
+    assert df.schema == qt.to_df().schema
+    assert df.count() == qt.to_df().count()
+    assert _same_rows(df, qt.to_df())
+
+
+def test_filter_parity_and_pruning(ds_spark, indexed_table):
+    df = ds_spark.read.format("qbeast").load(indexed_table)
+    li = load(ds_spark, "lineitem")
+    got = df.filter("l_extendedprice < 2000").count()
+    assert got == li.filter("l_extendedprice < 2000").count()
+
+    # pruning proof at the planner level: pushed filter -> fewer partitions
+    from pyspark.sql.datasource import LessThan
+
+    r_all = _BatchReaderImpl(indexed_table, {}, None)
+    r_f = _BatchReaderImpl(indexed_table, {}, None)
+    returned = list(r_f.pushFilters([LessThan(("l_extendedprice",), 2000.0)]))
+    assert len(returned) == 1  # every filter handed back for row-level use
+    assert 0 < len(r_f.partitions()) < len(r_all.partitions())
+
+
+def test_sample_pushdown_exact_parity(ds_spark, indexed_table):
+    """option('fraction') returns byte-for-byte QbeastTable.sample."""
+    a = (ds_spark.read.format("qbeast").option("fraction", 0.05)
+         .load(indexed_table))
+    qt = qss.QbeastTable.for_path(ds_spark, indexed_table)
+    b = qt.sample(0.05)
+    assert a.count() == b.count() > 0
+    assert _same_rows(a, b)
+    # and it prunes: fewer partitions than a full read
+    r = _BatchReaderImpl(indexed_table, {"fraction": "0.01"}, None)
+    r_all = _BatchReaderImpl(indexed_table, {}, None)
+    assert len(r.partitions()) < len(r_all.partitions())
+
+
+def test_fraction_on_staging_only_table_raises(ds_spark, tmp_table):
+    load(ds_spark, "region").write.format("qbeast").mode("append") \
+        .save(tmp_table)
+    with pytest.raises(Exception, match="fraction"):
+        ds_spark.read.format("qbeast").option("fraction", 0.5) \
+            .load(tmp_table).count()
+
+
+def test_version_as_of(ds_spark, tmp_table):
+    r = load(ds_spark, "region")
+    qss.write(r, tmp_table, columns_to_index=["r_regionkey"], cube_size=100)
+    qss.write(r, tmp_table, columns_to_index=["r_regionkey"],
+              cube_size=100, mode="append")
+    v0 = (ds_spark.read.format("qbeast").option("versionAsOf", 0)
+          .load(tmp_table))
+    latest = ds_spark.read.format("qbeast").load(tmp_table)
+    assert v0.count() == 5
+    assert latest.count() == 10
+
+
+def test_read_after_delete_respects_dv(ds_spark, tmp_table):
+    li = load(ds_spark, "lineitem").limit(500)
+    qss.write(li, tmp_table, columns_to_index=["l_orderkey"], cube_size=100)
+    qt = qss.QbeastTable.for_path(ds_spark, tmp_table)
+    qt.delete([("l_orderkey", "<", 300)], mode="dv")
+    expect = qt.to_df().count()
+    got = ds_spark.read.format("qbeast").load(tmp_table).count()
+    assert got == expect < 500
+
+
+def test_writer_append_overwrite(ds_spark, tmp_table):
+    li = load(ds_spark, "lineitem")
+    li.limit(100).write.format("qbeast").mode("append").save(tmp_table)
+    qt = qss.QbeastTable.for_path(ds_spark, tmp_table)
+    assert qt.to_df().count() == 100
+    li.limit(50).write.format("qbeast").mode("append").save(tmp_table)
+    assert qt.to_df().count() == 150
+    li.limit(30).write.format("qbeast").mode("overwrite").save(tmp_table)
+    assert qt.to_df().count() == 30
+    # files land in the staging lane; optimize() indexes them (the table
+    # has never been indexed, so the columns come from the caller)
+    qt.optimize(columns_to_index=["l_orderkey"], cube_size=100)
+    assert qt.to_df().count() == 30
+    assert qt.latest_revision_id() is not None
+
+
+def test_writer_column_stats_recorded(ds_spark, tmp_table):
+    load(ds_spark, "orders").limit(200).write.format("qbeast") \
+        .mode("append").save(tmp_table)
+    qt = qss.QbeastTable.for_path(ds_spark, tmp_table)
+    stats = [f.column_stats for f in qt.snapshot().files.values()]
+    assert stats and all(s and "o_totalprice" in s for s in stats)
+
+
+def test_writer_enforces_constraints(ds_spark, tmp_table):
+    r = load(ds_spark, "region")
+    qss.write(r, tmp_table, columns_to_index=["r_regionkey"], cube_size=100)
+    qt = qss.QbeastTable.for_path(ds_spark, tmp_table)
+    qt.add_constraint("key_range", "r_regionkey < 100")
+    ok = r.selectExpr("r_regionkey + 10 as r_regionkey", "r_name")
+    ok.write.format("qbeast").mode("append").save(tmp_table)
+    assert qt.to_df().count() == 10
+    bad = r.selectExpr("r_regionkey + 1000 as r_regionkey", "r_name")
+    with pytest.raises(Exception, match="key_range"):
+        bad.write.format("qbeast").mode("append").save(tmp_table)
+    assert qt.to_df().count() == 10  # nothing committed
+
+
+def _run_stream(ds_spark, src, sink_path, ck, fmt="parquet", opts=None):
+    w = (ds_spark.readStream.format("qbeast").load(src)
+         .writeStream.format(fmt).option("path", sink_path)
+         .option("checkpointLocation", ck))
+    for k, v in (opts or {}).items():
+        w = w.option(k, v)
+    q = w.trigger(availableNow=True).start()
+    q.awaitTermination(180)
+
+
+def test_stream_source_initial_then_increments(ds_spark, tmp_path):
+    src, out, ck = (str(tmp_path / d) for d in ("src", "out", "ck"))
+    li = load(ds_spark, "lineitem")
+    qss.write(li.limit(200), src, columns_to_index=["l_orderkey"],
+              cube_size=100)
+    _run_stream(ds_spark, src, out, ck)
+    assert ds_spark.read.parquet(out).count() == 200
+    qss.write(li.limit(500), src, columns_to_index=["l_orderkey"],
+              cube_size=100, mode="append")
+    _run_stream(ds_spark, src, out, ck)
+    assert ds_spark.read.parquet(out).count() == 700
+    # re-layout (dataChange=false) is never re-delivered
+    qss.QbeastTable.for_path(ds_spark, src).optimize()
+    _run_stream(ds_spark, src, out, ck)
+    assert ds_spark.read.parquet(out).count() == 700
+
+
+def test_stream_source_change_commits(ds_spark, tmp_path):
+    src, out, ck = (str(tmp_path / d) for d in ("src", "out", "ck"))
+    li = load(ds_spark, "lineitem")
+    qss.write(li.limit(200), src, columns_to_index=["l_orderkey"],
+              cube_size=100)
+    _run_stream(ds_spark, src, out, ck)
+    qt = qss.QbeastTable.for_path(ds_spark, src)
+    qt.delete([("l_orderkey", "<", 500)])
+    with pytest.raises(Exception, match="skipChangeCommits"):
+        _run_stream(ds_spark, src, out, ck)
+    # with the option the whole commit is skipped, stream continues
+    w = (ds_spark.readStream.format("qbeast")
+         .option("skipChangeCommits", "true").load(src)
+         .writeStream.format("parquet").option("path", out)
+         .option("checkpointLocation", ck))
+    q = w.trigger(availableNow=True).start()
+    q.awaitTermination(180)
+    assert ds_spark.read.parquet(out).count() == 200
+
+
+def test_stream_sink_qbeast_to_qbeast(ds_spark, tmp_path):
+    src, sink, ck = (str(tmp_path / d) for d in ("src", "sink", "ck"))
+    li = load(ds_spark, "lineitem")
+    qss.write(li.limit(300), src, columns_to_index=["l_orderkey"],
+              cube_size=100)
+    _run_stream(ds_spark, src, sink, ck, fmt="qbeast",
+                opts={"txnAppId": "t-stream"})
+    qt = qss.QbeastTable.for_path(ds_spark, sink)
+    assert qt.to_df().count() == 300
+    assert qt.snapshot(refresh=True).txns == {"t-stream": 0}
+    qss.write(li.limit(100), src, columns_to_index=["l_orderkey"],
+              cube_size=100, mode="append")
+    _run_stream(ds_spark, src, sink, ck, fmt="qbeast",
+                opts={"txnAppId": "t-stream"})
+    assert qt.to_df().count() == 400
+
+
+def test_register_via_package_alias(ds_spark):
+    # idempotent re-registration through the package-level helper
+    qss.register_data_source(ds_spark)
+    assert QbeastDataSource.name() == "qbeast"
