@@ -193,6 +193,20 @@ def main() -> None:
             qt.read(filt).write.format("noop").mode("overwrite").save()
             samples.append(time.time() - t0)
         submetrics[label] = round(statistics.median(samples), 3)
+    # the same AND box through format("qbeast") — what the Python Data
+    # Source compatibility path costs vs the native JVM scan above
+    from qbeast_spark_spark.sources.pyds import register as _register_pyds
+
+    _register_pyds(spark)
+    samples = []
+    for _ in range(n_runs):
+        t0 = time.time()
+        (spark.read.format("qbeast").load(qt.path)
+         .where("l_orderkey >= 1000 AND l_orderkey < 3000 "
+                "AND l_extendedprice >= 20000.0")
+         .write.format("noop").mode("overwrite").save())
+        samples.append(time.time() - t0)
+    submetrics["qb_range_read.pyds"] = round(statistics.median(samples), 3)
     # driver-side pruning cost alone (file selection incl. the per-file
     # column-stats pass; no scan)
     t0 = time.time()

@@ -178,13 +178,17 @@ FROM u
 
 
 def qb_range_read(spark, sf_dir):
-    """R3: multi-dim data-skipping — both pruning shapes through one
-    result: a conjunctive box ('and' probe) and a disjunction of two
+    """R3: multi-dim data-skipping — all three pruning shapes through one
+    result: a conjunctive box ('and' probe), a disjunction of two
     disjoint boxes that prune independently and union their file sets
-    ('or' probe; QuerySpecBuilder.scala:56-77 semantics). Each result
+    ('or' probe; QuerySpecBuilder.scala:56-77 semantics), and the same
+    conjunctive box through ``format("qbeast")`` ('pyds' probe) — Catalyst
+    pushes the WHERE into the Python Data Source (sources/pyds.py), which
+    prunes the file list with the identical planner logic. Each result
     must equal a plain WHERE."""
     from pyspark.sql import functions as F
 
+    from .sources.pyds import register
     from .sources.reader import QbeastTable
 
     path = _indexed_lineitem(spark, sf_dir)
@@ -195,8 +199,13 @@ def qb_range_read(spark, sf_dir):
         [("l_orderkey", "<", 500), ("l_extendedprice", ">=", 30000.0)],
         [("l_orderkey", ">=", 9000), ("l_extendedprice", "<", 5000.0)],
     ])
+    register(spark)
+    pyds = (spark.read.format("qbeast").load(path)
+            .where("l_orderkey >= 1000 AND l_orderkey < 3000 "
+                   "AND l_extendedprice >= 20000.0"))
     return (conj.withColumn("probe", F.lit("and"))
-            .unionByName(disj.withColumn("probe", F.lit("or"))))
+            .unionByName(disj.withColumn("probe", F.lit("or")))
+            .unionByName(pyds.withColumn("probe", F.lit("pyds"))))
 
 
 QB_RANGE_READ_SQL = """
@@ -206,6 +215,9 @@ UNION ALL
 SELECT *, 'or' AS probe FROM lineitem
 WHERE (l_orderkey < 500 AND l_extendedprice >= 30000.0)
    OR (l_orderkey >= 9000 AND l_extendedprice < 5000.0)
+UNION ALL
+SELECT *, 'pyds' AS probe FROM lineitem
+WHERE l_orderkey >= 1000 AND l_orderkey < 3000 AND l_extendedprice >= 20000.0
 """
 
 
