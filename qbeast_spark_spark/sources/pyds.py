@@ -274,11 +274,18 @@ class QbeastStreamReader:
                 break
             if not commit.get("dataChange", True):
                 continue        # optimize/compact: never re-delivered
-            if commit.get("remove"):
+            # a change commit is anything that is not a pure append:
+            # removes (DELETE/UPDATE rewrite, overwrite, restore) or
+            # adds that carry a deletion vector (dv-mode DELETE re-adds
+            # EXISTING files with a dv — delivering those "adds" would
+            # duplicate rows the stream already emitted)
+            if commit.get("remove") or any(
+                    fo.get("deletionVector")
+                    for fo in commit.get("add", [])):
                 if self.skip_change_commits:
                     continue    # skip the WHOLE commit (Delta semantics)
                 raise RuntimeError(
-                    f"commit {v} of {self.path} removed files "
+                    f"commit {v} of {self.path} changed existing data "
                     f"(DELETE/UPDATE/overwrite). A qbeast streaming "
                     f"source only tails appends; set option("
                     f"'skipChangeCommits', 'true') to skip such commits.")
@@ -376,6 +383,24 @@ def _write_task(path: str, arrow_batches, constraints: Dict[str, str]):
 def _commit_staging(path: str, messages, schema_json: str,
                     overwrite: bool, txn: Optional[dict] = None,
                     operation: str = "PYDS WRITE") -> int:
+    import json as _json
+
+    log_pre = CommitLog(path)
+    if not overwrite and log_pre.exists():
+        # append column-name mismatch is rejected like the native writer
+        # (a later schema_json would otherwise silently replace the
+        # table's schema for every reader)
+        snap_pre = log_pre.snapshot()
+        if snap_pre.schema_json:
+            have = [f["name"] for f in
+                    _json.loads(snap_pre.schema_json)["fields"]]
+            got = [f["name"] for f in _json.loads(schema_json)["fields"]]
+            if set(got) != set(have):
+                raise ValueError(
+                    f"format('qbeast') append schema mismatch: table has "
+                    f"columns {sorted(have)}, batch has {sorted(got)}; "
+                    f"use the native writer with merge_schema=True to "
+                    f"evolve the schema")
     adds = [
         IndexFile(m.rel_path, m.size, m.rows, STAGING_REVISION_ID,
                   [Block("0:0", INT_MIN, INT_MAX, m.rows)], m.col_stats)

@@ -210,3 +210,41 @@ def test_register_via_package_alias(ds_spark):
     # idempotent re-registration through the package-level helper
     qss.register_data_source(ds_spark)
     assert QbeastDataSource.name() == "qbeast"
+
+
+def test_stream_source_dv_delete_is_change_commit(ds_spark, tmp_path):
+    """dv-mode DELETE re-adds EXISTING files with a deletion vector (no
+    removes) — the source must treat it as a change commit, never as an
+    append (delivering it would duplicate already-emitted rows)."""
+    src, out, ck = (str(tmp_path / d) for d in ("src", "out", "ck"))
+    li = load(ds_spark, "lineitem")
+    qss.write(li.limit(400), src, columns_to_index=["l_orderkey"],
+              cube_size=100)
+    _run_stream(ds_spark, src, out, ck)
+    assert ds_spark.read.parquet(out).count() == 400
+    qt = qss.QbeastTable.for_path(ds_spark, src)
+    r = qt.delete([("l_orderkey", "<", 200)], mode="dv")
+    assert r["files_dv"] > 0 and r["files_rewritten"] == 0
+    with pytest.raises(Exception, match="skipChangeCommits"):
+        _run_stream(ds_spark, src, out, ck)
+    w = (ds_spark.readStream.format("qbeast")
+         .option("skipChangeCommits", "true").load(src)
+         .writeStream.format("parquet").option("path", out)
+         .option("checkpointLocation", ck))
+    q = w.trigger(availableNow=True).start()
+    q.awaitTermination(180)
+    assert ds_spark.read.parquet(out).count() == 400  # no duplicates
+
+
+def test_writer_rejects_schema_mismatch(ds_spark, tmp_table):
+    r = load(ds_spark, "region")
+    r.write.format("qbeast").mode("append").save(tmp_table)
+    bad = r.selectExpr("r_regionkey", "r_name as renamed")
+    with pytest.raises(Exception, match="schema mismatch"):
+        bad.write.format("qbeast").mode("append").save(tmp_table)
+    qt = qss.QbeastTable.for_path(ds_spark, tmp_table)
+    assert qt.to_df().count() == 5  # nothing committed, files aborted
+    # overwrite MAY change the schema (it replaces the table)
+    bad.write.format("qbeast").mode("overwrite").save(tmp_table)
+    assert qss.QbeastTable.for_path(ds_spark, tmp_table) \
+        .to_df().columns == ["r_regionkey", "renamed"]
