@@ -12,7 +12,7 @@ from __future__ import annotations
 __all__ = [
     "TOKEN_RE", "STOPWORDS_EN", "tokens_col", "text_stats", "language_guess",
     "token_counts", "fingerprint", "fingerprint_col", "text_analysis",
-    "PII_PATTERNS", "pii_scan",
+    "PII_PATTERNS", "pii_scan", "token_ngrams_col", "decontaminate",
 ]
 
 # word-ish tokens: lowercase alnum runs (a deliberate, documented convention
@@ -249,3 +249,57 @@ def fingerprint(docs, id_col: str = "doc_id", text_col: str = "text"):
         F.col(id_col),
         fingerprint_col(text_col).alias("fingerprint"),
     )
+
+
+def token_ngrams_col(toks_col, n: int):
+    """Rolling word n-grams from a token-array column, space-joined —
+    one JVM projection (sequence + slice + concat_ws, no explode yet).
+    Pass the name of an ALREADY-MATERIALIZED token array column (see
+    _tokenized): inlining the tokenizer regex here would re-evaluate it
+    per gram."""
+    from pyspark.sql import Column
+    from pyspark.sql import functions as F
+
+    toks = toks_col if isinstance(toks_col, Column) else F.col(toks_col)
+    starts = F.when(F.size(toks) >= n,
+                    F.sequence(F.lit(1), F.size(toks) - (n - 1))) \
+        .otherwise(F.array().cast("array<int>"))
+    return F.transform(starts,
+                       lambda i: F.concat_ws(" ", F.slice(toks, i, n)))
+
+
+def decontaminate(docs, eval_docs, n: int = 13, id_col: str = "doc_id",
+                  eval_id_col: str = "doc_id", text_col: str = "text",
+                  eval_text_col: str = "text", exclude_self: bool = True):
+    """Training-set decontamination: which corpus docs contain any word
+    ``n``-gram that also appears in an EVAL/benchmark document — the
+    standard 13-gram-overlap contamination check run before training.
+    Returns (doc_id, contam_hits) with contam_hits = #distinct
+    overlapping grams, one row per contaminated doc.
+
+    Scale shape for 100 TB: the eval side (benchmark suites — tiny next
+    to the corpus) is aggregated to distinct (gram, eval_id) pairs and
+    BROADCAST, so the corpus side is one map-side semi-join over its
+    exploded grams plus one groupBy(doc) — no corpus-vs-corpus shuffle.
+    ``exclude_self=True`` ignores identity matches when the eval set is
+    a slice of the corpus itself."""
+    from pyspark.sql import functions as F
+    from pyspark.sql.functions import broadcast
+
+    from ..functions.partitioning import spread
+
+    def grams_of(d, idc, txt, out_id):
+        toked = spread(d).select(F.col(idc).alias(out_id),
+                                 tokens_col(txt).alias("_tk"))
+        return (toked.select(out_id,
+                             F.explode(token_ngrams_col("_tk", n))
+                             .alias("gram")))
+
+    corpus = grams_of(docs, id_col, text_col, "doc_id")
+    ev = grams_of(eval_docs, eval_id_col, eval_text_col,
+                  "eval_id").distinct()
+    joined = corpus.join(broadcast(ev), "gram")
+    if exclude_self:
+        joined = joined.where(F.col("doc_id") != F.col("eval_id"))
+    return (joined.groupBy("doc_id")
+            .agg(F.count_distinct("gram").alias("contam_hits")))

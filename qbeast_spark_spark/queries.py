@@ -877,10 +877,26 @@ FROM s
 def tx_analysis(spark, sf_dir):
     """The full text-analysis battery — quality stats, token counting
     (both conventions), language-ID, fingerprint — as ONE single-pass
-    projection (operators/text.py::text_analysis). Merges the former
-    text_stats and text_lang_fingerprint probes without a join or a
-    second scan; every column of both survives under the oracle."""
-    return text_analysis(_t(spark, sf_dir, "documents"))
+    projection (operators/text.py::text_analysis), plus training-set
+    DECONTAMINATION: 13-gram overlap against an eval slice (doc_id % 20
+    == 7 stands in for the benchmark corpus), broadcast-joined back as
+    contam_hits/contaminated. Merges the former text_stats and
+    text_lang_fingerprint probes; every column survives under the
+    oracle."""
+    from pyspark.sql import functions as F
+    from pyspark.sql.functions import broadcast
+
+    from .operators.text import decontaminate
+
+    docs = _t(spark, sf_dir, "documents")
+    base = text_analysis(docs)
+    ev = docs.where(F.col("doc_id") % 20 == 7)
+    contam = decontaminate(docs, ev, n=13, exclude_self=True)
+    return (base.join(broadcast(contam), "doc_id", "left")
+            .withColumn("contam_hits",
+                        F.coalesce(F.col("contam_hits"), F.lit(0))
+                        .cast("long"))
+            .withColumn("contaminated", F.col("contam_hits") > 0))
 
 
 TX_ANALYSIS_SQL = f"""
@@ -908,8 +924,21 @@ SELECT doc_id,
        ROUND(tri, 4) AS trigram_score,
        CASE WHEN ratio >= 0.05 AND tri >= 0.01
             THEN 'en' ELSE 'unk' END AS lang_guess,
-       md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS fingerprint
+       md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS fingerprint,
+       COALESCE(ch.contam_hits, 0) AS contam_hits,
+       COALESCE(ch.contam_hits, 0) > 0 AS contaminated
 FROM s
+LEFT JOIN (
+    WITH cg AS (SELECT t2.doc_id,
+                       array_to_string(toks[i+1:i+13], ' ') AS gram
+                FROM t AS t2,
+                     UNNEST(range(GREATEST(len(toks)-12, 0))) AS u(i)),
+         evg AS (SELECT DISTINCT doc_id AS eval_id, gram
+                 FROM cg WHERE doc_id % 20 = 7)
+    SELECT cg.doc_id, count(DISTINCT cg.gram) AS contam_hits
+    FROM cg JOIN evg ON cg.gram = evg.gram AND cg.doc_id != evg.eval_id
+    GROUP BY cg.doc_id
+) AS ch USING (doc_id)
 """
 
 

@@ -184,3 +184,52 @@ def test_quantization_matches_duckdb_arithmetic(spark):
     for vec_id, q, s in con.execute(sql).fetchall():
         assert got[vec_id][0] == list(q), vec_id
         assert abs(got[vec_id][1] - s) < 1e-15
+
+
+# ---------------------------------------------------------------------------
+# decontamination (operators/text.py::decontaminate)
+# ---------------------------------------------------------------------------
+
+def test_decontaminate_planted_overlap(spark):
+    from qbeast_spark_spark.operators.text import decontaminate
+
+    leak = "alpha bravo charlie delta echo foxtrot golf hotel india " \
+           "juliet kilo lima mike"                       # exactly 13 tokens
+    corpus = spark.createDataFrame(
+        [(1, f"prefix words here {leak} and a suffix"),
+         (2, "completely unrelated text with plenty of words to go "
+             "around the block twice over again and again and again"),
+         (3, leak)],
+        ["doc_id", "text"])
+    evals = spark.createDataFrame([(100, f"intro {leak} outro")],
+                                  ["doc_id", "text"])
+    got = {r.doc_id: r.contam_hits
+           for r in decontaminate(corpus, evals, n=13).collect()}
+    assert set(got) == {1, 3}          # doc 2 clean
+    assert got[3] == 1                 # the single full-leak gram
+    assert got[1] >= 1
+
+
+def test_decontaminate_excludes_self_and_short_docs(spark):
+    from qbeast_spark_spark.operators.text import decontaminate
+
+    docs = spark.createDataFrame(
+        [(1, "one two three four five six seven eight nine ten eleven "
+             "twelve thirteen fourteen"),
+         (2, "too short to have any thirteen gram")],
+        ["doc_id", "text"])
+    # eval set IS the corpus: identity matches must not count
+    assert decontaminate(docs, docs, n=13).count() == 0
+    # without exclude_self the long doc matches itself
+    hits = decontaminate(docs, docs, n=13, exclude_self=False).collect()
+    assert {r.doc_id for r in hits} == {1}
+
+
+def test_decontaminate_broadcasts_eval_side(spark):
+    from qbeast_spark_spark.operators.text import decontaminate
+
+    docs = load(spark, "documents")
+    plan = decontaminate(docs, docs.limit(20), n=13) \
+        ._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan       # eval grams broadcast, no
+    assert "SortMergeJoin" not in plan       # corpus-sized shuffle join
