@@ -187,6 +187,20 @@ class CommitLog:
             })
         return out
 
+    def version_at_timestamp(self, ts_ms: int) -> int:
+        """Last committed version whose timestamp <= ``ts_ms`` (Delta
+        TIMESTAMP AS OF resolution). Raises if the table did not exist
+        yet at that time."""
+        best = None
+        for h in self.history():
+            if (h.get("timestamp") or 0) <= ts_ms:
+                best = h["version"]
+        if best is None:
+            raise ValueError(
+                f"no commit at or before timestamp {ts_ms} "
+                f"(earliest commit is newer)")
+        return best
+
     # -- checkpointing ----------------------------------------------------
 
     def _last_checkpoint_version(self) -> Optional[int]:

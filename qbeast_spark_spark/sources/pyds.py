@@ -64,7 +64,7 @@ from ..core.weight import INT_MAX, INT_MIN, fraction_to_weight
 from .constraints import constraints_of
 from .deletion_vectors import DVDescriptor, descriptor_positions
 from .log import Block, CommitLog, IndexFile, Snapshot
-from .reader import prune_files
+from .reader import _timestamp_to_ms, prune_files
 
 __all__ = ["QbeastDataSource", "register"]
 
@@ -190,6 +190,9 @@ class QbeastBatchReader:
         self.lower_bound = float(options.get("lowerbound") or 0.0)
         v = options.get("versionasof")
         self.version = int(v) if v is not None else None
+        self.timestamp = options.get("timestampasof")
+        if self.version is not None and self.timestamp is not None:
+            raise ValueError("set versionAsOf or timestampAsOf, not both")
         self._tuples: list = []
 
     def pushFilters(self, filters):
@@ -199,7 +202,16 @@ class QbeastBatchReader:
         return iter(filters)
 
     def partitions(self):
-        snap = _load_snapshot(self.path, self.version)
+        version = self.version
+        if self.timestamp is not None:
+            ts = self.timestamp
+            try:
+                ts = float(ts)      # "1700000000000" -> epoch ms
+            except (TypeError, ValueError):
+                pass
+            version = CommitLog(self.path).version_at_timestamp(
+                _timestamp_to_ms(ts))
+        snap = _load_snapshot(self.path, version)
         rels = list(snap.files.keys())
         hash_cols = None
         w_from, w_to = INT_MIN, INT_MAX

@@ -166,10 +166,21 @@ class QbeastTable:
             df = with_dv_filter(df, self.spark, dv_entries, self.path)
         return df
 
-    def to_df(self, version: Optional[int] = None):
+    def to_df(self, version: Optional[int] = None, timestamp=None):
         """R4 — plain read of every live file. ``version`` reads the table
         as of that commit (time travel; the versioned log replays to any
-        point for free, like Delta's VERSION AS OF)."""
+        point for free, like Delta's VERSION AS OF). ``timestamp`` is the
+        TIMESTAMP AS OF twin: epoch millis, a datetime, or an ISO-8601
+        string — resolved to the last commit at or before it."""
+        if version is not None and timestamp is not None:
+            raise ValueError("pass version or timestamp, not both")
+        if timestamp is not None:
+            if not hasattr(self.log, "version_at_timestamp"):
+                raise NotImplementedError(
+                    "timestamp time travel needs a native qbeast log "
+                    "(for_delta tables: use version=)")
+            version = self.log.version_at_timestamp(
+                _timestamp_to_ms(timestamp))
         if version is not None:
             snap = self.log.snapshot(at_version=version)
         else:
@@ -976,3 +987,19 @@ def prune_files(snap: Snapshot,
     return sorted(p for p in keep
                   if not _stats_exclude(snap.files[p], filters)
                   and not blooms_exclude(snap.files[p].blooms, filters))
+
+
+def _timestamp_to_ms(ts) -> int:
+    """epoch ms / datetime / ISO-8601 string -> epoch millis (naive
+    strings are taken as UTC, like spark.sql.session.timeZone=UTC)."""
+    import datetime as _dt
+
+    if isinstance(ts, (int, float)):
+        return int(ts)
+    if isinstance(ts, str):
+        ts = _dt.datetime.fromisoformat(ts)
+    if isinstance(ts, _dt.datetime):
+        if ts.tzinfo is None:
+            ts = ts.replace(tzinfo=_dt.timezone.utc)
+        return int(ts.timestamp() * 1000)
+    raise TypeError(f"unsupported timestamp {ts!r}")

@@ -248,3 +248,33 @@ def test_writer_rejects_schema_mismatch(ds_spark, tmp_table):
     bad.write.format("qbeast").mode("overwrite").save(tmp_table)
     assert qss.QbeastTable.for_path(ds_spark, tmp_table) \
         .to_df().columns == ["r_regionkey", "renamed"]
+
+
+def test_timestamp_as_of(ds_spark, tmp_table):
+    import time as _t
+
+    r = load(ds_spark, "region")
+    qss.write(r, tmp_table, columns_to_index=["r_regionkey"], cube_size=100)
+    qt = qss.QbeastTable.for_path(ds_spark, tmp_table)
+    t_between = int(_t.time() * 1000)
+    _t.sleep(0.05)
+    qss.write(r, tmp_table, columns_to_index=["r_regionkey"],
+              cube_size=100, mode="append")
+    # native verb: epoch ms, datetime and ISO string all resolve
+    assert qt.to_df(timestamp=t_between).count() == 5
+    import datetime as _dt
+
+    dt = _dt.datetime.fromtimestamp(t_between / 1000, _dt.timezone.utc)
+    assert qt.to_df(timestamp=dt).count() == 5
+    assert qt.to_df(timestamp=dt.isoformat()).count() == 5
+    assert qt.to_df().count() == 10
+    # the data-source option (epoch-ms string and ISO string forms)
+    got = (ds_spark.read.format("qbeast")
+           .option("timestampAsOf", str(t_between)).load(tmp_table))
+    assert got.count() == 5
+    got2 = (ds_spark.read.format("qbeast")
+            .option("timestampAsOf", dt.isoformat()).load(tmp_table))
+    assert got2.count() == 5
+    # before the table existed -> clear error
+    with pytest.raises(Exception, match="no commit"):
+        qt.to_df(timestamp=0).count()
