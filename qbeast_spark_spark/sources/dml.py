@@ -65,8 +65,29 @@ def _match_counts(qt, candidates: Sequence[str], residual,
     return out
 
 
+def _cdc_of(qt, snap, frames) -> Optional[List[Dict[str, Any]]]:
+    """When the table has CDF enabled, persist the given
+    (DataFrame, change_type) pairs as one change-file set and return the
+    commit payload entry list; else None. Each frame holds the CHANGED
+    rows only — O(changed data), like Delta's _change_data files."""
+    from pyspark.sql import functions as F
+
+    from .cdf import CHANGE_TYPE, cdf_enabled, write_change_files
+
+    if not cdf_enabled(snap.properties):
+        return None
+    tagged = None
+    for df, change_type in frames:
+        t = df.withColumn(CHANGE_TYPE, F.lit(change_type))
+        tagged = t if tagged is None else tagged.unionByName(t)
+    if tagged is None:
+        return None
+    return [write_change_files(tagged, qt.path)]
+
+
 def _rewrite(qt, snap, matched: List[str], replacement,
-             staged=None, operation: str = "WRITE") -> int:
+             staged=None, operation: str = "WRITE",
+             cdc: Optional[List[Dict[str, Any]]] = None) -> int:
     """Write ``replacement`` (the new contents of ``matched`` files)
     through the index pipeline against the existing cube weights, and
     commit adds + removes in one version. Mirrors optimize_table's
@@ -95,7 +116,7 @@ def _rewrite(qt, snap, matched: List[str], replacement,
             return log.commit(
                 add=extra_add, remove=matched, revisions=extra_revs,
                 schema_json=snap.schema_json or staged.schema.json(),
-                data_change=True, operation=operation)
+                data_change=True, operation=operation, cdc=cdc)
 
     if rev is None:
         # staging-only table: replacement rows stay staging files
@@ -110,7 +131,7 @@ def _rewrite(qt, snap, matched: List[str], replacement,
                           revisions={STAGING_REVISION_ID: staging},
                           schema_json=snap.schema_json
                           or replacement.schema.json(),
-                          data_change=True)
+                          data_change=True, cdc=cdc)
 
     prepared = with_index_columns(replacement, rev)
     weights = {
@@ -142,6 +163,7 @@ def _rewrite(qt, snap, matched: List[str], replacement,
         schema_json=snap.schema_json or replacement.schema.json(),
         data_change=True,
         operation=operation,
+        cdc=cdc,
     )
 
 
@@ -191,17 +213,21 @@ def delete_rows(spark, path: str, filters=None,
         live = sum(snap.files[rel].live_rows for rel in matched)
         mode = "dv" if sum(per_file.values()) < 0.5 * max(live, 1) \
             else "rewrite"
+    cdc = _cdc_of(qt, snap, [
+        (qt._df_for_files(matched, snap=snap).where(residual), "delete")])
     if mode == "dv":
-        return _delete_with_dvs(qt, snap, matched, residual)
+        return _delete_with_dvs(qt, snap, matched, residual, cdc=cdc)
     survivors = qt._df_for_files(matched, snap=snap).where(
         ~F.coalesce(residual, F.lit(False)))
-    version = _rewrite(qt, snap, matched, survivors, operation="DELETE")
+    version = _rewrite(qt, snap, matched, survivors, operation="DELETE",
+                       cdc=cdc)
     return {"version": version,
             "rows_deleted": int(sum(per_file.values())),
             "files_rewritten": len(matched)}
 
 
-def _delete_with_dvs(qt, snap, matched: List[str], residual) -> dict:
+def _delete_with_dvs(qt, snap, matched: List[str], residual,
+                     cdc=None) -> dict:
     """Metadata-only delete: per matched file, union the newly matched
     row positions into its deletion vector and commit re-adds carrying
     the new descriptors. Position sets never touch the driver — each
@@ -284,7 +310,8 @@ def _delete_with_dvs(qt, snap, matched: List[str], residual) -> dict:
         total_new += int(r["new_deletes"])
     version = qt.log.commit(add=add, remove=[],
                             schema_json=snap.schema_json,
-                            data_change=True, operation="DELETE")
+                            data_change=True, operation="DELETE",
+                            cdc=cdc)
     # superseded bitmaps are dead the moment the commit lands (their file
     # entry now points at the new sidecar) — unlike data files they are
     # never referenced by older READ paths we support mutating, but time
@@ -327,6 +354,8 @@ def update_rows(spark, path: str, assignments: Dict[str, Any],
     df = qt._df_for_files(matched)
     pred = (F.coalesce(residual, F.lit(False))
             if residual is not None else F.lit(True))
+    pre = qt._df_for_files(matched, snap=snap).where(pred)
+    post = pre
     for cname, expr in assignments.items():
         e = F.expr(expr) if isinstance(expr, str) else expr
         if not isinstance(e, Column):
@@ -335,12 +364,18 @@ def update_rows(spark, path: str, assignments: Dict[str, Any],
             e = e.cast(by_name[cname].dataType)
         df = df.withColumn(cname, F.when(pred, e)
                            .otherwise(F.col(cname)))
+        # CDF post-image: the assignment applied unconditionally to the
+        # PRE rows (evaluating pred against df would see updated values)
+        post = post.withColumn(cname, e)
     _check_revision_space(qt, snap, df, set(assignments))
     from .constraints import constraints_of, validate_constraints
 
     validate_constraints(df, constraints_of(snap.properties),
                          context="UPDATE")
-    version = _rewrite(qt, snap, matched, df, operation="UPDATE")
+    cdc = _cdc_of(qt, snap, [(pre, "update_preimage"),
+                             (post, "update_postimage")])
+    version = _rewrite(qt, snap, matched, df, operation="UPDATE",
+                       cdc=cdc)
     return {"version": version,
             "rows_updated": int(sum(per_file.values())),
             "files_rewritten": len(matched)}
@@ -462,11 +497,15 @@ def merge_rows(spark, path: str, source, on,
 
     # pass 2: new contents of the matched files
     updated = None
+    cdc_frames = []             # (changed-rows frame, _change_type)
     if matched:
         cur = qt._df_for_files(matched)
         if when_matched_delete:
             updated = cur.join(source.select(*keys).distinct(),
                                keys, "left_anti")
+            cdc_frames.append(
+                (cur.join(source.select(*keys).distinct(), keys,
+                          "left_semi"), "delete"))
         else:
             src = source.select(
                 *keys, *[F.col(c).alias(f"__src_{c}")
@@ -498,6 +537,11 @@ def merge_rows(spark, path: str, source, on,
                 exprs[c] = base if e is None else F.when(hit, e) \
                     .otherwise(base)
             updated = _to_target_schema(joined, exprs)
+            cdc_frames.append((joined.where(hit).select(*tcols),
+                               "update_preimage"))
+            cdc_frames.append((_to_target_schema(joined.where(hit),
+                                                 exprs),
+                               "update_postimage"))
 
     if updated is None and n_ins == 0:
         if inserts is not None:
@@ -532,8 +576,13 @@ def merge_rows(spark, path: str, source, on,
             validate_constraints(updated, checks, context="MERGE update")
         if inserts is not None and n_ins:
             validate_constraints(inserts, checks, context="MERGE insert")
+    # MERGE commits mix rewritten and inserted rows in their add files,
+    # so inserts must be recorded explicitly too (Delta does the same)
+    if inserts is not None and n_ins:
+        cdc_frames.append((inserts, "insert"))
+    cdc = _cdc_of(qt, snap, cdc_frames)
     version = _rewrite(qt, snap, matched, replacement, staged=staged,
-                       operation="MERGE")
+                       operation="MERGE", cdc=cdc)
     if inserts is not None:
         inserts.unpersist()
     n_matched = int(sum(per_file.values()))

@@ -365,6 +365,7 @@ class CommitLog:
                reset_stats: bool = False,
                txn: Optional[Dict[str, Any]] = None,
                operation: Optional[str] = None,
+               cdc: Optional[List[Dict[str, Any]]] = None,
                max_retries: int = 10) -> int:
         """Atomically append one commit; returns the committed version.
         ``operation`` is a DESCRIBE-HISTORY-style verb name (WRITE,
@@ -383,6 +384,9 @@ class CommitLog:
             "schema": schema_json,
             "properties": dict(properties or {}),
             "txn": dict(txn) if txn else None,
+            # change-data-feed files (sources/cdf.py); replay ignores
+            # them — they are never part of the table's data state
+            "cdc": list(cdc) if cdc else None,
         }
         body = json.dumps(payload, sort_keys=True).encode()
         last_err = None

@@ -233,6 +233,36 @@ class QbeastTable:
             rels.extend(fo["path"] for fo in commit.get("add", []))
         return self._df_for_files(rels)
 
+    def set_properties(self, props: Dict[str, str]) -> int:
+        """Persist table properties (metadata-only commit; ALTER TABLE SET
+        TBLPROPERTIES parity — properties merge across commits)."""
+        version = self.log.commit(
+            properties={k: str(v) for k, v in props.items()},
+            schema_json=self.snapshot(refresh=True).schema_json,
+            data_change=False, operation="SET TBLPROPERTIES")
+        self._snapshot = None
+        return version
+
+    def enable_change_data_feed(self) -> int:
+        """Turn on the change data feed (sources/cdf.py): every later
+        DML commit records its changed rows, and ``table_changes``
+        decodes any version range into the Delta CDF row shape."""
+        from .cdf import CDF_PROP
+
+        return self.set_properties({CDF_PROP: "true"})
+
+    def table_changes(self, starting_version: int,
+                      ending_version: Optional[int] = None):
+        """Delta CDF: rows changed by commits in the (inclusive) version
+        range, shaped as table columns + _change_type ('insert' /
+        'delete' / 'update_preimage' / 'update_postimage') +
+        _commit_version + _commit_timestamp. Appends/truncates/overwrites
+        decode from their file actions alone; DML commits need the feed
+        enabled (``enable_change_data_feed``) BEFORE they ran."""
+        from .cdf import table_changes
+
+        return table_changes(self, starting_version, ending_version)
+
     def detail(self) -> dict:
         """DESCRIBE DETAIL parity: one metadata-only summary dict —
         location, row/file/byte totals, small-file and deletion-vector
