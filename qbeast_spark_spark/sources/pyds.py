@@ -152,13 +152,21 @@ class _FilePartition(_InputPartition):
     hash_cols: Optional[List[str]] = None
     w_from: int = INT_MIN
     w_to: int = INT_MAX
+    # change-feed reads: 'insert'/'delete' for derived partitions, None
+    # for explicit change files (whose _change_type column is stored)
+    cdf_type: Optional[str] = None
+    cdf_version: Optional[int] = None
+    cdf_ts_ms: Optional[int] = None
 
 
 def _read_file_partition(part: _FilePartition, arrow_schema,
                          batch_size: int = 1 << 16):
     """Executor-side scan of one file: parquet -> DV mask -> residual
-    sample filter -> aligned Arrow batches."""
+    sample filter -> aligned Arrow batches. Change-feed partitions
+    append the CDF metadata columns (_change_type from the partition tag
+    for derived rows, or passed through from an explicit change file)."""
     import numpy as np
+    import pyarrow as pa
     import pyarrow.parquet as pq
 
     tbl = pq.read_table(part.abs_path)
@@ -174,6 +182,18 @@ def _read_file_partition(part: _FilePartition, arrow_schema,
         if part.w_from > INT_MIN:
             mask &= h >= np.int64(part.w_from)
         tbl = tbl.filter(mask)
+    if part.cdf_version is not None:
+        n = tbl.num_rows
+        if part.cdf_type is not None and \
+                "_change_type" not in tbl.schema.names:
+            tbl = tbl.append_column(
+                "_change_type", pa.array([part.cdf_type] * n))
+        tbl = tbl.append_column(
+            "_commit_version",
+            pa.array([int(part.cdf_version)] * n, type=pa.int64()))
+        ts = pa.array([int(part.cdf_ts_ms or 0) * 1000] * n,
+                      type=pa.timestamp("us", tz="UTC"))
+        tbl = tbl.append_column("_commit_timestamp", ts)
     tbl = _align_batch(tbl, arrow_schema)
     yield from tbl.to_batches(max_chunksize=batch_size)
 
@@ -193,6 +213,15 @@ class QbeastBatchReader:
         self.timestamp = options.get("timestampasof")
         if self.version is not None and self.timestamp is not None:
             raise ValueError("set versionAsOf or timestampAsOf, not both")
+        self.read_change_feed = str(
+            options.get("readchangefeed") or "false").lower() == "true"
+        sv = options.get("startingversion")
+        self.starting_version = int(sv) if sv is not None else None
+        ev = options.get("endingversion")
+        self.ending_version = int(ev) if ev is not None else None
+        if self.read_change_feed and self.starting_version is None:
+            raise ValueError("readChangeFeed needs option("
+                             "'startingVersion', N)")
         self._tuples: list = []
 
     def pushFilters(self, filters):
@@ -201,7 +230,72 @@ class QbeastBatchReader:
         self._tuples, _ = _filters_to_tuples(filters)
         return iter(filters)
 
+    def _cdf_partitions(self):
+        """Change-feed scan plan: the same per-commit decode rules as
+        cdf.table_changes, expressed as file partitions (this runs in the
+        planning worker — no SparkSession, pure log metadata)."""
+        import glob as _glob
+
+        log = CommitLog(self.path)
+        versions = log._versions()
+        if not versions:
+            return []
+        end = versions[-1] if self.ending_version is None \
+            else self.ending_version
+        parts: List[_FilePartition] = []
+
+        def fp(abs_path, dv=None, ctype=None, v=0, ts=None):
+            return _FilePartition(abs_path=abs_path, table_path=self.path,
+                                  dv_json=dv, cdf_type=ctype,
+                                  cdf_version=v, cdf_ts_ms=ts)
+
+        for v, commit in log.commits_after(self.starting_version - 1):
+            if v > end:
+                break
+            if not commit.get("dataChange", True):
+                continue
+            ts = commit.get("timestamp")
+            adds = commit.get("add", [])
+            removes = commit.get("remove", [])
+            cdc = commit.get("cdc")
+            if cdc:
+                for e in cdc:
+                    for f in sorted(_glob.glob(os.path.join(
+                            self.path, e["path"], "*.parquet"))):
+                        parts.append(fp(f, ctype=None, v=v, ts=ts))
+                continue
+            if any(fo.get("deletionVector") for fo in adds):
+                raise ValueError(
+                    f"commit {v} is a deletion-vector delete written "
+                    f"before qbeast.enableChangeDataFeed was enabled")
+            if adds and removes and (commit.get("operation") or "") \
+                    not in ("OVERWRITE", "PYDS WRITE"):
+                raise ValueError(
+                    f"commit {v} ({commit.get('operation')}) rewrote "
+                    f"files before qbeast.enableChangeDataFeed was "
+                    f"enabled")
+            if removes:
+                prev = log.snapshot(at_version=v - 1)
+                for r in removes:
+                    f = prev.files.get(r)
+                    if f is not None:
+                        parts.append(fp(os.path.join(self.path, r),
+                                        dv=f.dv, ctype="delete", v=v,
+                                        ts=ts))
+            if adds:
+                snap_v = log.snapshot(at_version=v)
+                for fo in adds:
+                    f = snap_v.files.get(fo["path"])
+                    if f is not None:
+                        parts.append(fp(os.path.join(self.path,
+                                                     fo["path"]),
+                                        dv=f.dv, ctype="insert", v=v,
+                                        ts=ts))
+        return parts
+
     def partitions(self):
+        if self.read_change_feed:
+            return self._cdf_partitions()
         version = self.version
         if self.timestamp is not None:
             ts = self.timestamp
@@ -529,12 +623,21 @@ class QbeastDataSource(_DataSource):
     def schema(self):
         import json as _json
 
-        from pyspark.sql.types import StructType
+        from pyspark.sql.types import (LongType, StringType, StructField,
+                                       StructType, TimestampType)
 
         snap = _load_snapshot(self._path())
         if not snap.schema_json:
             raise ValueError(f"{self._path()} has no schema in its log")
-        return StructType.fromJson(_json.loads(snap.schema_json))
+        st = StructType.fromJson(_json.loads(snap.schema_json))
+        if str(self.options.get("readchangefeed") or
+               "false").lower() == "true":
+            st = StructType(list(st.fields) + [
+                StructField("_change_type", StringType()),
+                StructField("_commit_version", LongType()),
+                StructField("_commit_timestamp", TimestampType()),
+            ])
+        return st
 
     def _arrow_schema(self, schema):
         from pyspark.sql.pandas.types import to_arrow_schema

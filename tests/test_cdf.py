@@ -139,3 +139,32 @@ def test_changes_compose_across_range(spark, tmp_table):
     assert set(r[0] for r in
                ch.select("_commit_version").distinct().collect()) \
         == {2, 3}
+
+
+def test_ds_read_change_feed_matches_native(spark, tmp_table):
+    """format('qbeast').option('readChangeFeed') decodes the identical
+    rows as qt.table_changes — pure-Arrow decode in the data source."""
+    from qbeast_spark_spark.sources.pyds import register
+
+    register(spark)
+    qt = _mk(spark, tmp_table, n=250)
+    qt.enable_change_data_feed()
+    qt.update({"l_quantity": "l_quantity * 2"}, [("l_orderkey", "<", 80)])
+    qt.delete([("l_orderkey", ">=", 9000)], mode="dv")
+    native = qt.table_changes(0)
+    ds = (spark.read.format("qbeast").option("readChangeFeed", "true")
+          .option("startingVersion", 0).load(tmp_table)
+          .select(*native.columns))
+    assert ds.exceptAll(native).count() == 0
+    assert native.exceptAll(ds).count() == 0
+    # bounded range
+    ds2 = (spark.read.format("qbeast").option("readChangeFeed", "true")
+           .option("startingVersion", 2).option("endingVersion", 2)
+           .load(tmp_table))
+    assert set(r[0] for r in
+               ds2.select("_change_type").distinct().collect()) \
+        == {"update_preimage", "update_postimage"}
+    # missing startingVersion -> clear error
+    with pytest.raises(Exception, match="startingVersion"):
+        spark.read.format("qbeast").option("readChangeFeed", "true") \
+            .load(tmp_table).count()
