@@ -101,6 +101,12 @@ def table_changes(qt, starting_version: int,
         cdc = commit.get("cdc")
         if cdc:
             paths = [os.path.join(qt.path, e["path"]) for e in cdc]
+            gone = [p for p in paths if not os.path.isdir(p)]
+            if gone:
+                raise ValueError(
+                    f"commit {v}: change files {gone} were vacuumed "
+                    f"(past retention); this range is no longer "
+                    f"CDF-readable")
             frames.append(_tag(qt.spark.read.parquet(*paths), v, ts, None))
             continue
         if any(fo.get("deletionVector") for fo in adds):

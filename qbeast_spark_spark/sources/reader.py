@@ -421,10 +421,31 @@ class QbeastTable:
                 except OSError:
                     continue
                 victims.append(name)
-        if not dry_run:
-            for name in victims:
+        # change-data-feed sidecars age out like Delta's: past retention
+        # they are deleted, after which table_changes over those versions
+        # raises (the same trade-off as vacuumed time travel)
+        from .cdf import CHANGE_DIR
+
+        cdir = os.path.join(self.path, CHANGE_DIR)
+        if os.path.isdir(cdir):
+            for sub in os.listdir(cdir):
+                subp = os.path.join(cdir, sub)
                 try:
-                    os.remove(os.path.join(self.path, name))
+                    if os.path.getmtime(subp) > cutoff:
+                        continue
+                except OSError:
+                    continue
+                victims.append(os.path.join(CHANGE_DIR, sub))
+        if not dry_run:
+            import shutil as _shutil
+
+            for name in victims:
+                target = os.path.join(self.path, name)
+                try:
+                    if os.path.isdir(target):
+                        _shutil.rmtree(target, ignore_errors=True)
+                    else:
+                        os.remove(target)
                 except OSError:
                     pass
         return sorted(victims)

@@ -168,3 +168,23 @@ def test_ds_read_change_feed_matches_native(spark, tmp_table):
     with pytest.raises(Exception, match="startingVersion"):
         spark.read.format("qbeast").option("readChangeFeed", "true") \
             .load(tmp_table).count()
+
+
+def test_vacuum_ages_out_change_files(spark, tmp_table):
+    import os
+
+    qt = _mk(spark, tmp_table, n=200)
+    qt.enable_change_data_feed()
+    r = qt.delete([("l_orderkey", "<", 100)], mode="rewrite")
+    assert qt.table_changes(r["version"]).count() > 0
+    # within retention nothing is deletable
+    assert not [v for v in qt.vacuum(dry_run=True)
+                if v.startswith("_change_data")]
+    # age everything and vacuum with zero retention
+    victims = qt.vacuum(retention_hours=0.0)
+    assert any(v.startswith("_change_data") for v in victims)
+    assert not os.listdir(os.path.join(tmp_table, "_change_data"))
+    with pytest.raises(ValueError, match="vacuumed"):
+        qt.table_changes(r["version"]).count()
+    # the table itself stays perfectly readable
+    assert qt.to_df().count() > 0
