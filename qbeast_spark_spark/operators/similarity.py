@@ -16,7 +16,8 @@ deterministic and exactly mirrored by the DuckDB oracle
 
 from __future__ import annotations
 
-__all__ = ["cosine_col", "cosine_topk", "cosine_pairs", "ivf_topk"]
+__all__ = ["cosine_col", "cosine_topk", "cosine_pairs", "ivf_topk",
+           "embedding_lsh_pairs", "semantic_dedup"]
 
 
 def _dot(a, b):
@@ -238,3 +239,41 @@ def embedding_lsh_pairs(vectors, threshold: float, n_bits: int = 8,
     return (cand
             .select("id1", "id2", F.round(cos, 6).alias("cos"))
             .where(F.col("cos") >= threshold))
+
+
+def semantic_dedup(vectors, threshold: float = 0.95,
+                   vec_col: str = "embedding", id_col: str = "vec_id",
+                   n_bits: int = 8, n_tables: int = 2,
+                   exact: bool = False):
+    """SemDeDup-style semantic deduplication: docs whose EMBEDDINGS are
+    near-identical (cosine >= threshold) collapse to one canonical
+    representative — the dedup tier that catches paraphrases and
+    templated rewrites that token-level MinHash/SimHash miss.
+
+    Plan: candidate pairs from hyperplane-LSH buckets (equi-join inside
+    buckets — never all-pairs; ``exact=True`` swaps in the labeled
+    O(n^2) cosine_pairs baseline for small/verification runs), then
+    min-label connected components (dedup.connected_components) so
+    chains of near-dupes collapse transitively, like the exact-dedup
+    clustering. Returns one row per input vector:
+    (id, canonical_id, is_duplicate) — filter ``~is_duplicate`` for the
+    keep-list. At 100 TB: shuffle is O(n · n_tables) bucket rows plus
+    the CC rounds over the (sparse) duplicate-pair edges only."""
+    from pyspark.sql import functions as F
+
+    from .dedup import connected_components
+
+    pairs = (cosine_pairs(vectors, threshold, vec_col=vec_col,
+                          id_col=id_col)
+             if exact else
+             embedding_lsh_pairs(vectors, threshold, n_bits=n_bits,
+                                 n_tables=n_tables, vec_col=vec_col,
+                                 id_col=id_col))
+    labels = connected_components(pairs.select("id1", "id2"))
+    out = (vectors.select(F.col(id_col))
+           .join(labels, F.col(id_col) == F.col("node"), "left"))
+    canonical = F.coalesce(F.col("canonical"), F.col(id_col))
+    return out.select(
+        F.col(id_col),
+        canonical.alias("canonical_id"),
+        (canonical != F.col(id_col)).alias("is_duplicate"))

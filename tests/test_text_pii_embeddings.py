@@ -233,3 +233,67 @@ def test_decontaminate_broadcasts_eval_side(spark):
         ._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastHashJoin" in plan       # eval grams broadcast, no
     assert "SortMergeJoin" not in plan       # corpus-sized shuffle join
+
+
+# ---------------------------------------------------------------------------
+# semantic dedup (operators/similarity.py::semantic_dedup)
+# ---------------------------------------------------------------------------
+
+def _planted_vectors(spark):
+    import numpy as np
+
+    rng = np.random.default_rng(7)
+    base = rng.normal(size=(3, 16))
+    rows = []
+    vid = 0
+    for g, b in enumerate(base):
+        for _ in range(3):          # 3 near-identical copies per group
+            v = b + rng.normal(scale=1e-3, size=16)
+            rows.append((vid, [float(x) for x in v]))
+            vid += 1
+    for _ in range(4):              # singletons, far from everything
+        v = rng.normal(size=16) * 5
+        rows.append((vid, [float(x) for x in v]))
+        vid += 1
+    return spark.createDataFrame(rows, ["vec_id", "embedding"])
+
+
+def test_semantic_dedup_collapses_planted_groups(spark):
+    from qbeast_spark_spark.operators.similarity import semantic_dedup
+
+    vecs = _planted_vectors(spark)
+    out = semantic_dedup(vecs, threshold=0.99, exact=True).collect()
+    by_id = {r.vec_id: r for r in out}
+    assert len(by_id) == 13
+    # each group of 3 collapses to its min id; singletons survive
+    for g in range(3):
+        ids = [3 * g, 3 * g + 1, 3 * g + 2]
+        assert {by_id[i].canonical_id for i in ids} == {ids[0]}
+        assert not by_id[ids[0]].is_duplicate
+        assert by_id[ids[1]].is_duplicate and by_id[ids[2]].is_duplicate
+    for i in range(9, 13):
+        assert by_id[i].canonical_id == i and not by_id[i].is_duplicate
+    # keep-list = one representative per group + singletons
+    keep = [r.vec_id for r in out if not r.is_duplicate]
+    assert sorted(keep) == [0, 3, 6, 9, 10, 11, 12]
+
+
+def test_semantic_dedup_lsh_matches_exact_on_planted(spark):
+    from qbeast_spark_spark.operators.similarity import semantic_dedup
+
+    vecs = _planted_vectors(spark)
+    exact = {(r.vec_id, r.canonical_id)
+             for r in semantic_dedup(vecs, 0.99, exact=True).collect()}
+    lsh = {(r.vec_id, r.canonical_id)
+           for r in semantic_dedup(vecs, 0.99, n_bits=8,
+                                   n_tables=2).collect()}
+    # near-identical vectors share sign buckets, so LSH loses nothing here
+    assert lsh == exact
+
+
+def test_semantic_dedup_on_corpus_embeddings(spark):
+    from qbeast_spark_spark.operators.similarity import semantic_dedup
+
+    emb = load(spark, "embeddings").select("vec_id", "embedding")
+    out = semantic_dedup(emb, threshold=0.98)
+    assert out.count() == emb.count()   # one verdict row per vector
