@@ -22,7 +22,8 @@ from typing import Dict, List, Sequence, Tuple
 
 from .text import TOKEN_RE
 
-__all__ = ["hash_split", "chunk_text", "pack_sequences"]
+__all__ = ["hash_split", "chunk_text", "pack_sequences",
+           "sample_mixture"]
 
 
 def hash_split(df, weights: Dict[str, float], id_col: str = "doc_id",
@@ -162,3 +163,71 @@ def pack_sequences(docs, budget_tokens: int = 2048,
     return packed.select(
         F.col("__id").alias(id_col), F.col("_tok").alias(tokens_col),
         "bin_id", "bin_tokens")
+
+
+def sample_mixture(sources: Dict[str, Tuple[object, float]],
+                   token_budget: int,
+                   text_col: str = "text",
+                   tokens_col: str = None,
+                   max_epochs: float = 4.0,
+                   seed: int = 42,
+                   id_col: str = "doc_id"):
+    """Data-mixing sampler: draw a training mix hitting ``token_budget``
+    tokens split across sources by weight — the standard pretraining
+    recipe ("X% web, Y% code, Z% books ...").
+
+    ``sources`` maps name -> (DataFrame, weight). Per source the target
+    is ``budget * weight / sum(weights)`` tokens; one aggregate job per
+    source measures its token supply, and the rate = target / supply.
+    Undersized sources REPEAT (epochs, Delta between integer passes is
+    hash-sampled) up to ``max_epochs`` — the standard upsampling cap, a
+    warning-grade report field when it clips the target. Selection is
+    deterministic: murmur3(id, epoch-salted) <= rate, so the same call
+    on the same data returns the same rows, and a source's sample only
+    grows monotonically as its rate rises.
+
+    Returns (DataFrame with a ``source`` + ``epoch`` column, report
+    dict). At 100 TB: one agg per source + a map-only filter per epoch
+    pass — no shuffle, no collect beyond per-source scalars."""
+    from pyspark.sql import functions as F
+
+    if not sources:
+        raise ValueError("sample_mixture needs at least one source")
+    total_w = sum(w for _, w in sources.values())
+    if total_w <= 0:
+        raise ValueError("weights must sum to > 0")
+    report = {}
+    out = None
+    for name, (df, w) in sources.items():
+        toks = (F.col(tokens_col) if tokens_col else
+                F.size(F.regexp_extract_all(F.lower(F.col(text_col)),
+                                            F.lit(TOKEN_RE), 0)))
+        supply = df.agg(F.sum(toks).alias("t")).collect()[0]["t"] or 0
+        target = token_budget * (w / total_w)
+        rate = 0.0 if supply == 0 else target / supply
+        clipped = rate > max_epochs
+        rate = min(rate, max_epochs)
+        full_epochs = int(rate)
+        frac = rate - full_epochs
+        report[name] = {"supply_tokens": int(supply),
+                        "target_tokens": int(target),
+                        "rate": round(rate, 6),
+                        "epochs": full_epochs + (1 if frac > 0 else 0),
+                        "clipped_by_max_epochs": clipped}
+        pieces = []
+        for e in range(full_epochs):
+            pieces.append(df.withColumn("epoch", F.lit(e)))
+        if frac > 0:
+            # deterministic Bernoulli(frac): uniform in [0,1) from the
+            # sign-free murmur3 of (id, seed, epoch)
+            u = (F.hash(F.col(id_col), F.lit(seed),
+                        F.lit(full_epochs)).cast("long")
+                 + F.lit(2**31)) / F.lit(float(2**32))
+            pieces.append(df.where(u < F.lit(frac))
+                          .withColumn("epoch", F.lit(full_epochs)))
+        for p in pieces:
+            p = p.withColumn("source", F.lit(name))
+            out = p if out is None else out.unionByName(p)
+    if out is None or not report:
+        raise ValueError("no sampleable rows across sources")
+    return out, report

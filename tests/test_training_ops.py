@@ -100,3 +100,59 @@ def test_pack_sequences_invariants(spark):
              for m in by_bin.values() if len(m) > 1]
     if fills:
         assert sum(fills) / len(fills) > 0.6
+
+
+# ---------------------------------------------------------------------------
+# sample_mixture (data mixing under a token budget)
+# ---------------------------------------------------------------------------
+
+def test_sample_mixture_hits_weighted_targets(spark):
+    from pyspark.sql import functions as F
+
+    from qbeast_spark_spark.operators.training import sample_mixture
+
+    docs = load(spark, "documents")
+    web = docs.where("doc_id % 2 = 0")
+    code = docs.where("doc_id % 2 = 1")
+    total = docs.agg(F.sum(F.size(F.split("text", " ")))).collect()[0][0]
+    budget = int(total * 0.3)
+    out, rep = sample_mixture({"web": (web, 3.0), "code": (code, 1.0)},
+                              token_budget=budget)
+    got = {r["source"]: r["t"] for r in
+           out.groupBy("source")
+              .agg(F.sum(F.size(F.split("text", " "))).alias("t"))
+              .collect()}
+    # each source lands near its weighted target (Bernoulli tolerance)
+    assert got["web"] == pytest.approx(rep["web"]["target_tokens"],
+                                       rel=0.25)
+    assert got["code"] == pytest.approx(rep["code"]["target_tokens"],
+                                        rel=0.25)
+    assert got["web"] > got["code"]          # 3:1 weighting shows up
+
+
+def test_sample_mixture_is_deterministic(spark):
+    from qbeast_spark_spark.operators.training import sample_mixture
+
+    docs = load(spark, "documents")
+    a, _ = sample_mixture({"d": (docs, 1.0)}, token_budget=5000)
+    b, _ = sample_mixture({"d": (docs, 1.0)}, token_budget=5000)
+    assert a.exceptAll(b).count() == 0 and b.exceptAll(a).count() == 0
+
+
+def test_sample_mixture_upsamples_small_sources_with_epochs(spark):
+    from qbeast_spark_spark.operators.training import sample_mixture
+
+    docs = load(spark, "documents")
+    tiny = docs.limit(10)
+    out, rep = sample_mixture({"tiny": (tiny, 1.0), "big": (docs, 1.0)},
+                              token_budget=60000, max_epochs=3.0)
+    assert rep["tiny"]["rate"] > 1.0         # tiny source must repeat
+    assert rep["tiny"]["epochs"] >= 2
+    epochs = {r[0] for r in out.where("source = 'tiny'")
+              .select("epoch").distinct().collect()}
+    assert len(epochs) >= 2
+    # clipping reported when the target is unreachable
+    out2, rep2 = sample_mixture({"tiny": (tiny, 1.0)},
+                                token_budget=10**9, max_epochs=2.0)
+    assert rep2["tiny"]["clipped_by_max_epochs"]
+    assert rep2["tiny"]["rate"] == 2.0
