@@ -198,6 +198,63 @@ def _read_file_partition(part: _FilePartition, arrow_schema,
     yield from tbl.to_batches(max_chunksize=batch_size)
 
 
+def _cdf_partitions_range(path: str, log: CommitLog, start_v: int,
+                          end_v: int) -> List["_FilePartition"]:
+    """Change-feed scan plan for commits ``start_v..end_v`` (inclusive):
+    the same per-commit decode rules as cdf.table_changes, expressed as
+    file partitions. Runs in the planning worker — no SparkSession, pure
+    log metadata. Shared by the batch readChangeFeed read and the CDF
+    streaming source."""
+    import glob as _glob
+
+    parts: List[_FilePartition] = []
+
+    def fp(abs_path, dv=None, ctype=None, v=0, ts=None):
+        return _FilePartition(abs_path=abs_path, table_path=path,
+                              dv_json=dv, cdf_type=ctype,
+                              cdf_version=v, cdf_ts_ms=ts)
+
+    for v, commit in log.commits_after(int(start_v) - 1):
+        if v > end_v:
+            break
+        if not commit.get("dataChange", True):
+            continue
+        ts = commit.get("timestamp")
+        adds = commit.get("add", [])
+        removes = commit.get("remove", [])
+        cdc = commit.get("cdc")
+        if cdc:
+            for e in cdc:
+                for f in sorted(_glob.glob(os.path.join(
+                        path, e["path"], "*.parquet"))):
+                    parts.append(fp(f, ctype=None, v=v, ts=ts))
+            continue
+        if any(fo.get("deletionVector") for fo in adds):
+            raise ValueError(
+                f"commit {v} is a deletion-vector delete written "
+                f"before qbeast.enableChangeDataFeed was enabled")
+        if adds and removes and (commit.get("operation") or "") \
+                not in ("OVERWRITE", "PYDS WRITE"):
+            raise ValueError(
+                f"commit {v} ({commit.get('operation')}) rewrote "
+                f"files before qbeast.enableChangeDataFeed was enabled")
+        if removes:
+            prev = log.snapshot(at_version=v - 1)
+            for r in removes:
+                f = prev.files.get(r)
+                if f is not None:
+                    parts.append(fp(os.path.join(path, r), dv=f.dv,
+                                    ctype="delete", v=v, ts=ts))
+        if adds:
+            snap_v = log.snapshot(at_version=v)
+            for fo in adds:
+                f = snap_v.files.get(fo["path"])
+                if f is not None:
+                    parts.append(fp(os.path.join(path, fo["path"]),
+                                    dv=f.dv, ctype="insert", v=v, ts=ts))
+    return parts
+
+
 # --------------------------------------------------------------------------
 # batch reader
 # --------------------------------------------------------------------------
@@ -230,72 +287,16 @@ class QbeastBatchReader:
         self._tuples, _ = _filters_to_tuples(filters)
         return iter(filters)
 
-    def _cdf_partitions(self):
-        """Change-feed scan plan: the same per-commit decode rules as
-        cdf.table_changes, expressed as file partitions (this runs in the
-        planning worker — no SparkSession, pure log metadata)."""
-        import glob as _glob
-
-        log = CommitLog(self.path)
-        versions = log._versions()
-        if not versions:
-            return []
-        end = versions[-1] if self.ending_version is None \
-            else self.ending_version
-        parts: List[_FilePartition] = []
-
-        def fp(abs_path, dv=None, ctype=None, v=0, ts=None):
-            return _FilePartition(abs_path=abs_path, table_path=self.path,
-                                  dv_json=dv, cdf_type=ctype,
-                                  cdf_version=v, cdf_ts_ms=ts)
-
-        for v, commit in log.commits_after(self.starting_version - 1):
-            if v > end:
-                break
-            if not commit.get("dataChange", True):
-                continue
-            ts = commit.get("timestamp")
-            adds = commit.get("add", [])
-            removes = commit.get("remove", [])
-            cdc = commit.get("cdc")
-            if cdc:
-                for e in cdc:
-                    for f in sorted(_glob.glob(os.path.join(
-                            self.path, e["path"], "*.parquet"))):
-                        parts.append(fp(f, ctype=None, v=v, ts=ts))
-                continue
-            if any(fo.get("deletionVector") for fo in adds):
-                raise ValueError(
-                    f"commit {v} is a deletion-vector delete written "
-                    f"before qbeast.enableChangeDataFeed was enabled")
-            if adds and removes and (commit.get("operation") or "") \
-                    not in ("OVERWRITE", "PYDS WRITE"):
-                raise ValueError(
-                    f"commit {v} ({commit.get('operation')}) rewrote "
-                    f"files before qbeast.enableChangeDataFeed was "
-                    f"enabled")
-            if removes:
-                prev = log.snapshot(at_version=v - 1)
-                for r in removes:
-                    f = prev.files.get(r)
-                    if f is not None:
-                        parts.append(fp(os.path.join(self.path, r),
-                                        dv=f.dv, ctype="delete", v=v,
-                                        ts=ts))
-            if adds:
-                snap_v = log.snapshot(at_version=v)
-                for fo in adds:
-                    f = snap_v.files.get(fo["path"])
-                    if f is not None:
-                        parts.append(fp(os.path.join(self.path,
-                                                     fo["path"]),
-                                        dv=f.dv, ctype="insert", v=v,
-                                        ts=ts))
-        return parts
-
     def partitions(self):
         if self.read_change_feed:
-            return self._cdf_partitions()
+            log = CommitLog(self.path)
+            versions = log._versions()
+            if not versions:
+                return []
+            end = versions[-1] if self.ending_version is None \
+                else self.ending_version
+            return _cdf_partitions_range(self.path, log,
+                                         self.starting_version, end)
         version = self.version
         if self.timestamp is not None:
             ts = self.timestamp
@@ -349,6 +350,11 @@ class QbeastStreamReader:
         self.starting_version = int(sv) if sv is not None else None
         self.skip_change_commits = str(
             options.get("skipchangecommits") or "false").lower() == "true"
+        # CDF stream: emit change ROWS per commit instead of table rows —
+        # DELETE/UPDATE commits become consumable (pre/post images)
+        # rather than stream-fatal
+        self.read_change_feed = str(
+            options.get("readchangefeed") or "false").lower() == "true"
 
     def initialOffset(self) -> dict:
         if self.starting_version is not None:
@@ -368,13 +374,26 @@ class QbeastStreamReader:
         parts: List[_FilePartition] = []
         if not start.get("snap", True):
             # first batch = the full table as of `end` (initial snapshot;
-            # handles pre-stream removes/overwrites correctly)
+            # handles pre-stream removes/overwrites correctly). In CDF
+            # mode the snapshot rows are tagged 'insert' at `end`
+            # (Delta's streaming CDF does the same).
             snap = log.snapshot(at_version=end["v"])
+            ts = None
+            if self.read_change_feed:
+                hist = {h["version"]: h.get("timestamp")
+                        for h in log.history()}
+                ts = hist.get(end["v"])
             for r, f in snap.files.items():
                 parts.append(_FilePartition(
                     abs_path=os.path.join(self.path, r),
-                    table_path=self.path, dv_json=f.dv))
+                    table_path=self.path, dv_json=f.dv,
+                    cdf_type="insert" if self.read_change_feed else None,
+                    cdf_version=end["v"] if self.read_change_feed
+                    else None, cdf_ts_ms=ts))
             return parts
+        if self.read_change_feed:
+            return _cdf_partitions_range(self.path, log,
+                                         start["v"] + 1, end["v"])
         for v, commit in log.commits_after(start["v"]):
             if v > end["v"]:
                 break

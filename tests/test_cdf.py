@@ -188,3 +188,38 @@ def test_vacuum_ages_out_change_files(spark, tmp_table):
         qt.table_changes(r["version"]).count()
     # the table itself stays perfectly readable
     assert qt.to_df().count() > 0
+
+
+def test_streaming_change_feed(spark, tmp_path):
+    """readStream + readChangeFeed: DELETE/UPDATE commits stream as
+    change rows (pre/post images) instead of killing the stream."""
+    from qbeast_spark_spark.sources.pyds import register
+
+    register(spark)
+    src, out, ck = (str(tmp_path / d) for d in ("src", "out", "ck"))
+    qt = _mk(spark, src, n=200)
+    qt.enable_change_data_feed()
+
+    def run():
+        q = (spark.readStream.format("qbeast")
+             .option("readChangeFeed", "true").load(src)
+             .writeStream.format("parquet").option("path", out)
+             .option("checkpointLocation", ck)
+             .trigger(availableNow=True).start())
+        q.awaitTermination(180)
+
+    run()
+    got = spark.read.parquet(out)
+    assert _types(got) == {"insert": 200}     # initial snapshot
+    r = qt.update({"l_quantity": "l_quantity + 1"},
+                  [("l_orderkey", "<", 60)])
+    rd = qt.delete([("l_orderkey", "<", 30)], mode="dv")
+    assert rd["rows_deleted"] > 0
+    run()
+    got = spark.read.parquet(out)
+    t = _types(got)
+    assert t["insert"] == 200
+    assert t["update_preimage"] == t["update_postimage"] \
+        == r["rows_updated"] > 0
+    assert t.get("delete", 0) > 0
+    assert got.where("_commit_version IS NULL").count() == 0
