@@ -45,8 +45,11 @@ COMMIT_VERSION = "_commit_version"
 COMMIT_TS = "_commit_timestamp"
 
 # adds+removes commits whose changes are still derivable from the file
-# actions alone: an overwrite is delete-all + insert-all
-_DERIVABLE_MIXED_OPS = {"OVERWRITE", "PYDS WRITE"}
+# actions alone: an overwrite is delete-all + insert-all, and a RESTORE
+# is delete-current + re-insert-the-restored-state (its re-added files
+# may carry deletion vectors from their own era — applying them while
+# reading IS the correct insert image)
+_DERIVABLE_MIXED_OPS = {"OVERWRITE", "PYDS WRITE", "RESTORE"}
 
 
 def cdf_enabled(properties: Dict[str, str]) -> bool:
@@ -109,17 +112,17 @@ def table_changes(qt, starting_version: int,
                     f"CDF-readable")
             frames.append(_tag(qt.spark.read.parquet(*paths), v, ts, None))
             continue
-        if any(fo.get("deletionVector") for fo in adds):
-            raise ValueError(
-                f"commit {v} is a deletion-vector delete written before "
-                f"{CDF_PROP} was enabled; its change rows were not "
-                f"recorded")
-        if adds and removes and \
-                (commit.get("operation") or "") not in _DERIVABLE_MIXED_OPS:
-            raise ValueError(
-                f"commit {v} ({commit.get('operation')}) rewrote files "
-                f"before {CDF_PROP} was enabled; its change rows were "
-                f"not recorded")
+        if (commit.get("operation") or "") not in _DERIVABLE_MIXED_OPS:
+            if any(fo.get("deletionVector") for fo in adds):
+                raise ValueError(
+                    f"commit {v} is a deletion-vector delete written "
+                    f"before {CDF_PROP} was enabled; its change rows "
+                    f"were not recorded")
+            if adds and removes:
+                raise ValueError(
+                    f"commit {v} ({commit.get('operation')}) rewrote "
+                    f"files before {CDF_PROP} was enabled; its change "
+                    f"rows were not recorded")
         if removes:
             # rows removed, at their pre-commit state (prior DVs applied)
             prev = log.snapshot(at_version=v - 1)

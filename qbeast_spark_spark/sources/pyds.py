@@ -229,15 +229,17 @@ def _cdf_partitions_range(path: str, log: CommitLog, start_v: int,
                         path, e["path"], "*.parquet"))):
                     parts.append(fp(f, ctype=None, v=v, ts=ts))
             continue
-        if any(fo.get("deletionVector") for fo in adds):
-            raise ValueError(
-                f"commit {v} is a deletion-vector delete written "
-                f"before qbeast.enableChangeDataFeed was enabled")
-        if adds and removes and (commit.get("operation") or "") \
-                not in ("OVERWRITE", "PYDS WRITE"):
-            raise ValueError(
-                f"commit {v} ({commit.get('operation')}) rewrote "
-                f"files before qbeast.enableChangeDataFeed was enabled")
+        if (commit.get("operation") or "") not in \
+                ("OVERWRITE", "PYDS WRITE", "RESTORE"):
+            if any(fo.get("deletionVector") for fo in adds):
+                raise ValueError(
+                    f"commit {v} is a deletion-vector delete written "
+                    f"before qbeast.enableChangeDataFeed was enabled")
+            if adds and removes:
+                raise ValueError(
+                    f"commit {v} ({commit.get('operation')}) rewrote "
+                    f"files before qbeast.enableChangeDataFeed was "
+                    f"enabled")
         if removes:
             prev = log.snapshot(at_version=v - 1)
             for r in removes:

@@ -223,3 +223,15 @@ def test_streaming_change_feed(spark, tmp_path):
         == r["rows_updated"] > 0
     assert t.get("delete", 0) > 0
     assert got.where("_commit_version IS NULL").count() == 0
+
+
+def test_restore_decodes_as_delete_plus_insert(spark, tmp_table):
+    qt = _mk(spark, tmp_table, n=200)
+    li = load(spark, "lineitem")
+    qss.write(li.limit(50), tmp_table, columns_to_index=["l_orderkey"],
+              cube_size=100, mode="overwrite")
+    v = qt.restore(0)       # back to the 200-row state, as a new commit
+    ch = qt.table_changes(v, v)
+    t = _types(ch)
+    assert t == {"delete": 50, "insert": 200}
+    assert qt.to_df().count() == 200
