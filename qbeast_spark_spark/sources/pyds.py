@@ -64,6 +64,7 @@ from ..core.weight import INT_MAX, INT_MIN, fraction_to_weight
 from .constraints import constraints_of
 from .deletion_vectors import DVDescriptor, descriptor_positions
 from .log import Block, CommitLog, IndexFile, Snapshot
+from .qbeast_format import read_qbeast_delta_snapshot
 from .reader import _timestamp_to_ms, prune_files
 
 __all__ = ["QbeastDataSource", "register"]
@@ -73,12 +74,24 @@ __all__ = ["QbeastDataSource", "register"]
 # planning helpers (driver-side python worker: no SparkSession, local FS)
 # --------------------------------------------------------------------------
 
+def _is_foreign_delta(path: str) -> bool:
+    """True for a reference-written (Delta-format) qbeast table that has
+    not been adopted into the native log."""
+    return (not CommitLog(path).exists()
+            and os.path.isdir(os.path.join(path, "_delta_log")))
+
+
 def _load_snapshot(path: str, version: Optional[int] = None) -> Snapshot:
     log = CommitLog(path)
     if not log.exists():
+        if _is_foreign_delta(path):
+            # reference-written table: the Delta-log parser rebuilds the
+            # same Snapshot (revisions + blocks) — reads/sampling/pruning
+            # work identically (sources/qbeast_format.py)
+            return read_qbeast_delta_snapshot(path, version)
         raise FileNotFoundError(
-            f"{path} is not a qbeast table (no _qbeast_log). Use "
-            f"QbeastTable.for_delta for reference-written Delta tables.")
+            f"{path} is not a qbeast table (no _qbeast_log or "
+            f"_delta_log)")
     return log.snapshot(at_version=version)
 
 
@@ -290,6 +303,12 @@ class QbeastBatchReader:
         return iter(filters)
 
     def partitions(self):
+        if _is_foreign_delta(self.path) and (
+                self.read_change_feed or self.timestamp is not None):
+            raise ValueError(
+                "readChangeFeed / timestampAsOf need the native commit "
+                "log; adopt the reference-written table first with "
+                "attach_qbeast_delta(path)")
         if self.read_change_feed:
             log = CommitLog(self.path)
             versions = log._versions()
@@ -670,10 +689,20 @@ class QbeastDataSource(_DataSource):
                                 self._arrow_schema(schema))
 
     def streamReader(self, schema):
+        if _is_foreign_delta(self._path()):
+            raise ValueError(
+                "streaming a reference-written Delta-format table needs "
+                "the native commit log; adopt it first with "
+                "attach_qbeast_delta(path)")
         return _StreamReaderImpl(self._path(), self.options,
                                  self._arrow_schema(schema))
 
     def _constraints(self) -> Dict[str, str]:
+        if _is_foreign_delta(self._path()):
+            raise ValueError(
+                "writing into a reference-written Delta-format table "
+                "would fork its log; adopt it first with "
+                "attach_qbeast_delta(path)")
         log = CommitLog(self._path())
         return constraints_of(log.table_properties()) if log.exists() else {}
 

@@ -53,6 +53,10 @@ from ..core.transform import (
     Transformation,
 )
 from ..core.weight import INT_MAX, INT_MIN
+# module-level (not deferred): read_qbeast_delta_snapshot runs inside
+# Spark's Python planning worker via sources/pyds.py, where a lazy
+# intra-package import would resolve by name and fail
+from .constraints import CONSTRAINT_PREFIX, DELTA_CONSTRAINT_PREFIX
 from .log import Block, CommitLog, IndexFile, Snapshot
 from .delta_import import _snapshot_state
 
@@ -380,8 +384,6 @@ def read_qbeast_delta_snapshot(table_path: str,
                        if k.startswith("qbeast.")}
     # adopt Delta CHECK constraints under this engine's property
     # convention so the mutable surface keeps enforcing them
-    from .constraints import CONSTRAINT_PREFIX, DELTA_CONSTRAINT_PREFIX
-
     snap.properties.update({
         CONSTRAINT_PREFIX + k[len(DELTA_CONSTRAINT_PREFIX):]: v
         for k, v in config.items()
@@ -423,8 +425,6 @@ def attach_qbeast_delta(table_path: str) -> int:
         props["qbeast.lastRevisionID"] = str(last_rev)
     # carry imported CHECK constraints into the native log so appends
     # through this engine keep enforcing them
-    from .constraints import CONSTRAINT_PREFIX
-
     props.update({k: v for k, v in snap.properties.items()
                   if k.startswith(CONSTRAINT_PREFIX)})
     return log.commit(

@@ -278,3 +278,40 @@ def test_timestamp_as_of(ds_spark, tmp_table):
     # before the table existed -> clear error
     with pytest.raises(Exception, match="no commit"):
         qt.to_df(timestamp=0).count()
+
+
+def test_ds_reads_reference_delta_format_tables(ds_spark, tmp_path):
+    """format('qbeast') opens a reference-written (Delta-format) qbeast
+    table read-only: plain read, sample pushdown and filter pruning all
+    work off the parsed Delta metadata; mutating/streaming surfaces
+    point at attach_qbeast_delta instead of forking the log."""
+    import shutil as _sh
+
+    src = str(tmp_path / "native")
+    li = load(ds_spark, "lineitem")
+    qss.write(li, src, columns_to_index=["l_orderkey", "l_extendedprice"],
+              cube_size=200)
+    qss.QbeastTable.for_path(ds_spark, src).export_delta_log()
+    foreign = str(tmp_path / "foreign")
+    _sh.copytree(src, foreign)
+    _sh.rmtree(os.path.join(foreign, "_qbeast_log"))
+
+    df = ds_spark.read.format("qbeast").load(foreign)
+    assert df.count() == li.count()
+    qt = qss.QbeastTable.for_delta(ds_spark, foreign)
+    a = (ds_spark.read.format("qbeast").option("fraction", 0.05)
+         .load(foreign))
+    assert _same_rows(a, qt.sample(0.05))
+    # pruning engages on the parsed index
+    from pyspark.sql.datasource import LessThan
+
+    r_all = _BatchReaderImpl(foreign, {}, None)
+    r_f = _BatchReaderImpl(foreign, {}, None)
+    r_f.pushFilters([LessThan(("l_extendedprice",), 2000.0)])
+    assert 0 < len(r_f.partitions()) < len(r_all.partitions())
+    # guarded surfaces
+    with pytest.raises(Exception, match="attach_qbeast_delta"):
+        li.limit(5).write.format("qbeast").mode("append").save(foreign)
+    # readStream.load() is lazy — probe the factory directly
+    with pytest.raises(ValueError, match="attach_qbeast_delta"):
+        QbeastDataSource({"path": foreign}).streamReader(None)
