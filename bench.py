@@ -199,11 +199,12 @@ def main() -> None:
 
     _register_pyds(spark)
     samples = []
+    _w = ("l_orderkey >= 1000 AND l_orderkey < 3000 "
+          "AND l_extendedprice >= 20000.0")
     for _ in range(n_runs):
         t0 = time.time()
-        (spark.read.format("qbeast").load(qt.path)
-         .where("l_orderkey >= 1000 AND l_orderkey < 3000 "
-                "AND l_extendedprice >= 20000.0")
+        (spark.read.format("qbeast").option("where", _w).load(qt.path)
+         .where(_w)
          .write.format("noop").mode("overwrite").save())
         samples.append(time.time() - t0)
     submetrics["qb_range_read.pyds"] = round(statistics.median(samples), 3)

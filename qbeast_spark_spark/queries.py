@@ -182,10 +182,13 @@ def qb_range_read(spark, sf_dir):
     result: a conjunctive box ('and' probe), a disjunction of two
     disjoint boxes that prune independently and union their file sets
     ('or' probe; QuerySpecBuilder.scala:56-77 semantics), and the same
-    conjunctive box through ``format("qbeast")`` ('pyds' probe) — Catalyst
-    pushes the WHERE into the Python Data Source (sources/pyds.py), which
-    prunes the file list with the identical planner logic. Each result
-    must equal a plain WHERE."""
+    conjunctive box through ``format("qbeast")`` ('pyds' probe) —
+    ``option("where", ...)`` prunes the file list inside the Python Data
+    Source with the identical planner logic, the chained ``.where``
+    restores row exactness (sources/pyds.py; pushFilters-based pruning
+    is deliberately not used — Spark 4.1's readInfo cache makes it
+    unsound under DataFrame reuse). Each result must equal a plain
+    WHERE."""
     from pyspark.sql import functions as F
 
     from .sources.pyds import register
@@ -200,9 +203,10 @@ def qb_range_read(spark, sf_dir):
         [("l_orderkey", ">=", 9000), ("l_extendedprice", "<", 5000.0)],
     ])
     register(spark)
-    pyds = (spark.read.format("qbeast").load(path)
-            .where("l_orderkey >= 1000 AND l_orderkey < 3000 "
-                   "AND l_extendedprice >= 20000.0"))
+    _pyds_where = ("l_orderkey >= 1000 AND l_orderkey < 3000 "
+                   "AND l_extendedprice >= 20000.0")
+    pyds = (spark.read.format("qbeast").option("where", _pyds_where)
+            .load(path).where(_pyds_where))
     return (conj.withColumn("probe", F.lit("and"))
             .unionByName(disj.withColumn("probe", F.lit("or")))
             .unionByName(pyds.withColumn("probe", F.lit("pyds"))))

@@ -11,17 +11,26 @@ works against a qbeast table with the index engaged.
     df = spark.read.format("qbeast").load(path)        # plain read
     spark.read.format("qbeast").option("fraction", 0.01).load(path)
     spark.read.format("qbeast").option("versionAsOf", 3).load(path)
-    df.filter("price < 100")          # file pruning via pushed filters
+    spark.read.format("qbeast").option("where", "price < 100").load(path) \
+         .where("price < 100")        # pruned AND row-exact
     df.write.format("qbeast").mode("append").save(path)    # staging lane
     spark.readStream.format("qbeast").load(path)       # incremental source
 
 Semantics and scale notes:
 
-- **Reads prune through the index**: pushed filters (EqualTo/GreaterThan/
-  LessThan/In/IsNull...) run the same ``prune_files`` the native reader
-  uses — cube intersection + per-file column stats + blooms — and every
-  pushed filter is also returned to Spark, which re-applies it row-level
-  (pruning can only shrink the file list, exactness is Spark's).
+- **Reads prune through the index via ``option("where", sql)``**: the
+  predicate translates to the same DNF ``prune_files`` the native
+  reader uses — cube intersection + per-file column stats + blooms.
+  Pruning is WIDENING (untranslatable conjuncts are dropped), so pair
+  the option with a regular ``.where(...)`` for row exactness. Pruning
+  deliberately does NOT hook Catalyst's filter pushdown: Spark 4.1
+  caches the planned partition list on the shared
+  ``PythonDataSourceV2.readInfo`` and reuses it for any later query on
+  the same DataFrame that pushes no filters, so pushFilters-derived
+  pruning would silently drop rows from ``df.where(a).count();
+  df.count()`` (see QbeastBatchReader for the full mechanism; caught by
+  tests/test_predicate_fuzz.py). Options are part of the relation
+  identity, so option-derived pruning is reuse-safe.
 - ``option("fraction", f)`` is the ``df.sample(f)`` pushdown the
   reference implements as a Catalyst rule: block-level file pruning plus
   the EXACT residual weight predicate, evaluated in the Python worker by
@@ -64,6 +73,7 @@ from ..core.weight import INT_MAX, INT_MIN, fraction_to_weight
 from .constraints import constraints_of
 from .deletion_vectors import DVDescriptor, descriptor_positions
 from .log import Block, CommitLog, IndexFile, Snapshot
+from .predicates import to_dnf_filters
 from .qbeast_format import read_qbeast_delta_snapshot
 from .reader import _timestamp_to_ms, prune_files
 
@@ -93,41 +103,6 @@ def _load_snapshot(path: str, version: Optional[int] = None) -> Snapshot:
             f"{path} is not a qbeast table (no _qbeast_log or "
             f"_delta_log)")
     return log.snapshot(at_version=version)
-
-
-def _filters_to_tuples(filters) -> Tuple[list, list]:
-    """Spark Filter objects -> (tuple conjuncts we can prune on,
-    indices of filters we claim... none: every filter is returned to
-    Spark as unsupported so it re-applies them row-level; we use the
-    translatable subset purely to shrink the file list (sound: pruning
-    never drops a matching row, the residual restores exactness)."""
-    from pyspark.sql.datasource import (EqualTo, GreaterThan,
-                                        GreaterThanOrEqual, In, IsNotNull,
-                                        IsNull, LessThan, LessThanOrEqual)
-
-    tuples = []
-    for f in filters:
-        attr = getattr(f, "attribute", None)
-        if attr is None or len(attr) != 1:
-            continue                      # nested/complex: skip
-        col = attr[0]
-        if isinstance(f, EqualTo):
-            tuples.append((col, "=", f.value))
-        elif isinstance(f, GreaterThan):
-            tuples.append((col, ">", f.value))
-        elif isinstance(f, GreaterThanOrEqual):
-            tuples.append((col, ">=", f.value))
-        elif isinstance(f, LessThan):
-            tuples.append((col, "<", f.value))
-        elif isinstance(f, LessThanOrEqual):
-            tuples.append((col, "<=", f.value))
-        elif isinstance(f, In):
-            tuples.append((col, "in", list(f.values)))
-        elif isinstance(f, IsNull):
-            tuples.append((col, "is_null", None))
-        elif isinstance(f, IsNotNull):
-            tuples.append((col, "is_not_null", None))
-    return tuples, []
 
 
 def _align_batch(tbl, arrow_schema):
@@ -181,6 +156,11 @@ def _read_file_partition(part: _FilePartition, arrow_schema,
     import numpy as np
     import pyarrow as pa
     import pyarrow.parquet as pq
+
+    if part is None:
+        # a fully-pruned plan returns zero partitions; Spark still runs
+        # one task with a None partition — emit nothing
+        return
 
     tbl = pq.read_table(part.abs_path)
     if part.dv_json:
@@ -275,11 +255,26 @@ def _cdf_partitions_range(path: str, log: CommitLog, start_v: int,
 # --------------------------------------------------------------------------
 
 class QbeastBatchReader:
+    """Batch scan planner.
+
+    File pruning comes from RELATION-SCOPED options (``where``,
+    ``fraction``, ``versionAsOf``...), never from Catalyst-pushed
+    filters: Spark 4.1 caches the planned partition list on the shared
+    ``PythonDataSourceV2.readInfo`` and REUSES it for any later query on
+    the same DataFrame that pushes no filters (PythonScanBuilder.scala's
+    pushFilters calls setReadInfo; a later plan with zero pushable
+    filters hits getOrCreateReadInfo's stale cache) — so a
+    pushFilters-pruned scan silently drops rows from
+    ``df.where(a).count(); df.count()``. Options are part of the
+    relation identity, so pruning derived from them is reuse-safe.
+    Found by tests/test_predicate_fuzz.py's data-source leg."""
+
     def __init__(self, path: str, options, arrow_schema) -> None:
         self.path = path
         self.arrow_schema = arrow_schema
         self.fraction = float(options.get("fraction") or 1.0)
         self.lower_bound = float(options.get("lowerbound") or 0.0)
+        self.where = options.get("where")
         v = options.get("versionasof")
         self.version = int(v) if v is not None else None
         self.timestamp = options.get("timestampasof")
@@ -294,13 +289,14 @@ class QbeastBatchReader:
         if self.read_change_feed and self.starting_version is None:
             raise ValueError("readChangeFeed needs option("
                              "'startingVersion', N)")
-        self._tuples: list = []
 
-    def pushFilters(self, filters):
-        """Translate what we can for FILE PRUNING; hand every filter back
-        to Spark for row-level application (sound + exact)."""
-        self._tuples, _ = _filters_to_tuples(filters)
-        return iter(filters)
+    def _where_dnf(self):
+        """DNF conjunct list from option('where') — best-effort, widening
+        (sources/predicates.py): pruning may keep extra files, never
+        drops a matching one."""
+        if not self.where:
+            return None
+        return to_dnf_filters(str(self.where))
 
     def partitions(self):
         if _is_foreign_delta(self.path) and (
@@ -343,8 +339,11 @@ class QbeastBatchReader:
             rels = [r for r in rels
                     if any(b.min_weight < w_to and b.max_weight >= w_from
                            for b in snap.files[r].blocks)]
-        if self._tuples:
-            boxed = set(prune_files(snap, self._tuples))
+        dnf = self._where_dnf()
+        if dnf:
+            boxed = set()
+            for conj in dnf:
+                boxed.update(prune_files(snap, conj))
             rels = [r for r in rels if r in boxed]
         return [
             _FilePartition(
@@ -717,14 +716,7 @@ class QbeastDataSource(_DataSource):
 
 
 def register(spark) -> None:
-    """Register format('qbeast') on this session (idempotent). Also turns
-    on ``spark.sql.python.filterPushdown.enabled`` (runtime-settable) —
-    Spark refuses a reader that implements pushFilters() while the flag
-    is off, and without it every filtered read would scan all files."""
-    try:
-        spark.conf.set("spark.sql.python.filterPushdown.enabled", "true")
-    except Exception:
-        pass
+    """Register format('qbeast') on this session (idempotent)."""
     spark.dataSource.register(QbeastDataSource)
 
 

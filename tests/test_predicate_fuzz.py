@@ -71,3 +71,35 @@ def test_random_predicates_read_exactly(spark, fuzz_table):
         assert got == expect, q
         checked += 1
     assert checked == 40
+
+
+def test_random_predicates_through_data_source(spark, fuzz_table):
+    """Soundness through format('qbeast') under DataFrame REUSE — the
+    shape that exposed Spark 4.1's stale readInfo cache (a filtered
+    query's partition plan being served to later queries): every random
+    tree on the SAME df must equal plain Spark."""
+    from qbeast_spark_spark.sources.pyds import register
+
+    register(spark)
+    path, li = fuzz_table
+    df = spark.read.format("qbeast").load(path)
+    rng = random.Random(20260814)
+    for _ in range(15):
+        q = _tree(rng, 2)
+        assert df.where(q).count() == li.where(q).count(), q
+
+
+def test_random_predicates_with_where_option_pruning(spark, fuzz_table):
+    """option('where') pruning + the same .where() residual must read
+    exactly plain Spark's rows for every random tree (pruning is
+    best-effort and widening — never under-selects)."""
+    from qbeast_spark_spark.sources.pyds import register
+
+    register(spark)
+    path, li = fuzz_table
+    rng = random.Random(20260815)
+    for _ in range(15):
+        q = _tree(rng, 2)
+        got = (spark.read.format("qbeast").option("where", q).load(path)
+               .where(q).count())
+        assert got == li.where(q).count(), q

@@ -50,14 +50,27 @@ def test_filter_parity_and_pruning(ds_spark, indexed_table):
     got = df.filter("l_extendedprice < 2000").count()
     assert got == li.filter("l_extendedprice < 2000").count()
 
-    # pruning proof at the planner level: pushed filter -> fewer partitions
-    from pyspark.sql.datasource import LessThan
-
+    # option('where') prunes AND (paired with .where) stays row-exact
+    pruned = (ds_spark.read.format("qbeast")
+              .option("where", "l_extendedprice < 2000")
+              .load(indexed_table).where("l_extendedprice < 2000"))
+    assert pruned.count() == got
+    # pruning proof at the planner level: fewer partitions
     r_all = _BatchReaderImpl(indexed_table, {}, None)
-    r_f = _BatchReaderImpl(indexed_table, {}, None)
-    returned = list(r_f.pushFilters([LessThan(("l_extendedprice",), 2000.0)]))
-    assert len(returned) == 1  # every filter handed back for row-level use
+    r_f = _BatchReaderImpl(indexed_table,
+                           {"where": "l_extendedprice < 2000"}, None)
     assert 0 < len(r_f.partitions()) < len(r_all.partitions())
+
+
+def test_shared_dataframe_reuse_is_sound(ds_spark, indexed_table):
+    """The Spark 4.1 readInfo-cache trap: a filtered query must not
+    poison later queries on the same DataFrame (the reason pruning comes
+    from option('where'), not pushFilters)."""
+    df = ds_spark.read.format("qbeast").load(indexed_table)
+    full = load(ds_spark, "lineitem").count()
+    assert df.count() == full
+    assert df.where("l_extendedprice < 2000").count() < full
+    assert df.count() == full          # NOT the pruned scan's count
 
 
 def test_sample_pushdown_exact_parity(ds_spark, indexed_table):
@@ -303,11 +316,9 @@ def test_ds_reads_reference_delta_format_tables(ds_spark, tmp_path):
          .load(foreign))
     assert _same_rows(a, qt.sample(0.05))
     # pruning engages on the parsed index
-    from pyspark.sql.datasource import LessThan
-
     r_all = _BatchReaderImpl(foreign, {}, None)
-    r_f = _BatchReaderImpl(foreign, {}, None)
-    r_f.pushFilters([LessThan(("l_extendedprice",), 2000.0)])
+    r_f = _BatchReaderImpl(foreign,
+                           {"where": "l_extendedprice < 2000"}, None)
     assert 0 < len(r_f.partitions()) < len(r_all.partitions())
     # guarded surfaces
     with pytest.raises(Exception, match="attach_qbeast_delta"):
