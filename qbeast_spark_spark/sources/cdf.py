@@ -123,10 +123,20 @@ def table_changes(qt, starting_version: int,
                     f"commit {v} ({commit.get('operation')}) rewrote "
                     f"files before {CDF_PROP} was enabled; its change "
                     f"rows were not recorded")
-        if removes:
-            # rows removed, at their pre-commit state (prior DVs applied)
-            prev = log.snapshot(at_version=v - 1)
-            gone = [r for r in removes if r in prev.files]
+        # a RE-ADDED file (same path live at v-1, e.g. a RESTORE rolling
+        # a deletion vector back) is a state change: its prior image is
+        # deleted and its new image inserted — emitting only the insert
+        # would double-count the rows both states share
+        # only the derivable mixed ops (RESTORE/overwrites) can re-add an
+        # existing path — plain appends always mint new uuid file names,
+        # so they never pay the prior-snapshot replay
+        may_re_add = (commit.get("operation") or "") in _DERIVABLE_MIXED_OPS
+        prev = log.snapshot(at_version=v - 1) \
+            if v > 0 and (removes or (adds and may_re_add)) else None
+        re_added = [fo["path"] for fo in adds
+                    if prev is not None and fo["path"] in prev.files]
+        if removes or re_added:
+            gone = [r for r in removes if r in prev.files] + re_added
             if gone:
                 df = qt._df_for_files(gone, snap=prev)
                 frames.append(_tag(df, v, ts, "delete"))

@@ -233,9 +233,18 @@ def _cdf_partitions_range(path: str, log: CommitLog, start_v: int,
                     f"commit {v} ({commit.get('operation')}) rewrote "
                     f"files before qbeast.enableChangeDataFeed was "
                     f"enabled")
-        if removes:
-            prev = log.snapshot(at_version=v - 1)
-            for r in removes:
+        # re-added files (same path live at v-1, e.g. RESTORE rolling a
+        # deletion vector back): prior image deleted + new image
+        # inserted, so shared rows don't double-count; only the
+        # derivable mixed ops can re-add (see cdf.py)
+        may_re_add = (commit.get("operation") or "") in \
+            ("OVERWRITE", "PYDS WRITE", "RESTORE")
+        prev = log.snapshot(at_version=v - 1) \
+            if v > 0 and (removes or (adds and may_re_add)) else None
+        re_added = [fo["path"] for fo in adds
+                    if prev is not None and fo["path"] in prev.files]
+        if removes or re_added:
+            for r in list(removes) + re_added:
                 f = prev.files.get(r)
                 if f is not None:
                     parts.append(fp(os.path.join(path, r), dv=f.dv,

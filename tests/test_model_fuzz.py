@@ -101,3 +101,87 @@ def test_random_op_sequences_match_model(spark, tmp_table, seed):
                       vacuum_retention_hours=0.0)
     _assert_equal(spark, qss.QbeastTable.for_path(spark, tmp_table),
                   model, "final maintain")
+
+
+@pytest.mark.parametrize("seed", [11, 20260814])
+def test_cdf_replay_reconstructs_table(spark, tmp_table, seed):
+    """The gold CDF invariant: applying the change feed from version 0
+    (insert -> upsert, delete -> remove, update_postimage -> upsert, in
+    commit order) reconstructs exactly the current table, across random
+    compositions of appends (native + data source), deletes (rewrite +
+    dv), updates, re-layouts and restores."""
+    import qbeast_spark_spark as qss
+    from qbeast_spark_spark.sources.pyds import register
+
+    register(spark)
+    li = load(spark, "lineitem").limit(3000)
+    pdf_all = li.toPandas()
+    rng = random.Random(seed)
+
+    init = pdf_all.iloc[:1200]
+    rest = pdf_all.iloc[1200:]
+    qss.write(spark.createDataFrame(init), tmp_table,
+              columns_to_index=["l_orderkey", "l_extendedprice"],
+              cube_size=400)
+    qt = qss.QbeastTable.for_path(spark, tmp_table)
+    qt.enable_change_data_feed()
+    appended = 0
+    restorable = [qt.snapshot(refresh=True).version]
+
+    for step_no in range(10):
+        op = rng.choice(["append", "ds_append", "delete_rw", "delete_dv",
+                         "update", "compact", "optimize", "restore"])
+        if op in ("append", "ds_append") and appended < len(rest):
+            chunk = rest.iloc[appended:appended + 400]
+            appended += 400
+            sdf = spark.createDataFrame(chunk)
+            if op == "append":
+                qss.write(sdf, tmp_table,
+                          columns_to_index=["l_orderkey",
+                                            "l_extendedprice"],
+                          cube_size=400)
+            else:
+                sdf.write.format("qbeast").mode("append").save(tmp_table)
+        elif op in ("delete_rw", "delete_dv"):
+            lo = rng.randrange(0, 50000)
+            filt = [("l_orderkey", ">=", lo),
+                    ("l_orderkey", "<", lo + rng.randrange(500, 4000))]
+            qss.delete_rows(spark, tmp_table, filt,
+                            mode="rewrite" if op == "delete_rw"
+                            else "dv")
+        elif op == "update":
+            lo = rng.randrange(0, 40000)
+            qss.update_rows(spark, tmp_table,
+                            {"l_extendedprice": "l_extendedprice + 1.0"},
+                            [("l_orderkey", ">=", lo),
+                             ("l_orderkey", "<", lo + 2000)])
+        elif op == "compact":
+            qss.compact_table(spark, tmp_table)
+        elif op == "optimize":
+            qss.optimize_table(spark, tmp_table, fraction=1.0)
+        elif op == "restore":
+            qt = qss.QbeastTable.for_path(spark, tmp_table)
+            qt.restore(rng.choice(restorable))
+        qt = qss.QbeastTable.for_path(spark, tmp_table)
+        restorable.append(qt.snapshot(refresh=True).version)
+
+    # replay the feed driver-side as a MULTISET of full rows (keys are
+    # not unique in the synthetic data): insert/update_postimage add a
+    # copy, delete/update_preimage remove one
+    from collections import Counter
+
+    ch = qt.table_changes(0).select(
+        "l_orderkey", "l_linenumber", "l_extendedprice",
+        "_change_type").toPandas()
+    state: Counter = Counter()
+    for r in ch.itertuples(index=False):
+        row = (r.l_orderkey, r.l_linenumber, r.l_extendedprice)
+        if r._3 in ("insert", "update_postimage"):   # _change_type
+            state[row] += 1
+        else:                     # delete / update_preimage
+            state[row] -= 1
+    got = qt.to_df().select(
+        "l_orderkey", "l_linenumber", "l_extendedprice").toPandas()
+    have = Counter(map(tuple, got.itertuples(index=False)))
+    assert not [r for r, c in state.items() if c < 0], "negative multiset"
+    assert +state == have, f"CDF replay diverged (seed {seed})"
