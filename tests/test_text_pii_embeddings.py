@@ -297,3 +297,51 @@ def test_semantic_dedup_on_corpus_embeddings(spark):
     emb = load(spark, "embeddings").select("vec_id", "embedding")
     out = semantic_dedup(emb, threshold=0.98)
     assert out.count() == emb.count()   # one verdict row per vector
+
+
+# ---------------------------------------------------------------------------
+# Gopher-style quality flags (operators/text.py::quality_flags)
+# ---------------------------------------------------------------------------
+
+def test_quality_flags_rules_fire_individually(spark):
+    from qbeast_spark_spark.operators.text import quality_flags
+
+    good = ("the quick brown fox jumps over the lazy dog and then " * 8
+            + "runs home to rest for a while with friends in town")
+    docs = spark.createDataFrame(
+        [(1, good),                                   # passes everything
+         (2, "too short"),                            # word count
+         (3, " ".join(["supercalifragilisticexpialidocious"] * 60)),
+         (4, good + " " + "#" * 40),                  # symbol ratio
+         (5, "\n".join(["- bullet point here"] * 20)),
+         (6, " ".join(["123 456 789"] * 30)),         # alpha words
+         ],
+        ["doc_id", "text"])
+    out = {r.doc_id: r for r in quality_flags(docs).collect()}
+    assert out[1].passes_quality
+    assert not out[2].ok_word_count
+    assert not out[3].ok_avg_word_len
+    assert not out[4].ok_symbol_ratio
+    assert not out[5].ok_bullet_lines
+    assert not out[6].ok_alpha_words and not out[6].ok_stopwords
+    assert all(not out[i].passes_quality for i in (2, 3, 4, 5, 6))
+
+
+def test_quality_flags_threshold_overrides_and_corpus(spark):
+    from qbeast_spark_spark.operators.text import quality_flags
+
+    docs = load(spark, "documents")
+    out = quality_flags(docs)
+    assert out.count() == docs.count()
+    # loosening every threshold must only increase the pass count
+    loose = quality_flags(docs, min_words=1, min_stopword_hits=0,
+                          min_alpha_word_ratio=0.0,
+                          min_avg_word_len=0.0, max_avg_word_len=1e9)
+    n_strict = out.where("passes_quality").count()
+    n_loose = loose.where("passes_quality").count()
+    assert n_loose >= n_strict
+    # the plan is a single map-only projection: no keyed shuffle (the
+    # only Exchange allowed is spread()'s round-robin parallelism split)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "hashpartitioning" not in plan
+    assert "SinglePartition" not in plan
