@@ -73,6 +73,11 @@ assert spark.read.format("qbeast").option("fraction", 0.1) \\
     .load(p).count() > 0
 assert spark.read.format("qbeast").option("timestampAsOf", str(t_mid)) \\
     .load(p).count() == 2000
+assert spark.read.format("qbeast").option("where", "l_orderkey < 500") \\
+    .load(p).where("l_orderkey < 500").count() == \\
+    li.filter("l_orderkey < 500").count()
+import qbeast_spark_spark as _q
+_q.QbeastTable.for_path(spark, p).enable_change_data_feed()
 li.limit(10).write.format("qbeast").mode("append").save(p)
 assert spark.read.format("qbeast").load(p).count() == 2010
 q = (spark.readStream.format("qbeast").load(p)
@@ -81,6 +86,9 @@ q = (spark.readStream.format("qbeast").load(p)
      .trigger(availableNow=True).start())
 q.awaitTermination(120)
 assert spark.read.parquet({str(tmp_path / "o")!r}).count() == 2010
+assert spark.read.format("qbeast").option("readChangeFeed", "true") \\
+    .option("startingVersion", 0).load(p) \\
+    .where("_change_type = 'insert'").count() == 2010
 print("PYDS_FOREIGN_CWD_OK")
 """
     env = dict(os.environ)
