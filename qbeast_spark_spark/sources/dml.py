@@ -311,7 +311,10 @@ def _delete_with_dvs(qt, snap, matched: List[str], residual,
     version = qt.log.commit(add=add, remove=[],
                             schema_json=snap.schema_json,
                             data_change=True, operation="DELETE",
-                            cdc=cdc)
+                            cdc=cdc,
+                            protocol={
+                                "readerFeatures": ["deletionVectors"],
+                                "writerFeatures": ["deletionVectors"]})
     # superseded bitmaps are dead the moment the commit lands (their file
     # entry now points at the new sidecar) — unlike data files they are
     # never referenced by older READ paths we support mutating, but time

@@ -109,6 +109,16 @@ class IndexFile:
                          o.get("deletionVector"))
 
 
+# table-feature protocol (Delta reader/writer-features parity): a commit
+# may raise the bar via a "protocol" action; replay unions the features,
+# and snapshot() refuses readerFeatures this engine cannot honor (e.g. a
+# deletion-vector table read by a build without DV support would silently
+# return deleted rows — failing loudly is the whole point)
+SUPPORTED_READER_FEATURES = {"deletionVectors"}
+SUPPORTED_WRITER_FEATURES = {"deletionVectors", "changeDataFeed",
+                             "checkConstraints"}
+
+
 @dataclass
 class Snapshot:
     """Materialized table state at a log version (QbeastSnapshot.scala:30-174)."""
@@ -126,6 +136,21 @@ class Snapshot:
     # idempotent-write tracking: txn appId -> highest committed version
     # (Delta SetTransaction semantics; docs/AdvancedConfiguration.md:119-152)
     txns: Dict[str, int] = field(default_factory=dict)
+    # feature protocol (SUPPORTED_READER/WRITER_FEATURES); absent in old
+    # logs -> empty = readable/writable by every version
+    protocol: Dict[str, Any] = field(default_factory=dict)
+
+    def assert_writable(self) -> None:
+        """Raise when the table demands writer features this engine lacks
+        (a newer engine version raised the bar) — mutating verbs call
+        this before touching the log."""
+        missing = set(self.protocol.get("writerFeatures") or []) \
+            - SUPPORTED_WRITER_FEATURES
+        if missing:
+            raise RuntimeError(
+                f"table {self.table_path} requires writer features "
+                f"{sorted(missing)} this engine does not support; "
+                f"upgrade before writing")
 
     @property
     def is_initial(self) -> bool:
@@ -228,6 +253,7 @@ class CommitLog:
             "schema": snap.schema_json,
             "properties": snap.properties,
             "txns": snap.txns,
+            "protocol": snap.protocol,
         }
         target = os.path.join(self.log_dir,
                               f"{snap.version:012d}.checkpoint.json")
@@ -256,6 +282,7 @@ class CommitLog:
                              state.get("cubeDomains", {}).items()}
         snap.schema_json = state.get("schema")
         snap.properties = dict(state.get("properties", {}))
+        snap.protocol = dict(state.get("protocol", {}) or {})
         snap.txns = {k: int(v) for k, v in state.get("txns", {}).items()}
         return snap
 
@@ -282,6 +309,30 @@ class CommitLog:
                 else:
                     props[pk] = pv
         return props
+
+    def table_protocol(self) -> Dict[str, Any]:
+        """Current feature protocol WITHOUT materializing file state
+        (same cheap scan shape as table_properties)."""
+        versions = self._versions()
+        ckpt = self._last_checkpoint_version()
+        proto: Dict[str, Any] = {}
+
+        def merge(p):
+            if not p:
+                return
+            for key in ("readerFeatures", "writerFeatures"):
+                proto[key] = sorted(set(proto.get(key) or [])
+                                    | set(p.get(key) or []))
+
+        if ckpt is not None:
+            with open(os.path.join(self.log_dir,
+                                   f"{ckpt:012d}.checkpoint.json")) as fh:
+                merge(json.load(fh).get("protocol"))
+            versions = [v for v in versions if v > ckpt]
+        for v in versions:
+            with open(os.path.join(self.log_dir, f"{v:012d}.json")) as fh:
+                merge(json.load(fh).get("protocol"))
+        return proto
 
     def commits_after(self, version: int) -> List[tuple]:
         """[(version, raw commit dict)] for every commit strictly after
@@ -344,6 +395,18 @@ class CommitLog:
                 app = txn["appId"]
                 snap.txns[app] = max(snap.txns.get(app, -1),
                                      int(txn["version"]))
+            proto = commit.get("protocol")
+            if proto:
+                cur = snap.protocol
+                cur["minReaderVersion"] = max(
+                    int(cur.get("minReaderVersion", 1)),
+                    int(proto.get("minReaderVersion", 1)))
+                cur["minWriterVersion"] = max(
+                    int(cur.get("minWriterVersion", 1)),
+                    int(proto.get("minWriterVersion", 1)))
+                for key in ("readerFeatures", "writerFeatures"):
+                    cur[key] = sorted(set(cur.get(key) or [])
+                                      | set(proto.get(key) or []))
             if commit.get("schema") is not None:
                 snap.schema_json = commit["schema"]
             # a null property value DELETES the key (properties otherwise
@@ -355,6 +418,13 @@ class CommitLog:
                 else:
                     snap.properties[pk] = pv
             snap.version = v
+        unreadable = set(snap.protocol.get("readerFeatures") or []) \
+            - SUPPORTED_READER_FEATURES
+        if unreadable:
+            raise RuntimeError(
+                f"table {self.table_path} requires reader features "
+                f"{sorted(unreadable)} this engine does not support — "
+                f"reading anyway could silently return wrong rows")
         return snap
 
     def commit(self, *, add: List[IndexFile] = (), remove: List[str] = (),
@@ -366,11 +436,21 @@ class CommitLog:
                txn: Optional[Dict[str, Any]] = None,
                operation: Optional[str] = None,
                cdc: Optional[List[Dict[str, Any]]] = None,
+               protocol: Optional[Dict[str, Any]] = None,
                max_retries: int = 10) -> int:
         """Atomically append one commit; returns the committed version.
         ``operation`` is a DESCRIBE-HISTORY-style verb name (WRITE,
         DELETE, OPTIMIZE, ...) — audit metadata only, replay ignores it."""
         os.makedirs(self.log_dir, exist_ok=True)
+        # writer-feature gate: refuse to mutate a table whose protocol
+        # demands features this engine lacks (Delta writer-version
+        # semantics; a newer engine may have raised the bar)
+        blocked = set(self.table_protocol().get("writerFeatures") or []) \
+            - SUPPORTED_WRITER_FEATURES
+        if blocked:
+            raise RuntimeError(
+                f"table {self.table_path} requires writer features "
+                f"{sorted(blocked)} this engine does not support")
         payload = {
             "timestamp": int(time.time() * 1000),
             "operation": operation,
@@ -387,6 +467,8 @@ class CommitLog:
             # change-data-feed files (sources/cdf.py); replay ignores
             # them — they are never part of the table's data state
             "cdc": list(cdc) if cdc else None,
+            # feature-protocol upgrade (unioned during replay)
+            "protocol": dict(protocol) if protocol else None,
         }
         body = json.dumps(payload, sort_keys=True).encode()
         last_err = None

@@ -233,13 +233,17 @@ class QbeastTable:
             rels.extend(fo["path"] for fo in commit.get("add", []))
         return self._df_for_files(rels)
 
-    def set_properties(self, props: Dict[str, str]) -> int:
+    def set_properties(self, props: Dict[str, str],
+                       protocol: Optional[Dict] = None) -> int:
         """Persist table properties (metadata-only commit; ALTER TABLE SET
-        TBLPROPERTIES parity — properties merge across commits)."""
+        TBLPROPERTIES parity — properties merge across commits).
+        ``protocol`` optionally raises the table-feature bar in the same
+        commit (sources/log.py SUPPORTED_*_FEATURES)."""
         version = self.log.commit(
             properties={k: str(v) for k, v in props.items()},
             schema_json=self.snapshot(refresh=True).schema_json,
-            data_change=False, operation="SET TBLPROPERTIES")
+            data_change=False, operation="SET TBLPROPERTIES",
+            protocol=protocol)
         self._snapshot = None
         return version
 
@@ -249,7 +253,9 @@ class QbeastTable:
         decodes any version range into the Delta CDF row shape."""
         from .cdf import CDF_PROP
 
-        return self.set_properties({CDF_PROP: "true"})
+        return self.set_properties(
+            {CDF_PROP: "true"},
+            protocol={"writerFeatures": ["changeDataFeed"]})
 
     def table_changes(self, starting_version: int,
                       ending_version: Optional[int] = None):
