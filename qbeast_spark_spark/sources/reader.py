@@ -315,7 +315,9 @@ class QbeastTable:
                              context=f"existing data of {self.path}")
         v = self.log.commit(properties={f"{CONSTRAINT_PREFIX}{name}": expr},
                             data_change=False,
-                            operation="ADD CONSTRAINT")
+                            operation="ADD CONSTRAINT",
+                            protocol={"writerFeatures":
+                                      ["checkConstraints"]})
         self._snapshot = None
         return v
 

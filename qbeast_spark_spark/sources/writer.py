@@ -572,6 +572,8 @@ def _write_qbeast_inner(df, path: str, columns_to_index,
         return log.commit(add=[], remove=[], schema_json=df.schema.json(),
                           data_change=False, operation="WRITE",
                           properties=constraint_props or None,
+                          protocol=({"writerFeatures": ["checkConstraints"]}
+                                    if constraint_props else None),
                           txn=({"appId": txn_app_id,
                                 "version": int(txn_version)}
                                if txn_app_id is not None else None))
@@ -634,6 +636,8 @@ def _write_qbeast_inner(df, path: str, columns_to_index,
         schema_json=data_schema,
         properties={"qbeast.lastRevisionID": str(revision.revision_id),
                     **extra_props, **constraint_props},
+        protocol=({"writerFeatures": ["checkConstraints"]}
+                  if constraint_props else None),
         data_change=True,
         operation=mode.upper(),  # WRITE-verb audit tag: APPEND / OVERWRITE
         reset_stats=(mode == "overwrite"),

@@ -89,3 +89,17 @@ def test_protocol_survives_checkpoints(spark, tmp_table):
     snap = log.snapshot()
     assert "deletionVectors" in snap.protocol["readerFeatures"]
     assert "deletionVectors" in log.table_protocol()["readerFeatures"]
+
+
+def test_constraints_raise_writer_feature_bar(spark, tmp_table):
+    qt = _mk(spark, tmp_table)
+    qt.add_constraint("key_pos", "l_orderkey >= 0")
+    snap = qt.snapshot(refresh=True)
+    assert "checkConstraints" in snap.protocol["writerFeatures"]
+    # write-time constraints do the same on a fresh table
+    p2 = tmp_table + "_w"
+    qss.write(load(spark, "region"), p2,
+              columns_to_index=["r_regionkey"], cube_size=100,
+              constraints={"k": "r_regionkey >= 0"})
+    assert "checkConstraints" in CommitLog(p2) \
+        .table_protocol()["writerFeatures"]
