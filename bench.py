@@ -34,9 +34,10 @@ BENCH_QUERIES = [
     "q_asof_join", "q_interval_join", "q_funnel", "q_sessionize",
     "q_time_windows", "q_ntile_quartiles",
     "dedup_ngram_jaccard", "dedup_lsh_scored", "dedup_simhash",
-    "dedup_canonical",
+    "dedup_canonical", "dedup_semantic",
     "text_analysis", "sim_topk", "sim_pairs",
-    "sim_otree_topk", "mm_binary_metadata",
+    "sim_otree_topk", "mm_decode_headers",
+    "train_assembly", "qb_time_cdf",
 ]
 
 

@@ -27,17 +27,30 @@ __all__ = ["hash_split", "chunk_text", "pack_sequences",
 
 
 def hash_split(df, weights: Dict[str, float], id_col: str = "doc_id",
-               seed: int = 42, out_col: str = "split"):
-    """Deterministic train/val/test assignment: murmur3(id, seed) maps to
-    [0,1); cumulative weight ranges pick the split. Rows keep their split
-    forever — appends can't reshuffle existing membership."""
+               seed: int = 42, out_col: str = "split",
+               method: str = "murmur3"):
+    """Deterministic train/val/test assignment: hash(id) maps to [0,1);
+    cumulative weight ranges pick the split. Rows keep their split
+    forever — appends can't reshuffle existing membership.
+
+    ``method``: 'murmur3' (default; JVM-native ``F.hash`` with ``seed``,
+    zero Python) or 'md5' (first 8 hex digits / 2^32 — the same
+    hash-as-uniform scheme as operators.sampling.uniform_col, replayable
+    by any engine with md5, which is what the DuckDB oracle checks)."""
     from pyspark.sql import functions as F
 
     total = sum(weights.values())
     if total <= 0:
         raise ValueError("split weights must sum to > 0")
-    u = ((F.hash(F.col(id_col), F.lit(seed))
-          .bitwiseAND(F.lit(0x7FFFFFFF))) / F.lit(2147483647.0))
+    if method == "md5":
+        from .sampling import uniform_col
+
+        u = uniform_col(id_col)
+    elif method == "murmur3":
+        u = ((F.hash(F.col(id_col), F.lit(seed))
+              .bitwiseAND(F.lit(0x7FFFFFFF))) / F.lit(2147483647.0))
+    else:
+        raise ValueError(f"unknown hash_split method {method!r}")
     expr = None
     acc = 0.0
     names = list(weights)

@@ -502,18 +502,28 @@ SELECT o_custkey, 'only95' AS bucket FROM
 
 
 def q_distinct_agg(spark, sf_dir):
+    """Distinct aggregation + exact interpolated percentiles, merged into
+    the ONE groupBy they share (r4 registry curation: the former
+    q_percentiles entry grouped by the same key, so both operator
+    families ride a single shuffle). Spark `percentile` == DuckDB
+    `quantile_cont` (both Type-7/linear interpolation)."""
     from pyspark.sql import functions as F
 
     o = _t(spark, sf_dir, "orders")
+    pct = lambda p: F.round(F.expr(f"percentile(o_totalprice, {p})"), 2)
     return o.groupBy("o_orderpriority").agg(
         F.countDistinct("o_custkey").alias("n_cust"),
         F.count("*").alias("n_orders"),
-        F.sum(_cents(F.col("o_totalprice"))).alias("total_cents"))
+        F.sum(_cents(F.col("o_totalprice"))).alias("total_cents"),
+        pct(0.5).alias("p50"), pct(0.9).alias("p90"), pct(0.99).alias("p99"))
 
 
 Q_DISTINCT_SQL = """
 SELECT o_orderpriority, COUNT(DISTINCT o_custkey) AS n_cust, COUNT(*) AS n_orders,
-       CAST(SUM(CAST(ROUND(o_totalprice*100,0) AS BIGINT)) AS BIGINT) AS total_cents
+       CAST(SUM(CAST(ROUND(o_totalprice*100,0) AS BIGINT)) AS BIGINT) AS total_cents,
+       ROUND(quantile_cont(o_totalprice, 0.5), 2)  AS p50,
+       ROUND(quantile_cont(o_totalprice, 0.9), 2)  AS p90,
+       ROUND(quantile_cont(o_totalprice, 0.99), 2) AS p99
 FROM orders GROUP BY o_orderpriority
 """
 
@@ -551,7 +561,20 @@ def q_multidim_agg(spark, sf_dir):
         GROUP BY GROUPING SETS ((l_returnflag, l_linestatus),
                                 (l_returnflag), ())
     """)
-    return rollup.unionByName(gsets)
+    # calendar-bucket aggregation (the former q_date_buckets entry, r4
+    # registry curation): year/quarter extraction feeding the same long
+    # (src, k1, k2, lvl, n, agg_val) shape
+    quarters = (
+        o.groupBy(F.year("o_orderdate").alias("y"),
+                  F.quarter("o_orderdate").alias("q"))
+        .agg(F.count("*").alias("n"),
+             F.sum(_cents(F.col("o_totalprice"))).alias("agg_val"))
+        .select(F.lit("orders_quarter").alias("src"),
+                F.col("y").cast("string").alias("k1"),
+                F.col("q").cast("string").alias("k2"),
+                F.lit(0).cast("long").alias("lvl"), "n", "agg_val")
+    )
+    return rollup.unionByName(gsets).unionByName(quarters)
 
 
 Q_MULTIDIM_SQL = """
@@ -574,6 +597,14 @@ SELECT 'lineitem_gsets' AS src,
        CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS agg_val
 FROM lineitem
 GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), (l_returnflag), ())
+UNION ALL
+SELECT 'orders_quarter' AS src,
+       CAST(year(o_orderdate) AS VARCHAR) AS k1,
+       CAST(quarter(o_orderdate) AS VARCHAR) AS k2,
+       CAST(0 AS BIGINT) AS lvl, COUNT(*) AS n,
+       CAST(SUM(CAST(ROUND(o_totalprice*100,0) AS BIGINT)) AS BIGINT)
+         AS agg_val
+FROM orders GROUP BY year(o_orderdate), quarter(o_orderdate)
 """
 
 
@@ -595,25 +626,6 @@ SELECT p_partkey, UPPER(SUBSTRING(p_name, 1, 5)) AS name_prefix,
        REGEXP_REPLACE(p_name, '[aeiou]', '', 'g') AS deviled,
        CONCAT_WS('/', p_brand, p_type) AS brand_type
 FROM part
-"""
-
-
-def q_date_buckets(spark, sf_dir):
-    from pyspark.sql import functions as F
-
-    o = _t(spark, sf_dir, "orders")
-    return (
-        o.groupBy(F.year("o_orderdate").alias("y"),
-                  F.quarter("o_orderdate").alias("q"))
-        .agg(F.count("*").alias("n"),
-             F.sum(_cents(F.col("o_totalprice"))).alias("total_cents"))
-    )
-
-
-Q_DATES_SQL = """
-SELECT year(o_orderdate) AS y, quarter(o_orderdate) AS q, COUNT(*) AS n,
-       CAST(SUM(CAST(ROUND(o_totalprice*100,0) AS BIGINT)) AS BIGINT) AS total_cents
-FROM orders GROUP BY 1, 2
 """
 
 
@@ -1105,25 +1117,16 @@ SIM_TOPK_SQL = (SIM_TOPK_BRUTE_SQL
                   " rank FROM (" + _SIM_Q8_SQL + ")")
 
 
-def mm_metadata(spark, sf_dir):
-    docs = _t(spark, sf_dir, "documents")
-    return binary_metadata(with_binary_payload(docs, "text"))
-
-
-MM_META_SQL = """
-SELECT doc_id, octet_length(CAST(text AS BLOB)) AS n_bytes,
-       sha256(text) AS sha256
-FROM documents
-"""
-
-
 def mm_decode(spark, sf_dir):
     """Real media-header decode over binary columns, one labeled result:
     'image' rows decode PNG dimensions (payloads are structurally valid
     PNG headers built as JVM expressions, parsed back byte-wise in an
     Arrow-batched mapInPandas), 'audio' rows decode RIFF/WAVE sample rate
-    and frame count from complete generated PCM16 WAV files. Both decode
-    paths are real parsers; both payload generators are deterministic
+    and frame count from complete generated PCM16 WAV files, and 'meta'
+    rows carry typed binary metadata (byte length + sha256 — the former
+    mm_binary_metadata entry, r4 registry curation: same documents scan,
+    the hex digest rides the string-typed format column). All decode
+    paths are real parsers; all payload generators are deterministic
     functions of doc columns, so the oracle is exact."""
     from pyspark.sql import functions as F
 
@@ -1146,7 +1149,12 @@ def mm_decode(spark, sf_dir):
     ).select("doc_id", F.lit("audio").alias("kind"), "format",
              F.col("sample_rate").cast("long").alias("d1"),
              F.col("n_frames").alias("d2"))
-    return img.unionByName(aud)
+    meta = binary_metadata(with_binary_payload(docs, "text")).select(
+        "doc_id", F.lit("meta").alias("kind"),
+        F.col("sha256").alias("format"),
+        F.col("n_bytes").cast("long").alias("d1"),
+        F.lit(0).cast("long").alias("d2"))
+    return img.unionByName(aud).unionByName(meta)
 
 
 MM_DECODE_SQL = """
@@ -1158,6 +1166,11 @@ UNION ALL
 SELECT doc_id, 'audio' AS kind, 'wav' AS format,
        CAST(8000 + (doc_id % 8) * 1000 AS BIGINT) AS d1,
        CAST(1000 + n_chars % 4096 AS BIGINT) AS d2
+FROM documents
+UNION ALL
+SELECT doc_id, 'meta' AS kind, sha256(text) AS format,
+       CAST(octet_length(CAST(text AS BLOB)) AS BIGINT) AS d1,
+       CAST(0 AS BIGINT) AS d2
 FROM documents
 """
 
@@ -1185,7 +1198,6 @@ QUERIES: Dict[str, Tuple[Callable, Optional[str]]] = {
     "q_distinct_agg": (q_distinct_agg, Q_DISTINCT_SQL),
     "q_multidim_agg": (q_multidim_agg, Q_MULTIDIM_SQL),
     "q_string_funcs": (q_string_funcs, Q_STRFN_SQL),
-    "q_date_buckets": (q_date_buckets, Q_DATES_SQL),
     "q_anti_semi_join": (q_anti_semi_join, Q_ANTISEMI_SQL),
     "q_asof_join": (q_asof, Q_ASOF_SQL),
     "q_sessionize": (q_sessionize, Q_SESSION_SQL),
@@ -1202,7 +1214,6 @@ QUERIES: Dict[str, Tuple[Callable, Optional[str]]] = {
     "text_analysis": (tx_analysis, TX_ANALYSIS_SQL),
     "sim_topk": (sim_topk, SIM_TOPK_SQL),
     "sim_pairs": (sim_pairs, SIM_PAIRS_SQL),
-    "mm_binary_metadata": (mm_metadata, MM_META_SQL),
     "mm_decode_headers": (mm_decode, MM_DECODE_SQL),
 }
 

@@ -844,7 +844,175 @@ GROUP BY lang
 """
 
 
+def train_assembly(spark, sf_dir):
+    """Training-set assembly (operators/training.py): token-bounded
+    chunking with overlap (pure JVM higher-order functions — sequence /
+    slice / concat_ws, no UDF) + deterministic train/val/test splits
+    (md5-as-uniform so any engine can replay the assignment). One
+    projection chain over documents; per-chunk rows keep the chunk text
+    so the oracle checks the actual token slicing, not just counts."""
+    from .operators.training import chunk_text, hash_split
+
+    docs = _t(spark, sf_dir, "documents")
+    chunks = chunk_text(docs, max_tokens=32, overlap=8)
+    return hash_split(chunks, {"train": 0.9, "val": 0.05, "test": 0.05},
+                      id_col="doc_id", method="md5").select(
+        "doc_id", "chunk_id", "n_tokens", "chunk", "split")
+
+
+def _train_assembly_sql() -> str:
+    from .operators.text import TOKEN_RE
+
+    # replicate hash_split's cumulative thresholds with the SAME Python
+    # float accumulation (0.9 + 0.05 != 0.95 exactly; the literals must
+    # match bit-for-bit in both engines)
+    weights = {"train": 0.9, "val": 0.05, "test": 0.05}
+    total = sum(weights.values())
+    case, acc = "CASE", 0.0
+    names = list(weights)
+    for name in names[:-1]:
+        acc += weights[name] / total
+        case += f" WHEN u < {acc!r} THEN '{name}'"
+    case += f" ELSE '{names[-1]}' END"
+    # chunk geometry must mirror chunk_text(max_tokens=32, overlap=8):
+    # starts 0,24,48.. while start <= greatest(n-overlap-1, 0)
+    return f"""
+WITH toks AS (
+  SELECT doc_id,
+         regexp_extract_all(lower(text), '{TOKEN_RE}') AS t,
+         len(regexp_extract_all(lower(text), '{TOKEN_RE}')) AS n
+  FROM documents),
+starts AS (
+  SELECT doc_id, t, unnest(generate_series(0, greatest(n - 8 - 1, 0), 24))
+           AS start
+  FROM toks WHERE n > 0),
+chunks AS (
+  SELECT doc_id, CAST(start / 24 AS INTEGER) AS chunk_id,
+         t[start + 1 : start + 32] AS ct
+  FROM starts),
+u AS (
+  SELECT doc_id, chunk_id,
+         CAST(len(ct) AS INTEGER) AS n_tokens,
+         array_to_string(ct, ' ') AS chunk,
+         CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT)
+           / 4294967296.0 AS u
+  FROM chunks)
+SELECT doc_id, chunk_id, n_tokens, chunk, {case} AS split FROM u
+"""
+
+
+def qb_time_cdf(spark, sf_dir):
+    """Time travel + Change Data Feed under one oracle (sources/cdf.py,
+    reader.to_df(version=...)): fresh indexed table from a lineitem
+    slice (v0), CDF enabled (v1), append (v2), DELETE of a key range
+    (v3). Result = the v0 snapshot read back AS OF version 0 ('v0'
+    branch) unioned with the decoded change feed for v2..v3 ('cdf'
+    branch: the append's insert rows from file actions alone + the
+    delete's recorded pre-images). Everything derives from the source
+    parquet, so DuckDB replays it exactly. Rebuilt per call so bench
+    repeats are deterministic."""
+    import shutil as _sh
+
+    from pyspark.sql import functions as F
+
+    from . import write_qbeast
+    from .sources.reader import QbeastTable
+
+    import os as _os
+
+    key = _os.path.abspath(sf_dir)
+    tag = key.strip("/").replace("/", "_")
+    path = f"/tmp/qss_tables/{tag}/lineitem_timecdf"
+    _sh.rmtree(path, ignore_errors=True)
+    cols = ["l_orderkey", "l_extendedprice", "l_quantity", "l_returnflag"]
+    li = _t(spark, sf_dir, "lineitem").select(*cols)
+    write_qbeast(li.where("l_orderkey < 3000"), path,
+                 columns_to_index=["l_orderkey", "l_extendedprice"],
+                 cube_size=5000)                                  # v0
+    qt = QbeastTable.for_path(spark, path)
+    qt.enable_change_data_feed()                                  # v1
+    write_qbeast(li.where("l_orderkey >= 3000 AND l_orderkey < 4000"),
+                 path, columns_to_index=["l_orderkey", "l_extendedprice"],
+                 cube_size=5000, mode="append")                   # v2
+    qt.delete([("l_orderkey", "<", 500)])                         # v3
+    asof = (qt.to_df(version=0).select(*cols)
+            .withColumn("branch", F.lit("v0"))
+            .withColumn("change_type", F.lit("snapshot")))
+    cdf = (qt.table_changes(2, 3)
+           .select(*cols, F.lit("cdf").alias("branch"),
+                   F.col("_change_type").alias("change_type")))
+    return asof.unionByName(cdf)
+
+
+QB_TIME_CDF_SQL = """
+SELECT l_orderkey, l_extendedprice, l_quantity, l_returnflag,
+       'v0' AS branch, 'snapshot' AS change_type
+FROM lineitem WHERE l_orderkey < 3000
+UNION ALL
+SELECT l_orderkey, l_extendedprice, l_quantity, l_returnflag,
+       'cdf' AS branch, 'insert' AS change_type
+FROM lineitem WHERE l_orderkey >= 3000 AND l_orderkey < 4000
+UNION ALL
+SELECT l_orderkey, l_extendedprice, l_quantity, l_returnflag,
+       'cdf' AS branch, 'delete' AS change_type
+FROM lineitem WHERE l_orderkey < 500
+"""
+
+
+def dedup_semantic(spark, sf_dir):
+    """SemDeDup-style semantic dedup (operators/similarity.py
+    semantic_dedup): hyperplane-LSH candidate pairs over two disjoint
+    dimension slices, exact-cosine rerank, then min-label connected
+    components so paraphrase chains collapse transitively. One row per
+    input vector: (vec_id, canonical_id, is_duplicate). The oracle
+    replays the identical LSH geometry and closes the components with a
+    recursive CTE."""
+    from pyspark.sql import functions as F
+
+    from .operators.similarity import semantic_dedup
+
+    emb = (_t(spark, sf_dir, "embeddings")
+           .where(F.col("vec_id") < 300))
+    return semantic_dedup(emb, threshold=0.3, n_bits=8, n_tables=2)
+
+
+DEDUP_SEMANTIC_SQL = """
+WITH RECURSIVE base AS (
+  SELECT vec_id, embedding FROM embeddings WHERE vec_id < 300),
+tagged AS (
+  SELECT vec_id, embedding,
+         list_aggregate(list_transform(embedding[1:8],
+             x -> CASE WHEN x >= 0 THEN '1' ELSE '0' END),
+             'string_agg', '') AS b0,
+         list_aggregate(list_transform(embedding[9:16],
+             x -> CASE WHEN x >= 0 THEN '1' ELSE '0' END),
+             'string_agg', '') AS b1
+  FROM base),
+pairs AS (
+  SELECT DISTINCT a.vec_id AS id1, b.vec_id AS id2
+  FROM tagged a JOIN tagged b
+    ON a.vec_id < b.vec_id AND (a.b0 = b.b0 OR a.b1 = b.b1)
+  WHERE ROUND(list_cosine_similarity(a.embedding::DOUBLE[],
+                                     b.embedding::DOUBLE[]), 6) >= 0.3),
+edges AS (
+  SELECT id1 AS a, id2 AS b FROM pairs
+  UNION ALL SELECT id2 AS a, id1 AS b FROM pairs),
+walk(node, lbl) AS (
+  SELECT a, a FROM (SELECT DISTINCT a FROM edges)
+  UNION
+  SELECT e.a, w.lbl FROM edges e JOIN walk w ON w.node = e.b),
+canon AS (SELECT node, MIN(lbl) AS canonical FROM walk GROUP BY node)
+SELECT v.vec_id,
+       COALESCE(c.canonical, v.vec_id) AS canonical_id,
+       COALESCE(c.canonical, v.vec_id) <> v.vec_id AS is_duplicate
+FROM base v LEFT JOIN canon c ON v.vec_id = c.node
+"""
+
+
 EXT_QUERIES: Dict[str, Tuple[Callable, Optional[str]]] = {
+    "train_assembly": (train_assembly, _train_assembly_sql()),
+    "qb_time_cdf": (qb_time_cdf, QB_TIME_CDF_SQL),
+    "dedup_semantic": (dedup_semantic, DEDUP_SEMANTIC_SQL),
     "qb_events_timeslice": (qb_events_timeslice, QB_EVENTS_TIMESLICE_SQL),
     "q_stratified_sample": (q_stratified_sample, Q_STRATIFIED_SQL),
     "dedup_lsh_scored": (dedup_lsh_scored, _lsh_scored_sql()),
@@ -865,5 +1033,4 @@ EXT_QUERIES: Dict[str, Tuple[Callable, Optional[str]]] = {
     "q22_inactive_rich": (q22_inactive_rich, Q22_SQL),
     "q_ntile_quartiles": (q_ntile_quartiles, Q_NTILE_SQL),
     "q_pivot": (q_pivot, Q_PIVOT_SQL),
-    "q_percentiles": (q_percentiles, Q_PCTL_SQL),
 }
