@@ -478,6 +478,11 @@ WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
 
 
 def q_set_ops(spark, sf_dir):
+    """Set ops + semi/anti membership, one labeled result (r4 registry
+    curation: the former q_anti_semi_join entry was the same
+    (key, bucket) shape over the same customer/orders pair — INTERSECT /
+    EXCEPT and left_semi / left_anti are all membership probes, merged
+    here with a src label; every underlying operator still runs)."""
     from pyspark.sql import functions as F
 
     o = _t(spark, sf_dir, "orders")
@@ -485,19 +490,36 @@ def q_set_ops(spark, sf_dir):
     y96 = o.where(F.year("o_orderdate") == 1996).select("o_custkey").distinct()
     both = y95.intersect(y96).withColumn("bucket", F.lit("both"))
     only95 = y95.exceptAll(y96).withColumn("bucket", F.lit("only95"))
-    return both.unionByName(only95)
+    setops = (both.unionByName(only95)
+              .select(F.lit("setops").alias("src"),
+                      F.col("o_custkey").alias("key"), "bucket"))
+    c = _t(spark, sf_dir, "customer")
+    no_orders = (c.join(o, c.c_custkey == o.o_custkey, "left_anti")
+                 .select("c_custkey").withColumn("bucket", F.lit("none")))
+    with_orders = (c.join(o, c.c_custkey == o.o_custkey, "left_semi")
+                   .select("c_custkey").withColumn("bucket", F.lit("some")))
+    membership = (no_orders.unionByName(with_orders)
+                  .select(F.lit("antisemi").alias("src"),
+                          F.col("c_custkey").alias("key"), "bucket"))
+    return setops.unionByName(membership)
 
 
 Q_SETOPS_SQL = """
-SELECT o_custkey, 'both' AS bucket FROM
+SELECT 'setops' AS src, o_custkey AS key, 'both' AS bucket FROM
  (SELECT DISTINCT o_custkey FROM orders WHERE year(o_orderdate)=1995
   INTERSECT
   SELECT DISTINCT o_custkey FROM orders WHERE year(o_orderdate)=1996)
 UNION ALL
-SELECT o_custkey, 'only95' AS bucket FROM
+SELECT 'setops' AS src, o_custkey AS key, 'only95' AS bucket FROM
  (SELECT DISTINCT o_custkey FROM orders WHERE year(o_orderdate)=1995
   EXCEPT
   SELECT DISTINCT o_custkey FROM orders WHERE year(o_orderdate)=1996)
+UNION ALL
+SELECT 'antisemi' AS src, c_custkey AS key, 'none' AS bucket FROM customer
+WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+UNION ALL
+SELECT 'antisemi' AS src, c_custkey AS key, 'some' AS bucket FROM customer
+WHERE EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
 """
 
 
@@ -626,27 +648,6 @@ SELECT p_partkey, UPPER(SUBSTRING(p_name, 1, 5)) AS name_prefix,
        REGEXP_REPLACE(p_name, '[aeiou]', '', 'g') AS deviled,
        CONCAT_WS('/', p_brand, p_type) AS brand_type
 FROM part
-"""
-
-
-def q_anti_semi_join(spark, sf_dir):
-    from pyspark.sql import functions as F
-
-    c = _t(spark, sf_dir, "customer")
-    o = _t(spark, sf_dir, "orders")
-    no_orders = (c.join(o, c.c_custkey == o.o_custkey, "left_anti")
-                 .select("c_custkey").withColumn("bucket", F.lit("none")))
-    with_orders = (c.join(o, c.c_custkey == o.o_custkey, "left_semi")
-                   .select("c_custkey").withColumn("bucket", F.lit("some")))
-    return no_orders.unionByName(with_orders)
-
-
-Q_ANTISEMI_SQL = """
-SELECT c_custkey, 'none' AS bucket FROM customer
-WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
-UNION ALL
-SELECT c_custkey, 'some' AS bucket FROM customer
-WHERE EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
 """
 
 
@@ -1198,7 +1199,6 @@ QUERIES: Dict[str, Tuple[Callable, Optional[str]]] = {
     "q_distinct_agg": (q_distinct_agg, Q_DISTINCT_SQL),
     "q_multidim_agg": (q_multidim_agg, Q_MULTIDIM_SQL),
     "q_string_funcs": (q_string_funcs, Q_STRFN_SQL),
-    "q_anti_semi_join": (q_anti_semi_join, Q_ANTISEMI_SQL),
     "q_asof_join": (q_asof, Q_ASOF_SQL),
     "q_sessionize": (q_sessionize, Q_SESSION_SQL),
     "q_time_windows": (q_time_windows, Q_TIME_WINDOWS_SQL),

@@ -844,6 +844,95 @@ GROUP BY lang
 """
 
 
+def q12_21_late_lines(spark, sf_dir):
+    """TPC-H q12 + q21 shapes adapted to the reduced schema (no
+    l_shipmode/l_commitdate/l_receiptdate — lateness proxies from
+    l_shipdate vs o_orderdate, category proxy = l_returnflag), one
+    labeled long result. This completes the feasible TPC-H coverage:
+    1,3-8,10,12-15,17-19,21,22 all registered; 2/9/11/16/20 need the
+    partsupp table the testdata does not ship.
+
+    q12 branch: per category, line counts split by order priority for
+    1997 shipments (join + conditional aggregation).
+    q21 branch: suppliers who were the SOLE late supplier of a
+    multi-supplier finished order (the double-EXISTS shape, computed
+    scale-safely as two per-order aggregates joined back — no
+    correlated re-scan per row)."""
+    from pyspark.sql import functions as F
+
+    li = _t(spark, sf_dir, "lineitem")
+    o = _t(spark, sf_dir, "orders")
+    # --- q12: priority split per category over 1997 shipments
+    hi = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    q12 = (li.where(F.year("l_shipdate") == 1997)
+           .join(o, li.l_orderkey == o.o_orderkey)
+           .groupBy(F.col("l_returnflag").alias("grp"))
+           .agg(F.count(F.when(hi, 1)).alias("high_line_count"),
+                F.count(F.when(~hi, 1)).alias("low_line_count")))
+    q12_long = q12.select(
+        F.lit("q12").alias("probe"), "grp",
+        F.create_map(F.lit("high"), F.col("high_line_count"),
+                     F.lit("low"), F.col("low_line_count")).alias("_m"))
+    q12_long = (q12_long.select("probe", "grp", F.explode("_m")
+                                .alias("metric", "n")))
+    # --- q21: sole-late supplier of multi-supplier 'F' orders
+    lateness = F.col("l_shipdate") > F.col("o_orderdate") + F.expr(
+        "INTERVAL 90 DAY")
+    lines = (li.join(o.where(F.col("o_orderstatus") == "F"),
+                     li.l_orderkey == o.o_orderkey)
+             .select("l_orderkey", "l_suppkey", lateness.alias("_late")))
+    per_order = lines.groupBy("l_orderkey").agg(
+        F.countDistinct("l_suppkey").alias("_nsupp"),
+        F.countDistinct(F.when(F.col("_late"), F.col("l_suppkey")))
+        .alias("_nlate"))
+    waiting = (lines.where(F.col("_late"))
+               .select("l_orderkey", "l_suppkey").distinct()
+               .join(per_order.where((F.col("_nsupp") > 1)
+                                     & (F.col("_nlate") == 1)),
+                     "l_orderkey"))
+    s = _t(spark, sf_dir, "supplier")
+    q21 = (waiting.join(F.broadcast(s),
+                        waiting.l_suppkey == s.s_suppkey)
+           .groupBy(F.col("s_name").alias("grp"))
+           .agg(F.count("*").alias("n"))
+           .select(F.lit("q21").alias("probe"), "grp",
+                   F.lit("numwait").alias("metric"), "n"))
+    return q12_long.unionByName(q21)
+
+
+Q12_21_SQL = """
+SELECT 'q12' AS probe, l_returnflag AS grp, m.metric, m.n
+FROM (
+  SELECT l_returnflag,
+         COUNT(CASE WHEN o_orderpriority IN ('1-URGENT','2-HIGH')
+                    THEN 1 END) AS high_n,
+         COUNT(CASE WHEN o_orderpriority NOT IN ('1-URGENT','2-HIGH')
+                    THEN 1 END) AS low_n
+  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+  WHERE year(l_shipdate) = 1997
+  GROUP BY l_returnflag),
+LATERAL (VALUES ('high', high_n), ('low', low_n)) AS m(metric, n)
+UNION ALL
+SELECT 'q21' AS probe, s_name AS grp, 'numwait' AS metric, COUNT(*) AS n
+FROM supplier,
+     (SELECT DISTINCT l.l_orderkey, l.l_suppkey
+      FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+      WHERE o.o_orderstatus = 'F'
+        AND l.l_shipdate > o.o_orderdate + INTERVAL 90 DAY
+        AND EXISTS (SELECT 1 FROM lineitem l2
+                    WHERE l2.l_orderkey = l.l_orderkey
+                      AND l2.l_suppkey <> l.l_suppkey)
+        AND NOT EXISTS (SELECT 1 FROM lineitem l3
+                        JOIN orders o3 ON l3.l_orderkey = o3.o_orderkey
+                        WHERE l3.l_orderkey = l.l_orderkey
+                          AND l3.l_suppkey <> l.l_suppkey
+                          AND l3.l_shipdate > o3.o_orderdate
+                              + INTERVAL 90 DAY)) w
+WHERE w.l_suppkey = s_suppkey
+GROUP BY s_name
+"""
+
+
 def train_assembly(spark, sf_dir):
     """Training-set assembly (operators/training.py): token-bounded
     chunking with overlap (pure JVM higher-order functions — sequence /
@@ -1010,6 +1099,7 @@ FROM base v LEFT JOIN canon c ON v.vec_id = c.node
 
 
 EXT_QUERIES: Dict[str, Tuple[Callable, Optional[str]]] = {
+    "q12_21_late_lines": (q12_21_late_lines, Q12_21_SQL),
     "train_assembly": (train_assembly, _train_assembly_sql()),
     "qb_time_cdf": (qb_time_cdf, QB_TIME_CDF_SQL),
     "dedup_semantic": (dedup_semantic, DEDUP_SEMANTIC_SQL),
