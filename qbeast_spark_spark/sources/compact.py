@@ -271,4 +271,5 @@ def compact_table(spark, path: str,
     if not final_add and not removed:
         return None
     return log.commit(add=final_add, remove=removed, data_change=False,
-                      operation="COMPACT")
+                      operation="COMPACT", read_version=snap.version,
+                      read_files=removed)

@@ -87,7 +87,8 @@ def _cdc_of(qt, snap, frames) -> Optional[List[Dict[str, Any]]]:
 
 def _rewrite(qt, snap, matched: List[str], replacement,
              staged=None, operation: str = "WRITE",
-             cdc: Optional[List[Dict[str, Any]]] = None) -> int:
+             cdc: Optional[List[Dict[str, Any]]] = None,
+             read_files: Optional[List[str]] = None) -> int:
     """Write ``replacement`` (the new contents of ``matched`` files)
     through the index pipeline against the existing cube weights, and
     commit adds + removes in one version. Mirrors optimize_table's
@@ -116,7 +117,9 @@ def _rewrite(qt, snap, matched: List[str], replacement,
             return log.commit(
                 add=extra_add, remove=matched, revisions=extra_revs,
                 schema_json=snap.schema_json or staged.schema.json(),
-                data_change=True, operation=operation, cdc=cdc)
+                data_change=True, operation=operation, cdc=cdc,
+                read_version=snap.version,
+                read_files=read_files or matched)
 
     if rev is None:
         # staging-only table: replacement rows stay staging files
@@ -131,7 +134,9 @@ def _rewrite(qt, snap, matched: List[str], replacement,
                           revisions={STAGING_REVISION_ID: staging},
                           schema_json=snap.schema_json
                           or replacement.schema.json(),
-                          data_change=True, cdc=cdc)
+                          data_change=True, cdc=cdc,
+                          read_version=snap.version,
+                          read_files=read_files or matched)
 
     prepared = with_index_columns(replacement, rev)
     weights = {
@@ -164,6 +169,8 @@ def _rewrite(qt, snap, matched: List[str], replacement,
         data_change=True,
         operation=operation,
         cdc=cdc,
+        read_version=snap.version,
+        read_files=read_files or matched,
     )
 
 
@@ -202,7 +209,8 @@ def delete_rows(spark, path: str, filters=None,
         rows = sum(f.live_rows for f in snap.files.values())
         version = qt.log.commit(add=[], remove=list(snap.files.keys()),
                                 schema_json=snap.schema_json,
-                                data_change=True, operation="DELETE")
+                                data_change=True, operation="DELETE",
+                                read_version=snap.version)
         return {"version": version, "rows_deleted": int(rows),
                 "files_rewritten": 0}
     per_file = _match_counts(qt, candidates, residual)
@@ -312,6 +320,8 @@ def _delete_with_dvs(qt, snap, matched: List[str], residual,
                             schema_json=snap.schema_json,
                             data_change=True, operation="DELETE",
                             cdc=cdc,
+                            read_version=snap.version,
+                            read_files=matched,
                             protocol={
                                 "readerFeatures": ["deletionVectors"],
                                 "writerFeatures": ["deletionVectors"]})
@@ -585,6 +595,7 @@ def merge_rows(spark, path: str, source, on,
         cdc_frames.append((inserts, "insert"))
     cdc = _cdc_of(qt, snap, cdc_frames)
     version = _rewrite(qt, snap, matched, replacement, staged=staged,
+                       read_files=list(snap.files.keys()),
                        operation="MERGE", cdc=cdc)
     if inserts is not None:
         inserts.unpersist()

@@ -38,7 +38,16 @@ from typing import Any, Dict, List, Optional
 from ..core.revision import Revision
 
 __all__ = ["Block", "IndexFile", "Snapshot", "CommitLog",
-           "CHECKPOINT_INTERVAL"]
+           "ConcurrentModificationError", "CHECKPOINT_INTERVAL"]
+
+
+class ConcurrentModificationError(RuntimeError):
+    """A concurrent commit invalidated this transaction (Delta
+    ConflictChecker parity): either both transactions removed the same
+    file (double rewrite — blindly committing would re-add BOTH
+    rewritten copies of the shared rows) or a concurrent commit removed
+    a file this transaction read (its decision may be stale). The caller
+    should re-read the table and retry the operation."""
 
 LOG_DIR = "_qbeast_log"
 CHECKPOINT_INTERVAL = 10
@@ -427,6 +436,43 @@ class CommitLog:
                 f"reading anyway could silently return wrong rows")
         return snap
 
+    def _check_conflicts(self, read_version: int, next_v: int,
+                         remove: List[str],
+                         read_files: List[str]) -> None:
+        """Inspect commits in (read_version, next_v) for logical
+        conflicts with this transaction's remove / read sets. O(#gap
+        commits) driver-side JSON reads — the gap is small (the window
+        between planning and committing)."""
+        ours = set(remove)
+        reads = set(read_files)
+        for v in range(read_version + 1, next_v):
+            path = os.path.join(self.log_dir, f"{v:012d}.json")
+            try:
+                with open(path) as fh:
+                    payload = json.load(fh)
+            except FileNotFoundError:
+                continue    # gap version never materialized
+            # a commit "touches" a file by removing it (rewrite/restore/
+            # truncate) or by re-adding its path (deletion-vector commits
+            # replace the entry in place); brand-new paths (uuid-named)
+            # never collide with an older transaction's sets
+            theirs = set(payload.get("remove") or ())
+            theirs |= {f["path"] for f in (payload.get("add") or ())}
+            both = ours & theirs
+            if both:
+                raise ConcurrentModificationError(
+                    f"commit {v} ({payload.get('operation')}) already "
+                    f"touched {sorted(both)[:3]}{'...' if len(both) > 3 else ''} "
+                    f"this transaction also rewrites (planned against "
+                    f"version {read_version}); re-read and retry")
+            stale = reads & theirs
+            if stale:
+                raise ConcurrentModificationError(
+                    f"commit {v} ({payload.get('operation')}) touched "
+                    f"{sorted(stale)[:3]}{'...' if len(stale) > 3 else ''} "
+                    f"this transaction read at version {read_version}; "
+                    f"its decisions may be stale — re-read and retry")
+
     def commit(self, *, add: List[IndexFile] = (), remove: List[str] = (),
                revisions: Dict[int, Revision] = None, schema_json: str = None,
                properties: Dict[str, str] = None, data_change: bool = True,
@@ -437,10 +483,23 @@ class CommitLog:
                operation: Optional[str] = None,
                cdc: Optional[List[Dict[str, Any]]] = None,
                protocol: Optional[Dict[str, Any]] = None,
+               read_version: Optional[int] = None,
+               read_files: Optional[List[str]] = None,
                max_retries: int = 10) -> int:
         """Atomically append one commit; returns the committed version.
         ``operation`` is a DESCRIBE-HISTORY-style verb name (WRITE,
-        DELETE, OPTIMIZE, ...) — audit metadata only, replay ignores it."""
+        DELETE, OPTIMIZE, ...) — audit metadata only, replay ignores it.
+
+        ``read_version`` enables logical conflict detection (Delta
+        ConflictChecker parity, beyond the physical O_EXCL race): it is
+        the snapshot version this transaction planned against, and any
+        commit that landed after it is checked before finalizing —
+        a concurrent removal of a file in ``remove`` (double rewrite) or
+        in ``read_files`` (stale read set: DML/optimize decided from
+        data a concurrent transaction rewrote) raises
+        ConcurrentModificationError instead of silently corrupting the
+        table. Blind appends (remove=[] and no read set) never conflict,
+        matching Delta's WriteSerializable default."""
         os.makedirs(self.log_dir, exist_ok=True)
         # writer-feature gate: refuse to mutate a table whose protocol
         # demands features this engine lacks (Delta writer-version
@@ -484,6 +543,9 @@ class CommitLog:
                     return snap.version
             versions = self._versions()
             next_v = (versions[-1] + 1) if versions else 0
+            if read_version is not None and next_v > read_version + 1:
+                self._check_conflicts(read_version, next_v, list(remove),
+                                      list(read_files or ()))
             target = os.path.join(self.log_dir, f"{next_v:012d}.json")
             try:
                 fd = os.open(target, os.O_CREAT | os.O_EXCL | os.O_WRONLY)

@@ -144,6 +144,8 @@ def optimize_table(spark, path: str, fraction: float = 1.0,
     return log.commit(
         add=add,
         remove=[f.path for f in selected],
+        read_version=snap.version,
+        read_files=[f.path for f in selected],
         revisions={rev.revision_id: rev},
         cube_weights={rev.revision_id: {
             _cube_str(d, p): int(w) for (d, p), w in weights.items()}},

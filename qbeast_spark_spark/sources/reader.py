@@ -370,6 +370,7 @@ class QbeastTable:
         v = self.log.commit(
             add=list(old.files.values()),
             remove=[rel for rel in cur.files if rel not in old.files],
+            read_version=cur.version,
             revisions=old.revisions,
             cube_weights=old.cube_weights,
             cube_domains=old.cube_domains,

@@ -641,6 +641,11 @@ def _write_qbeast_inner(df, path: str, columns_to_index,
         data_change=True,
         operation=mode.upper(),  # WRITE-verb audit tag: APPEND / OVERWRITE
         reset_stats=(mode == "overwrite"),
+        # overwrite removes the files it snapshotted: detect a concurrent
+        # writer that already rewrote/removed any of them (blind appends
+        # pass read_version=None — they never conflict, Delta
+        # WriteSerializable parity)
+        read_version=(snapshot.version if mode == "overwrite" else None),
         txn=({"appId": txn_app_id, "version": int(txn_version)}
              if txn_app_id is not None else None),
     )
