@@ -131,8 +131,17 @@ def main() -> None:
                 # index build is a submetric (same rule as qb_write)
                 from qbeast_spark_spark.queries import LAST_DML_PHASES
                 for k, v in LAST_DML_PHASES.items():
-                    dml_phases.setdefault(k, []).append(v)
+                    dml_phases.setdefault(f"qb_dml.{k}", []).append(v)
                 samples[-1] -= LAST_DML_PHASES.get("setup", 0.0)
+            elif name == "qb_time_cdf":
+                # same rule: the probe's table construction (two indexed
+                # writes) is setup; the headline is the CDF-recording
+                # delete + AS OF read + change-feed decode
+                from qbeast_spark_spark.queries_ext import \
+                    LAST_TIMECDF_PHASES
+                for k, v in LAST_TIMECDF_PHASES.items():
+                    dml_phases.setdefault(f"qb_time_cdf.{k}", []).append(v)
+                samples[-1] -= LAST_TIMECDF_PHASES.get("setup", 0.0)
         timings[name] = round(statistics.median(samples), 3)
         # Isolation between queries: some pipelines persist intermediates
         # (LSH signature tables) or localCheckpoint loop state (connected
@@ -217,7 +226,7 @@ def main() -> None:
     submetrics["qb_range_read.prune_driver"] = round(time.time() - t0, 3)
     submetrics.update(write_phases)
     for k, v in dml_phases.items():
-        submetrics[f"qb_dml.{k}"] = round(statistics.median(v), 3)
+        submetrics[k] = round(statistics.median(v), 3)
 
     # decompose the merged sim_topk probe (brute + IVF + q8 lanes) so a
     # round-over-round delta in the headline is attributable to a lane

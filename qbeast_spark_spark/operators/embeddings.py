@@ -102,12 +102,35 @@ def quantized_topk(vectors, queries, k: int = 5,
 
     from ..functions.partitioning import spread
 
-    vq = quantize_int8(vectors, vec_col=vec_col, drop_source=True)
+    def _idot(a, b):
+        return F.aggregate(
+            F.zip_with(a, b,
+                       lambda x, y: x.cast("long") * y.cast("long")),
+            F.lit(0).cast("long"), lambda acc, x: acc + x)
+
+    # rescaled norms projected ONCE per row (same trick as
+    # similarity.cosine_topk): the per-pair work in the cross join is a
+    # single integer dot product; expression sequence per value is
+    # unchanged vs quantized_cosine_col, so results are bit-identical
+    vq = quantize_int8(vectors, vec_col=vec_col, drop_source=True) \
+        .withColumn("_vn", F.sqrt(
+            F.aggregate(F.transform(
+                F.col("embedding_q8"),
+                lambda x: x.cast("long") * x.cast("long")),
+                F.lit(0).cast("long"), lambda acc, x: acc + x)
+            .cast("double")) * F.col("q8_scale"))
     qq = (quantize_int8(queries, vec_col=q_vec_col, q_col="_qq8",
-                        scale_col="_qs", drop_source=True))
+                        scale_col="_qs", drop_source=True)
+          .withColumn("_qn", F.sqrt(
+              F.aggregate(F.transform(
+                  F.col("_qq8"),
+                  lambda x: x.cast("long") * x.cast("long")),
+                  F.lit(0).cast("long"), lambda acc, x: acc + x)
+              .cast("double")) * F.col("_qs")))
     joined = spread(vq).crossJoin(F.broadcast(qq))
-    cos = quantized_cosine_col(F.col("embedding_q8"), F.col("q8_scale"),
-                               F.col("_qq8"), F.col("_qs"))
+    cos = (_idot(F.col("embedding_q8"), F.col("_qq8")).cast("double")
+           * F.col("q8_scale") * F.col("_qs")
+           / (F.col("_vn") * F.col("_qn")))
     w = Window.partitionBy(q_id_col).orderBy(
         F.col("cos").desc(), F.col(id_col).asc())
     return (

@@ -48,14 +48,27 @@ def _as_double(col):
 def cosine_topk(vectors, queries, k: int = 5, vec_col: str = "embedding",
                 id_col: str = "vec_id", q_id_col: str = "q_id",
                 q_vec_col: str = "q_embedding"):
-    """Exact top-k by cosine per query vector; broadcast the query side."""
+    """Exact top-k by cosine per query vector; broadcast the query side.
+
+    Norms (and the float->double cast) are projected ONCE per row before
+    the cross join, so the per-pair work is a single dot product — the
+    norm aggregates otherwise re-run #queries (resp. #vectors) times per
+    row. The arithmetic sequence per value is unchanged (same aggregate
+    exprs, same dot/(na*nb) association), so results are bit-identical
+    to the naive form and the DuckDB oracle still matches."""
     from pyspark.sql import Window
     from pyspark.sql import functions as F
 
     from ..functions.partitioning import spread
 
-    joined = spread(vectors).crossJoin(F.broadcast(queries))
-    cos = cosine_col(_as_double(vec_col), _as_double(q_vec_col))
+    body = spread(vectors).select(
+        F.col(id_col), _as_double(vec_col).alias("_vd")
+    ).withColumn("_vn", _norm(F.col("_vd")))
+    qs = queries.select(
+        F.col(q_id_col), _as_double(q_vec_col).alias("_qd")
+    ).withColumn("_qn", _norm(F.col("_qd")))
+    joined = body.crossJoin(F.broadcast(qs))
+    cos = _dot(F.col("_vd"), F.col("_qd")) / (F.col("_vn") * F.col("_qn"))
     w = Window.partitionBy(q_id_col).orderBy(
         F.col("cos").desc(), F.col(id_col).asc())
     return (
@@ -73,12 +86,15 @@ def cosine_pairs(vectors, threshold: float, vec_col: str = "embedding",
 
     from ..functions.partitioning import spread
 
-    vectors = spread(vectors)
+    vectors = spread(vectors).select(
+        F.col(id_col), _as_double(vec_col).alias("_vd")
+    ).withColumn("_n", _norm(F.col("_vd")))
     a = vectors.select(F.col(id_col).alias("id1"),
-                       _as_double(vec_col).alias("va"))
+                       F.col("_vd").alias("va"), F.col("_n").alias("_na"))
     b = vectors.select(F.col(id_col).alias("id2"),
-                       _as_double(vec_col).alias("vb"))
-    cos = cosine_col(F.col("va"), F.col("vb"))
+                       F.col("_vd").alias("vb"), F.col("_n").alias("_nb"))
+    # norms precomputed per row (see cosine_topk) — per-pair work is one dot
+    cos = _dot(F.col("va"), F.col("vb")) / (F.col("_na") * F.col("_nb"))
     return (
         a.join(b, F.col("id1") < F.col("id2"))
         .select("id1", "id2", F.round(cos, 6).alias("cos"))
@@ -106,22 +122,34 @@ def ivf_topk(vectors, queries, centroids, k: int = 5,
 
     from ..functions.partitioning import spread
 
-    def assign(df, idc, vc, n_best):
-        joined = spread(df).crossJoin(F.broadcast(centroids))
-        cos = cosine_col(_as_double(vc), _as_double(c_vec_col))
+    cents = centroids.select(
+        F.col(c_id_col), _as_double(c_vec_col).alias("_cd")
+    ).withColumn("_cn", _norm(F.col("_cd")))
+
+    def assign(df, idc, vc, n_best, d_col, n_col):
+        # cast + norm projected once per row (see cosine_topk): the
+        # centroid-assignment cross join and the rerank join both reuse
+        # them, so per-pair work is a single dot product
+        prepped = spread(df).select(
+            F.col(idc), _as_double(vc).alias(d_col)
+        ).withColumn(n_col, _norm(F.col(d_col)))
+        joined = prepped.crossJoin(F.broadcast(cents))
+        cos = _dot(F.col(d_col), F.col("_cd")) \
+            / (F.col(n_col) * F.col("_cn"))
         w = Window.partitionBy(idc).orderBy(
             F.col("_ccos").desc(), F.col(c_id_col).asc())
         return (
             joined.withColumn("_ccos", cos)
             .withColumn("_crank", F.row_number().over(w))
             .where(F.col("_crank") <= n_best)
-            .drop("_ccos", "_crank", c_vec_col)
+            .drop("_ccos", "_crank", "_cd", "_cn")
         )
 
-    v_assigned = assign(vectors, id_col, vec_col, 1)
-    q_assigned = assign(queries, q_id_col, q_vec_col, max(1, probe))
+    v_assigned = assign(vectors, id_col, vec_col, 1, "_vd", "_vn")
+    q_assigned = assign(queries, q_id_col, q_vec_col, max(1, probe),
+                        "_qd", "_qn")
     joined = v_assigned.join(q_assigned, c_id_col)
-    cos = cosine_col(_as_double(vec_col), _as_double(q_vec_col))
+    cos = _dot(F.col("_vd"), F.col("_qd")) / (F.col("_vn") * F.col("_qn"))
     w = Window.partitionBy(q_id_col).orderBy(
         F.col("cos").desc(), F.col(id_col).asc())
     return (
@@ -222,20 +250,24 @@ def embedding_lsh_pairs(vectors, threshold: float, n_bits: int = 8,
     tagged = (spread(vectors)
               .select(F.col(id_col), F.col(vec_col),
                       F.explode(tables).alias("_tb"))
-              .select(id_col, vec_col,
+              .select(id_col,
+                      _as_double(vec_col).alias("_vd"),
                       F.col("_tb.t").alias("_t"),
-                      F.col("_tb.b").alias("_bkt")))
+                      F.col("_tb.b").alias("_bkt"))
+              .withColumn("_n", _norm(F.col("_vd"))))
     a = tagged.select(F.col(id_col).alias("id1"),
-                      F.col(vec_col).alias("_va"), "_t", "_bkt")
+                      F.col("_vd").alias("_va"),
+                      F.col("_n").alias("_na"), "_t", "_bkt")
     b = tagged.select(F.col(id_col).alias("id2"),
-                      F.col(vec_col).alias("_vb"), "_t", "_bkt")
+                      F.col("_vd").alias("_vb"),
+                      F.col("_n").alias("_nb"), "_t", "_bkt")
     cand = (a.join(b, ["_t", "_bkt"])
             .where(F.col("id1") < F.col("id2"))
-            .select("id1", "id2", "_va", "_vb"))
+            .select("id1", "id2", "_va", "_vb", "_na", "_nb"))
     if n_tables > 1:
         cand = cand.dropDuplicates(["id1", "id2"])
-    cos = cosine_col(F.col("_va").cast("array<double>"),
-                     F.col("_vb").cast("array<double>"))
+    # norms precomputed per tagged row (see cosine_topk)
+    cos = _dot(F.col("_va"), F.col("_vb")) / (F.col("_na") * F.col("_nb"))
     return (cand
             .select("id1", "id2", F.round(cos, 6).alias("cos"))
             .where(F.col("cos") >= threshold))
