@@ -13,7 +13,8 @@ __all__ = [
     "TOKEN_RE", "STOPWORDS_EN", "tokens_col", "text_stats", "language_guess",
     "token_counts", "fingerprint", "fingerprint_col", "text_analysis",
     "PII_PATTERNS", "pii_scan", "token_ngrams_col", "decontaminate",
-    "GOPHER_DEFAULTS", "quality_flags",
+    "GOPHER_DEFAULTS", "quality_flags", "TOP_NGRAM_DEFAULTS",
+    "repetition_flags",
 ]
 
 # word-ish tokens: lowercase alnum runs (a deliberate, documented convention
@@ -317,7 +318,12 @@ GOPHER_DEFAULTS = dict(
     max_ellipsis_line_ratio=0.3,
     min_alpha_word_ratio=0.8,           # words containing >=1 alphabetic
     min_stopword_hits=2,                # distinct stopwords present
+    max_dup_line_frac=0.30,             # repetition screens (Gopher A.1.1)
+    max_dup_para_frac=0.30,
 )
+
+# Gopher repetition thresholds for the top word n-gram by character mass
+TOP_NGRAM_DEFAULTS = {2: 0.20, 3: 0.18, 4: 0.16}
 
 
 def quality_flags(docs, id_col: str = "doc_id", text_col: str = "text",
@@ -343,6 +349,7 @@ def quality_flags(docs, id_col: str = "doc_id", text_col: str = "text",
          - F.length(F.replace(F.col(text_col), F.lit("#"), F.lit(""))))
         .alias("_n_hash"),
         F.size(F.split(F.col(text_col), r"\.\.\.", -1)).alias("_n_ell1"),
+        F.split(F.col(text_col), r"\n\s*\n").alias("_paras"),
         tokens_col(text_col).alias("_toks"))
     words = F.col("_words")
     n_words = F.size(words)
@@ -360,6 +367,21 @@ def quality_flags(docs, id_col: str = "doc_id", text_col: str = "text",
     alpha_words = F.size(F.filter(words, lambda w: w.rlike("[A-Za-z]")))
     stop_arr = F.array(*[F.lit(s) for s in STOPWORDS_EN])
     stop_hits = F.size(F.array_intersect(F.col("_toks"), stop_arr))
+    # repetition screens (Gopher A.1.1): fraction of lines/paragraphs
+    # that repeat an earlier one — still map-only (array_distinct over
+    # the per-doc line/paragraph arrays; no shuffle). The n-gram
+    # repetition rules need a per-gram aggregate and live in
+    # repetition_flags (one keyed shuffle).
+    nonempty = F.filter(lines, lambda l: F.trim(l) != "")
+    n_ne = F.greatest(F.size(nonempty), F.lit(1))
+    dup_line_frac = ((F.size(nonempty)
+                      - F.size(F.array_distinct(nonempty))).cast("double")
+                     / n_ne)
+    paras = F.filter(F.col("_paras"), lambda q: F.trim(q) != "")
+    n_paras = F.greatest(F.size(paras), F.lit(1))
+    dup_para_frac = ((F.size(paras)
+                      - F.size(F.array_distinct(paras))).cast("double")
+                     / n_paras)
 
     flags = {
         "ok_word_count": (n_words >= p["min_words"])
@@ -377,6 +399,8 @@ def quality_flags(docs, id_col: str = "doc_id", text_col: str = "text",
                            / F.greatest(n_words, F.lit(1)))
         >= p["min_alpha_word_ratio"],
         "ok_stopwords": stop_hits >= p["min_stopword_hits"],
+        "ok_dup_lines": dup_line_frac <= p["max_dup_line_frac"],
+        "ok_dup_paras": dup_para_frac <= p["max_dup_para_frac"],
     }
     passes = None
     for c in flags.values():
@@ -385,3 +409,66 @@ def quality_flags(docs, id_col: str = "doc_id", text_col: str = "text",
         F.col(id_col), n_words.alias("n_words"),
         *[c.alias(name) for name, c in flags.items()],
         passes.alias("passes_quality"))
+
+
+def repetition_flags(docs, id_col: str = "doc_id", text_col: str = "text",
+                     thresholds: dict = None):
+    """Gopher n-gram repetition screens: per document and n in
+    ``thresholds`` (default TOP_NGRAM_DEFAULTS = {2: 0.20, 3: 0.18,
+    4: 0.16}), the fraction of token characters covered by the single
+    most-repeated word n-gram; a doc fails when any fraction exceeds its
+    threshold (boilerplate/template pages repeat one phrase massively).
+
+    Unlike quality_flags (map-only), the top-gram statistic needs a
+    per-(doc, gram) count — computed the scale-safe way: explode grams ->
+    ONE keyed aggregation (map-side combine collapses each doc-partition's
+    repeats first) -> per-doc max. Shuffle volume is O(distinct grams),
+    never O(docs^2); no per-doc quadratic array scans."""
+    from pyspark.sql import functions as F
+
+    th = dict(thresholds or TOP_NGRAM_DEFAULTS)
+    sizes = sorted(th)
+    base = _tokenized(docs, id_col, text_col)
+    # denominator: characters inside tokens (separator-free, so gram
+    # character mass count*(len(gram)-(n-1)) is measured in the same unit)
+    totals = base.select(
+        F.col(id_col),
+        F.greatest(
+            F.aggregate(F.col("_toks"), F.lit(0),
+                        lambda a, t: a + F.length(t)),
+            F.lit(1)).alias("_tot"))
+    grams = None
+    for n in sizes:
+        g = base.select(
+            F.col(id_col), F.lit(n).alias("_n"),
+            F.explode(token_ngrams_col("_toks", n)).alias("_gram"))
+        grams = g if grams is None else grams.unionByName(g)
+    # only grams that actually REPEAT contribute (a singleton n-gram is
+    # not repetition — without this, any short doc fails because one
+    # occurrence of its longest 4-gram already covers >16% of it);
+    # overlapping occurrences can over-count characters, so the fraction
+    # is capped at 1.0 below
+    top = (grams.groupBy(id_col, "_n", "_gram").count()
+           .groupBy(id_col, "_n")
+           .agg(F.max(F.when(
+                F.col("count") >= 2,
+                F.col("count")
+                * (F.length(F.col("_gram")) - (F.col("_n") - 1)))
+                .otherwise(0))
+                .alias("_top_chars"))
+           .groupBy(id_col)
+           .pivot("_n", sizes)
+           .agg(F.first("_top_chars")))
+    out = totals.join(top, id_col, "left")
+    cols = [F.col(id_col)]
+    passes = None
+    for n in sizes:
+        frac = F.least(
+            F.coalesce(F.col(str(n)), F.lit(0)).cast("double")
+            / F.col("_tot"), F.lit(1.0))
+        cols.append(F.round(frac, 4).alias(f"top{n}gram_char_frac"))
+        ok = frac <= th[n]
+        cols.append(ok.alias(f"ok_top{n}gram"))
+        passes = ok if passes is None else (passes & ok)
+    cols.append(passes.alias("passes_repetition"))
+    return out.select(*cols)

@@ -345,3 +345,59 @@ def test_quality_flags_threshold_overrides_and_corpus(spark):
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "hashpartitioning" not in plan
     assert "SinglePartition" not in plan
+
+
+def test_quality_flags_duplicate_line_and_para_rules(spark):
+    from qbeast_spark_spark.operators.text import quality_flags
+
+    good = ("the quick brown fox jumps over the lazy dog and then " * 8
+            + "runs home to rest for a while with friends in town")
+    dup_lines = "\n".join(
+        ["the same boilerplate navigation line appears here"] * 15
+        + ["a genuinely unique closing line for the document"])
+    dup_paras = "\n\n".join(
+        ["the identical paragraph of terms and conditions repeats"] * 8
+        + ["one final original paragraph to close the page"])
+    docs = spark.createDataFrame(
+        [(1, good), (2, dup_lines), (3, dup_paras)], ["doc_id", "text"])
+    out = {r.doc_id: r for r in
+           quality_flags(docs, min_words=1, min_stopword_hits=0).collect()}
+    assert out[1].ok_dup_lines and out[1].ok_dup_paras
+    assert not out[2].ok_dup_lines          # 14/15 lines are repeats
+    assert not out[3].ok_dup_paras          # 7/8 paragraphs are repeats
+    assert out[3].ok_dup_lines is not None  # rules are independent
+
+
+def test_repetition_flags_top_ngram_fractions(spark):
+    from qbeast_spark_spark.operators.text import repetition_flags
+
+    varied = ("alpha bravo charlie delta echo foxtrot golf hotel india "
+              "juliet kilo lima mike november oscar papa quebec romeo "
+              "sierra tango uniform victor whiskey xray yankee zulu")
+    spammy = "click here now " * 40 + "unrelated tail words"
+    docs = spark.createDataFrame(
+        [(1, varied), (2, spammy)], ["doc_id", "text"])
+    out = {r.doc_id: r for r in repetition_flags(docs).collect()}
+    # varied text: top bigram covers a tiny character fraction
+    assert out[1].passes_repetition
+    assert out[1].top2gram_char_frac < 0.1
+    # "click here" / "here now" dominate the spammy doc's character mass
+    assert out[2].top2gram_char_frac > 0.5
+    assert not out[2].ok_top2gram and not out[2].passes_repetition
+    # hand-check the bigram math on the spammy doc: 'click here' occurs
+    # 40x, chars = len('clickhere') = 9 per occurrence
+    toks = spammy.split()
+    total = sum(len(t) for t in toks)
+    assert abs(out[2].top2gram_char_frac - 40 * 9 / total) < 1e-3
+
+
+def test_repetition_flags_empty_and_short_docs(spark):
+    from qbeast_spark_spark.operators.text import repetition_flags
+
+    docs = spark.createDataFrame(
+        [(1, ""), (2, "one"), (3, "two words")], ["doc_id", "text"])
+    out = {r.doc_id: r for r in repetition_flags(docs).collect()}
+    # no n-gram can repeat: every doc passes with zero fractions
+    for i in (1, 2, 3):
+        assert out[i].passes_repetition
+        assert out[i].top4gram_char_frac == 0.0
