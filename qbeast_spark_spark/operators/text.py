@@ -420,46 +420,48 @@ def repetition_flags(docs, id_col: str = "doc_id", text_col: str = "text",
     threshold (boilerplate/template pages repeat one phrase massively).
 
     Unlike quality_flags (map-only), the top-gram statistic needs a
-    per-(doc, gram) count — computed the scale-safe way: explode grams ->
-    ONE keyed aggregation (map-side combine collapses each doc-partition's
-    repeats first) -> per-doc max. Shuffle volume is O(distinct grams),
-    never O(docs^2); no per-doc quadratic array scans."""
+    per-(doc, gram) count — computed the scale-safe way in ONE corpus
+    scan: a single projection tokenizes once and emits every size's
+    grams as one (n, gram) struct array, ``explode_outer`` (so empty
+    docs keep a row) feeds ONE keyed aggregation (map-side combine
+    collapses each doc-partition's repeats first), then per-doc maxima.
+    Shuffle volume is O(distinct grams), never O(docs^2); downstream
+    aggregates and the final width-pivot work on O(docs × sizes) rows.
+    Only grams occurring >= 2 times count (a singleton n-gram is not
+    repetition) and overlap-overcounting caps the fraction at 1.0."""
     from pyspark.sql import functions as F
 
     th = dict(thresholds or TOP_NGRAM_DEFAULTS)
     sizes = sorted(th)
     base = _tokenized(docs, id_col, text_col)
-    # denominator: characters inside tokens (separator-free, so gram
-    # character mass count*(len(gram)-(n-1)) is measured in the same unit)
-    totals = base.select(
-        F.col(id_col),
-        F.greatest(
-            F.aggregate(F.col("_toks"), F.lit(0),
-                        lambda a, t: a + F.length(t)),
-            F.lit(1)).alias("_tot"))
-    grams = None
-    for n in sizes:
-        g = base.select(
-            F.col(id_col), F.lit(n).alias("_n"),
-            F.explode(token_ngrams_col("_toks", n)).alias("_gram"))
-        grams = g if grams is None else grams.unionByName(g)
-    # only grams that actually REPEAT contribute (a singleton n-gram is
-    # not repetition — without this, any short doc fails because one
-    # occurrence of its longest 4-gram already covers >16% of it);
-    # overlapping occurrences can over-count characters, so the fraction
-    # is capped at 1.0 below
-    top = (grams.groupBy(id_col, "_n", "_gram").count()
-           .groupBy(id_col, "_n")
-           .agg(F.max(F.when(
-                F.col("count") >= 2,
-                F.col("count")
-                * (F.length(F.col("_gram")) - (F.col("_n") - 1)))
-                .otherwise(0))
-                .alias("_top_chars"))
-           .groupBy(id_col)
-           .pivot("_n", sizes)
-           .agg(F.first("_top_chars")))
-    out = totals.join(top, id_col, "left")
+    tot = F.greatest(
+        F.aggregate(F.col("_toks"), F.lit(0),
+                    lambda a, t: a + F.length(t)), F.lit(1))
+    def _tagged_grams(n):
+        # NB: a 2-arg lambda would make transform() pass the ARRAY INDEX
+        # as the second argument (PySpark arity dispatch), clobbering n
+        return F.transform(token_ngrams_col("_toks", n),
+                           lambda g: F.struct(F.lit(n).alias("n"),
+                                              g.alias("g")))
+
+    gram_structs = F.concat(*[_tagged_grams(n) for n in sizes])
+    rows = base.select(F.col(id_col), tot.alias("_tot"),
+                       F.explode_outer(gram_structs).alias("_gs"))
+    counts = (rows.groupBy(id_col, F.col("_gs.n").alias("_n"),
+                           F.col("_gs.g").alias("_gram"))
+              .agg(F.count("*").alias("_c"),
+                   F.first("_tot").alias("_tot")))
+    per_n = (counts.groupBy(id_col, "_n")
+             .agg(F.max(F.when(
+                  F.col("_c") >= 2,
+                  F.col("_c")
+                  * (F.length(F.col("_gram")) - (F.col("_n") - 1)))
+                  .otherwise(0)).alias("_top"),
+                  F.first("_tot").alias("_tot")))
+    wide = (per_n.groupBy(id_col).pivot("_n", sizes)
+            .agg(F.first("_top")))
+    totals = per_n.groupBy(id_col).agg(F.first("_tot").alias("_tot"))
+    out = totals.join(wide, id_col)
     cols = [F.col(id_col)]
     passes = None
     for n in sizes:

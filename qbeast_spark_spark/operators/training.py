@@ -43,9 +43,14 @@ def hash_split(df, weights: Dict[str, float], id_col: str = "doc_id",
     if total <= 0:
         raise ValueError("split weights must sum to > 0")
     if method == "md5":
-        from .sampling import uniform_col
-
-        u = uniform_col(id_col)
+        # seed folded into the digest input (id ":" seed) so different
+        # seeds give independent draws, same as the murmur3 path; the
+        # DuckDB twin is md5(CAST(id AS VARCHAR) || ':<seed>')
+        h = F.conv(F.substring(
+            F.md5(F.concat_ws(":", F.col(id_col).cast("string"),
+                              F.lit(str(seed)))), 1, 8),
+            16, 10).cast("double")
+        u = h / float(1 << 32)
     elif method == "murmur3":
         u = ((F.hash(F.col(id_col), F.lit(seed))
               .bitwiseAND(F.lit(0x7FFFFFFF))) / F.lit(2147483647.0))

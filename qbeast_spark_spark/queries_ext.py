@@ -459,28 +459,6 @@ GROUP BY 1
 """
 
 
-def q_percentiles(spark, sf_dir):
-    """Exact interpolated percentiles per group (Spark `percentile` ==
-    DuckDB `quantile_cont`, both Type-7/linear interpolation)."""
-    from pyspark.sql import functions as F
-
-    o = _t(spark, sf_dir, "orders")
-    pct = lambda p: F.round(F.expr(
-        f"percentile(o_totalprice, {p})"), 2)
-    return (o.groupBy("o_orderpriority")
-            .agg(pct(0.5).alias("p50"), pct(0.9).alias("p90"),
-                 pct(0.99).alias("p99")))
-
-
-Q_PCTL_SQL = """
-SELECT o_orderpriority,
-       ROUND(quantile_cont(o_totalprice, 0.5), 2)  AS p50,
-       ROUND(quantile_cont(o_totalprice, 0.9), 2)  AS p90,
-       ROUND(quantile_cont(o_totalprice, 0.99), 2) AS p99
-FROM orders GROUP BY o_orderpriority
-"""
-
-
 def q15_top_supplier(spark, sf_dir):
     """View + scalar-max pattern (TPC-H q15 shape): supplier(s) with the
     maximum revenue in a quarter, via a broadcast join against the 1-row
@@ -983,8 +961,8 @@ u AS (
   SELECT doc_id, chunk_id,
          CAST(len(ct) AS INTEGER) AS n_tokens,
          array_to_string(ct, ' ') AS chunk,
-         CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT)
-           / 4294967296.0 AS u
+         CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':42'), 1, 8))
+              AS BIGINT) / 4294967296.0 AS u
   FROM chunks)
 SELECT doc_id, chunk_id, n_tokens, chunk, {case} AS split FROM u
 """

@@ -371,6 +371,13 @@ class QbeastTable:
             add=list(old.files.values()),
             remove=[rel for rel in cur.files if rel not in old.files],
             read_version=cur.version,
+            # the restore's plan depends on the WHOLE current live set —
+            # files shared between cur and the target are re-added as-is,
+            # so a concurrent rewrite of one (absent from `remove`, which
+            # only lists cur-minus-old) would otherwise slip past the
+            # conflict check and leave both the stale re-add and the
+            # rewrite live (duplicated survivors + resurrected deletes)
+            read_files=list(cur.files),
             revisions=old.revisions,
             cube_weights=old.cube_weights,
             cube_domains=old.cube_domains,

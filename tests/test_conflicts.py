@@ -137,3 +137,42 @@ def test_optimize_aborts_when_file_deleted_under_it(spark, tmp_table,
     monkeypatch.setattr(CommitLog, "commit", racing)
     with pytest.raises(ConcurrentModificationError):
         qss.optimize_table(spark, tmp_table, fraction=1.0)
+
+
+def test_restore_aborts_when_file_rewritten_under_it(spark, tmp_table,
+                                                     monkeypatch):
+    """A RESTORE re-adds every file of the target version, including ones
+    still live NOW (absent from its remove set, which only lists
+    cur-minus-old): a concurrent DELETE rewriting such a file must abort
+    the restore, else both the stale re-add and the rewrite end up live
+    (duplicated survivors + resurrected deleted rows)."""
+    import qbeast_spark_spark as qss
+
+    qt = _small_table(spark, tmp_table)
+    n0 = qt.to_df().count()
+    # v1: append so restore(0) has something to roll back
+    from pyspark.sql import functions as F
+
+    li = (load(spark, "lineitem")
+          .select((F.col("l_orderkey") + 100000).alias("l_orderkey"),
+                  "l_extendedprice", "l_quantity").limit(100))
+    qss.write(li, tmp_table, columns_to_index=["l_orderkey"],
+              cube_size=2000, mode="append")
+    orig_commit = CommitLog.commit
+    state = {"armed": True}
+
+    def racing(self, **kw):
+        if state["armed"] and kw.get("operation") == "RESTORE":
+            state["armed"] = False
+            qt2 = qss.QbeastTable.for_path(spark, tmp_table)
+            qt2.delete([("l_orderkey", ">=", 1000)], mode="rewrite")
+        return orig_commit(self, **kw)
+
+    monkeypatch.setattr(CommitLog, "commit", racing)
+    with pytest.raises(ConcurrentModificationError):
+        qt.restore(0)
+    # the delete won; no duplicates, no resurrections
+    state["armed"] = False
+    final = qss.QbeastTable.for_path(spark, tmp_table).to_df()
+    assert final.where("l_orderkey >= 1000").count() == 0
+    assert final.count() == final.dropDuplicates().count()
