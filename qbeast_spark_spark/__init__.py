@@ -24,6 +24,8 @@ from .sources.qbeast_format import (attach_qbeast_delta,
 from .sources.compact import compact_table
 from .sources.dml import delete_rows, merge_rows, update_rows
 from .sources.maintenance import auto_maintain
+from .sources.matview import (create_continuous_agg, read_continuous_agg,
+                              refresh_continuous_agg)
 from .sources.optimize import convert_to_qbeast, optimize_table, write_staging
 from .sources.pyds import QbeastDataSource
 from .sources.pyds import register as register_data_source
@@ -60,6 +62,8 @@ __all__ = [
     "CubeId", "Revision", "DEFAULT_CUBE_SIZE", "QbeastTable",
     "write", "read", "write_qbeast", "read_qbeast",
     "optimize_table", "compact_table", "auto_maintain",
+    "create_continuous_agg", "refresh_continuous_agg",
+    "read_continuous_agg",
     "convert_to_qbeast", "write_staging",
     "convert_delta_to_qbeast", "read_delta_snapshot", "read_delta_table",
     "select_columns_to_index", "compute_quantiles",

@@ -1,0 +1,148 @@
+"""Continuous aggregates (sources/matview.py): a materialized grouped
+aggregate refreshed incrementally from the change feed must always equal
+the same aggregate recomputed from scratch — across appends, deletes,
+updates, merges and truncates."""
+
+import os
+
+import pytest
+
+from conftest import load
+
+
+def _expected(qt, group, aggs_sql):
+    from pyspark.sql import functions as F
+
+    df = qt.to_df()
+    exprs = []
+    for name, (fn, col) in aggs_sql.items():
+        if fn == "count":
+            exprs.append(F.count("*").alias(name))
+        elif fn == "sum":
+            exprs.append(F.sum(col).alias(name))
+        else:
+            exprs.append(F.avg(col).alias(name))
+    return {tuple(r[c] for c in group):
+            {n: r[n] for n in aggs_sql}
+            for r in df.groupBy(*group).agg(*exprs).collect()}
+
+
+def _actual(spark, view):
+    from qbeast_spark_spark.sources.matview import read_continuous_agg
+
+    df = read_continuous_agg(spark, view)
+    names = [c for c in df.columns if c != "l_returnflag"]
+    return {(r["l_returnflag"],): {n: r[n] for n in names}
+            for r in df.collect()}
+
+
+def _close(a, b):
+    assert a.keys() == b.keys(), (sorted(a), sorted(b))
+    for k in a:
+        assert a[k].keys() == b[k].keys()
+        for n in a[k]:
+            assert abs(float(a[k][n]) - float(b[k][n])) < 1e-6, \
+                (k, n, a[k], b[k])
+
+
+def test_continuous_agg_tracks_dml(spark, tmp_table):
+    import qbeast_spark_spark as qss
+    from qbeast_spark_spark.sources.matview import (create_continuous_agg,
+                                                    refresh_continuous_agg)
+
+    li = load(spark, "lineitem").select(
+        "l_orderkey", "l_extendedprice", "l_quantity", "l_returnflag")
+    qss.write(li, tmp_table, columns_to_index=["l_orderkey"],
+              cube_size=2000)
+    qt = qss.QbeastTable.for_path(spark, tmp_table)
+    qt.enable_change_data_feed()
+    view = tmp_table + "_mv"
+    aggs = {"n": ("count", ""), "qty": ("sum", "l_quantity"),
+            "avg_price": ("avg", "l_extendedprice")}
+    create_continuous_agg(spark, tmp_table, view, ["l_returnflag"],
+                          {"n": "count", "qty": ("sum", "l_quantity"),
+                           "avg_price": ("avg", "l_extendedprice")})
+    _close(_actual(spark, view), _expected(qt, ["l_returnflag"], aggs))
+
+    # append (decodes from file actions alone)
+    from pyspark.sql import functions as F
+
+    extra = li.select((F.col("l_orderkey") + 50000).alias("l_orderkey"),
+                      "l_extendedprice", "l_quantity",
+                      "l_returnflag").limit(500)
+    qss.write(extra, tmp_table, columns_to_index=["l_orderkey"],
+              cube_size=2000, mode="append")
+    refresh_continuous_agg(spark, view)
+    _close(_actual(spark, view), _expected(qt, ["l_returnflag"], aggs))
+
+    # delete (rewrite mode records pre-images)
+    qt.delete([("l_orderkey", "<", 300)], mode="rewrite")
+    refresh_continuous_agg(spark, view)
+    _close(_actual(spark, view), _expected(qt, ["l_returnflag"], aggs))
+
+    # update that MOVES rows between groups (pre-image -1, post-image +1)
+    qt.update({"l_returnflag": "'Z'"}, [("l_orderkey", "<", 600)])
+    out = refresh_continuous_agg(spark, view)
+    assert out["refreshed"]
+    exp = _expected(qt, ["l_returnflag"], aggs)
+    assert ("Z",) in exp
+    _close(_actual(spark, view), exp)
+
+    # deletion-vector delete (no rewrite; pre-images come from the cdc
+    # sidecar, masked reads agree)
+    qt.delete([("l_orderkey", ">=", 50000)], mode="dv")
+    refresh_continuous_agg(spark, view)
+    _close(_actual(spark, view), _expected(qt, ["l_returnflag"], aggs))
+
+
+def test_continuous_agg_group_disappears_and_truncate(spark, tmp_table):
+    import qbeast_spark_spark as qss
+    from qbeast_spark_spark.sources.matview import (create_continuous_agg,
+                                                    read_continuous_agg,
+                                                    refresh_continuous_agg)
+
+    li = load(spark, "lineitem").select(
+        "l_orderkey", "l_quantity", "l_returnflag")
+    qss.write(li, tmp_table, columns_to_index=["l_orderkey"],
+              cube_size=2000)
+    qt = qss.QbeastTable.for_path(spark, tmp_table)
+    qt.enable_change_data_feed()
+    view = tmp_table + "_mv"
+    create_continuous_agg(spark, tmp_table, view, ["l_returnflag"],
+                          {"n": "count"})
+    # wipe one whole group -> its view row must disappear
+    qt.delete([("l_returnflag", "=", "R")], mode="rewrite")
+    refresh_continuous_agg(spark, view)
+    groups = {r.l_returnflag for r in
+              read_continuous_agg(spark, view).collect()}
+    assert "R" not in groups and groups
+    # truncate -> view empties
+    qt.delete()
+    refresh_continuous_agg(spark, view)
+    assert read_continuous_agg(spark, view).count() == 0
+
+
+def test_continuous_agg_refresh_noop_and_minmax_refused(spark, tmp_table):
+    import qbeast_spark_spark as qss
+    from qbeast_spark_spark.sources.matview import (create_continuous_agg,
+                                                    refresh_continuous_agg)
+
+    li = load(spark, "lineitem").select(
+        "l_orderkey", "l_quantity", "l_returnflag")
+    qss.write(li, tmp_table, columns_to_index=["l_orderkey"],
+              cube_size=2000)
+    view = tmp_table + "_mv"
+    with pytest.raises(ValueError, match="not delta-mergeable"):
+        create_continuous_agg(spark, tmp_table, view, ["l_returnflag"],
+                              {"mx": ("max", "l_quantity")})
+    meta = create_continuous_agg(spark, tmp_table, view, ["l_returnflag"],
+                                 {"n": "count"})
+    out = refresh_continuous_agg(spark, view)
+    assert out["refreshed"] is False
+    assert out["last_version"] == meta["last_version"]
+    # old state dir is cleaned after a real refresh
+    qss.write(li.limit(10), tmp_table, columns_to_index=["l_orderkey"],
+              cube_size=2000, mode="append")
+    out2 = refresh_continuous_agg(spark, view)
+    assert out2["refreshed"] and out2["state_dir"] != meta["state_dir"]
+    assert not os.path.isdir(os.path.join(view, meta["state_dir"]))
