@@ -146,3 +146,62 @@ def test_continuous_agg_refresh_noop_and_minmax_refused(spark, tmp_table):
     out2 = refresh_continuous_agg(spark, view)
     assert out2["refreshed"] and out2["state_dir"] != meta["state_dir"]
     assert not os.path.isdir(os.path.join(view, meta["state_dir"]))
+
+
+@pytest.mark.parametrize("seed", [11, 20260814])
+def test_continuous_agg_fuzz_random_dml(spark, tmp_table, seed):
+    """Random append / rewrite-delete / DV-delete / update / truncate
+    sequences: after every step the refreshed view must equal the
+    aggregate recomputed from scratch (the interaction net for CDF decode
+    x view merge — group moves, vanishing groups, re-appearing groups)."""
+    import random
+
+    import qbeast_spark_spark as qss
+    from qbeast_spark_spark.sources.matview import (create_continuous_agg,
+                                                    refresh_continuous_agg)
+
+    rng = random.Random(seed)
+    li = load(spark, "lineitem").select(
+        "l_orderkey", "l_extendedprice", "l_quantity",
+        "l_returnflag").limit(3000)
+    pdf = li.toPandas()
+    init, rest = pdf.iloc[:1200], pdf.iloc[1200:]
+    qss.write(spark.createDataFrame(init), tmp_table,
+              columns_to_index=["l_orderkey"], cube_size=500)
+    qt = qss.QbeastTable.for_path(spark, tmp_table)
+    qt.enable_change_data_feed()
+    view = tmp_table + "_mv"
+    aggs = {"n": ("count", ""), "qty": ("sum", "l_quantity"),
+            "avg_price": ("avg", "l_extendedprice")}
+    create_continuous_agg(spark, tmp_table, view, ["l_returnflag"],
+                          {"n": "count", "qty": ("sum", "l_quantity"),
+                           "avg_price": ("avg", "l_extendedprice")})
+    appended = 0
+    for step in range(10):
+        op = rng.choice(["append", "delete_rw", "delete_dv", "update",
+                         "update", "truncate"])
+        if op == "append" and appended < len(rest):
+            chunk = rest.iloc[appended:appended + 400]
+            appended += 400
+            qss.write(spark.createDataFrame(chunk), tmp_table,
+                      columns_to_index=["l_orderkey"], cube_size=500,
+                      mode="append")
+        elif op in ("delete_rw", "delete_dv"):
+            lo = rng.randrange(0, 1500)
+            filt = [("l_orderkey", ">=", lo),
+                    ("l_orderkey", "<", lo + rng.randrange(100, 600))]
+            qss.delete_rows(spark, tmp_table, filt,
+                            mode="rewrite" if op == "delete_rw" else "dv")
+        elif op == "update":
+            lo = rng.randrange(0, 1500)
+            filt = [("l_orderkey", ">=", lo),
+                    ("l_orderkey", "<", lo + 300)]
+            if rng.random() < 0.5:
+                qt.update({"l_quantity": "l_quantity + 7"}, filt)
+            else:   # group-moving update
+                qt.update({"l_returnflag": "'X'"}, filt)
+        elif op == "truncate":
+            qt.delete()
+        refresh_continuous_agg(spark, view)
+        _close(_actual(spark, view),
+               _expected(qt, ["l_returnflag"], aggs))
