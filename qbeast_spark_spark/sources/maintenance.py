@@ -45,11 +45,17 @@ def auto_maintain(spark, path: str, *,
                   small_file_bytes: int = 32 * 1024 * 1024,
                   target_file_bytes: int = 128 * 1024 * 1024,
                   vacuum_retention_hours: Optional[float] = None,
-                  columns_to_index=None) -> Dict[str, Any]:
+                  columns_to_index=None,
+                  refresh_views=None) -> Dict[str, Any]:
     """Run whichever maintenance steps the table currently needs; returns
     a report of what ran (step -> committed version / file list, absent
     when the step was skipped). Safe to call unconditionally after every
-    ingest batch — a healthy table costs one snapshot read."""
+    ingest batch — a healthy table costs one snapshot read.
+
+    ``refresh_views``: continuous-aggregate view paths (sources/matview)
+    to refresh after the maintenance steps — with ``maintain_every=N`` on
+    the streaming sink this keeps materialized aggregates trailing the
+    ingest by at most N micro-batches, at O(changed data) per refresh."""
     report: Dict[str, Any] = {}
     log = CommitLog(path)
     if not log.exists():
@@ -92,4 +98,12 @@ def auto_maintain(spark, path: str, *,
             retention_hours=vacuum_retention_hours)
         if deleted:
             report["vacuum"] = deleted
+
+    if refresh_views:
+        from .matview import refresh_continuous_agg
+
+        refreshed = [v for v in refresh_views
+                     if refresh_continuous_agg(spark, v).get("refreshed")]
+        if refreshed:
+            report["refresh_views"] = refreshed
     return report

@@ -205,3 +205,27 @@ def test_continuous_agg_fuzz_random_dml(spark, tmp_table, seed):
         refresh_continuous_agg(spark, view)
         _close(_actual(spark, view),
                _expected(qt, ["l_returnflag"], aggs))
+
+
+def test_auto_maintain_refreshes_views(spark, tmp_table):
+    import qbeast_spark_spark as qss
+    from qbeast_spark_spark.sources.matview import create_continuous_agg
+
+    li = load(spark, "lineitem").select(
+        "l_orderkey", "l_quantity", "l_returnflag")
+    qss.write(li, tmp_table, columns_to_index=["l_orderkey"],
+              cube_size=2000)
+    qt = qss.QbeastTable.for_path(spark, tmp_table)
+    view = tmp_table + "_mv"
+    create_continuous_agg(spark, tmp_table, view, ["l_returnflag"],
+                          {"n": "count"})
+    # fresh view: maintain reports nothing to refresh
+    rep = qss.auto_maintain(spark, tmp_table, refresh_views=[view])
+    assert "refresh_views" not in rep
+    qss.write(li.limit(200), tmp_table, columns_to_index=["l_orderkey"],
+              cube_size=2000, mode="append")
+    rep = qss.auto_maintain(spark, tmp_table, refresh_views=[view])
+    assert rep["refresh_views"] == [view]
+    total = sum(r.n for r in
+                qss.read_continuous_agg(spark, view).collect())
+    assert total == qt.to_df().count()
