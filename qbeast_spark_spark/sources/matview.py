@@ -36,7 +36,7 @@ from __future__ import annotations
 import json
 import os
 import shutil
-from typing import Dict, Optional, Tuple, Union
+from typing import Dict, Tuple, Union
 
 __all__ = ["create_continuous_agg", "refresh_continuous_agg",
            "read_continuous_agg"]

@@ -8,7 +8,6 @@ OptimisticTransaction (DeltaMetadataWriter.scala:162-228); its retry loop
 (IndexedTable.scala:355-368) re-runs the whole operation on conflict.
 """
 
-import os
 
 import pytest
 
