@@ -427,8 +427,11 @@ def repetition_flags(docs, id_col: str = "doc_id", text_col: str = "text",
     collapses each doc-partition's repeats first), then per-doc maxima.
     Shuffle volume is O(distinct grams), never O(docs^2); downstream
     aggregates and the final width-pivot work on O(docs × sizes) rows.
-    Only grams occurring >= 2 times count (a singleton n-gram is not
-    repetition) and overlap-overcounting caps the fraction at 1.0."""
+    The screened statistic is the character mass of the single MOST
+    FREQUENT n-gram (Gopher's definition; count ties broken by char
+    mass, then lexicographically, so results are deterministic). A gram
+    occurring once contributes 0 (a singleton n-gram is not repetition)
+    and overlap-overcounting caps the fraction at 1.0."""
     from pyspark.sql import functions as F
 
     th = dict(thresholds or TOP_NGRAM_DEFAULTS)
@@ -451,17 +454,20 @@ def repetition_flags(docs, id_col: str = "doc_id", text_col: str = "text",
                            F.col("_gs.g").alias("_gram"))
               .agg(F.count("*").alias("_c"),
                    F.first("_tot").alias("_tot")))
-    per_n = (counts.groupBy(id_col, "_n")
-             .agg(F.max(F.when(
-                  F.col("_c") >= 2,
-                  F.col("_c")
-                  * (F.length(F.col("_gram")) - (F.col("_n") - 1)))
-                  .otherwise(0)).alias("_top"),
-                  F.first("_tot").alias("_tot")))
-    wide = (per_n.groupBy(id_col).pivot("_n", sizes)
-            .agg(F.first("_top")))
-    totals = per_n.groupBy(id_col).agg(F.first("_tot").alias("_tot"))
-    out = totals.join(wide, id_col)
+    # Gopher's statistic is the char mass of the MOST FREQUENT gram (not
+    # the gram with the largest mass): max_by on (count, chars, gram) —
+    # the chars/gram components only break count ties deterministically.
+    # One conditional max_by per size collapses straight to the wide
+    # per-doc frame: no pivot, no second totals aggregation, no join.
+    chars = F.length(F.col("_gram")) - (F.col("_n") - 1)
+    mass = F.when(F.col("_c") >= 2, F.col("_c") * chars).otherwise(0)
+    ordkey = F.struct(F.col("_c").alias("c"), chars.alias("len"),
+                      F.col("_gram").alias("g"))
+    out = counts.groupBy(id_col).agg(
+        F.first("_tot").alias("_tot"),
+        *[F.max_by(F.when(F.col("_n") == n, mass),
+                   F.when(F.col("_n") == n, ordkey)).alias(str(n))
+          for n in sizes])
     cols = [F.col(id_col)]
     passes = None
     for n in sizes:

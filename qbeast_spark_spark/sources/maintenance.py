@@ -91,6 +91,18 @@ def auto_maintain(spark, path: str, *,
         if v is not None:
             report["compact"] = v
 
+    if refresh_views:
+        from .matview import refresh_continuous_agg
+
+        # BEFORE vacuum: views consume the pending change-feed range
+        # first, because vacuum ages out _change_data sidecars — running
+        # it first could delete exactly the changes an unrefreshed view
+        # still needs, leaving the view permanently unrefreshable
+        refreshed = [v for v in refresh_views
+                     if refresh_continuous_agg(spark, v).get("refreshed")]
+        if refreshed:
+            report["refresh_views"] = refreshed
+
     if vacuum_retention_hours is not None:
         from .reader import QbeastTable
 
@@ -98,12 +110,4 @@ def auto_maintain(spark, path: str, *,
             retention_hours=vacuum_retention_hours)
         if deleted:
             report["vacuum"] = deleted
-
-    if refresh_views:
-        from .matview import refresh_continuous_agg
-
-        refreshed = [v for v in refresh_views
-                     if refresh_continuous_agg(spark, v).get("refreshed")]
-        if refreshed:
-            report["refresh_views"] = refreshed
     return report

@@ -26,9 +26,10 @@ State layout under ``view_path``::
     state-<version>/         parquet snapshot of the aggregate table
 
 Each refresh writes a NEW ``state-<v>`` directory and atomically repoints
-the meta (tmp + rename), so a crashed refresh never corrupts the view and
-concurrent readers keep a consistent snapshot. Stale state dirs from
-superseded refreshes are removed opportunistically.
+the meta (tmp + rename), so a crashed refresh never corrupts the view.
+The current and the immediately superseded snapshot are both retained
+(a lazy DataFrame handed out before a refresh stays readable); older
+state dirs are removed.
 """
 
 from __future__ import annotations
@@ -75,9 +76,10 @@ def _internal_cols(aggs: Dict[str, Tuple[str, str]]):
     for name, (fn, col) in aggs.items():
         if fn == "count":
             cols[name] = {"cnt": f"_{name}_cnt"}
-        elif fn == "sum":
-            cols[name] = {"sum": f"_{name}_sum"}
-        else:  # avg = sum/count at read time
+        else:
+            # sum carries a non-null count too: SQL SUM over a group
+            # whose values are all NULL is NULL, and only the count can
+            # distinguish that from values netting out to exactly 0
             cols[name] = {"sum": f"_{name}_sum", "cnt": f"_{name}_cnt"}
     return cols
 
@@ -92,8 +94,9 @@ def _delta_frame(changes, group_cols, aggs):
     sign = F.when(F.col("_change_type").isin("insert", "update_postimage"),
                   F.lit(1)).otherwise(F.lit(-1))
     exprs = [F.sum(sign).alias("_rows")]
+    all_ints = _internal_cols(aggs)
     for name, (fn, col) in aggs.items():
-        ints = _internal_cols(aggs)[name]
+        ints = all_ints[name]
         if "sum" in ints:
             exprs.append(F.sum(sign * F.col(col)).alias(ints["sum"]))
         if "cnt" in ints:
@@ -125,14 +128,21 @@ def create_continuous_agg(spark, source_path: str, view_path: str,
     ``enable_change_data_feed()`` before it runs."""
     from .reader import QbeastTable
 
+    from pyspark.sql import functions as F
+
     aggs = _normalize_aggs(aggs)
     qt = QbeastTable.for_path(spark, source_path)
     snap = qt.snapshot(refresh=True)
     os.makedirs(view_path, exist_ok=True)
     state_dir = f"state-{snap.version:012d}"
+    # read AS OF the watermark version: to_df() with no version would
+    # re-read the log, so a commit landing between the snapshot and this
+    # materialization would be baked into the state yet replayed again by
+    # the first refresh (double-count)
     full = _delta_frame(
-        qt.to_df().withColumn("_change_type",
-                              _lit_insert(spark)), list(group_cols), aggs)
+        qt.to_df(version=snap.version)
+        .withColumn("_change_type", F.lit("insert")),
+        list(group_cols), aggs)
     full.write.mode("overwrite").parquet(os.path.join(view_path, state_dir))
     meta = {"source": os.path.abspath(source_path),
             "group_cols": list(group_cols),
@@ -141,12 +151,6 @@ def create_continuous_agg(spark, source_path: str, view_path: str,
             "state_dir": state_dir}
     _write_meta(view_path, meta)
     return meta
-
-
-def _lit_insert(spark):
-    from pyspark.sql import functions as F
-
-    return F.lit("insert")
 
 
 def refresh_continuous_agg(spark, view_path: str) -> dict:
@@ -200,9 +204,14 @@ def refresh_continuous_agg(spark, view_path: str) -> dict:
     old_dir = meta["state_dir"]
     meta = {**meta, "last_version": snap.version, "state_dir": state_dir}
     _write_meta(view_path, meta)
-    if old_dir != state_dir:
-        shutil.rmtree(os.path.join(view_path, old_dir),
-                      ignore_errors=True)
+    # keep the current AND the immediately superseded snapshot (a lazy
+    # DataFrame handed out before this refresh may still be pinned to
+    # it); anything older is garbage
+    for name in sorted(d for d in os.listdir(view_path)
+                       if d.startswith("state-")):
+        if name not in (state_dir, old_dir):
+            shutil.rmtree(os.path.join(view_path, name),
+                          ignore_errors=True)
     return {**meta, "refreshed": True}
 
 
@@ -220,8 +229,13 @@ def read_continuous_agg(spark, view_path: str):
         if fn == "count":
             cols.append(F.col(ints[name]["cnt"]).alias(name))
         elif fn == "sum":
-            cols.append(F.col(ints[name]["sum"]).alias(name))
+            cols.append(F.when(F.col(ints[name]["cnt"]) > 0,
+                               F.col(ints[name]["sum"]))
+                        .alias(name))      # SQL SUM: all-NULL group -> NULL
         else:
-            cols.append((F.col(ints[name]["sum"])
-                         / F.col(ints[name]["cnt"])).alias(name))
+            # try_divide: all-NULL group has cnt 0 -> NULL (not an ANSI
+            # division error)
+            cols.append(F.try_divide(F.col(ints[name]["sum"]),
+                                     F.col(ints[name]["cnt"]))
+                        .alias(name))
     return state.select(*cols)

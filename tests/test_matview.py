@@ -140,12 +140,19 @@ def test_continuous_agg_refresh_noop_and_minmax_refused(spark, tmp_table):
     out = refresh_continuous_agg(spark, view)
     assert out["refreshed"] is False
     assert out["last_version"] == meta["last_version"]
-    # old state dir is cleaned after a real refresh
+    # retention: the immediately superseded state survives one refresh
+    # (lazy readers may be pinned to it) and is gone after the next
     qss.write(li.limit(10), tmp_table, columns_to_index=["l_orderkey"],
               cube_size=2000, mode="append")
     out2 = refresh_continuous_agg(spark, view)
     assert out2["refreshed"] and out2["state_dir"] != meta["state_dir"]
+    assert os.path.isdir(os.path.join(view, meta["state_dir"]))
+    qss.write(li.limit(10), tmp_table, columns_to_index=["l_orderkey"],
+              cube_size=2000, mode="append")
+    out3 = refresh_continuous_agg(spark, view)
+    assert out3["refreshed"]
     assert not os.path.isdir(os.path.join(view, meta["state_dir"]))
+    assert os.path.isdir(os.path.join(view, out2["state_dir"]))
 
 
 @pytest.mark.parametrize("seed", [11, 20260814])
@@ -226,6 +233,75 @@ def test_auto_maintain_refreshes_views(spark, tmp_table):
               cube_size=2000, mode="append")
     rep = qss.auto_maintain(spark, tmp_table, refresh_views=[view])
     assert rep["refresh_views"] == [view]
+    total = sum(r.n for r in
+                qss.read_continuous_agg(spark, view).collect())
+    assert total == qt.to_df().count()
+
+
+def test_continuous_agg_null_sum_semantics(spark, tmp_table):
+    """SQL SUM/AVG over a group whose values are all NULL is NULL — and
+    must STAY null through refreshes (a sum netting to exactly 0 is
+    different from no non-null values)."""
+    import qbeast_spark_spark as qss
+    from qbeast_spark_spark.sources.matview import (create_continuous_agg,
+                                                    read_continuous_agg,
+                                                    refresh_continuous_agg)
+
+    schema = "l_orderkey long, l_quantity double, l_returnflag string"
+    rows = [(1, None, "A"), (2, None, "A"), (3, 5.0, "B"), (4, -5.0, "B")]
+    qss.write(spark.createDataFrame(rows, schema), tmp_table,
+              columns_to_index=["l_orderkey"], cube_size=100)
+    qt = qss.QbeastTable.for_path(spark, tmp_table)
+    qt.enable_change_data_feed()
+    view = tmp_table + "_mv"
+    create_continuous_agg(spark, tmp_table, view, ["l_returnflag"],
+                          {"qty": ("sum", "l_quantity"),
+                           "avg_qty": ("avg", "l_quantity")})
+    got = {r.l_returnflag: (r.qty, r.avg_qty)
+           for r in read_continuous_agg(spark, view).collect()}
+    assert got["A"] == (None, None)
+    assert got["B"] == (0.0, 0.0)
+    # a refresh must not coalesce the NULL group to 0
+    qss.write(spark.createDataFrame([(5, None, "A")], schema), tmp_table,
+              columns_to_index=["l_orderkey"], cube_size=100,
+              mode="append")
+    refresh_continuous_agg(spark, view)
+    got = {r.l_returnflag: (r.qty, r.avg_qty)
+           for r in read_continuous_agg(spark, view).collect()}
+    assert got["A"] == (None, None)
+    # delete B's non-null rows -> B's values are gone entirely with the
+    # rows, group B disappears; delete only the 5.0 row -> sum over
+    # {-5.0} = -5
+    qt.delete([("l_orderkey", "=", 3)], mode="rewrite")
+    refresh_continuous_agg(spark, view)
+    got = {r.l_returnflag: r.qty
+           for r in read_continuous_agg(spark, view).collect()}
+    assert got["B"] == -5.0
+
+
+def test_auto_maintain_refreshes_before_vacuum(spark, tmp_table):
+    """Ordering matters: the view must consume the pending change-feed
+    range BEFORE vacuum ages out the _change_data sidecars, else the
+    view becomes permanently unrefreshable."""
+    import qbeast_spark_spark as qss
+    from qbeast_spark_spark.sources.matview import create_continuous_agg
+
+    li = load(spark, "lineitem").select(
+        "l_orderkey", "l_quantity", "l_returnflag")
+    qss.write(li, tmp_table, columns_to_index=["l_orderkey"],
+              cube_size=2000)
+    qt = qss.QbeastTable.for_path(spark, tmp_table)
+    qt.enable_change_data_feed()
+    view = tmp_table + "_mv"
+    create_continuous_agg(spark, tmp_table, view, ["l_returnflag"],
+                          {"n": "count"})
+    qt.delete([("l_orderkey", "<", 400)], mode="rewrite")
+    # zero retention: vacuum would delete the delete-commit's change
+    # files; the refresh must have consumed them first
+    rep = qss.auto_maintain(spark, tmp_table,
+                            vacuum_retention_hours=0.0,
+                            refresh_views=[view])
+    assert rep.get("refresh_views") == [view]
     total = sum(r.n for r in
                 qss.read_continuous_agg(spark, view).collect())
     assert total == qt.to_df().count()

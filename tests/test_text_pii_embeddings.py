@@ -401,3 +401,22 @@ def test_repetition_flags_empty_and_short_docs(spark):
     for i in (1, 2, 3):
         assert out[i].passes_repetition
         assert out[i].top4gram_char_frac == 0.0
+
+
+def test_repetition_flags_most_frequent_not_largest_mass(spark):
+    """Gopher's statistic is the char mass of the MOST FREQUENT n-gram;
+    a rarer but longer gram must not win even with more total chars."""
+    from qbeast_spark_spark.operators.text import repetition_flags
+
+    # 'aa bb' repeats 10x (mass 10*4=40 chars); the long bigram
+    # 'xxxxxxxxxxxxxxx yyyyyyyyyyyyyyy' repeats 2x (mass 2*30=60)
+    text = ("aa bb " * 10
+            + "xxxxxxxxxxxxxxx yyyyyyyyyyyyyyy "
+            + "xxxxxxxxxxxxxxx yyyyyyyyyyyyyyy")
+    docs = spark.createDataFrame([(1, text)], ["doc_id", "text"])
+    row = repetition_flags(docs, thresholds={2: 0.2}).collect()[0]
+    toks = text.lower().split()
+    total = sum(len(t) for t in toks)
+    # most frequent bigram is 'aa bb' (10x, but note 'bb aa' occurs 9x):
+    # expected mass = 10 * 4
+    assert abs(row.top2gram_char_frac - 40 / total) < 1e-3
