@@ -250,6 +250,19 @@ def main() -> None:
         "sim_topk.ivf": lambda: ivf_topk(body, sq, cents, k=5),
         "sim_topk.q8": lambda: quantized_topk(body, sq, k=5),
     }
+    # decompose the merged text_analysis probe the same way: the r3-late
+    # decontamination join doubled the entry's scope (0.66 -> ~1.3s);
+    # lane timings keep that attributable across rounds
+    from qbeast_spark_spark.operators.text import (decontaminate,
+                                                   text_analysis)
+
+    docs = spark.read.parquet(os.path.join(SF_DIR, "documents.parquet"))
+    ev = docs.where(_F.col("doc_id") % 20 == 7)
+    lanes.update({
+        "text_analysis.base": lambda: text_analysis(docs),
+        "text_analysis.decontam": lambda: decontaminate(
+            docs, ev, n=13, exclude_self=True),
+    })
     for label, mk in lanes.items():
         samples = []
         for _ in range(n_runs):
