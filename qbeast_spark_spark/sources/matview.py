@@ -15,6 +15,10 @@ Delta-mergeable aggregates only (the honest contract):
   negatively and its post-image positively, so moved rows regroup
   correctly);
 - ``avg`` is stored as (sum, count) internally and divided at read time;
+- ``approx_count_distinct`` keeps a Datasketches HLL sketch per group
+  (``hll_sketch_agg``/``hll_union``): sketches union monotonically, so
+  refreshes succeed while the change range is INSERT-only and raise —
+  with a recreate-the-view hint — when it contains deletes/updates;
 - ``min``/``max`` are NOT mergeable under deletes (removing the current
   extremum needs the runner-up) and are refused with a clear error —
   recompute those from the source, where the OTree index prunes the scan.
@@ -46,7 +50,7 @@ META_NAME = "_matview.json"
 
 AggSpec = Union[str, Tuple[str, str]]   # "count" | (fn, col)
 
-_MERGEABLE = {"count", "sum", "avg"}
+_MERGEABLE = {"count", "sum", "avg", "approx_count_distinct"}
 
 
 def _normalize_aggs(aggs: Dict[str, AggSpec]) -> Dict[str, Tuple[str, str]]:
@@ -62,7 +66,8 @@ def _normalize_aggs(aggs: Dict[str, AggSpec]) -> Dict[str, Tuple[str, str]]:
                 f"aggregate {fn!r} ({name}) is not delta-mergeable: "
                 f"deleting the current extremum needs a rescan — compute "
                 f"min/max directly from the source table, where index "
-                f"pruning applies. Mergeable: {sorted(_MERGEABLE)}")
+                f"pruning applies. Mergeable: {sorted(_MERGEABLE)} "
+                f"(approx_count_distinct only under insert-only changes)")
         if fn != "count" and not col:
             raise ValueError(f"{fn} needs a column: {name}=('{fn}', col)")
         out[name] = (fn, col)
@@ -76,6 +81,10 @@ def _internal_cols(aggs: Dict[str, Tuple[str, str]]):
     for name, (fn, col) in aggs.items():
         if fn == "count":
             cols[name] = {"cnt": f"_{name}_cnt"}
+        elif fn == "approx_count_distinct":
+            # an HLL sketch unions monotonically: exact for inserts,
+            # impossible to subtract — refresh refuses delete ranges
+            cols[name] = {"hll": f"_{name}_hll"}
         else:
             # sum carries a non-null count too: SQL SUM over a group
             # whose values are all NULL is NULL, and only the count can
@@ -103,6 +112,8 @@ def _delta_frame(changes, group_cols, aggs):
             cnt = (F.sum(sign) if fn == "count"
                    else F.sum(F.when(F.col(col).isNotNull(), sign)))
             exprs.append(cnt.alias(ints["cnt"]))
+        if "hll" in ints:
+            exprs.append(F.hll_sketch_agg(F.col(col)).alias(ints["hll"]))
     return changes.groupBy(*group_cols).agg(*exprs)
 
 
@@ -173,6 +184,16 @@ def refresh_continuous_agg(spark, view_path: str) -> dict:
     if snap.version <= last:
         return {**meta, "refreshed": False}
     changes = qt.table_changes(last + 1, snap.version)
+    has_hll = any(fn == "approx_count_distinct" for fn, _ in aggs.values())
+    if has_hll:
+        removals = changes.where(
+            F.col("_change_type").isin("delete", "update_preimage"))
+        if removals.limit(1).count() > 0:
+            raise ValueError(
+                "refresh range contains deletes/updates but the view has "
+                "an approx_count_distinct aggregate — HLL sketches union "
+                "monotonically and cannot subtract; recreate the view "
+                "(create_continuous_agg) or keep the source insert-only")
     deltas = _delta_frame(changes, group_cols, aggs)
     state = spark.read.parquet(os.path.join(view_path, meta["state_dir"]))
     ints = _internal_cols(aggs)
@@ -189,11 +210,21 @@ def refresh_continuous_agg(spark, view_path: str) -> dict:
     merged = state.join(d, cond, "full_outer")
     out_cols = [F.coalesce(state[c], d[f"_d_{c}"]).alias(c)
                 for c in group_cols]
+    hll_cols = {c for name in aggs for k, c in ints[name].items()
+                if k == "hll"}
     for c in ["_rows"] + [c for name in aggs
                           for c in ints[name].values()]:
-        out_cols.append(
-            (F.coalesce(state[c], F.lit(0))
-             + F.coalesce(d[f"_d_{c}"], F.lit(0))).alias(c))
+        if c in hll_cols:
+            # sketches union, they don't add; either side may be absent
+            out_cols.append(
+                F.when(state[c].isNull(), d[f"_d_{c}"])
+                .when(d[f"_d_{c}"].isNull(), state[c])
+                .otherwise(F.hll_union(state[c], d[f"_d_{c}"]))
+                .alias(c))
+        else:
+            out_cols.append(
+                (F.coalesce(state[c], F.lit(0))
+                 + F.coalesce(d[f"_d_{c}"], F.lit(0))).alias(c))
     new_state = merged.select(*out_cols)
     # a group whose net row count reaches zero disappears, exactly as a
     # from-scratch recomputation would have it
@@ -232,6 +263,10 @@ def read_continuous_agg(spark, view_path: str):
             cols.append(F.when(F.col(ints[name]["cnt"]) > 0,
                                F.col(ints[name]["sum"]))
                         .alias(name))      # SQL SUM: all-NULL group -> NULL
+        elif fn == "approx_count_distinct":
+            cols.append(
+                F.coalesce(F.hll_sketch_estimate(F.col(ints[name]["hll"])),
+                           F.lit(0)).alias(name))
         else:
             # try_divide: all-NULL group has cnt 0 -> NULL (not an ANSI
             # division error)

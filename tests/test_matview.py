@@ -305,3 +305,57 @@ def test_auto_maintain_refreshes_before_vacuum(spark, tmp_table):
     total = sum(r.n for r in
                 qss.read_continuous_agg(spark, view).collect())
     assert total == qt.to_df().count()
+
+
+def test_continuous_agg_hll_distinct_insert_only(spark, tmp_table):
+    """approx_count_distinct via HLL sketches: exact on this small
+    cardinality, refreshable under inserts, refused once the change
+    range contains removals."""
+    import qbeast_spark_spark as qss
+    from qbeast_spark_spark.sources.matview import (create_continuous_agg,
+                                                    read_continuous_agg,
+                                                    refresh_continuous_agg)
+
+    li = load(spark, "lineitem").select(
+        "l_orderkey", "l_suppkey", "l_returnflag")
+    qss.write(li, tmp_table, columns_to_index=["l_orderkey"],
+              cube_size=2000)
+    qt = qss.QbeastTable.for_path(spark, tmp_table)
+    qt.enable_change_data_feed()
+    view = tmp_table + "_mv"
+    create_continuous_agg(spark, tmp_table, view, ["l_returnflag"],
+                          {"n_supp": ("approx_count_distinct",
+                                      "l_suppkey"),
+                           "n": "count"})
+
+    def truth():
+        from pyspark.sql import functions as F
+
+        return {r.l_returnflag: r.d for r in
+                qt.to_df().groupBy("l_returnflag")
+                .agg(F.countDistinct("l_suppkey").alias("d")).collect()}
+
+    got = {r.l_returnflag: r.n_supp for r in
+           read_continuous_agg(spark, view).collect()}
+    exact = truth()
+    for k in exact:     # HLL is near-exact at this cardinality (~100)
+        assert abs(got[k] - exact[k]) <= max(2, 0.05 * exact[k])
+    # insert-only refresh works; distinct count only grows
+    from pyspark.sql import functions as F
+
+    extra = li.select((F.col("l_orderkey") + 90000).alias("l_orderkey"),
+                      (F.col("l_suppkey") + 500).alias("l_suppkey"),
+                      "l_returnflag").limit(300)
+    qss.write(extra, tmp_table, columns_to_index=["l_orderkey"],
+              cube_size=2000, mode="append")
+    refresh_continuous_agg(spark, view)
+    got2 = {r.l_returnflag: r.n_supp for r in
+            read_continuous_agg(spark, view).collect()}
+    exact2 = truth()
+    for k in exact2:
+        assert got2[k] >= got.get(k, 0)
+        assert abs(got2[k] - exact2[k]) <= max(2, 0.05 * exact2[k])
+    # a delete poisons the range -> clear refusal
+    qt.delete([("l_orderkey", "<", 200)], mode="rewrite")
+    with pytest.raises(ValueError, match="insert-only"):
+        refresh_continuous_agg(spark, view)
