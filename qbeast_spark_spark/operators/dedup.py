@@ -25,7 +25,7 @@ from .text import TOKEN_RE
 __all__ = [
     "MINHASH_PERMS", "MINHASH_PRIME", "LSH_BAND_ROWS", "SIMHASH_BITS",
     "dedup_exact", "shingles", "jaccard_pairs", "minhash_signatures",
-    "lsh_candidate_pairs", "simhash", "simhash_pairs", "lsh_join",
+    "lsh_candidate_pairs", "simhash", "simhash_pairs", "lsh_join", "lsh_join_sigs",
 ]
 
 MINHASH_PRIME = 2147483647  # 2^31 - 1 (Mersenne prime)
@@ -339,10 +339,20 @@ def lsh_join(docs_a, docs_b, n: int = 3, id_col: str = "doc_id",
     equi-join (never all pairs); survivors are scored by signature
     agreement and thresholded. Returns (id_a, id_b, est_jaccard) — ids
     may collide across corpora, the columns keep them apart."""
-    from pyspark.sql import functions as F
-
     sig_a = minhash_signatures(docs_a, n, id_col).persist()
     sig_b = minhash_signatures(docs_b, n, id_col).persist()
+    return lsh_join_sigs(sig_a, sig_b, id_col=id_col, threshold=threshold)
+
+
+def lsh_join_sigs(sig_a, sig_b, id_col: str = "doc_id",
+                  threshold: float = 0.5):
+    """lsh_join over PRE-COMPUTED MinHash signature tables (a
+    ``minhash_signatures`` result, e.g. a persisted signature store):
+    band equi-join for candidates, signature-agreement score, threshold.
+    The streaming-ingest shape — the corpus side's signatures live in a
+    store and are never recomputed from text."""
+    from pyspark.sql import functions as F
+
     cands = (_bands_of(sig_a, id_col, "id_a")
              .join(_bands_of(sig_b, id_col, "id_b"),
                    ["band", "band_val"])
@@ -364,7 +374,7 @@ def lsh_join(docs_a, docs_b, n: int = 3, id_col: str = "doc_id",
 
 
 def lsh_pairs_scored(docs, n: int = 3, id_col: str = "doc_id",
-                     threshold: float = 0.5):
+                     threshold: float = 0.5, sig_df=None):
     """MinHash pipeline completion: LSH candidate pairs scored by their
     signature-agreement fraction (the unbiased estimator of Jaccard
     similarity), thresholded. The exact-Jaccard verify pass is O(pairs x
@@ -377,7 +387,8 @@ def lsh_pairs_scored(docs, n: int = 3, id_col: str = "doc_id",
     # of raw text — and it feeds three consumers (banding, both score-join
     # sides). Without the persist each consumer re-scans and re-hashes the
     # full corpus.
-    sigs = minhash_signatures(docs, n, id_col).persist()
+    sigs = sig_df if sig_df is not None \
+        else minhash_signatures(docs, n, id_col).persist()
     cands = lsh_candidate_pairs(docs, n, id_col, sig_df=sigs)
     a = sigs.select(F.col(id_col).alias("id1"),
                     *[F.col(f"mh{j}").alias(f"a{j}")

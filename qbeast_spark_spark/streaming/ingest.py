@@ -24,7 +24,8 @@ from __future__ import annotations
 
 from typing import List, Optional, Sequence
 
-__all__ = ["stream_write_qbeast", "windowed_aggregate", "session_aggregate",
+__all__ = ["stream_write_qbeast", "stream_dedup_ingest",
+           "windowed_aggregate", "session_aggregate",
            "stream_dedup", "stateful_running_totals", "stream_stream_join"]
 
 
@@ -61,6 +62,81 @@ def stream_write_qbeast(stream_df, path: str,
             mk = dict(maintain_kwargs or {})
             mk.setdefault("columns_to_index", columns_to_index)
             auto_maintain(batch_df.sparkSession, path, **mk)
+
+    writer = (stream_df.writeStream.foreachBatch(sink)
+              .queryName(query_name)
+              .outputMode("update"))
+    if checkpoint:
+        writer = writer.option("checkpointLocation", checkpoint)
+    if trigger_available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
+def stream_dedup_ingest(stream_df, path: str, sig_path: str,
+                        columns_to_index: Sequence[str],
+                        cube_size: int = 100_000,
+                        id_col: str = "doc_id",
+                        n: int = 3,
+                        threshold: float = 0.7,
+                        checkpoint: Optional[str] = None,
+                        trigger_available_now: bool = False,
+                        query_name: str = "qbeast-dedup-ingest",
+                        **write_kwargs):
+    """The production crawl-ingest pipeline in one sink: per micro-batch,
+
+    1. MinHash-sign the incoming documents (one shingle aggregation);
+    2. drop documents near-duplicating the EXISTING corpus — a banded
+       LSH join against the persisted signature store at ``sig_path``
+       (signatures only; the corpus text is never re-read or re-hashed);
+    3. drop intra-batch near-dups (keep the smallest id of each pair);
+    4. append the survivors to the indexed table exactly-once (same txn
+       tagging as stream_write_qbeast) and their signatures to the store.
+
+    Scale shape per batch: O(batch) shingle work, band equi-joins whose
+    shuffle is O(batch x bands) + matching store slices — never a corpus
+    scan. The signature store grows by O(survivors x perms) longs.
+
+    Exactly-once nuance: the DATA commit is idempotent via the commit
+    log's txn map; the signature append is plain parquet, so a batch
+    replayed after a crash between the two writes can duplicate
+    signature rows. Duplicated signatures are harmless for correctness —
+    the same doc id carries the same signature, candidates are
+    ``distinct`` id pairs — they only add a sliver of join work until
+    the store is next compacted."""
+    from pyspark.sql import functions as F
+
+    from ..operators.dedup import (lsh_join_sigs, lsh_pairs_scored,
+                                   minhash_signatures)
+    from ..sources.writer import write_qbeast
+
+    def sink(batch_df, batch_id: int):
+        import os as _os
+
+        if batch_df.isEmpty():
+            return
+        spark = batch_df.sparkSession
+        new_sigs = minhash_signatures(batch_df, n, id_col).persist()
+        dup_ids = None
+        if _os.path.isdir(sig_path):
+            corpus_sigs = spark.read.parquet(sig_path)
+            vs_corpus = lsh_join_sigs(corpus_sigs, new_sigs,
+                                      id_col=id_col, threshold=threshold)
+            dup_ids = vs_corpus.select(
+                F.col("id_b").alias(id_col)).distinct()
+        intra = lsh_pairs_scored(batch_df, n=n, threshold=threshold,
+                                 id_col=id_col, sig_df=new_sigs)
+        intra_dups = intra.select(F.col("id2").alias(id_col)).distinct()
+        dup_ids = intra_dups if dup_ids is None \
+            else dup_ids.unionByName(intra_dups).distinct()
+        survivors = batch_df.join(dup_ids, id_col, "left_anti")
+        write_qbeast(survivors, path, columns_to_index=columns_to_index,
+                     cube_size=cube_size, mode="append",
+                     txn_app_id=query_name, txn_version=batch_id,
+                     **write_kwargs)
+        (new_sigs.join(dup_ids, id_col, "left_anti")
+         .write.mode("append").parquet(sig_path))
+        new_sigs.unpersist()
 
     writer = (stream_df.writeStream.foreachBatch(sink)
               .queryName(query_name)

@@ -236,3 +236,72 @@ def test_stream_stream_join_matches_batch(spark, tmp_path):
     assert got.count() == expect.count() > 0
     assert got.select("event_id", "click_id_r").exceptAll(
         expect.select("event_id", "click_id_r")).count() == 0
+
+
+def test_stream_dedup_ingest_pipeline(spark, tmp_path):
+    """The production crawl-ingest shape end-to-end: a seeded corpus +
+    signature store, then a streamed batch containing (a) near-dups of
+    corpus docs, (b) an intra-batch near-dup pair, (c) fresh docs. Only
+    the fresh docs and one of each intra-batch pair may land; the
+    signature store grows by exactly the survivors."""
+    import os
+
+    import qbeast_spark_spark as qss
+    from qbeast_spark_spark.operators.dedup import minhash_signatures
+    from qbeast_spark_spark.streaming.ingest import stream_dedup_ingest
+
+    table = str(tmp_path / "corpus")
+    sig_path = str(tmp_path / "sigs")
+    src = str(tmp_path / "incoming")
+    ckpt = str(tmp_path / "ckpt")
+    os.makedirs(src)
+
+    base = ("the quick brown fox jumps over the lazy dog while "
+            "seventeen sleepy penguins waddle across the frozen shore "
+            "carrying umbrellas and singing quiet songs about summer")
+    corpus = spark.createDataFrame(
+        [(i, base + f" tail variant {i}") for i in range(10)],
+        ["doc_id", "text"])
+    qss.write(corpus, table, columns_to_index=["doc_id"], cube_size=100)
+    minhash_signatures(corpus).write.mode("overwrite").parquet(sig_path)
+    n_sigs0 = spark.read.parquet(sig_path).count()
+
+    # incoming: 100/101 near-dup corpus doc 0; 102/103 near-dup each
+    # other; 104/105 fresh distinct docs
+    fresh_a = ("completely different content about databases indexes "
+               "shuffles partitions and the gentle art of benchmarking "
+               "distributed query engines on cold winter mornings today")
+    fresh_b = ("unrelated recipe for bread flour water salt yeast time "
+               "patience folding shaping baking crust crumb steam oven "
+               "stone temperature hydration schedule notes and a diary")
+    batch = spark.createDataFrame(
+        [(100, base + " tail variant 0 extra"),
+         (101, base + " tail variant 0"),
+         (102, fresh_a + " first copy marker"),
+         (103, fresh_a + " first copy marker again"),
+         (104, fresh_b),
+         (105, "tiny short doc unlike anything else entirely novel "
+               "words assembled uniquely here with no repeated phrases "
+               "from other documents in this synthetic little corpus")],
+        ["doc_id", "text"])
+    batch.coalesce(1).write.mode("overwrite").parquet(src)
+
+    stream = spark.readStream.schema(batch.schema).parquet(src)
+    q = stream_dedup_ingest(stream, table, sig_path,
+                            columns_to_index=["doc_id"], cube_size=100,
+                            threshold=0.5, checkpoint=ckpt,
+                            trigger_available_now=True)
+    q.awaitTermination(120)
+
+    final = qss.QbeastTable.for_path(spark, table).to_df()
+    landed = {r.doc_id for r in
+              final.where("doc_id >= 100").select("doc_id").collect()}
+    # corpus near-dups dropped
+    assert 100 not in landed and 101 not in landed
+    # exactly one of the intra-batch pair survives (the smaller id)
+    assert 102 in landed and 103 not in landed
+    # fresh docs land
+    assert {104, 105} <= landed
+    # store grew by exactly the survivors
+    n_sigs1 = spark.read.parquet(sig_path).count()
+    assert n_sigs1 == n_sigs0 + len(landed)
