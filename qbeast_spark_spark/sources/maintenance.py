@@ -97,11 +97,21 @@ def auto_maintain(spark, path: str, *,
         # BEFORE vacuum: views consume the pending change-feed range
         # first, because vacuum ages out _change_data sidecars — running
         # it first could delete exactly the changes an unrefreshed view
-        # still needs, leaving the view permanently unrefreshable
-        refreshed = [v for v in refresh_views
-                     if refresh_continuous_agg(spark, v).get("refreshed")]
+        # still needs, leaving the view permanently unrefreshable.
+        # Per-view isolation: one broken view (e.g. an HLL aggregate hit
+        # by a delete) must not crash the maintenance pass, skip vacuum,
+        # or kill a streaming query that calls this from its sink.
+        refreshed, errors = [], {}
+        for v in refresh_views:
+            try:
+                if refresh_continuous_agg(spark, v).get("refreshed"):
+                    refreshed.append(v)
+            except Exception as e:      # noqa: BLE001 — reported, not lost
+                errors[v] = str(e)
         if refreshed:
             report["refresh_views"] = refreshed
+        if errors:
+            report["refresh_view_errors"] = errors
 
     if vacuum_retention_hours is not None:
         from .reader import QbeastTable

@@ -186,9 +186,14 @@ def refresh_continuous_agg(spark, view_path: str) -> dict:
     changes = qt.table_changes(last + 1, snap.version)
     has_hll = any(fn == "approx_count_distinct" for fn, _ in aggs.values())
     if has_hll:
+        # the guard and the delta aggregation both consume the decoded
+        # feed — persist so the CDF decode (sidecar reads + file-action
+        # reconstruction) runs once, not twice
+        changes = changes.persist()
         removals = changes.where(
             F.col("_change_type").isin("delete", "update_preimage"))
         if removals.limit(1).count() > 0:
+            changes.unpersist()
             raise ValueError(
                 "refresh range contains deletes/updates but the view has "
                 "an approx_count_distinct aggregate — HLL sketches union "
@@ -243,6 +248,8 @@ def refresh_continuous_agg(spark, view_path: str) -> dict:
         if name not in (state_dir, old_dir):
             shutil.rmtree(os.path.join(view_path, name),
                           ignore_errors=True)
+    if has_hll:
+        changes.unpersist()
     return {**meta, "refreshed": True}
 
 

@@ -110,33 +110,70 @@ def stream_dedup_ingest(stream_df, path: str, sig_path: str,
                                    minhash_signatures)
     from ..sources.writer import write_qbeast
 
-    def sink(batch_df, batch_id: int):
-        import os as _os
+    from ..operators.dedup import MINHASH_PERMS, MINHASH_PRIME
 
+    def _whole_doc_sigs(docs):
+        """Fallback signature for documents too short to shingle (< n
+        tokens, incl. empty): the whole normalized text acts as the one
+        shingle, so EXACT short-doc duplicates still collide on every
+        band (near-dup recall for short docs is out of scope and
+        documented)."""
+        h = F.conv(F.substring(
+            F.md5(F.trim(F.lower(F.col("text")))), 1, 8), 16, 10) \
+            .cast("long")
+        return docs.select(
+            F.col(id_col),
+            *[((h * F.lit(a) + F.lit(b)) % F.lit(MINHASH_PRIME))
+              .alias(f"mh{j}")
+              for j, (a, b) in enumerate(MINHASH_PERMS)])
+
+    def sink(batch_df, batch_id: int):
         if batch_df.isEmpty():
             return
         spark = batch_df.sparkSession
-        new_sigs = minhash_signatures(batch_df, n, id_col).persist()
-        dup_ids = None
-        if _os.path.isdir(sig_path):
-            corpus_sigs = spark.read.parquet(sig_path)
-            vs_corpus = lsh_join_sigs(corpus_sigs, new_sigs,
-                                      id_col=id_col, threshold=threshold)
-            dup_ids = vs_corpus.select(
-                F.col("id_b").alias(id_col)).distinct()
-        intra = lsh_pairs_scored(batch_df, n=n, threshold=threshold,
-                                 id_col=id_col, sig_df=new_sigs)
-        intra_dups = intra.select(F.col("id2").alias(id_col)).distinct()
-        dup_ids = intra_dups if dup_ids is None \
-            else dup_ids.unionByName(intra_dups).distinct()
-        survivors = batch_df.join(dup_ids, id_col, "left_anti")
-        write_qbeast(survivors, path, columns_to_index=columns_to_index,
-                     cube_size=cube_size, mode="append",
-                     txn_app_id=query_name, txn_version=batch_id,
-                     **write_kwargs)
-        (new_sigs.join(dup_ids, id_col, "left_anti")
-         .write.mode("append").parquet(sig_path))
-        new_sigs.unpersist()
+        sigs = minhash_signatures(batch_df, n, id_col)
+        # docs with < n tokens yield no shingles, hence no signature row:
+        # without a fallback they would bypass dedup AND never enter the
+        # store, re-ingesting forever
+        short = batch_df.join(sigs.select(id_col), id_col, "left_anti")
+        new_sigs = sigs.unionByName(_whole_doc_sigs(short)).persist()
+        try:
+            dup_ids = None
+            # existence probe through Spark, not the driver's local
+            # filesystem — sig_path may be s3a://... on a real cluster
+            try:
+                corpus_sigs = spark.read.parquet(sig_path)
+                corpus_sigs.schema     # force analysis
+            except Exception:
+                corpus_sigs = None     # first batch: no store yet
+            if corpus_sigs is not None:
+                vs_corpus = lsh_join_sigs(corpus_sigs, new_sigs,
+                                          id_col=id_col,
+                                          threshold=threshold)
+                dup_ids = vs_corpus.select(
+                    F.col("id_b").alias(id_col)).distinct()
+            intra = lsh_pairs_scored(batch_df, n=n, threshold=threshold,
+                                     id_col=id_col, sig_df=new_sigs)
+            intra_dups = intra.select(
+                F.col("id2").alias(id_col)).distinct()
+            dup_ids = intra_dups if dup_ids is None \
+                else dup_ids.unionByName(intra_dups).distinct()
+            # dup_ids feeds BOTH the survivors write and the sig append;
+            # without this the corpus-store scan and band joins run twice
+            dup_ids = dup_ids.persist()
+            try:
+                survivors = batch_df.join(dup_ids, id_col, "left_anti")
+                write_qbeast(survivors, path,
+                             columns_to_index=columns_to_index,
+                             cube_size=cube_size, mode="append",
+                             txn_app_id=query_name, txn_version=batch_id,
+                             **write_kwargs)
+                (new_sigs.join(dup_ids, id_col, "left_anti")
+                 .write.mode("append").parquet(sig_path))
+            finally:
+                dup_ids.unpersist()
+        finally:
+            new_sigs.unpersist()
 
     writer = (stream_df.writeStream.foreachBatch(sink)
               .queryName(query_name)

@@ -359,3 +359,33 @@ def test_continuous_agg_hll_distinct_insert_only(spark, tmp_table):
     qt.delete([("l_orderkey", "<", 200)], mode="rewrite")
     with pytest.raises(ValueError, match="insert-only"):
         refresh_continuous_agg(spark, view)
+
+
+def test_auto_maintain_isolates_broken_view(spark, tmp_table):
+    """One unrefreshable view (HLL aggregate hit by a delete) must not
+    crash the maintenance pass — it lands in refresh_view_errors while
+    healthy views still refresh."""
+    import qbeast_spark_spark as qss
+    from qbeast_spark_spark.sources.matview import create_continuous_agg
+
+    li = load(spark, "lineitem").select(
+        "l_orderkey", "l_suppkey", "l_returnflag")
+    qss.write(li, tmp_table, columns_to_index=["l_orderkey"],
+              cube_size=2000)
+    qt = qss.QbeastTable.for_path(spark, tmp_table)
+    qt.enable_change_data_feed()
+    hll_view = tmp_table + "_mv_hll"
+    ok_view = tmp_table + "_mv_ok"
+    create_continuous_agg(spark, tmp_table, hll_view, ["l_returnflag"],
+                          {"d": ("approx_count_distinct", "l_suppkey")})
+    create_continuous_agg(spark, tmp_table, ok_view, ["l_returnflag"],
+                          {"n": "count"})
+    qt.delete([("l_orderkey", "<", 300)], mode="rewrite")
+    rep = qss.auto_maintain(spark, tmp_table,
+                            refresh_views=[hll_view, ok_view])
+    assert rep["refresh_views"] == [ok_view]
+    assert hll_view in rep["refresh_view_errors"]
+    assert "insert-only" in rep["refresh_view_errors"][hll_view]
+    total = sum(r.n for r in
+                qss.read_continuous_agg(spark, ok_view).collect())
+    assert total == qt.to_df().count()

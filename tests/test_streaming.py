@@ -282,7 +282,11 @@ def test_stream_dedup_ingest_pipeline(spark, tmp_path):
          (104, fresh_b),
          (105, "tiny short doc unlike anything else entirely novel "
                "words assembled uniquely here with no repeated phrases "
-               "from other documents in this synthetic little corpus")],
+               "from other documents in this synthetic little corpus"),
+         # < n tokens: no shingles — exercised the whole-doc signature
+         # fallback; 107 is an exact duplicate of 106 and must drop
+         (106, "two words"),
+         (107, "two words")],
         ["doc_id", "text"])
     batch.coalesce(1).write.mode("overwrite").parquet(src)
 
@@ -302,6 +306,10 @@ def test_stream_dedup_ingest_pipeline(spark, tmp_path):
     assert 102 in landed and 103 not in landed
     # fresh docs land
     assert {104, 105} <= landed
+    # short docs: one of the exact-dup pair lands via the whole-doc
+    # signature fallback (without it both would land and neither would
+    # ever reach the store)
+    assert 106 in landed and 107 not in landed
     # store grew by exactly the survivors
     n_sigs1 = spark.read.parquet(sig_path).count()
     assert n_sigs1 == n_sigs0 + len(landed)
