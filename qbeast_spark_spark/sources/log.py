@@ -451,7 +451,15 @@ class CommitLog:
                 with open(path) as fh:
                     payload = json.load(fh)
             except FileNotFoundError:
-                continue    # gap version never materialized
+                # commit JSONs are never deleted (snapshot() contract),
+                # so a missing gap version means the log was tampered
+                # with or a cleanup policy changed — skipping would
+                # silently miss a conflict and corrupt the table
+                # (ADVICE r4, log.py:455)
+                raise ConcurrentModificationError(
+                    f"cannot verify conflicts: commit {v} is missing "
+                    f"from {self.log_dir} (log JSONs are expected to be "
+                    f"immutable); re-read and retry")
             # a commit "touches" a file by removing it (rewrite/restore/
             # truncate) or by re-adding its path (deletion-vector commits
             # replace the entry in place); brand-new paths (uuid-named)

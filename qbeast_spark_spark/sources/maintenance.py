@@ -114,10 +114,20 @@ def auto_maintain(spark, path: str, *,
             report["refresh_view_errors"] = errors
 
     if vacuum_retention_hours is not None:
-        from .reader import QbeastTable
+        if report.get("refresh_view_errors"):
+            # a failed view has NOT consumed its pending change-feed
+            # range; vacuuming now could age out exactly the
+            # _change_data sidecars it still needs, making it
+            # permanently unrefreshable (ADVICE r4, maintenance.py:104).
+            # Skip this pass — vacuum resumes once every view refreshes.
+            report["vacuum_skipped"] = "unrefreshed views hold the " \
+                "change-feed range: " + ", ".join(
+                    sorted(report["refresh_view_errors"]))
+        else:
+            from .reader import QbeastTable
 
-        deleted = QbeastTable.for_path(spark, path).vacuum(
-            retention_hours=vacuum_retention_hours)
-        if deleted:
-            report["vacuum"] = deleted
+            deleted = QbeastTable.for_path(spark, path).vacuum(
+                retention_hours=vacuum_retention_hours)
+            if deleted:
+                report["vacuum"] = deleted
     return report

@@ -24,6 +24,8 @@ from __future__ import annotations
 
 from typing import List, Optional, Sequence
 
+from pyspark.errors import AnalysisException
+
 __all__ = ["stream_write_qbeast", "stream_dedup_ingest",
            "windowed_aggregate", "session_aggregate",
            "stream_dedup", "stateful_running_totals", "stream_stream_join"]
@@ -144,7 +146,15 @@ def stream_dedup_ingest(stream_df, path: str, sig_path: str,
             try:
                 corpus_sigs = spark.read.parquet(sig_path)
                 corpus_sigs.schema     # force analysis
-            except Exception:
+            except AnalysisException as e:
+                # ONLY a genuinely absent store means "first batch";
+                # any other failure (permissions, corrupt footer) must
+                # fail the batch so the checkpoint retries it — swallowing
+                # it would silently disable corpus dedup and let
+                # near-duplicates land permanently (ADVICE r4)
+                if "PATH_NOT_FOUND" not in str(e) \
+                        and "Path does not exist" not in str(e):
+                    raise
                 corpus_sigs = None     # first batch: no store yet
             if corpus_sigs is not None:
                 vs_corpus = lsh_join_sigs(corpus_sigs, new_sigs,
