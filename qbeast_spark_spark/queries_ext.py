@@ -256,9 +256,13 @@ WHERE l_shipdate >= TIMESTAMP '1997-03-01' AND l_shipdate < TIMESTAMP '1997-04-0
 
 def q17_small_quantity(spark, sf_dir):
     """q17 (per-part average threshold, correlated-subquery shape, via
-    self-agg broadcast join — no per-row subquery execution at scale) and
-    q19 (disjunction of conjunctive range predicates across a join) as
-    one labeled result: both are selective lineitem-x-part aggregates."""
+    self-agg broadcast join — no per-row subquery execution at scale),
+    q19 (disjunction of conjunctive range predicates across a join) and
+    q14 (global conditional-ratio aggregate, merged here in r5 to free a
+    registry slot for the partsupp suite) as one labeled result: all are
+    selective lineitem-x-part aggregates. The q14 branch keeps its
+    conditional-ratio semantics with the percentage scaled to a bigint
+    (x 1e4) to fit the shared (shape, revenue_cents, n_lines) schema."""
     from pyspark.sql import functions as F
 
     li = _t(spark, sf_dir, "lineitem")
@@ -291,7 +295,22 @@ def q17_small_quantity(spark, sf_dir):
                 F.count("*").alias("n_lines"))
            .select(F.lit("q19_disjunctive").alias("shape"),
                    "revenue_cents", "n_lines"))
-    return q17.unionByName(q19)
+
+    li14 = li.where(
+        (F.col("l_shipdate") >= F.lit("1997-03-01").cast("timestamp_ntz"))
+        & (F.col("l_shipdate") < F.lit("1997-04-01").cast("timestamp_ntz")))
+    rev14 = _cents(F.col("l_extendedprice") * (1 - F.col("l_discount")))
+    q14 = (
+        li14.join(F.broadcast(p), li14.l_partkey == p.p_partkey)
+        .agg(F.round(
+            F.lit(100.0)
+            * F.sum(F.when(F.col("p_type") == "PROMO", rev14).otherwise(0))
+            .cast("double") / F.sum(rev14), 4).alias("pct"),
+             F.count("*").alias("n_lines"))
+        .select(F.lit("q14_promo_pct_x1e4").alias("shape"),
+                F.round(F.col("pct") * 10000, 0).cast("bigint")
+                .alias("revenue_cents"), "n_lines"))
+    return q17.unionByName(q19).unionByName(q14)
 
 
 Q17_SQL = """
@@ -311,6 +330,16 @@ FROM lineitem JOIN part ON l_partkey = p_partkey
 WHERE (p_brand = 'Brand#12' AND p_size BETWEEN 1 AND 5  AND l_quantity BETWEEN 1  AND 11)
    OR (p_brand = 'Brand#23' AND p_size BETWEEN 1 AND 10 AND l_quantity BETWEEN 10 AND 20)
    OR (p_brand = 'Brand#34' AND p_size BETWEEN 1 AND 15 AND l_quantity BETWEEN 20 AND 30)
+UNION ALL
+SELECT 'q14_promo_pct_x1e4' AS shape,
+       CAST(ROUND(ROUND(100.0 * CAST(SUM(CASE WHEN p_type = 'PROMO'
+                 THEN CAST(ROUND(l_extendedprice*(1-l_discount)*100,0) AS BIGINT)
+                 ELSE 0 END) AS DOUBLE)
+             / SUM(CAST(ROUND(l_extendedprice*(1-l_discount)*100,0) AS BIGINT)), 4)
+             * 10000, 0) AS BIGINT) AS revenue_cents,
+       COUNT(*) AS n_lines
+FROM lineitem JOIN part ON l_partkey = p_partkey
+WHERE l_shipdate >= TIMESTAMP '1997-03-01' AND l_shipdate < TIMESTAMP '1997-04-01'
 """
 
 
@@ -1088,6 +1117,261 @@ FROM base v LEFT JOIN canon c ON v.vec_id = c.node
 """
 
 
+# ---------------------------------------------------------------------------
+# The partsupp suite: TPC-H q2 / q9 / q11 / q16 / q20 (r5)
+# ---------------------------------------------------------------------------
+
+# The testdata ships no partsupp table, so the five TPC-H shapes that
+# need one (q2 correlated-min, q9 profit rollup, q11 HAVING-over-scalar-
+# subquery, q16 anti-join distinct-count, q20 nested-IN with correlated
+# aggregate) derive it DETERMINISTICALLY from lineitem: one row per
+# distinct (l_partkey, l_suppkey) with arithmetic cost/availability.
+# The identical derivation runs as a CTE in the DuckDB oracle, so both
+# engines aggregate the same table — the qb_time_cdf precedent for
+# making otherwise-untestable shapes oracle-checkable.
+
+_PARTSUPP_CTE = """
+WITH partsupp AS (
+  SELECT l_partkey AS ps_partkey, l_suppkey AS ps_suppkey,
+         ((l_partkey*37 + l_suppkey*17) % 1000) / 10.0 + 1.0 AS ps_supplycost,
+         (l_partkey*13 + l_suppkey*7) % 9999 + 1 AS ps_availqty
+  FROM (SELECT DISTINCT l_partkey, l_suppkey FROM lineitem)
+)
+"""
+
+
+def _partsupp(spark, sf_dir):
+    """Derived partsupp dimension (see _PARTSUPP_CTE). At scale this is
+    one distinct-shuffle over two int columns; the result is bounded by
+    |part| x |supplier| — dimension-sized, broadcastable. Within the
+    suite's single union plan, Catalyst's ReusedExchange shares the
+    distinct across branches."""
+    from pyspark.sql import functions as F
+
+    li = _t(spark, sf_dir, "lineitem")
+    pk, sk = F.col("l_partkey"), F.col("l_suppkey")
+    return (li.select("l_partkey", "l_suppkey").distinct()
+            .select(pk.alias("ps_partkey"), sk.alias("ps_suppkey"),
+                    (((pk * 37 + sk * 17) % 1000) / F.lit(10.0) + 1.0)
+                    .alias("ps_supplycost"),
+                    ((pk * 13 + sk * 7) % 9999 + 1).alias("ps_availqty")))
+
+
+def q2_9_11_16_20_partsupp(spark, sf_dir):
+    """The five partsupp-dependent TPC-H shapes as one labeled result
+    over the shared (shape, k1, k2, k3, v1) schema — completing the
+    feasible-TPC-H set (1,3-8,10,12-22). Constants are adapted to the
+    reduced testdata domains (p_type ECONOMY/SMALL/..., NATION_n names,
+    s_acctbal<0 standing in for the complaints filter) while each
+    query's SHAPE is kept intact; oracle equality per
+    QbeastFilterPushdownTest.scala:187-195 style.
+
+    - q2: min-cost supplier per part within a region — correlated-min
+      via a partitioned window over the region-filtered join (one
+      shuffle; no per-row subquery).
+    - q9: profit rollup by nation x order-year across a 6-way join.
+    - q11: value per part HAVING > fraction of a global total — scalar
+      total broadcast-crossed, never a single-partition window.
+    - q16: distinct supplier count per part attribute with a broadcast
+      anti-join exclusion list.
+    - q20: nested-IN: suppliers whose availability beats half the 1996
+      shipped quantity for the parts they supply — the correlated
+      aggregate becomes a keyed pre-aggregation + equi-join.
+    """
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    ps = _partsupp(spark, sf_dir)
+    part = _t(spark, sf_dir, "part")
+    supplier = _t(spark, sf_dir, "supplier")
+    nation = _t(spark, sf_dir, "nation")
+    region = _t(spark, sf_dir, "region")
+    li = _t(spark, sf_dir, "lineitem")
+    orders = _t(spark, sf_dir, "orders")
+    s_k1 = lambda c: F.col(c).cast("string").alias("k1")        # noqa: E731
+    nul_s = lambda a: F.lit(None).cast("string").alias(a)       # noqa: E731
+    nul_l = lambda a: F.lit(None).cast("bigint").alias(a)       # noqa: E731
+
+    # -- q2: correlated min over the region-filtered (part, supplier) --
+    p2 = part.where((F.col("p_size") <= 12)
+                    & (F.col("p_type") == "ECONOMY"))
+    eu = (supplier
+          .join(F.broadcast(nation), F.col("s_nationkey") == F.col("n_nationkey"))
+          .join(F.broadcast(region.where(F.col("r_name") == "EUROPE")),
+                F.col("n_regionkey") == F.col("r_regionkey")))
+    j2 = (ps.join(F.broadcast(p2), F.col("ps_partkey") == F.col("p_partkey"))
+          .join(F.broadcast(eu), F.col("ps_suppkey") == F.col("s_suppkey")))
+    w2 = Window.partitionBy("p_partkey")
+    q2 = (j2.withColumn("_min_cost", F.min("ps_supplycost").over(w2))
+          .where(F.col("ps_supplycost") == F.col("_min_cost"))
+          .orderBy(F.col("s_acctbal").desc(), "n_name", "s_name",
+                   "p_partkey")
+          .limit(100)
+          .select(F.lit("q2").alias("shape"), s_k1("s_name"),
+                  F.col("n_name").alias("k2"),
+                  F.col("p_partkey").cast("bigint").alias("k3"),
+                  _cents(F.col("s_acctbal")).alias("v1")))
+
+    # -- q9: profit by nation x year ----------------------------------
+    p9 = part.where(F.col("p_name").like("%red%")).select("p_partkey")
+    amount_cents = _cents(
+        F.col("l_extendedprice") * (1 - F.col("l_discount"))
+        - F.col("ps_supplycost") * F.col("l_quantity"))
+    j9 = (li.join(F.broadcast(p9), F.col("l_partkey") == F.col("p_partkey"))
+          .join(ps, (F.col("l_partkey") == F.col("ps_partkey"))
+                & (F.col("l_suppkey") == F.col("ps_suppkey")))
+          .join(F.broadcast(supplier),
+                F.col("l_suppkey") == F.col("s_suppkey"))
+          .join(F.broadcast(nation),
+                F.col("s_nationkey") == F.col("n_nationkey"))
+          .join(orders, F.col("l_orderkey") == F.col("o_orderkey")))
+    q9 = (j9.groupBy(F.col("n_name"),
+                     F.year("o_orderdate").alias("_yr"))
+          .agg(F.sum(amount_cents).alias("v1"))
+          .select(F.lit("q9").alias("shape"), s_k1("n_name"),
+                  F.col("_yr").cast("string").alias("k2"), nul_l("k3"),
+                  "v1"))
+
+    # -- q11: per-part value above a fraction of the global total -----
+    s11 = (supplier.join(
+        F.broadcast(nation.where(F.col("n_name") == "NATION_3")),
+        F.col("s_nationkey") == F.col("n_nationkey"))
+        .select("s_suppkey"))
+    val = (ps.join(F.broadcast(s11),
+                   F.col("ps_suppkey") == F.col("s_suppkey"))
+           .groupBy("ps_partkey")
+           .agg(F.sum(_cents(F.col("ps_supplycost")
+                             * F.col("ps_availqty"))).alias("value_cents")))
+    # scale-stable threshold: 2x the average per-part value (a fixed
+    # fraction of the total empties as |part| grows, TPC-H scales its
+    # 0.0001 by 1/SF — this is the SF-free equivalent)
+    total = val.agg((2.0 * F.sum("value_cents") / F.count("*"))
+                    .alias("_thresh"))
+    q11 = (val.crossJoin(F.broadcast(total))
+           .where(F.col("value_cents") > F.col("_thresh"))
+           .select(F.lit("q11").alias("shape"), nul_s("k1"), nul_s("k2"),
+                   F.col("ps_partkey").cast("bigint").alias("k3"),
+                   F.col("value_cents").alias("v1")))
+
+    # -- q16: distinct suppliers per attribute, exclusion anti-join ---
+    p16 = part.where((F.col("p_brand") != "Brand#13")
+                     & ~F.col("p_type").like("MEDIUM%")
+                     & F.col("p_size").isin(9, 14, 19, 23, 36, 45, 49))
+    bad = supplier.where(F.col("s_acctbal") < 0).select("s_suppkey")
+    j16 = (ps.join(F.broadcast(p16),
+                   F.col("ps_partkey") == F.col("p_partkey"))
+           .join(F.broadcast(bad),
+                 F.col("ps_suppkey") == F.col("s_suppkey"), "left_anti"))
+    q16 = (j16.groupBy("p_brand", "p_type", "p_size")
+           .agg(F.countDistinct("ps_suppkey").alias("supplier_cnt"))
+           .select(F.lit("q16").alias("shape"), s_k1("p_brand"),
+                   F.col("p_type").alias("k2"),
+                   F.col("p_size").cast("bigint").alias("k3"),
+                   F.col("supplier_cnt").alias("v1")))
+
+    # -- q20: availability beats half the 1996 shipped quantity -------
+    p20 = part.where(F.col("p_name").like("small%")).select("p_partkey")
+    li96 = (li.where(
+        (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp_ntz"))
+        & (F.col("l_shipdate") < F.lit("1997-01-01").cast("timestamp_ntz")))
+        .groupBy("l_partkey", "l_suppkey")
+        .agg((0.5 * F.sum("l_quantity")).alias("_half_qty")))
+    cand = (ps.join(F.broadcast(p20),
+                    F.col("ps_partkey") == F.col("p_partkey"), "left_semi")
+            .join(li96, (F.col("ps_partkey") == F.col("l_partkey"))
+                  & (F.col("ps_suppkey") == F.col("l_suppkey")))
+            .where(F.col("ps_availqty") > F.col("_half_qty"))
+            .select("ps_suppkey").distinct())
+    q20 = (supplier.join(
+        F.broadcast(nation.where(F.col("n_name") == "NATION_3")),
+        F.col("s_nationkey") == F.col("n_nationkey"))
+        .join(cand, F.col("s_suppkey") == F.col("ps_suppkey"),
+              "left_semi")
+        .select(F.lit("q20").alias("shape"), s_k1("s_name"), nul_s("k2"),
+                F.col("s_suppkey").cast("bigint").alias("k3"),
+                nul_l("v1")))
+
+    return q2.unionByName(q9).unionByName(q11).unionByName(q16) \
+        .unionByName(q20)
+
+
+Q2_9_11_16_20_SQL = _PARTSUPP_CTE + """
+(SELECT 'q2' AS shape, s_name AS k1, n_name AS k2,
+       CAST(p_partkey AS BIGINT) AS k3,
+       CAST(ROUND(s_acctbal*100,0) AS BIGINT) AS v1
+FROM partsupp, supplier, nation, region, part
+WHERE p_partkey = ps_partkey AND s_suppkey = ps_suppkey
+  AND p_size <= 12 AND p_type = 'ECONOMY'
+  AND s_nationkey = n_nationkey AND n_regionkey = r_regionkey
+  AND r_name = 'EUROPE'
+  AND ps_supplycost = (
+      SELECT MIN(ps2.ps_supplycost)
+      FROM partsupp ps2, supplier s2, nation n2, region r2
+      WHERE ps2.ps_partkey = part.p_partkey
+        AND s2.s_suppkey = ps2.ps_suppkey
+        AND s2.s_nationkey = n2.n_nationkey
+        AND n2.n_regionkey = r2.r_regionkey AND r2.r_name = 'EUROPE')
+ORDER BY s_acctbal DESC, n_name, s_name, p_partkey
+LIMIT 100)
+UNION ALL
+SELECT 'q9', nation, CAST(o_year AS VARCHAR), CAST(NULL AS BIGINT),
+       SUM(amount_cents)
+FROM (SELECT n_name AS nation, EXTRACT(YEAR FROM o_orderdate) AS o_year,
+             CAST(ROUND((l_extendedprice*(1-l_discount)
+                         - ps_supplycost*l_quantity)*100,0) AS BIGINT)
+               AS amount_cents
+      FROM lineitem, partsupp, part, supplier, nation, orders
+      WHERE s_suppkey = l_suppkey AND ps_suppkey = l_suppkey
+        AND ps_partkey = l_partkey AND p_partkey = l_partkey
+        AND o_orderkey = l_orderkey AND s_nationkey = n_nationkey
+        AND p_name LIKE '%red%') profit
+GROUP BY nation, o_year
+UNION ALL
+SELECT 'q11', CAST(NULL AS VARCHAR), CAST(NULL AS VARCHAR),
+       CAST(ps_partkey AS BIGINT), value_cents
+FROM (SELECT ps_partkey,
+             SUM(CAST(ROUND(ps_supplycost*ps_availqty*100,0) AS BIGINT))
+               AS value_cents
+      FROM partsupp, supplier, nation
+      WHERE ps_suppkey = s_suppkey AND s_nationkey = n_nationkey
+        AND n_name = 'NATION_3'
+      GROUP BY ps_partkey) v
+WHERE value_cents > (
+      SELECT 2.0*SUM(value_cents)/COUNT(*)
+      FROM (SELECT ps_partkey,
+                   SUM(CAST(ROUND(ps_supplycost*ps_availqty*100,0)
+                            AS BIGINT)) AS value_cents
+            FROM partsupp, supplier, nation
+            WHERE ps_suppkey = s_suppkey AND s_nationkey = n_nationkey
+              AND n_name = 'NATION_3'
+            GROUP BY ps_partkey) tot)
+UNION ALL
+SELECT 'q16', p_brand, p_type, CAST(p_size AS BIGINT),
+       COUNT(DISTINCT ps_suppkey)
+FROM partsupp, part
+WHERE p_partkey = ps_partkey AND p_brand <> 'Brand#13'
+  AND p_type NOT LIKE 'MEDIUM%'
+  AND p_size IN (9, 14, 19, 23, 36, 45, 49)
+  AND ps_suppkey NOT IN (SELECT s_suppkey FROM supplier
+                         WHERE s_acctbal < 0)
+GROUP BY p_brand, p_type, p_size
+UNION ALL
+SELECT 'q20', s_name, CAST(NULL AS VARCHAR), CAST(s_suppkey AS BIGINT),
+       CAST(NULL AS BIGINT)
+FROM supplier, nation
+WHERE s_suppkey IN (
+      SELECT ps_suppkey FROM partsupp
+      WHERE ps_partkey IN (SELECT p_partkey FROM part
+                           WHERE p_name LIKE 'small%')
+        AND ps_availqty > (
+            SELECT 0.5*SUM(l_quantity) FROM lineitem
+            WHERE l_partkey = ps_partkey AND l_suppkey = ps_suppkey
+              AND l_shipdate >= TIMESTAMP '1996-01-01'
+              AND l_shipdate <  TIMESTAMP '1997-01-01'))
+  AND s_nationkey = n_nationkey AND n_name = 'NATION_3'
+"""
+
+
 EXT_QUERIES: Dict[str, Tuple[Callable, Optional[str]]] = {
     "q12_21_late_lines": (q12_21_late_lines, Q12_21_SQL),
     "train_assembly": (train_assembly, _train_assembly_sql()),
@@ -1107,8 +1391,11 @@ EXT_QUERIES: Dict[str, Tuple[Callable, Optional[str]]] = {
     "q8_market_share": (q8_market_share, Q8_SQL),
     "q10_returned_items": (q10_returned_items, Q10_SQL),
     "q13_customer_distribution": (q13_customer_distribution, Q13_SQL),
-    "q14_promo_effect": (q14_promo_effect, Q14_SQL),
+    # q14 merged into q17_19 in r5 (same lineitem-x-part family) to free
+    # the slot for the partsupp suite; q14_promo_effect stays importable
     "q17_19_part_predicates": (q17_small_quantity, Q17_SQL),
+    "q2_9_11_16_20_partsupp": (q2_9_11_16_20_partsupp,
+                               Q2_9_11_16_20_SQL),
     "q18_large_volume": (q18_large_volume, Q18_SQL),
     "q22_inactive_rich": (q22_inactive_rich, Q22_SQL),
     "q_ntile_quartiles": (q_ntile_quartiles, Q_NTILE_SQL),

@@ -37,6 +37,18 @@ def test_ext_query_matches_oracle(spark, oracle, name):
     assert verdict == "OK", verdict
 
 
+def test_partsupp_suite_covers_all_five_shapes(spark):
+    """The merged partsupp row must actually exercise every TPC-H shape
+    even at the smallest SF — an empty branch would hash-match a broken
+    oracle branch vacuously."""
+    from qbeast_spark_spark.queries_ext import q2_9_11_16_20_partsupp
+
+    shapes = {r["shape"] for r in
+              q2_9_11_16_20_partsupp(spark, SF_DIR)
+              .select("shape").distinct().collect()}
+    assert shapes == {"q2", "q9", "q11", "q16", "q20"}
+
+
 def test_lsh_join_finds_cross_corpus_near_dups(spark):
     """Corpus B = exact copies of some A docs (offset ids) + unrelated
     docs: the cross-corpus join must surface every copy pair at

@@ -36,6 +36,9 @@ SINGLE_PART_OK = {
     "q17_19_part_predicates", "q15_top_supplier",
     "qb_sample",            # scalar aggregate over the sample (1-row result)
     "q22_inactive_rich",    # 1-row scalar-subquery aggregate (avg threshold)
+    "q2_9_11_16_20_partsupp",  # q2 branch: global top-100
+                               # (TakeOrderedAndProject); q11 branch:
+                               # 1-row scalar threshold aggregate
 }
 # intentional nested-loop / cartesian shapes
 NESTED_LOOP_OK = {
@@ -46,6 +49,8 @@ NESTED_LOOP_OK = {
     "q_interval_join",  # bucketed equi-join + range residual
     "q22_inactive_rich",  # broadcast crossJoin of the 1-row scalar agg —
                           # how Spark itself executes a scalar subquery
+    "q2_9_11_16_20_partsupp",  # q11 branch: same 1-row scalar-agg
+                               # broadcast crossJoin as q22
 }
 
 
