@@ -326,3 +326,32 @@ def test_ds_reads_reference_delta_format_tables(ds_spark, tmp_path):
     # readStream.load() is lazy — probe the factory directly
     with pytest.raises(ValueError, match="attach_qbeast_delta"):
         QbeastDataSource({"path": foreign}).streamReader(None)
+
+
+def test_file_uri_paths_resolve(ds_spark, indexed_table):
+    """file: URIs (what SQL DDL passes as LOCATION) resolve to the same
+    table as the plain path."""
+    df = ds_spark.read.format("qbeast").load("file:" + indexed_table)
+    qt = qss.QbeastTable.for_path(ds_spark, indexed_table)
+    assert df.count() == qt.to_df().count()
+
+
+def test_sql_ddl_catalog_limitation(ds_spark, indexed_table):
+    """Documented negative result (VERDICT r4 Next #3): CREATE TABLE
+    USING qbeast resolves to the Python data source and validates the
+    schema through it, but Spark 4.1 gives the reader EMPTY options for
+    catalog SELECTs — the table's location never reaches the instance —
+    so catalog reads fail with the actionable needs-a-path error. If a
+    Spark upgrade starts propagating options, this test fails and the
+    DDL gap closes for free."""
+    ds_spark.sql("DROP TABLE IF EXISTS t_ddl_probe")
+    try:
+        ds_spark.sql("CREATE TABLE t_ddl_probe USING qbeast "
+                     f"LOCATION '{indexed_table}'")
+        # the DDL itself resolved schema() through the data source
+        cols = {f.name for f in ds_spark.table("t_ddl_probe").schema}
+        assert "l_orderkey" in cols
+        with pytest.raises(Exception, match="needs a path"):
+            ds_spark.sql("SELECT count(*) FROM t_ddl_probe").collect()
+    finally:
+        ds_spark.sql("DROP TABLE IF EXISTS t_ddl_probe")
