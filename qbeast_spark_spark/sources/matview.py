@@ -279,108 +279,126 @@ def refresh_continuous_agg(spark, view_path: str, *,
         changes = qt.table_changes(last + 1, snap.version)
         needs_scan = any(fn in _SCAN_ON_DELETE for fn, _ in aggs.values())
         affected = None
-        if needs_scan:
-            # the affected-group probe and the delta aggregation both
-            # consume the decoded feed — persist so the CDF decode
-            # (sidecar reads + file-action reconstruction) runs once
-            changes = changes.persist()
-            affected = changes.where(
-                F.col("_change_type").isin("delete", "update_preimage")) \
-                .select(*group_cols).distinct().persist()
-            if affected.limit(1).count() == 0:
-                affected.unpersist()
-                affected = None
-        deltas = _delta_frame(changes, group_cols, aggs)
-        state = spark.read.parquet(
-            os.path.join(view_path, meta["state_dir"]))
-        ints = _internal_cols(aggs)
-        d = deltas.select(
-            *[F.col(c).alias(f"_d_{c}") for c in group_cols],
-            F.col("_rows").alias("_d__rows"),
-            *[F.col(c).alias(f"_d_{c}")
-              for name in aggs for c in ints[name].values()])
-        cond = None
-        for c in group_cols:
-            # null-safe: NULL group keys must merge, not multiply
-            e = state[c].eqNullSafe(d[f"_d_{c}"])
-            cond = e if cond is None else (cond & e)
-        merged = state.join(d, cond, "full_outer")
-        out_cols = [F.coalesce(state[c], d[f"_d_{c}"]).alias(c)
-                    for c in group_cols]
-        hll_cols = {c for name in aggs for k, c in ints[name].items()
-                    if k == "hll"}
-        min_cols = {c for name in aggs for k, c in ints[name].items()
-                    if k == "min"}
-        max_cols = {c for name in aggs for k, c in ints[name].items()
-                    if k == "max"}
-        for c in ["_rows"] + [c for name in aggs
-                              for c in ints[name].values()]:
-            if c in hll_cols:
-                # sketches union, they don't add; either side may be absent
-                out_cols.append(
-                    F.when(state[c].isNull(), d[f"_d_{c}"])
-                    .when(d[f"_d_{c}"].isNull(), state[c])
-                    .otherwise(F.hll_union(state[c], d[f"_d_{c}"]))
-                    .alias(c))
-            elif c in min_cols:
-                # least/greatest skip nulls — valid ONLY for insert-only
-                # groups; removal-touched groups are replaced below
-                out_cols.append(F.least(state[c], d[f"_d_{c}"]).alias(c))
-            elif c in max_cols:
-                out_cols.append(F.greatest(state[c], d[f"_d_{c}"]).alias(c))
-            else:
-                out_cols.append(
-                    (F.coalesce(state[c], F.lit(0))
-                     + F.coalesce(d[f"_d_{c}"], F.lit(0))).alias(c))
-        new_state = merged.select(*out_cols)
-        # a group whose net row count reaches zero disappears, exactly as
-        # a from-scratch recomputation would have it
-        new_state = new_state.where(F.col("_rows") > 0)
-        if affected is not None:
-            # partial recompute: re-aggregate ONLY the removal-touched
-            # groups from the source AS OF the refresh watermark (NOT
-            # latest — a commit landing mid-refresh must replay next
-            # time, not bake in twice), then swap them in wholesale
-            src = _scoped_source(qt, snap.version, group_cols, affected)
-            recomputed = _delta_frame(
-                src.withColumn("_change_type", F.lit("insert")),
-                group_cols, aggs)
+        # every persist is released in the finally below — a refresh
+        # that raises mid-way (e.g. a destroyed state snapshot, which
+        # auto_maintain tolerates per-view) must not leak cached CDF
+        # decodes into executor storage on every maintenance pass
+        persisted = []
+        try:
+            if needs_scan:
+                # the affected-group probe and the delta aggregation
+                # both consume the decoded feed — persist so the CDF
+                # decode (sidecar reads + file-action reconstruction)
+                # runs once
+                changes = changes.persist()
+                persisted.append(changes)
+                affected = changes.where(
+                    F.col("_change_type")
+                    .isin("delete", "update_preimage")) \
+                    .select(*group_cols).distinct().persist()
+                persisted.append(affected)
+                if affected.limit(1).count() == 0:
+                    affected = None
+            return _refresh_body(spark, view_path, meta, qt, snap, aggs,
+                                 group_cols, changes, affected)
+        finally:
+            for df in persisted:
+                df.unpersist()
 
-            def _key_cond(left, right):
-                c = None
-                for g in group_cols:
-                    e = left[g].eqNullSafe(right[g])
-                    c = e if c is None else (c & e)
-                return c
 
-            keys = F.broadcast(affected)
-            recomputed = recomputed.join(
-                keys, _key_cond(recomputed, keys), "left_semi")
-            new_state = new_state.join(
-                keys, _key_cond(new_state, keys), "left_anti") \
-                .unionByName(recomputed)
-        state_dir = f"state-{snap.version:012d}"
-        new_state.write.mode("overwrite").parquet(
-            os.path.join(view_path, state_dir))
-        old_dir = meta["state_dir"]
-        meta = {**meta, "last_version": snap.version,
-                "state_dir": state_dir}
-        _write_meta(view_path, meta)
-        # keep the current AND the immediately superseded snapshot (a
-        # lazy DataFrame handed out before this refresh may still be
-        # pinned to it); anything older is garbage — the refresh lock
-        # guarantees no concurrent refresher's (new, old) pair can be
-        # the victim
-        for name in sorted(p for p in os.listdir(view_path)
-                           if p.startswith("state-")):
-            if name not in (state_dir, old_dir):
-                shutil.rmtree(os.path.join(view_path, name),
-                              ignore_errors=True)
-        if needs_scan:
-            changes.unpersist()
-            if affected is not None:
-                affected.unpersist()
-        return {**meta, "refreshed": True}
+def _refresh_body(spark, view_path, meta, qt, snap, aggs, group_cols,
+                  changes, affected) -> dict:
+    """The locked refresh's merge + write + GC (caller holds the lock
+    and owns persist/unpersist of ``changes``/``affected``)."""
+    from pyspark.sql import functions as F
+
+    deltas = _delta_frame(changes, group_cols, aggs)
+    state = spark.read.parquet(
+        os.path.join(view_path, meta["state_dir"]))
+    ints = _internal_cols(aggs)
+    d = deltas.select(
+        *[F.col(c).alias(f"_d_{c}") for c in group_cols],
+        F.col("_rows").alias("_d__rows"),
+        *[F.col(c).alias(f"_d_{c}")
+          for name in aggs for c in ints[name].values()])
+    cond = None
+    for c in group_cols:
+        # null-safe: NULL group keys must merge, not multiply
+        e = state[c].eqNullSafe(d[f"_d_{c}"])
+        cond = e if cond is None else (cond & e)
+    merged = state.join(d, cond, "full_outer")
+    out_cols = [F.coalesce(state[c], d[f"_d_{c}"]).alias(c)
+                for c in group_cols]
+    hll_cols = {c for name in aggs for k, c in ints[name].items()
+                if k == "hll"}
+    min_cols = {c for name in aggs for k, c in ints[name].items()
+                if k == "min"}
+    max_cols = {c for name in aggs for k, c in ints[name].items()
+                if k == "max"}
+    for c in ["_rows"] + [c for name in aggs
+                          for c in ints[name].values()]:
+        if c in hll_cols:
+            # sketches union, they don't add; either side may be absent
+            out_cols.append(
+                F.when(state[c].isNull(), d[f"_d_{c}"])
+                .when(d[f"_d_{c}"].isNull(), state[c])
+                .otherwise(F.hll_union(state[c], d[f"_d_{c}"]))
+                .alias(c))
+        elif c in min_cols:
+            # least/greatest skip nulls — valid ONLY for insert-only
+            # groups; removal-touched groups are replaced below
+            out_cols.append(F.least(state[c], d[f"_d_{c}"]).alias(c))
+        elif c in max_cols:
+            out_cols.append(F.greatest(state[c], d[f"_d_{c}"]).alias(c))
+        else:
+            out_cols.append(
+                (F.coalesce(state[c], F.lit(0))
+                 + F.coalesce(d[f"_d_{c}"], F.lit(0))).alias(c))
+    new_state = merged.select(*out_cols)
+    # a group whose net row count reaches zero disappears, exactly as
+    # a from-scratch recomputation would have it
+    new_state = new_state.where(F.col("_rows") > 0)
+    if affected is not None:
+        # partial recompute: re-aggregate ONLY the removal-touched
+        # groups from the source AS OF the refresh watermark (NOT
+        # latest — a commit landing mid-refresh must replay next
+        # time, not bake in twice), then swap them in wholesale
+        src = _scoped_source(qt, snap.version, group_cols, affected)
+        recomputed = _delta_frame(
+            src.withColumn("_change_type", F.lit("insert")),
+            group_cols, aggs)
+
+        def _key_cond(left, right):
+            c = None
+            for g in group_cols:
+                e = left[g].eqNullSafe(right[g])
+                c = e if c is None else (c & e)
+            return c
+
+        keys = F.broadcast(affected)
+        recomputed = recomputed.join(
+            keys, _key_cond(recomputed, keys), "left_semi")
+        new_state = new_state.join(
+            keys, _key_cond(new_state, keys), "left_anti") \
+            .unionByName(recomputed)
+    state_dir = f"state-{snap.version:012d}"
+    new_state.write.mode("overwrite").parquet(
+        os.path.join(view_path, state_dir))
+    old_dir = meta["state_dir"]
+    meta = {**meta, "last_version": snap.version,
+            "state_dir": state_dir}
+    _write_meta(view_path, meta)
+    # keep the current AND the immediately superseded snapshot (a
+    # lazy DataFrame handed out before this refresh may still be
+    # pinned to it); anything older is garbage — the refresh lock
+    # guarantees no concurrent refresher's (new, old) pair can be
+    # the victim
+    for name in sorted(p for p in os.listdir(view_path)
+                       if p.startswith("state-")):
+        if name not in (state_dir, old_dir):
+            shutil.rmtree(os.path.join(view_path, name),
+                          ignore_errors=True)
+    return {**meta, "refreshed": True}
 
 
 def read_continuous_agg(spark, view_path: str):

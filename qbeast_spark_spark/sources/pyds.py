@@ -695,9 +695,11 @@ class QbeastDataSource(_DataSource):
         # the location through as a file: URI; the commit log speaks
         # plain local paths
         if p.startswith("file:"):
-            from urllib.parse import urlparse
+            from urllib.parse import unquote, urlparse
 
-            p = urlparse(p).path or p[len("file:"):]
+            # percent-decode too (dml.py:63 pattern): the catalog
+            # URI-encodes spaces etc. in LOCATION
+            p = unquote(urlparse(p).path) or p[len("file:"):]
         return p
 
     def schema(self):

@@ -108,7 +108,18 @@ def stream_dedup_ingest(stream_df, path: str, sig_path: str,
     the checkpoint are monotonic and never reused, so a batch replayed
     after a crash between the two writes rewrites the same directory
     with the same (deterministic) rows instead of appending duplicates.
-    The store reads back as one partitioned parquet table.
+    The store reads back as one partitioned parquet table; a pre-r5
+    flat-append store is auto-adopted into the layout on the next batch
+    (_migrate_flat_store).
+
+    Operational contract (the same one every txnAppId-tagged
+    exactly-once sink has, Delta included): the checkpoint and
+    ``query_name`` live and die together. Resetting the checkpoint
+    while keeping the name restarts batch ids at 0, which makes the
+    data commit's idempotent skip swallow real batches AND lets new
+    batches overwrite old signature directories — start a fresh
+    query_name (or keep the checkpoint) instead.
+
     ``compact_store_every=N`` folds the accumulated per-batch
     directories into one (compact_sig_store) every Nth batch — a
     small-files optimization, not a correctness need."""
@@ -149,30 +160,43 @@ def stream_dedup_ingest(stream_df, path: str, sig_path: str,
             dup_ids = None
             # existence probe through Spark, not the driver's local
             # filesystem — sig_path may be s3a://... on a real cluster
+            _migrate_flat_store(spark, sig_path)
             try:
                 corpus_sigs = spark.read.parquet(sig_path)
                 corpus_sigs.schema     # force analysis
             except AnalysisException as e:
-                # ONLY a genuinely absent store means "first batch";
-                # any other failure (permissions, corrupt footer) must
-                # fail the batch so the checkpoint retries it — swallowing
-                # it would silently disable corpus dedup and let
-                # near-duplicates land permanently (ADVICE r4)
-                if "PATH_NOT_FOUND" not in str(e) \
-                        and "Path does not exist" not in str(e):
+                # ONLY an absent/empty store means "first batch"; any
+                # other failure (permissions, corrupt footer) must fail
+                # the batch so the checkpoint retries it — swallowing it
+                # would silently disable corpus dedup and let
+                # near-duplicates land permanently (ADVICE r4).
+                # UNABLE_TO_INFER_SCHEMA is the empty-store shape: the
+                # directory exists but holds no readable data files —
+                # e.g. only the _temporary/ debris of a first-batch
+                # signature write that crashed mid-job; treating it as
+                # an error would wedge every retry of that first batch.
+                if not any(tok in str(e) for tok in
+                           ("PATH_NOT_FOUND", "Path does not exist",
+                            "UNABLE_TO_INFER_SCHEMA")):
                     raise
                 corpus_sigs = None     # first batch: no store yet
             if corpus_sigs is not None:
+                # exclude THIS batch's own directory from the corpus
+                # side: on a crash-replay the store already holds this
+                # attempt's output, and matching a doc against its own
+                # prior signature would drop every prior survivor and
+                # rewrite the batch directory short. Filtering on the
+                # partition column (not on id equality) keeps exact
+                # same-id dedup across batches working: a doc
+                # re-delivered in a LATER batch still collides with its
+                # stored signature and is dropped.
+                if "batch" in corpus_sigs.columns:
+                    corpus_sigs = corpus_sigs.where(
+                        F.col("batch") != F.lit(batch_id))
                 vs_corpus = lsh_join_sigs(corpus_sigs, new_sigs,
                                           id_col=id_col,
                                           threshold=threshold)
-                # a store row with the SAME id as an incoming doc is this
-                # doc's own signature from a replayed batch's previous
-                # attempt (crawl doc ids are unique) — matching it would
-                # make the replay drop every prior survivor and rewrite
-                # its per-batch directory short
                 dup_ids = (vs_corpus
-                           .where(F.col("id_a") != F.col("id_b"))
                            .select(F.col("id_b").alias(id_col))
                            .distinct())
             intra = lsh_pairs_scored(batch_df, n=n, threshold=threshold,
@@ -212,6 +236,29 @@ def stream_dedup_ingest(stream_df, path: str, sig_path: str,
     if trigger_available_now:
         writer = writer.trigger(availableNow=True)
     return writer.start()
+
+
+def _migrate_flat_store(spark, sig_path: str) -> None:
+    """Adopt a signature store written by the pre-r5 flat-append layout:
+    root-level parquet files are MOVED into a ``batch=-1`` seed
+    directory so partition discovery sees one consistent layout (mixed
+    depths raise 'Conflicting directory structures'). Idempotent and
+    crash-tolerant: each file is an independent rename, and files left
+    behind by a crash are picked up on the next call."""
+    jvm = spark._jvm
+    root = jvm.org.apache.hadoop.fs.Path(sig_path)
+    fs = root.getFileSystem(spark._jsc.hadoopConfiguration())
+    if not fs.exists(root):
+        return
+    flat = [st.getPath() for st in fs.listStatus(root)
+            if st.isFile() and st.getPath().getName().endswith(".parquet")]
+    if not flat:
+        return
+    seed = jvm.org.apache.hadoop.fs.Path(sig_path + "/batch=-1")
+    fs.mkdirs(seed)
+    for p in flat:
+        fs.rename(p, jvm.org.apache.hadoop.fs.Path(
+            sig_path + "/batch=-1/" + p.getName()))
 
 
 def compact_sig_store(spark, sig_path: str, id_col: str = "doc_id",

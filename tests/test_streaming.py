@@ -337,6 +337,28 @@ def test_stream_dedup_ingest_pipeline(spark, tmp_path):
     # exactly one signature row per surviving doc
     assert sigs.select("doc_id").distinct().count() == n_sigs1
 
+    # -- cross-batch exact same-id dedup (r5 review finding): a doc
+    # RE-DELIVERED in a later batch with an id already in the store
+    # must still be dropped — only the CURRENT batch's own store
+    # directory is exempt from corpus matching, not all same-id rows
+    batch2 = spark.createDataFrame(
+        [(104, fresh_b),                      # re-crawl of a stored doc
+         (108, "genuinely new second batch document with its own "
+               "vocabulary nothing shared with any earlier text "
+               "entirely separate topic matter and phrasing choices")],
+        ["doc_id", "text"])
+    batch2.coalesce(1).write.mode("append").parquet(src)
+    q3 = stream_dedup_ingest(stream, table, sig_path,
+                             columns_to_index=["doc_id"], cube_size=100,
+                             threshold=0.5, checkpoint=ckpt,
+                             trigger_available_now=True)
+    q3.awaitTermination(120)
+    final2 = qss.QbeastTable.for_path(spark, table).to_df()
+    assert final2.where("doc_id = 104").count() == 1   # not re-ingested
+    assert final2.where("doc_id = 108").count() == 1   # fresh doc landed
+    n_sigs2 = spark.read.parquet(sig_path).count()
+    assert n_sigs2 == n_sigs1 + 1                      # only 108's sig
+
     # -- store compaction: fold the seed dir + batch dirs into one,
     # still one row per doc; a second pass is a no-op
     from qbeast_spark_spark.streaming.ingest import compact_sig_store
@@ -344,6 +366,35 @@ def test_stream_dedup_ingest_pipeline(spark, tmp_path):
     new_id = compact_sig_store(spark, sig_path)
     assert new_id is not None and new_id < 0
     sigs = spark.read.parquet(sig_path)
-    assert sigs.count() == n_sigs1
-    assert sigs.select("doc_id").distinct().count() == n_sigs1
+    assert sigs.count() == n_sigs2
+    assert sigs.select("doc_id").distinct().count() == n_sigs2
     assert compact_sig_store(spark, sig_path) is None
+
+
+def test_sig_store_flat_layout_migration(spark, tmp_path):
+    """A store written by the pre-r5 flat-append layout is adopted into
+    the per-batch layout on the next read: root parquet files move into
+    batch=-1, partition discovery sees one depth, rows survive."""
+    import os
+
+    from qbeast_spark_spark.operators.dedup import minhash_signatures
+    from qbeast_spark_spark.streaming.ingest import _migrate_flat_store
+
+    sig_path = str(tmp_path / "flat_sigs")
+    docs = spark.createDataFrame(
+        [(i, f"some document number {i} with plenty of words to "
+             f"shingle across the board for test {i}") for i in range(8)],
+        ["doc_id", "text"])
+    minhash_signatures(docs).write.mode("overwrite").parquet(sig_path)
+    # overwrite-mode leaves flat part files at the root (legacy layout)
+    flat = [f for f in os.listdir(sig_path) if f.endswith(".parquet")]
+    assert flat
+    n0 = spark.read.parquet(sig_path).count()
+    _migrate_flat_store(spark, sig_path)
+    assert not [f for f in os.listdir(sig_path) if f.endswith(".parquet")]
+    assert os.path.isdir(os.path.join(sig_path, "batch=-1"))
+    after = spark.read.parquet(sig_path)
+    assert after.count() == n0 and "batch" in after.columns
+    # idempotent
+    _migrate_flat_store(spark, sig_path)
+    assert spark.read.parquet(sig_path).count() == n0

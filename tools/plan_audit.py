@@ -32,7 +32,7 @@ sys.path.insert(0, HERE)
 SINGLE_PART_OK = {
     "q_topk_global",        # global ORDER BY ... LIMIT (TakeOrderedAndProject)
     "q3_shipping_priority", "q10_returned_items", "q18_large_volume",
-    "q6_forecast_revenue", "q14_promo_effect", "q_funnel",
+    "q6_forecast_revenue", "q_funnel",
     "q17_19_part_predicates", "q15_top_supplier",
     "qb_sample",            # scalar aggregate over the sample (1-row result)
     "q22_inactive_rich",    # 1-row scalar-subquery aggregate (avg threshold)

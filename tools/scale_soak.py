@@ -11,9 +11,10 @@ sf1 synthesis (deterministic, schema-identical to the testdata):
   (orderkey, custkey) offset per copy so cardinalities scale 10x while
   key relationships are preserved; dimension tables (part, supplier,
   nation, region) stay 1x, exactly like TPC-H scaling.
-- ``documents``: 10 copies with doc_id offsets; every copy's text gets
-  a copy-specific token interleaved between words, so shingle sets are
-  DISJOINT across copies: the corpus behaves like 10 independent
+- ``documents``: 10 copies with doc_id offsets; every word in a copy's
+  text gets a copy-specific suffix, so shingle sets are DISJOINT
+  across copies while each copy's shingle frequency distribution stays
+  isomorphic to the original: the corpus behaves like 10 independent
   sf0.1 corpora (duplicate structure scales linearly, the honest shape
   for a dedup soak — naive concatenation would give every doc 10 exact
   twins and blow candidate pairs up quadratically instead).
@@ -32,7 +33,6 @@ from __future__ import annotations
 
 import json
 import os
-import resource
 import shutil
 import sys
 import time
@@ -155,11 +155,18 @@ def driver_memory(spark) -> dict:
     # from the query that just ran
     spark._jvm.System.gc()
     time.sleep(0.5)
+    # CURRENT RSS, not ru_maxrss: the lifetime peak would echo whatever
+    # earlier phase was largest and hide a per-query driver regression
+    rss_kb = 0
+    with open("/proc/self/status") as fh:
+        for line in fh:
+            if line.startswith("VmRSS:"):
+                rss_kb = int(line.split()[1])
+                break
     return {
         "jvm_heap_used_mb": round(
             (rt.totalMemory() - rt.freeMemory()) / 1e6),
-        "py_rss_mb": round(
-            resource.getrusage(resource.RUSAGE_SELF).ru_maxrss / 1024),
+        "py_rss_mb": round(rss_kb / 1024),
     }
 
 
