@@ -976,7 +976,14 @@ def sim_topk(spark, sf_dir):
                        F.col("embedding").alias("q_embedding")))
     brute = (cosine_topk(emb.where(F.col("vec_id") >= 5), queries, k=10)
              .withColumn("method", F.lit("brute")))
-    centroids = (emb.where(F.col("vec_id") % 50 == 0)
+    # bounded K: `% 50` alone made the centroid count scale WITH the
+    # table (K = N/50), turning the broadcast assignment join into
+    # O(N^2/50) — the sf10 soak measured sim_topk at 2.2x over linear
+    # before the cap. Real IVF keeps K ~ fixed/sqrt(N); the vec_id cap
+    # bounds K at 200 without changing results at the oracle scales
+    # (every vec_id there is < 10000)
+    centroids = (emb.where((F.col("vec_id") % 50 == 0)
+                           & (F.col("vec_id") < 10000))
                  .select(F.col("vec_id").alias("c_id"),
                          F.col("embedding").alias("c_embedding")))
     ivf = (ivf_topk(emb.where(F.col("vec_id") >= 5), queries, centroids, k=5)
@@ -1046,7 +1053,7 @@ SELECT 'lsh' AS method, id1, id2, cos FROM (
 
 _SIM_IVF_SQL = """
 WITH cents AS (SELECT vec_id AS c_id, embedding AS c_emb FROM embeddings
-               WHERE vec_id % 50 = 0),
+               WHERE vec_id % 50 = 0 AND vec_id < 10000),
 v_assign AS (
   SELECT vec_id, embedding, c_id FROM (
     SELECT v.vec_id, v.embedding, c.c_id,

@@ -27,7 +27,7 @@ query's shuffle volume or wall time grows superlinearly (> ~13x for a
 10x input) and driver memory stays bounded (O(#cubes), not O(rows)).
 
 Usage: python tools/scale_soak.py [--rebuild] [--sf10]
-Writes SCALE.md and appends one line to PROGRESS.jsonl.
+Writes soak_results.json; SCALE.md summarizes.
 """
 from __future__ import annotations
 
@@ -42,7 +42,7 @@ HERE = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 sys.path.insert(0, HERE)
 
 SRC = "/root/testdata/sf0.1"
-DST = "/tmp/qss_scale/sf1"
+SCALE_ROOT = "/tmp/qss_scale"
 
 # the heaviest BENCH_r04 entries that aren't pure index-build timings,
 # plus one big join+agg shape
@@ -63,9 +63,10 @@ def _write_single(df, dest: str) -> None:
     shutil.rmtree(tmp)
 
 
-def build_sf1(spark, copies: int = COPIES) -> None:
+def build_scaled(spark, dst: str, copies: int) -> None:
     from pyspark.sql import functions as F
 
+    DST = dst
     os.makedirs(DST, exist_ok=True)
     li = spark.read.parquet(f"{SRC}/lineitem.parquet")
     orders = spark.read.parquet(f"{SRC}/orders.parquet")
@@ -212,37 +213,47 @@ def main():
     spark = (SparkSession.builder.master(f"local[{cpus}]")
              .config("spark.sql.shuffle.partitions", cpus)
              .config("spark.sql.session.timeZone", "UTC")
-             .config("spark.driver.memory", "24g")
+             .config("spark.driver.memory", "48g")
              .config("spark.ui.enabled", "true")
              .config("spark.ui.showConsoleProgress", "false")
              .config("spark.sql.adaptive.enabled", "true")
              .getOrCreate())
     spark.sparkContext.setLogLevel("ERROR")
-    if "--rebuild" in sys.argv or not os.path.exists(
-            f"{DST}/embeddings.parquet"):
-        print("building sf1 ...", flush=True)
-        t0 = time.time()
-        build_sf1(spark)
-        print(f"built in {time.time() - t0:.0f}s", flush=True)
+    # --sf10 adds a 100x leg (second decade of scaling evidence)
+    legs = [("sf1", f"{SCALE_ROOT}/sf1", COPIES)]
+    if "--sf10" in sys.argv:
+        legs.append(("sf10", f"{SCALE_ROOT}/sf10", COPIES * 10))
+    for label, dst, copies in legs:
+        if "--rebuild" in sys.argv or not os.path.exists(
+                f"{dst}/embeddings.parquet"):
+            print(f"building {label} ({copies}x) ...", flush=True)
+            t0 = time.time()
+            build_scaled(spark, dst, copies)
+            print(f"built in {time.time() - t0:.0f}s", flush=True)
     results = {}
-    for label, sf_dir in (("sf0.1", SRC), ("sf1", DST)):
+    for label, sf_dir in [("sf0.1", SRC)] + [(l, d) for l, d, _ in legs]:
         print(f"== soak {label}", flush=True)
         results[label] = run_soak(spark, sf_dir)
         print(json.dumps(results[label], indent=1), flush=True)
     ratios = {}
-    for q in results["sf1"]:
-        a, b = results["sf0.1"][q], results["sf1"][q]
-        ratios[q] = {
-            "sec": round(b["sec"] / max(a["sec"], 1e-9), 1),
-            "shuffle_write": round(
-                b["shuffle_write_mb"] / max(a["shuffle_write_mb"], 1e-9), 1),
-            "jvm_heap": round(
-                b["jvm_heap_used_mb"] / max(a["jvm_heap_used_mb"], 1), 1),
-        }
+    base = results["sf0.1"]
+    for label, _d, _c in legs:
+        for q in results[label]:
+            a, b = base[q], results[label][q]
+            ratios.setdefault(label, {})[q] = {
+                "sec": round(b["sec"] / max(a["sec"], 1e-9), 1),
+                "shuffle_write": round(
+                    b["shuffle_write_mb"]
+                    / max(a["shuffle_write_mb"], 1e-9), 1),
+                "jvm_heap": round(
+                    b["jvm_heap_used_mb"]
+                    / max(a["jvm_heap_used_mb"], 1), 1),
+            }
     print(json.dumps({"ratios": ratios}, indent=1))
-    with open(os.path.join(HERE, "soak_results.json"), "w") as fh:
-        json.dump({"results": results, "ratios": ratios, "copies": COPIES},
-                  fh, indent=1)
+    path = os.path.join(HERE, "soak_results.json")
+    with open(path, "w") as fh:
+        json.dump({"results": results, "ratios": ratios,
+                   "copies": {l: c for l, _d, c in legs}}, fh, indent=1)
     spark.stop()
 
 
