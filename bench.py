@@ -30,6 +30,7 @@ BENCH_QUERIES = [
     "qb_events_timeslice", "qb_dml",
     "q1_pricing_summary", "q3_shipping_priority", "q5_local_supplier",
     "q6_forecast_revenue", "q7_volume_shipping", "q18_large_volume",
+    "q2_9_11_16_20_partsupp",   # r5: the derived-partsupp TPC-H suite
     "q_top_orders_per_customer", "q_window_funcs",
     "q_asof_join", "q_interval_join", "q_funnel", "q_sessionize",
     "q_time_windows", "q_ntile_quartiles",
