@@ -370,6 +370,32 @@ def test_stream_dedup_ingest_pipeline(spark, tmp_path):
     assert sigs.select("doc_id").distinct().count() == n_sigs2
     assert compact_sig_store(spark, sig_path) is None
 
+    # -- the consolidated store still dedups the NEXT batch (corpus
+    # matching reads the negative-id dir), and the sink-level
+    # compact_store_every hook runs after the batch
+    batch3 = spark.createDataFrame(
+        [(109, fresh_b + " tiny tail"),       # near-dup of stored 104
+         (110, "final batch brand new content on astronomy telescopes "
+               "mirrors apertures eyepieces tracking mounts and the "
+               "quiet patience of long exposure photography at night")],
+        ["doc_id", "text"])
+    batch3.coalesce(1).write.mode("append").parquet(src)
+    q4 = stream_dedup_ingest(stream, table, sig_path,
+                             columns_to_index=["doc_id"], cube_size=100,
+                             threshold=0.5, checkpoint=ckpt,
+                             trigger_available_now=True,
+                             compact_store_every=1)
+    q4.awaitTermination(120)
+    final3 = qss.QbeastTable.for_path(spark, table).to_df()
+    assert final3.where("doc_id = 109").count() == 0   # corpus near-dup
+    assert final3.where("doc_id = 110").count() == 1
+    # compact_store_every folded the store back to ONE directory
+    dirs = [d for d in os.listdir(sig_path) if d.startswith("batch=")]
+    assert len(dirs) == 1, dirs
+    sigs = spark.read.parquet(sig_path)
+    assert sigs.count() == n_sigs2 + 1
+    assert sigs.select("doc_id").distinct().count() == n_sigs2 + 1
+
 
 def test_sig_store_flat_layout_migration(spark, tmp_path):
     """A store written by the pre-r5 flat-append layout is adopted into
