@@ -19,7 +19,11 @@ Delta-mergeable aggregates only (the honest contract):
   (``hll_sketch_agg``/``hll_union``): sketches union monotonically, so
   insert-only ranges merge in O(changed data);
 - ``min``/``max`` merge with least/greatest while the range is
-  insert-only.
+  insert-only;
+- ``count_distinct`` (exact) cannot merge in EITHER direction (an
+  insert may or may not add a new distinct value), so every
+  change-touched group recomputes on refresh — still O(changed
+  groups), never a table scan.
 
 When the change range CONTAINS deletes/updates and the view carries a
 non-subtractable aggregate (min/max/HLL), the refresh does an
@@ -61,10 +65,15 @@ META_NAME = "_matview.json"
 
 AggSpec = Union[str, Tuple[str, str]]   # "count" | (fn, col)
 
-_MERGEABLE = {"count", "sum", "avg", "approx_count_distinct", "min", "max"}
+_MERGEABLE = {"count", "sum", "avg", "approx_count_distinct", "min",
+              "max", "count_distinct"}
 # aggregates that cannot subtract a delete: a delete range triggers a
 # per-affected-group recompute from the source instead of a delta merge
 _SCAN_ON_DELETE = {"min", "max", "approx_count_distinct"}
+# aggregates that cannot merge at all (an insert may or may not add a
+# NEW distinct value): ANY change to a group triggers its recompute —
+# still O(changed groups), never a full rescan
+_SCAN_ON_ANY = {"count_distinct"}
 
 
 def _normalize_aggs(aggs: Dict[str, AggSpec]) -> Dict[str, Tuple[str, str]]:
@@ -103,6 +112,11 @@ def _internal_cols(aggs: Dict[str, Tuple[str, str]]):
             # mergeable under inserts via least/greatest; a delete range
             # recomputes the affected groups from the source
             cols[name] = {fn: f"_{name}_{fn}"}
+        elif fn == "count_distinct":
+            # exact distinct count: not mergeable in either direction,
+            # every changed group recomputes; the stored value is only
+            # carried for untouched groups (and seeded for new ones)
+            cols[name] = {"cd": f"_{name}_cd"}
         else:
             # sum carries a non-null count too: SQL SUM over a group
             # whose values are all NULL is NULL, and only the count can
@@ -141,6 +155,12 @@ def _delta_frame(changes, group_cols, aggs):
         if "max" in ints:
             exprs.append(F.max(F.when(sign == 1, F.col(col)))
                          .alias(ints["max"]))
+        if "cd" in ints:
+            # exact for the full-materialization (create/recompute)
+            # path; in an incremental delta it is only read for
+            # brand-new groups, which are by definition insert-only
+            exprs.append(F.countDistinct(F.when(sign == 1, F.col(col)))
+                         .alias(ints["cd"]))
     return changes.groupBy(*group_cols).agg(*exprs)
 
 
@@ -277,7 +297,9 @@ def refresh_continuous_agg(spark, view_path: str, *,
         if snap.version <= last:
             return {**meta, "refreshed": False}
         changes = qt.table_changes(last + 1, snap.version)
-        needs_scan = any(fn in _SCAN_ON_DELETE for fn, _ in aggs.values())
+        scan_any = any(fn in _SCAN_ON_ANY for fn, _ in aggs.values())
+        needs_scan = scan_any or any(
+            fn in _SCAN_ON_DELETE for fn, _ in aggs.values())
         affected = None
         # every persist is released in the finally below — a refresh
         # that raises mid-way (e.g. a destroyed state snapshot, which
@@ -292,10 +314,14 @@ def refresh_continuous_agg(spark, view_path: str, *,
                 # runs once
                 changes = changes.persist()
                 persisted.append(changes)
-                affected = changes.where(
+                # count_distinct can't merge in either direction, so
+                # ANY touched group recomputes; min/max/HLL only need
+                # the removal-touched ones
+                touched = changes if scan_any else changes.where(
                     F.col("_change_type")
-                    .isin("delete", "update_preimage")) \
-                    .select(*group_cols).distinct().persist()
+                    .isin("delete", "update_preimage"))
+                affected = touched.select(*group_cols).distinct() \
+                    .persist()
                 persisted.append(affected)
                 if affected.limit(1).count() == 0:
                     affected = None
@@ -331,6 +357,8 @@ def _refresh_body(spark, view_path, meta, qt, snap, aggs, group_cols,
                 for c in group_cols]
     hll_cols = {c for name in aggs for k, c in ints[name].items()
                 if k == "hll"}
+    cd_cols = {c for name in aggs for k, c in ints[name].items()
+               if k == "cd"}
     min_cols = {c for name in aggs for k, c in ints[name].items()
                 if k == "min"}
     max_cols = {c for name in aggs for k, c in ints[name].items()
@@ -344,6 +372,13 @@ def _refresh_body(spark, view_path, meta, qt, snap, aggs, group_cols,
                 .when(d[f"_d_{c}"].isNull(), state[c])
                 .otherwise(F.hll_union(state[c], d[f"_d_{c}"]))
                 .alias(c))
+        elif c in cd_cols:
+            # carried for untouched groups; every group present in the
+            # delta is in the recompute set and gets replaced, except
+            # brand-new groups, which the delta seeds exactly (they
+            # are insert-only by definition)
+            out_cols.append(
+                F.coalesce(state[c], d[f"_d_{c}"]).alias(c))
         elif c in min_cols:
             # least/greatest skip nulls — valid ONLY for insert-only
             # groups; removal-touched groups are replaced below
@@ -424,6 +459,8 @@ def read_continuous_agg(spark, view_path: str):
                            F.lit(0)).alias(name))
         elif fn in ("min", "max"):
             cols.append(F.col(ints[name][fn]).alias(name))
+        elif fn == "count_distinct":
+            cols.append(F.col(ints[name]["cd"]).alias(name))
         else:
             # try_divide: all-NULL group has cnt 0 -> NULL (not an ANSI
             # division error)

@@ -24,7 +24,7 @@ def _expected(qt, group, aggs_sql):
             exprs.append(F.min(col).alias(name))
         elif fn == "max":
             exprs.append(F.max(col).alias(name))
-        elif fn == "approx_count_distinct":
+        elif fn in ("approx_count_distinct", "count_distinct"):
             exprs.append(F.countDistinct(col).alias(name))
         else:
             exprs.append(F.avg(col).alias(name))
@@ -197,14 +197,16 @@ def test_continuous_agg_fuzz_random_dml(spark, tmp_table, seed):
             "avg_price": ("avg", "l_extendedprice"),
             "min_qty": ("min", "l_quantity"),
             "max_price": ("max", "l_extendedprice"),
-            "d_ok": ("approx_count_distinct", "l_orderkey")}
+            "d_ok": ("approx_count_distinct", "l_orderkey"),
+            "xd_ok": ("count_distinct", "l_orderkey")}
     create_continuous_agg(spark, tmp_table, view, ["l_returnflag"],
                           {"n": "count", "qty": ("sum", "l_quantity"),
                            "avg_price": ("avg", "l_extendedprice"),
                            "min_qty": ("min", "l_quantity"),
                            "max_price": ("max", "l_extendedprice"),
                            "d_ok": ("approx_count_distinct",
-                                    "l_orderkey")})
+                                    "l_orderkey"),
+                           "xd_ok": ("count_distinct", "l_orderkey")})
     appended = 0
     for step in range(10):
         op = rng.choice(["append", "delete_rw", "delete_dv", "update",
