@@ -253,7 +253,11 @@ def main() -> None:
     sq = (emb.where(_F.col("vec_id") < 5)
           .select(_F.col("vec_id").alias("q_id"),
                   _F.col("embedding").alias("q_embedding")))
-    cents = (emb.where(_F.col("vec_id") % 50 == 0)
+    # same bounded-K derivation as queries.sim_topk (K <= 200): without
+    # the cap the centroid count grows with the table and the
+    # assignment join is O(N^2/50) — the sf10 soak measured it
+    cents = (emb.where((_F.col("vec_id") % 50 == 0)
+                       & (_F.col("vec_id") < 10000))
              .select(_F.col("vec_id").alias("c_id"),
                      _F.col("embedding").alias("c_embedding")))
     body = emb.where(_F.col("vec_id") >= 5)

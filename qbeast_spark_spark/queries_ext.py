@@ -1181,12 +1181,14 @@ def q2_9_11_16_20_partsupp(spark, sf_dir):
     from pyspark.sql import Window
     from pyspark.sql import functions as F
 
-    # persist the derived dimension: five branches consume it and
-    # Catalyst does not reuse the distinct-exchange across union
-    # branches (7 identical shuffles measured without this) — exactly
-    # the materialize-the-derived-dim step a production pipeline would
-    # take; the table is dimension-sized (<= |part| x |supplier|)
-    ps = _partsupp(spark, sf_dir).persist()
+    # NOT persisted (r5 review): a .persist() here pins the cache for
+    # every caller with no unpersist hook (the frame returned is lazy)
+    # and rewrites audited plans to InMemoryTableScan, hiding the scans
+    # plan_audit inspects — while measuring wall-clock NEUTRAL at sf10
+    # (the 7 redundant distinct-shuffles run concurrently and are
+    # dimension-sized). A production pipeline would instead materialize
+    # the derived dimension to a TABLE once and join that.
+    ps = _partsupp(spark, sf_dir)
     part = _t(spark, sf_dir, "part")
     supplier = _t(spark, sf_dir, "supplier")
     nation = _t(spark, sf_dir, "nation")

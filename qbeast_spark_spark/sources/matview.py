@@ -22,8 +22,13 @@ Delta-mergeable aggregates only (the honest contract):
   insert-only;
 - ``count_distinct`` (exact) cannot merge in EITHER direction (an
   insert may or may not add a new distinct value), so every
-  change-touched group recomputes on refresh — still O(changed
-  groups), never a table scan.
+  change-touched group recomputes on refresh. The re-AGGREGATION is
+  O(changed groups); the source READ feeding it is file-pruned only
+  when the single group column is OTree-indexed and <= 256 group keys
+  changed (_scoped_source) — otherwise it is a scoped-by-semi-join
+  scan over the live files, which costs I/O like a scan even though
+  only the affected groups are aggregated. Same caveat applies to the
+  min/max/HLL recompute path below.
 
 When the change range CONTAINS deletes/updates and the view carries a
 non-subtractable aggregate (min/max/HLL), the refresh does an

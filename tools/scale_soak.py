@@ -1,9 +1,9 @@
 """Scale soak: execute the write path + the most expensive registered
-queries at sf0.1 AND at a locally synthesized sf1 (10x), and record how
-wall time, shuffle volume, and driver memory actually scale — the
-empirical backstop for the repo's 100 TB plan-shape claims (VERDICT r4
-Next #4: "the 100 TB claims are plan-shape-verified but have never been
-executed above 600 MB").
+queries at sf0.1 AND at locally synthesized sf1 (10x) / sf10 (100x,
+``--sf10``) datasets, and record how wall time, shuffle volume, and
+driver memory actually scale — the empirical backstop for the repo's
+100 TB plan-shape claims (VERDICT r4 Next #4: "the 100 TB claims are
+plan-shape-verified but have never been executed above 600 MB").
 
 sf1 synthesis (deterministic, schema-identical to the testdata):
 
@@ -22,9 +22,14 @@ sf1 synthesis (deterministic, schema-identical to the testdata):
 
 Metrics per (query, sf): wall seconds, sum/max of per-stage shuffle
 write bytes and peak task counts (Spark UI REST API), driver JVM heap
-used and Python driver RSS after the run. The soak PASSES when no
-query's shuffle volume or wall time grows superlinearly (> ~13x for a
-10x input) and driver memory stays bounded (O(#cubes), not O(rows)).
+used and Python driver RSS after the run. Ratios are always computed
+against sf0.1, so linear = 10x for the sf1 leg and 100x for the sf10
+leg. The soak PASSES when no query's shuffle volume or wall time
+grows superlinearly (> ~1.3x the leg's linear factor; one-time
+broadcast->sort-merge-join plan transitions are the allowed
+exception, recognizable because later legs return to exactly-linear
+growth past the switch) and driver memory stays bounded (O(#cubes),
+not O(rows)).
 
 Usage: python tools/scale_soak.py [--rebuild] [--sf10]
 Writes soak_results.json; SCALE.md summarizes.
