@@ -23,11 +23,12 @@ Delta-mergeable aggregates only (the honest contract):
 - ``count_distinct`` (exact) cannot merge in EITHER direction (an
   insert may or may not add a new distinct value), so every
   change-touched group recomputes on refresh. The re-AGGREGATION is
-  O(changed groups); the source READ feeding it is file-pruned only
-  when the single group column is OTree-indexed and <= 256 group keys
-  changed (_scoped_source) — otherwise it is a scoped-by-semi-join
-  scan over the live files, which costs I/O like a scan even though
-  only the affected groups are aggregated. Same caveat applies to the
+  O(changed groups); the source READ feeding it is file-pruned when
+  ANY group column is OTree-indexed with <= 256 changed keys
+  (_scoped_source conjoins an IN filter per prunable column) —
+  with no prunable column it degrades to a scoped-by-semi-join scan
+  over the live files, which costs I/O like a scan even though only
+  the affected groups are aggregated. Same caveat applies to the
   min/max/HLL recompute path below.
 
 When the change range CONTAINS deletes/updates and the view carries a
@@ -252,21 +253,29 @@ def create_continuous_agg(spark, source_path: str, view_path: str,
 
 def _scoped_source(qt, version: int, group_cols, affected):
     """Source rows AS OF ``version`` restricted (at file level, best
-    effort) to the ``affected`` group keys. If exactly one group column
-    is OTree-indexed and the key set is small and non-null, the read
-    prunes files through the index (reader.py:622 machinery) with an
-    ``in`` filter; otherwise every live file of that version is read.
-    Row-level scoping is ALWAYS applied afterwards by the caller's
-    semi-join, so over-fetch here costs time, never correctness."""
+    effort) to the ``affected`` group keys. ANY group column that is
+    OTree-indexed (or carries per-file column stats / blooms, which
+    the same pruner consults) contributes an ``in`` filter over its
+    distinct affected values when those are few (<= 256) and non-null;
+    the filters conjoin, so one prunable column is enough to cut the
+    file list (reader.py:622 machinery). Row-level scoping is ALWAYS
+    applied afterwards by the caller's semi-join, so over-fetch here
+    costs time, never correctness."""
     snap = qt.log.snapshot(at_version=version)
     rev = snap.latest_revision()
-    idx_cols = rev.column_names if rev else []
-    if len(group_cols) == 1 and group_cols[0] in idx_cols:
-        keys = [r[0] for r in affected.limit(257).collect()]
+    idx_cols = set(rev.column_names if rev else [])
+    filters = []
+    for i, col in enumerate(group_cols):
+        if col not in idx_cols:
+            continue
+        keys = [r[0] for r in
+                affected.select(affected.columns[i])
+                .distinct().limit(257).collect()]
         if len(keys) <= 256 and all(k is not None for k in keys):
-            filters = [(group_cols[0], "in", keys)]
-            cands, _res = qt._candidates_and_residual(filters, snap)
-            return qt._df_for_files(cands, snap=snap)
+            filters.append((col, "in", keys))
+    if filters:
+        cands, _res = qt._candidates_and_residual(filters, snap)
+        return qt._df_for_files(cands, snap=snap)
     return qt._df_for_files(list(snap.files.keys()), snap=snap)
 
 

@@ -517,6 +517,19 @@ def test_scoped_source_prunes_through_index(spark, tmp_table):
                       "_metadata.file_path").distinct().collect()]}
     assert len(full_files) == n_files
     assert len(read_files) < n_files
+    # r5: a MULTI-column group still prunes when ANY member column is
+    # indexed — the unindexed l_returnflag contributes no filter, the
+    # indexed l_orderkey cuts the file list
+    affected2 = spark.createDataFrame(
+        [("A", 5), ("N", 6)], "l_returnflag string, l_orderkey long")
+    multi = _scoped_source(qt, snap.version,
+                           ["l_returnflag", "l_orderkey"], affected2)
+    multi_files = {os.path.basename(f) for f in
+                   [r[0] for r in multi.select(
+                       "_metadata.file_path").distinct().collect()]}
+    assert len(multi_files) < n_files
+    got2 = multi.where("l_orderkey in (5, 6)").count()
+    assert got2 == want and want > 0
 
 
 def test_refresh_lock_serializes(spark, tmp_table):
