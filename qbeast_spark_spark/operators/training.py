@@ -7,6 +7,10 @@ run. All three are built for 100 TB:
 - ``hash_split`` is a pure column expression (murmur3, no shuffle, no
   state) — the split of a row never changes as the corpus grows, the
   property that keeps eval sets stable across dataset versions;
+- ``leakage_safe_split`` hashes by duplicate-cluster canonical id
+  instead, so near-duplicate documents can never straddle train/eval
+  (one broadcast join over the clustered minority + the same column
+  expression);
 - ``chunk_text`` is a single JVM projection (sequence + slice over the
   token array; no UDF, no explode-then-join);
 - ``pack_sequences`` is the classic first-fit-decreasing bin pack done
@@ -22,8 +26,8 @@ from typing import Dict, List, Sequence, Tuple
 
 from .text import TOKEN_RE
 
-__all__ = ["hash_split", "chunk_text", "pack_sequences",
-           "sample_mixture"]
+__all__ = ["hash_split", "leakage_safe_split", "chunk_text",
+           "pack_sequences", "sample_mixture"]
 
 
 def hash_split(df, weights: Dict[str, float], id_col: str = "doc_id",
@@ -67,6 +71,39 @@ def hash_split(df, weights: Dict[str, float], id_col: str = "doc_id",
     expr = (F.lit(names[-1]) if expr is None
             else expr.otherwise(names[-1]))
     return df.withColumn(out_col, expr)
+
+
+def leakage_safe_split(df, canonical, weights: Dict[str, float],
+                       id_col: str = "doc_id", seed: int = 42,
+                       out_col: str = "split", method: str = "murmur3"):
+    """``hash_split`` that cannot leak near-duplicates across splits:
+    rows are hashed by their duplicate-cluster CANONICAL id, so every
+    member of a near-dup cluster lands in the SAME split — hashing raw
+    doc ids would place a train doc's near-twin in the eval set and
+    inflate every benchmark number (the classic train/test
+    contamination vector that survives plain doc-id splitting).
+
+    ``canonical``: a (node, canonical) frame, e.g. the output of
+    ``dedup.connected_components`` over LSH/SimHash pairs (dedup.py:252
+    — singletons may be absent: an id with no row is its own cluster).
+
+    Scale shape: one left join on the id (broadcast when the pair list
+    is small — only DOCUMENTS WITH A DUPLICATE appear in ``canonical``,
+    typically a small fraction of the corpus) followed by the same
+    pure-column-expression assignment as ``hash_split``. Split
+    membership is stable under corpus growth for unclustered docs; a
+    doc that later JOINS a cluster adopts the cluster's split, which
+    is exactly the property that keeps the eval set leak-free."""
+    from pyspark.sql import functions as F
+
+    can = canonical.select(F.col("node").alias(id_col),
+                           F.col("canonical").alias("_canon"))
+    joined = df.join(F.broadcast(can), id_col, "left")
+    keyed = joined.withColumn(
+        "_split_key", F.coalesce(F.col("_canon"), F.col(id_col)))
+    out = hash_split(keyed, weights, id_col="_split_key", seed=seed,
+                     out_col=out_col, method=method)
+    return out.drop("_canon", "_split_key")
 
 
 def chunk_text(docs, max_tokens: int = 128, overlap: int = 0,

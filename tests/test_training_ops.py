@@ -156,3 +156,51 @@ def test_sample_mixture_upsamples_small_sources_with_epochs(spark):
                                 token_budget=10**9, max_epochs=2.0)
     assert rep2["tiny"]["clipped_by_max_epochs"]
     assert rep2["tiny"]["rate"] == 2.0
+
+
+def test_leakage_safe_split_keeps_clusters_together(spark):
+    """Every member of a near-dup cluster must land in the SAME split;
+    unclustered docs keep their plain hash_split assignment, so an
+    existing eval set stays stable when clustering is introduced."""
+    from pyspark.sql import functions as F
+
+    from qbeast_spark_spark.operators.dedup import (connected_components,
+                                                    lsh_pairs_scored)
+    from qbeast_spark_spark.operators.training import (hash_split,
+                                                       leakage_safe_split)
+
+    base = ("the quick brown fox jumps over the lazy dog while many "
+            "sleepy penguins waddle across the frozen shore carrying "
+            "umbrellas and singing quiet songs about a warm summer")
+    rows = []
+    for i in range(40):                       # 40 clusters of 3 near-dups
+        for j in range(3):
+            rows.append((i * 10 + j, f"{base} cluster {i} variant {j}"))
+    for i in range(100):                      # 100 unique singletons
+        rows.append((1000 + i,
+                     f"unique document {i} about topic {i*7%13} with "
+                     f"its own vocabulary {i*31%17} and phrasing {i}"))
+    docs = spark.createDataFrame(rows, ["doc_id", "text"])
+    pairs = lsh_pairs_scored(docs, n=3, threshold=0.5)
+    canon = connected_components(pairs)
+    w = {"train": 0.8, "val": 0.1, "test": 0.1}
+    split = leakage_safe_split(docs, canon, w)
+    # (a) no cluster straddles splits
+    per_cluster = (split.join(canon, split.doc_id == canon.node)
+                   .groupBy("canonical")
+                   .agg(F.countDistinct("split").alias("k"))
+                   .collect())
+    assert per_cluster and all(r.k == 1 for r in per_cluster)
+    # (b) row count preserved, schema = input + split
+    assert split.count() == docs.count()
+    assert set(split.columns) == {"doc_id", "text", "split"}
+    # (c) singletons match plain hash_split exactly (stability)
+    clustered_ids = {r.node for r in canon.collect()}
+    plain = {r.doc_id: r.split
+             for r in hash_split(docs, w).collect()}
+    for r in split.collect():
+        if r.doc_id not in clustered_ids:
+            assert r.split == plain[r.doc_id]
+    # (d) all three splits are populated at this corpus size
+    assert {r.split for r in split.select("split").distinct().collect()} \
+        == {"train", "val", "test"}
