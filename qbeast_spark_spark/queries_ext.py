@@ -946,14 +946,37 @@ def train_assembly(spark, sf_dir):
     slice / concat_ws, no UDF) + deterministic train/val/test splits
     (md5-as-uniform so any engine can replay the assignment). One
     projection chain over documents; per-chunk rows keep the chunk text
-    so the oracle checks the actual token slicing, not just counts."""
-    from .operators.training import chunk_text, hash_split
+    so the oracle checks the actual token slicing, not just counts.
 
+    r5 adds the 'leakage_safe' branch: ``leakage_safe_split`` assigns
+    each document by the md5 of its duplicate-cluster CANONICAL id
+    (LSH-scored pairs -> connected components), so near-duplicates
+    never straddle train/eval. The oracle replays the whole
+    composition — banded MinHash candidates, signature-agreement
+    threshold, recursive-CTE connected components, md5 split — in SQL,
+    putting the contamination-safe split under the strict driver gate."""
+    from pyspark.sql import functions as F
+
+    from .operators.dedup import connected_components, lsh_pairs_scored
+    from .operators.training import (chunk_text, hash_split,
+                                     leakage_safe_split)
+
+    w = {"train": 0.9, "val": 0.05, "test": 0.05}
     docs = _t(spark, sf_dir, "documents")
     chunks = chunk_text(docs, max_tokens=32, overlap=8)
-    return hash_split(chunks, {"train": 0.9, "val": 0.05, "test": 0.05},
-                      id_col="doc_id", method="md5").select(
+    chunk_branch = hash_split(chunks, w, id_col="doc_id",
+                              method="md5").select(
+        F.lit("chunks").alias("probe"),
         "doc_id", "chunk_id", "n_tokens", "chunk", "split")
+    pairs = lsh_pairs_scored(docs, n=3, threshold=0.5)
+    canon = connected_components(pairs)
+    ls_branch = leakage_safe_split(docs, canon, w, id_col="doc_id",
+                                   method="md5").select(
+        F.lit("leakage_safe").alias("probe"), "doc_id",
+        F.lit(None).cast("int").alias("chunk_id"),
+        F.lit(None).cast("int").alias("n_tokens"),
+        F.lit(None).cast("string").alias("chunk"), "split")
+    return chunk_branch.unionByName(ls_branch)
 
 
 def _train_assembly_sql() -> str:
@@ -970,10 +993,15 @@ def _train_assembly_sql() -> str:
         acc += weights[name] / total
         case += f" WHEN u < {acc!r} THEN '{name}'"
     case += f" ELSE '{names[-1]}' END"
+    # the leakage_safe branch replays the full dedup composition: the
+    # LSH-scored pair query (same SQL the dedup_lsh_scored row proves)
+    # feeds the recursive-CTE connected components (the dedup_canonical
+    # machinery), and the split key is COALESCE(canonical, doc_id)
+    pairs_sql = _lsh_scored_sql().strip().rstrip(";")
     # chunk geometry must mirror chunk_text(max_tokens=32, overlap=8):
     # starts 0,24,48.. while start <= greatest(n-overlap-1, 0)
     return f"""
-WITH toks AS (
+WITH RECURSIVE toks AS (
   SELECT doc_id,
          regexp_extract_all(lower(text), '{TOKEN_RE}') AS t,
          len(regexp_extract_all(lower(text), '{TOKEN_RE}')) AS n
@@ -992,8 +1020,30 @@ u AS (
          array_to_string(ct, ' ') AS chunk,
          CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':42'), 1, 8))
               AS BIGINT) / 4294967296.0 AS u
-  FROM chunks)
-SELECT doc_id, chunk_id, n_tokens, chunk, {case} AS split FROM u
+  FROM chunks),
+lspairs AS ({pairs_sql}),
+lsedges AS (SELECT id1 AS a, id2 AS b FROM lspairs
+            UNION SELECT id2, id1 FROM lspairs),
+lsreach(node, lbl) AS (
+  SELECT a, a FROM lsedges
+  UNION
+  SELECT e.b, r.lbl FROM lsreach r JOIN lsedges e ON r.node = e.a),
+lscanon AS (SELECT node, MIN(lbl) AS canonical FROM lsreach
+            GROUP BY node),
+lsu AS (
+  SELECT d.doc_id,
+         CAST(('0x' || substr(md5(CAST(COALESCE(c.canonical, d.doc_id)
+                                       AS VARCHAR) || ':42'), 1, 8))
+              AS BIGINT) / 4294967296.0 AS u
+  FROM documents d LEFT JOIN lscanon c ON d.doc_id = c.node)
+SELECT 'chunks' AS probe, doc_id, chunk_id, n_tokens, chunk,
+       {case} AS split
+FROM u
+UNION ALL
+SELECT 'leakage_safe' AS probe, doc_id, CAST(NULL AS INTEGER) AS chunk_id,
+       CAST(NULL AS INTEGER) AS n_tokens, CAST(NULL AS VARCHAR) AS chunk,
+       {case} AS split
+FROM lsu
 """
 
 
