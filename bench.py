@@ -279,6 +279,31 @@ def main() -> None:
         "text_analysis.decontam": lambda: decontaminate(
             docs, ev, n=13, exclude_self=True),
     })
+    # decompose train_assembly the same way: the r5 leakage_safe branch
+    # (LSH pairs -> connected components -> canonical-id split) grew
+    # the entry's scope beyond the chunking+split lane
+    from qbeast_spark_spark.operators.dedup import (connected_components,
+                                                    lsh_pairs_scored)
+    from qbeast_spark_spark.operators.training import (chunk_text,
+                                                       hash_split,
+                                                       leakage_safe_split)
+
+    _w = {"train": 0.9, "val": 0.05, "test": 0.05}
+
+    def _ta_chunks():
+        return hash_split(chunk_text(docs, max_tokens=32, overlap=8),
+                          _w, id_col="doc_id", method="md5")
+
+    def _ta_leakage():
+        canon = connected_components(
+            lsh_pairs_scored(docs, n=3, threshold=0.5))
+        return leakage_safe_split(docs, canon, _w, id_col="doc_id",
+                                  method="md5")
+
+    lanes.update({
+        "train_assembly.chunks": _ta_chunks,
+        "train_assembly.leakage_safe": _ta_leakage,
+    })
     for label, mk in lanes.items():
         samples = []
         for _ in range(n_runs):
