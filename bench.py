@@ -311,6 +311,12 @@ def main() -> None:
             mk().write.format("noop").mode("overwrite").save()
             samples.append(time.time() - t0)
         submetrics[label] = round(statistics.median(samples), 3)
+        # same isolation as the headline loop: the LSH lanes persist
+        # signature tables and localCheckpoint CC state per run —
+        # without a per-lane release they accumulate executor blocks
+        # that skew the late-session timings (qb_optimize especially)
+        spark.catalog.clearCache()
+        gc.collect()
 
     # maintenance surface: re-layout half the table (O1) — timed last so
     # the rewritten files never affect the query timings above. Best-of-2

@@ -9,8 +9,8 @@ run. All three are built for 100 TB:
   property that keeps eval sets stable across dataset versions;
 - ``leakage_safe_split`` hashes by duplicate-cluster canonical id
   instead, so near-duplicate documents can never straddle train/eval
-  (one broadcast join over the clustered minority + the same column
-  expression);
+  (one equi-join over the clustered minority — AQE broadcasts it when
+  small — + the same column expression);
 - ``chunk_text`` is a single JVM projection (sequence + slice over the
   token array; no UDF, no explode-then-join);
 - ``pack_sequences`` is the classic first-fit-decreasing bin pack done
@@ -87,10 +87,13 @@ def leakage_safe_split(df, canonical, weights: Dict[str, float],
     ``dedup.connected_components`` over LSH/SimHash pairs (dedup.py:252
     — singletons may be absent: an id with no row is its own cluster).
 
-    Scale shape: one left join on the id (broadcast when the pair list
-    is small — only DOCUMENTS WITH A DUPLICATE appear in ``canonical``,
-    typically a small fraction of the corpus) followed by the same
-    pure-column-expression assignment as ``hash_split``. Split
+    Scale shape: one left equi-join on the id — only DOCUMENTS WITH A
+    DUPLICATE appear in ``canonical``, typically a small fraction of
+    the corpus, so AQE broadcasts it when it fits and falls back to a
+    shuffle join when a crawl-heavy corpus clusters billions of docs
+    (no forced broadcast hint: that would hard-fail at the 8 GB
+    broadcast limit instead of degrading, r5 review) — followed by the
+    same pure-column-expression assignment as ``hash_split``. Split
     membership is stable under corpus growth for unclustered docs; a
     doc that later JOINS a cluster adopts the cluster's split, which
     is exactly the property that keeps the eval set leak-free."""
@@ -98,7 +101,7 @@ def leakage_safe_split(df, canonical, weights: Dict[str, float],
 
     can = canonical.select(F.col("node").alias(id_col),
                            F.col("canonical").alias("_canon"))
-    joined = df.join(F.broadcast(can), id_col, "left")
+    joined = df.join(can, id_col, "left")
     keyed = joined.withColumn(
         "_split_key", F.coalesce(F.col("_canon"), F.col(id_col)))
     out = hash_split(keyed, weights, id_col="_split_key", seed=seed,

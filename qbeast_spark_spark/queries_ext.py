@@ -637,24 +637,34 @@ def dedup_canonical(spark, sf_dir):
                      cc.canonical.alias("canonical_id"))
 
 
-DD_CANONICAL_SQL_TMPL = """
-WITH RECURSIVE pairs AS ({pairs_sql}),
-edges AS (SELECT id1 AS a, id2 AS b FROM pairs
-          UNION SELECT id2, id1 FROM pairs),
-reach(node, lbl) AS (
-  SELECT a, a FROM edges
+def _cc_ctes(pairs_sql: str, prefix: str = "") -> str:
+    """The ONE SQL replay of operators.dedup.connected_components —
+    recursive-CTE reachability closure + min-label — shared by every
+    doc-id oracle that needs canonical ids (dedup_canonical and the
+    train_assembly leakage_safe branch). Keeping a single template
+    means a future change to the CC replay cannot silently
+    de-synchronize the two oracle rows (r5 review). ``prefix``
+    namespaces the CTE names inside a larger WITH chain; the caller
+    reads (node, canonical) from ``{prefix}canon``."""
+    p = prefix
+    return f"""{p}pairs AS ({pairs_sql}),
+{p}edges AS (SELECT id1 AS a, id2 AS b FROM {p}pairs
+             UNION SELECT id2, id1 FROM {p}pairs),
+{p}reach(node, lbl) AS (
+  SELECT a, a FROM {p}edges
   UNION
-  SELECT e.b, r.lbl FROM reach r JOIN edges e ON r.node = e.a
-)
-SELECT node AS doc_id, MIN(lbl) AS canonical_id FROM reach GROUP BY node
-"""
+  SELECT e.b, r.lbl FROM {p}reach r JOIN {p}edges e ON r.node = e.a),
+{p}canon AS (SELECT node, MIN(lbl) AS canonical FROM {p}reach
+             GROUP BY node)"""
 
 
 def _dd_canonical_sql() -> str:
     from .queries_common import DD_JACCARD_SQL
 
-    return DD_CANONICAL_SQL_TMPL.format(
-        pairs_sql=DD_JACCARD_SQL.strip().rstrip(";"))
+    ctes = _cc_ctes(DD_JACCARD_SQL.strip().rstrip(";"))
+    return (f"WITH RECURSIVE {ctes}\n"
+            f"SELECT node AS doc_id, canonical AS canonical_id "
+            f"FROM canon")
 
 
 def q_funnel(spark, sf_dir):
@@ -997,7 +1007,8 @@ def _train_assembly_sql() -> str:
     # LSH-scored pair query (same SQL the dedup_lsh_scored row proves)
     # feeds the recursive-CTE connected components (the dedup_canonical
     # machinery), and the split key is COALESCE(canonical, doc_id)
-    pairs_sql = _lsh_scored_sql().strip().rstrip(";")
+    cc_ctes = _cc_ctes(_lsh_scored_sql().strip().rstrip(";"),
+                       prefix="ls")
     # chunk geometry must mirror chunk_text(max_tokens=32, overlap=8):
     # starts 0,24,48.. while start <= greatest(n-overlap-1, 0)
     return f"""
@@ -1021,15 +1032,7 @@ u AS (
          CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':42'), 1, 8))
               AS BIGINT) / 4294967296.0 AS u
   FROM chunks),
-lspairs AS ({pairs_sql}),
-lsedges AS (SELECT id1 AS a, id2 AS b FROM lspairs
-            UNION SELECT id2, id1 FROM lspairs),
-lsreach(node, lbl) AS (
-  SELECT a, a FROM lsedges
-  UNION
-  SELECT e.b, r.lbl FROM lsreach r JOIN lsedges e ON r.node = e.a),
-lscanon AS (SELECT node, MIN(lbl) AS canonical FROM lsreach
-            GROUP BY node),
+{cc_ctes},
 lsu AS (
   SELECT d.doc_id,
          CAST(('0x' || substr(md5(CAST(COALESCE(c.canonical, d.doc_id)

@@ -24,11 +24,12 @@ Delta-mergeable aggregates only (the honest contract):
   insert may or may not add a new distinct value), so every
   change-touched group recomputes on refresh. The re-AGGREGATION is
   O(changed groups); the source READ feeding it is file-pruned when
-  ANY group column is OTree-indexed with <= 256 changed keys
-  (_scoped_source conjoins an IN filter per prunable column) —
-  with no prunable column it degrades to a scoped-by-semi-join scan
-  over the live files, which costs I/O like a scan even though only
-  the affected groups are aggregated. Same caveat applies to the
+  any group column has <= 256 changed keys — _scoped_source conjoins
+  an IN filter per such column, pruned via OTree cubes (indexed
+  columns) plus per-file column stats / blooms (any column) — and
+  degrades to a scoped-by-semi-join scan over the live files when no
+  column prunes, which costs I/O like a scan even though only the
+  affected groups are aggregated. Same caveat applies to the
   min/max/HLL recompute path below.
 
 When the change range CONTAINS deletes/updates and the view carries a
@@ -253,25 +254,31 @@ def create_continuous_agg(spark, source_path: str, view_path: str,
 
 def _scoped_source(qt, version: int, group_cols, affected):
     """Source rows AS OF ``version`` restricted (at file level, best
-    effort) to the ``affected`` group keys. ANY group column that is
-    OTree-indexed (or carries per-file column stats / blooms, which
-    the same pruner consults) contributes an ``in`` filter over its
-    distinct affected values when those are few (<= 256) and non-null;
-    the filters conjoin, so one prunable column is enough to cut the
-    file list (reader.py:622 machinery). Row-level scoping is ALWAYS
-    applied afterwards by the caller's semi-join, so over-fetch here
-    costs time, never correctness."""
+    effort) to the ``affected`` group keys. EVERY group column present
+    in ``affected`` (matched by name) contributes an ``in`` filter over
+    its distinct affected values when those are few (<= 256) and
+    non-null; the conjunction feeds prune_files, where OTree cube
+    pruning applies to indexed columns and per-file column-stats /
+    Bloom skipping applies to any column — one prunable column is
+    enough to cut the file list. Row-level scoping is ALWAYS applied
+    afterwards by the caller's semi-join, so over-fetch here costs
+    time, never correctness."""
     snap = qt.log.snapshot(at_version=version)
-    rev = snap.latest_revision()
-    idx_cols = set(rev.column_names if rev else [])
     filters = []
-    for i, col in enumerate(group_cols):
-        if col not in idx_cols:
+    for col in group_cols:
+        # by NAME, never positionally: a misaligned positional read
+        # would feed one column's values into another's IN filter and
+        # silently under-fetch (r5 review); a caller-supplied frame
+        # lacking the column simply contributes no filter
+        if col not in affected.columns:
             continue
         keys = [r[0] for r in
-                affected.select(affected.columns[i])
-                .distinct().limit(257).collect()]
+                affected.select(col).distinct().limit(257).collect()]
         if len(keys) <= 256 and all(k is not None for k in keys):
+            # EVERY group column qualifies, indexed or not: prune_files
+            # applies cube pruning only where the revision's dimensions
+            # match, but per-file column-stats / Bloom skipping applies
+            # to any column and both are conservative (over-fetch only)
             filters.append((col, "in", keys))
     if filters:
         cands, _res = qt._candidates_and_residual(filters, snap)
