@@ -424,3 +424,37 @@ def test_sig_store_flat_layout_migration(spark, tmp_path):
     # idempotent
     _migrate_flat_store(spark, sig_path)
     assert spark.read.parquet(sig_path).count() == n0
+
+
+def test_sig_store_repeated_compaction_cycles(spark, tmp_path):
+    """Alternating batch appends and compactions: each consolidation
+    must pick a NEVER-USED negative id (no overwrite of the only copy),
+    and the store always reads back with one row per doc."""
+    import os
+
+    sig_path = str(tmp_path / "cycle_sigs")
+    from qbeast_spark_spark.streaming.ingest import compact_sig_store
+
+    def write_batch(bid, ids):
+        df = spark.createDataFrame([(i, i * 7) for i in ids],
+                                   "doc_id long, mh0 long")
+        df.write.mode("overwrite").parquet(f"{sig_path}/batch={bid}")
+
+    seen_dirs = set()
+    next_id = 0
+    total_ids = set()
+    for cycle in range(3):
+        for _ in range(2):
+            ids = list(range(next_id * 10, next_id * 10 + 5))
+            total_ids.update(ids)
+            write_batch(next_id, ids)
+            next_id += 1
+        new_id = compact_sig_store(spark, sig_path)
+        assert new_id is not None and new_id < 0
+        assert new_id not in seen_dirs
+        seen_dirs.add(new_id)
+        dirs = [d for d in os.listdir(sig_path) if d.startswith("batch=")]
+        assert dirs == [f"batch={new_id}"]
+        got = spark.read.parquet(sig_path)
+        assert got.count() == len(total_ids)
+        assert got.select("doc_id").distinct().count() == len(total_ids)
