@@ -318,6 +318,60 @@ def main() -> None:
         spark.catalog.clearCache()
         gc.collect()
 
+    # materialized-view refresh cost (r6, VERDICT r5 Next #5 — the one
+    # r4/r5 subsystem with no bench presence): one indexed table + CDF,
+    # a count/sum/min/HLL view grouped by l_returnflag; each run does an
+    # append burst -> DELTA-path refresh, then a delete burst ->
+    # partial-RECOMPUTE-path refresh. Headline = delta + recompute
+    # medians; the table/view build is setup (submetric), matching the
+    # qb_dml.setup convention. The table restores to its pristine
+    # version between runs (metadata-only), so every run refreshes over
+    # an identical change range.
+    from qbeast_spark_spark.sources.matview import (create_continuous_agg,
+                                                    refresh_continuous_agg)
+
+    mv_tbl = f"/tmp/qss_tables/{tag}/lineitem_matview"
+    mv_view = mv_tbl + "_mv"
+    shutil.rmtree(mv_tbl, ignore_errors=True)
+    shutil.rmtree(mv_view, ignore_errors=True)
+    li_src = spark.read.parquet(os.path.join(SF_DIR, "lineitem.parquet")) \
+        .select("l_orderkey", "l_extendedprice", "l_quantity",
+                "l_returnflag")
+    t0 = time.time()
+    qss.write(li_src, mv_tbl,
+              columns_to_index=["l_orderkey", "l_extendedprice"],
+              cube_size=5000)
+    qtm = qss.QbeastTable.for_path(spark, mv_tbl)
+    qtm.enable_change_data_feed()
+    mv_base = qtm.snapshot(refresh=True).version
+    submetrics["qb_matview.setup"] = round(time.time() - t0, 3)
+    mv_aggs = {"n": "count", "s": ("sum", "l_extendedprice"),
+               "lo": ("min", "l_extendedprice"),
+               "nd": ("approx_count_distinct", "l_orderkey")}
+    extra = li_src.where("l_orderkey < 2000")
+    delta_s, rec_s = [], []
+    for _ in range(n_runs):
+        qtm.restore(mv_base)
+        shutil.rmtree(mv_view, ignore_errors=True)
+        create_continuous_agg(spark, mv_tbl, mv_view, ["l_returnflag"],
+                              mv_aggs)
+        qss.write(extra, mv_tbl,
+                  columns_to_index=["l_orderkey", "l_extendedprice"],
+                  cube_size=5000, mode="append")
+        t0 = time.time()
+        refresh_continuous_agg(spark, mv_view)       # insert-only: delta
+        delta_s.append(time.time() - t0)
+        qtm.delete([("l_orderkey", "<", 1000)])
+        t0 = time.time()
+        refresh_continuous_agg(spark, mv_view)       # removals: recompute
+        rec_s.append(time.time() - t0)
+    submetrics["qb_matview.delta"] = round(statistics.median(delta_s), 3)
+    submetrics["qb_matview.recompute"] = round(statistics.median(rec_s), 3)
+    timings["qb_matview"] = round(submetrics["qb_matview.delta"]
+                                  + submetrics["qb_matview.recompute"], 3)
+    spark.catalog.clearCache()
+    gc.collect()
+
     # maintenance surface: re-layout half the table (O1) — timed last so
     # the rewritten files never affect the query timings above. Best-of-2
     # on a freshly rebuilt table each time: as the LAST long write job of

@@ -104,8 +104,13 @@ def qb_dml(spark, sf_dir):
     key range, UPDATE a measure over a price slice, MERGE the deleted
     keys back (insert-only, one row per key) and MERGE a matched update
     over a surviving key range, then read the result back through the
-    indexed surface. Rebuilt from scratch every call so repeated runs
-    (bench medians) are deterministic."""
+    indexed surface. Repeated runs are deterministic: the FIRST call in
+    a process builds the table from scratch; later calls RESTORE it to
+    the pristine base version (metadata-only — the rolled-back files
+    are still on disk) instead of paying the full index build again.
+    Bench medians re-run the verbs on identical base state either way,
+    and the reuse map is in-process only, so a fresh process (the
+    driver's correctness run) always rebuilds (VERDICT r5 Next #7)."""
     from pyspark.sql import functions as F
 
     from . import write_qbeast
@@ -116,17 +121,26 @@ def qb_dml(spark, sf_dir):
     key = os.path.abspath(sf_dir)
     tag = key.strip("/").replace("/", "_")
     path = f"/tmp/qss_tables/{tag}/lineitem_dml"
-    shutil.rmtree(path, ignore_errors=True)
     li = _t(spark, sf_dir, "lineitem").select(
         "l_orderkey", "l_extendedprice", "l_quantity", "l_returnflag")
     phases = LAST_DML_PHASES
     phases.clear()
     t0 = _time.time()
-    write_qbeast(li, path,
-                 columns_to_index=["l_orderkey", "l_extendedprice"],
-                 cube_size=5000)
+    qt = None
+    if _DML_BASE.get(path) is not None and os.path.exists(path):
+        try:
+            qt = QbeastTable.for_path(spark, path)
+            qt.restore(_DML_BASE[path])
+        except Exception:
+            qt = None
+    if qt is None:
+        shutil.rmtree(path, ignore_errors=True)
+        write_qbeast(li, path,
+                     columns_to_index=["l_orderkey", "l_extendedprice"],
+                     cube_size=5000)
+        qt = QbeastTable.for_path(spark, path)
+        _DML_BASE[path] = qt.snapshot(refresh=True).version
     phases["setup"] = _time.time() - t0
-    qt = QbeastTable.for_path(spark, path)
     t0 = _time.time()
     qt.delete([("l_orderkey", "<", 1000)])
     phases["delete"] = _time.time() - t0
@@ -156,6 +170,10 @@ def qb_dml(spark, sf_dir):
 # per-phase wall times of the last qb_dml call (bench reports the DML
 # verbs as the headline and the one-time setup write as a submetric)
 LAST_DML_PHASES: Dict[str, float] = {}
+
+# in-process map of pristine qb_dml base versions: later calls restore
+# instead of rebuilding (never persisted — a new process rebuilds)
+_DML_BASE: Dict[str, int] = {}
 
 
 QB_DML_SQL = """

@@ -300,15 +300,22 @@ def q17_small_quantity(spark, sf_dir):
         (F.col("l_shipdate") >= F.lit("1997-03-01").cast("timestamp_ntz"))
         & (F.col("l_shipdate") < F.lit("1997-04-01").cast("timestamp_ntz")))
     rev14 = _cents(F.col("l_extendedprice") * (1 - F.col("l_discount")))
+    # promo share scaled to x1e4 basis points via EXACT integer half-up
+    # division on bigint cents: floor((2e6*promo + total) / (2*total)) ==
+    # round-half-up(1e6*promo/total) for positive operands. The previous
+    # round-through-doubles (ROUND(pct,4) then ROUND(pct*10000,0)) could
+    # disagree by 1 between Spark (BigDecimal HALF_UP on the shortest
+    # decimal repr) and DuckDB (rounds the binary double) on boundary
+    # values (ADVICE r5, queries_ext.py:311). No doubles anywhere now.
     q14 = (
         li14.join(F.broadcast(p), li14.l_partkey == p.p_partkey)
-        .agg(F.round(
-            F.lit(100.0)
-            * F.sum(F.when(F.col("p_type") == "PROMO", rev14).otherwise(0))
-            .cast("double") / F.sum(rev14), 4).alias("pct"),
+        .agg(F.sum(F.when(F.col("p_type") == "PROMO", rev14).otherwise(0))
+             .alias("promo_cents"),
+             F.sum(rev14).alias("total_cents"),
              F.count("*").alias("n_lines"))
         .select(F.lit("q14_promo_pct_x1e4").alias("shape"),
-                F.round(F.col("pct") * 10000, 0).cast("bigint")
+                F.expr("CAST((2000000 * promo_cents + total_cents) "
+                       "DIV (2 * total_cents) AS BIGINT)")
                 .alias("revenue_cents"), "n_lines"))
     return q17.unionByName(q19).unionByName(q14)
 
@@ -332,11 +339,15 @@ WHERE (p_brand = 'Brand#12' AND p_size BETWEEN 1 AND 5  AND l_quantity BETWEEN 1
    OR (p_brand = 'Brand#34' AND p_size BETWEEN 1 AND 15 AND l_quantity BETWEEN 20 AND 30)
 UNION ALL
 SELECT 'q14_promo_pct_x1e4' AS shape,
-       CAST(ROUND(ROUND(100.0 * CAST(SUM(CASE WHEN p_type = 'PROMO'
+       -- exact integer half-up division on bigint cents; DuckDB SUM(int)
+       -- widens to HUGEINT so 2e6x the sum cannot overflow, and // is
+       -- floor division which equals half-up rounding here (operands > 0)
+       CAST((2000000 * SUM(CASE WHEN p_type = 'PROMO'
                  THEN CAST(ROUND(l_extendedprice*(1-l_discount)*100,0) AS BIGINT)
-                 ELSE 0 END) AS DOUBLE)
-             / SUM(CAST(ROUND(l_extendedprice*(1-l_discount)*100,0) AS BIGINT)), 4)
-             * 10000, 0) AS BIGINT) AS revenue_cents,
+                 ELSE 0 END)
+             + SUM(CAST(ROUND(l_extendedprice*(1-l_discount)*100,0) AS BIGINT)))
+            // (2 * SUM(CAST(ROUND(l_extendedprice*(1-l_discount)*100,0) AS BIGINT)))
+            AS BIGINT) AS revenue_cents,
        COUNT(*) AS n_lines
 FROM lineitem JOIN part ON l_partkey = p_partkey
 WHERE l_shipdate >= TIMESTAMP '1997-03-01' AND l_shipdate < TIMESTAMP '1997-04-01'
@@ -1058,8 +1069,12 @@ def qb_time_cdf(spark, sf_dir):
     branch) unioned with the decoded change feed for v2..v3 ('cdf'
     branch: the append's insert rows from file actions alone + the
     delete's recorded pre-images). Everything derives from the source
-    parquet, so DuckDB replays it exactly. Rebuilt per call so bench
-    repeats are deterministic."""
+    parquet, so DuckDB replays it exactly. The FIRST call in a process
+    builds v0..v2 from scratch; later calls RESTORE to the pre-delete
+    version instead (metadata-only), then re-run the delete — the AS OF
+    v0 read and the v2..3 change decode return byte-identical values
+    either way, and a fresh process (the driver's correctness run)
+    always rebuilds (VERDICT r5 Next #7)."""
     import shutil as _sh
 
     from pyspark.sql import functions as F
@@ -1074,19 +1089,29 @@ def qb_time_cdf(spark, sf_dir):
     key = _os.path.abspath(sf_dir)
     tag = key.strip("/").replace("/", "_")
     path = f"/tmp/qss_tables/{tag}/lineitem_timecdf"
-    _sh.rmtree(path, ignore_errors=True)
     cols = ["l_orderkey", "l_extendedprice", "l_quantity", "l_returnflag"]
     li = _t(spark, sf_dir, "lineitem").select(*cols)
     LAST_TIMECDF_PHASES.clear()
     _t0 = _time.time()
-    write_qbeast(li.where("l_orderkey < 3000"), path,
-                 columns_to_index=["l_orderkey", "l_extendedprice"],
-                 cube_size=5000)                                  # v0
-    qt = QbeastTable.for_path(spark, path)
-    qt.enable_change_data_feed()                                  # v1
-    write_qbeast(li.where("l_orderkey >= 3000 AND l_orderkey < 4000"),
-                 path, columns_to_index=["l_orderkey", "l_extendedprice"],
-                 cube_size=5000, mode="append")                   # v2
+    qt = None
+    if _TIMECDF_BASE.get(path) is not None and _os.path.exists(path):
+        try:
+            qt = QbeastTable.for_path(spark, path)
+            qt.restore(_TIMECDF_BASE[path])
+        except Exception:
+            qt = None
+    if qt is None:
+        _sh.rmtree(path, ignore_errors=True)
+        write_qbeast(li.where("l_orderkey < 3000"), path,
+                     columns_to_index=["l_orderkey", "l_extendedprice"],
+                     cube_size=5000)                              # v0
+        qt = QbeastTable.for_path(spark, path)
+        qt.enable_change_data_feed()                              # v1
+        write_qbeast(li.where("l_orderkey >= 3000 AND l_orderkey < 4000"),
+                     path,
+                     columns_to_index=["l_orderkey", "l_extendedprice"],
+                     cube_size=5000, mode="append")               # v2
+        _TIMECDF_BASE[path] = qt.snapshot(refresh=True).version
     # table construction is one-time setup (bench reports it as a
     # submetric, same convention as qb_dml.setup); the headline is the
     # CDF-recording delete + the AS OF read + the change-feed decode
@@ -1103,6 +1128,10 @@ def qb_time_cdf(spark, sf_dir):
 
 # per-phase wall time of the last qb_time_cdf call (bench submetric)
 LAST_TIMECDF_PHASES: Dict[str, float] = {}
+
+# in-process map of the probe's pre-delete base version: later calls
+# restore instead of rebuilding (never persisted — new processes rebuild)
+_TIMECDF_BASE: Dict[str, int] = {}
 
 
 QB_TIME_CDF_SQL = """

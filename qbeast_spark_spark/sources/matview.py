@@ -24,13 +24,14 @@ Delta-mergeable aggregates only (the honest contract):
   insert may or may not add a new distinct value), so every
   change-touched group recomputes on refresh. The re-AGGREGATION is
   O(changed groups); the source READ feeding it is file-pruned when
-  any group column has <= 256 changed keys — _scoped_source conjoins
-  an IN filter per such column, pruned via OTree cubes (indexed
-  columns) plus per-file column stats / blooms (any column) — and
-  degrades to a scoped-by-semi-join scan over the live files when no
-  column prunes, which costs I/O like a scan even though only the
-  affected groups are aggregated. Same caveat applies to the
-  min/max/HLL recompute path below.
+  any group column has <= 16,384 changed keys — _scoped_source
+  evaluates each column's key set as batched IN filters (chunks of
+  256, unioned per column, intersected across columns), pruned via
+  OTree cubes (indexed columns) plus per-file column stats / blooms
+  (any column) — and degrades to a scoped-by-semi-join scan over the
+  live files when no column prunes, which costs I/O like a scan even
+  though only the affected groups are aggregated. Same caveat applies
+  to the min/max/HLL recompute path below.
 
 When the change range CONTAINS deletes/updates and the view carries a
 non-subtractable aggregate (min/max/HLL), the refresh does an
@@ -62,6 +63,7 @@ import json
 import os
 import shutil
 import time
+import warnings
 from contextlib import contextmanager
 from typing import Dict, Tuple, Union
 
@@ -171,16 +173,73 @@ def _delta_frame(changes, group_cols, aggs):
     return changes.groupBy(*group_cols).agg(*exprs)
 
 
+def _try_reclaim_stale_lock(lock: str, max_hold_s: float) -> bool:
+    """Reclaim ``lock`` if its holder is provably gone: the recorded pid
+    is dead on this host, or the lock has been held longer than
+    ``max_hold_s`` (covers a holder on ANOTHER host, where the pid test
+    says nothing — refreshes finish in seconds, so hours of hold means a
+    crash). The reclaim is race-free among waiters: each renames the
+    stale file to a name salted with its own pid first, and os.rename
+    succeeds for exactly one of them — the losers see FileNotFoundError
+    and go back to the O_EXCL create, so a FRESH lock taken by the
+    winner is never deleted by a late loser (ADVICE r5, matview.py:175).
+    Returns True when the caller should immediately retry the create."""
+    try:
+        with open(lock) as fh:
+            info = json.load(fh)
+        pid, ts = int(info["pid"]), int(info["ts"])
+    except (OSError, ValueError, KeyError):
+        # unreadable content: the holder may be between O_EXCL-create
+        # and writing pid/ts, so only the file's age can prove staleness
+        try:
+            age_s = time.time() - os.path.getmtime(lock)
+        except OSError:
+            return True          # vanished: holder released it, retry
+        if age_s <= max_hold_s:
+            return False
+        pid, ts = None, None
+    else:
+        pid_dead = False
+        if pid is not None:
+            try:
+                os.kill(pid, 0)
+            except ProcessLookupError:
+                pid_dead = True
+            except PermissionError:
+                pass             # exists under another uid: alive
+            except OSError:
+                pass             # can't tell: fall through to age test
+        if not pid_dead and (time.time() * 1000 - ts) <= max_hold_s * 1000:
+            return False
+    claim = f"{lock}.stale-{os.getpid()}"
+    try:
+        os.rename(lock, claim)
+    except OSError:
+        return True              # another waiter won the rename: retry
+    try:
+        os.unlink(claim)
+    except OSError:
+        pass
+    warnings.warn(f"reclaimed stale refresh lock {lock} "
+                  f"(holder pid={pid} ts={ts})", stacklevel=3)
+    return True
+
+
 @contextmanager
-def _refresh_lock(view_path: str, timeout_s: float = 60.0):
+def _refresh_lock(view_path: str, timeout_s: float = 60.0,
+                  max_hold_s: float = 15 * 60.0):
     """Serialize refreshes of one view with an exclusive-create lock file
     (the commit log's O_EXCL pattern, log.py:552). Without it two
     concurrent ``refresh_continuous_agg`` calls — e.g. two streaming
     queries sharing an ``auto_maintain`` view list — can (a) overwrite
     the same ``state-<v>`` dir mid-write and (b) race the GC pass into
     deleting the state dir the other refresher just repointed meta at
-    (ADVICE r4, matview.py:239). Waits up to ``timeout_s`` for the
-    holder, then raises naming the stale lock file."""
+    (ADVICE r4, matview.py:239). Waits up to ``timeout_s`` for a LIVE
+    holder, then raises naming the lock file. A lock whose recorded pid
+    is dead, or older than ``max_hold_s``, is reclaimed instead of
+    wedging every later refresh (and, through auto_maintain's
+    skip-vacuum-on-refresh-error rule, vacuum too) until a human
+    deletes the file (ADVICE r5)."""
     lock = os.path.join(view_path, "_refresh.lock")
     deadline = time.monotonic() + timeout_s
     while True:
@@ -188,6 +247,8 @@ def _refresh_lock(view_path: str, timeout_s: float = 60.0):
             fd = os.open(lock, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
             break
         except FileExistsError:
+            if _try_reclaim_stale_lock(lock, max_hold_s):
+                continue
             if time.monotonic() >= deadline:
                 raise TimeoutError(
                     f"another refresh holds {lock} (waited {timeout_s}s); "
@@ -252,19 +313,35 @@ def create_continuous_agg(spark, source_path: str, view_path: str,
     return meta
 
 
+# _scoped_source pruning bounds: IN-filters are evaluated in chunks of
+# _IN_CHUNK keys (the pruning DFS treats one IN as a union of point
+# lookups, so a bounded chunk keeps each pass cheap); a column with more
+# than _MAX_SCOPE_KEYS distinct affected keys stops contributing file
+# pruning entirely — the driver-side key collect and the per-chunk file
+# walks would outgrow the scan they save. Row-level scoping by the
+# caller's semi-join is unconditional either way.
+_IN_CHUNK = 256
+_MAX_SCOPE_KEYS = 16_384
+
+
 def _scoped_source(qt, version: int, group_cols, affected):
     """Source rows AS OF ``version`` restricted (at file level, best
     effort) to the ``affected`` group keys. EVERY group column present
-    in ``affected`` (matched by name) contributes an ``in`` filter over
-    its distinct affected values when those are few (<= 256) and
-    non-null; the conjunction feeds prune_files, where OTree cube
-    pruning applies to indexed columns and per-file column-stats /
-    Bloom skipping applies to any column — one prunable column is
-    enough to cut the file list. Row-level scoping is ALWAYS applied
-    afterwards by the caller's semi-join, so over-fetch here costs
-    time, never correctness."""
+    in ``affected`` (matched by name) contributes: its distinct
+    affected values are collected (up to _MAX_SCOPE_KEYS) and evaluated
+    as BATCHED ``in`` filters of _IN_CHUNK keys each (r6, VERDICT r5
+    Next #2 — the old single-batch path gave up past 256 keys and
+    re-scanned the table on any wide delete); each chunk prunes
+    independently through prune_files — OTree cube pruning on indexed
+    columns, per-file column-stats / Bloom skipping on any column — and
+    a column's candidate set is the UNION of its chunks. Candidate sets
+    INTERSECT across columns (a file must hold rows matching every
+    column's key list to contribute an affected row — conjunction
+    semantics, the same soundness prune_files itself provides).
+    Row-level scoping is ALWAYS applied afterwards by the caller's
+    semi-join, so over-fetch here costs time, never correctness."""
     snap = qt.log.snapshot(at_version=version)
-    filters = []
+    per_col_cands = []
     for col in group_cols:
         # by NAME, never positionally: a misaligned positional read
         # would feed one column's values into another's IN filter and
@@ -273,16 +350,25 @@ def _scoped_source(qt, version: int, group_cols, affected):
         if col not in affected.columns:
             continue
         keys = [r[0] for r in
-                affected.select(col).distinct().limit(257).collect()]
-        if len(keys) <= 256 and all(k is not None for k in keys):
-            # EVERY group column qualifies, indexed or not: prune_files
-            # applies cube pruning only where the revision's dimensions
-            # match, but per-file column-stats / Bloom skipping applies
-            # to any column and both are conservative (over-fetch only)
-            filters.append((col, "in", keys))
-    if filters:
-        cands, _res = qt._candidates_and_residual(filters, snap)
-        return qt._df_for_files(cands, snap=snap)
+                affected.select(col).distinct()
+                .limit(_MAX_SCOPE_KEYS + 1).collect()]
+        if len(keys) > _MAX_SCOPE_KEYS or any(k is None for k in keys):
+            # NULL group keys have no IN form (IN never matches NULL),
+            # and an over-wide key set is cheaper to re-scan than to
+            # prune key-by-key; this column just doesn't constrain
+            continue
+        cands: set = set()
+        for lo in range(0, len(keys), _IN_CHUNK):
+            chunk = keys[lo:lo + _IN_CHUNK]
+            c, _res = qt._candidates_and_residual(
+                [(col, "in", chunk)], snap)
+            cands.update(c)
+            if len(cands) == len(snap.files):
+                break            # already everything: stop walking
+        per_col_cands.append(cands)
+    if per_col_cands:
+        selected = set.intersection(*per_col_cands)
+        return qt._df_for_files(sorted(selected), snap=snap)
     return qt._df_for_files(list(snap.files.keys()), snap=snap)
 
 

@@ -22,6 +22,7 @@ the idiomatic bridges:
 
 from __future__ import annotations
 
+import re
 from typing import List, Optional, Sequence
 
 from pyspark.errors import AnalysisException
@@ -104,13 +105,18 @@ def stream_dedup_ingest(stream_df, path: str, sig_path: str,
     Exactly-once holds for BOTH writes (r5, VERDICT r4 "What's wrong
     #2"): the DATA commit is idempotent via the commit log's txn map,
     and the signature write goes to a per-batch directory
-    ``{sig_path}/batch=<batch_id>`` in OVERWRITE mode — batch ids from
-    the checkpoint are monotonic and never reused, so a batch replayed
-    after a crash between the two writes rewrites the same directory
-    with the same (deterministic) rows instead of appending duplicates.
-    The store reads back as one partitioned parquet table; a pre-r5
-    flat-append store is auto-adopted into the layout on the next batch
-    (_migrate_flat_store).
+    ``{sig_path}/batch=<query_name>-<batch_id>`` in OVERWRITE mode —
+    batch ids from the checkpoint are monotonic and never reused within
+    a query, so a batch replayed after a crash between the two writes
+    rewrites the same directory with the same (deterministic) rows
+    instead of appending duplicates. The directory name embeds the
+    (sanitized) query name (r6, ADVICE r5): two queries sharing one
+    ``sig_path`` both start at batch 0, and un-namespaced ``batch=<id>``
+    directories would silently overwrite each other's signatures. The
+    store reads back as one partitioned parquet table regardless of the
+    mix of legacy integer and namespaced string directory values; a
+    pre-r5 flat-append store is auto-adopted into the layout on the
+    next batch (_migrate_flat_store).
 
     Operational contract (the same one every txnAppId-tagged
     exactly-once sink has, Delta included): the checkpoint and
@@ -122,7 +128,17 @@ def stream_dedup_ingest(stream_df, path: str, sig_path: str,
 
     ``compact_store_every=N`` folds the accumulated per-batch
     directories into one (compact_sig_store) every Nth batch — a
-    small-files optimization, not a correctness need."""
+    small-files optimization, not a correctness need. The CURRENT
+    batch's own directory is never folded (ADVICE r5): compaction runs
+    before the checkpoint commits this batch, and folding the directory
+    into a consolidation would defeat the own-batch corpus exclusion on
+    a replay (every doc would self-match its compacted signature and
+    the batch directory would be rewritten empty — survivable only
+    through the data commit's txn-skip, and one reordering away from
+    signature loss). The directory joins the next compaction cycle,
+    after its checkpoint entry is durable. Run compaction from a single
+    owner when several queries share a store — two concurrent
+    compactions could both pick the same consolidation id."""
     from pyspark.sql import functions as F
 
     from ..operators.dedup import (lsh_join_sigs, lsh_pairs_scored,
@@ -146,10 +162,13 @@ def stream_dedup_ingest(stream_df, path: str, sig_path: str,
               .alias(f"mh{j}")
               for j, (a, b) in enumerate(MINHASH_PERMS)])
 
+    qname = _safe_store_name(query_name)
+
     def sink(batch_df, batch_id: int):
         if batch_df.isEmpty():
             return
         spark = batch_df.sparkSession
+        own_dir_val = f"{qname}-{batch_id}"
         sigs = minhash_signatures(batch_df, n, id_col)
         # docs with < n tokens yield no shingles, hence no signature row:
         # without a fallback they would bypass dedup AND never enter the
@@ -189,10 +208,16 @@ def stream_dedup_ingest(stream_df, path: str, sig_path: str,
                 # partition column (not on id equality) keeps exact
                 # same-id dedup across batches working: a doc
                 # re-delivered in a LATER batch still collides with its
-                # stored signature and is dropped.
+                # stored signature and is dropped. The bare batch id is
+                # excluded too, covering a replay over a directory this
+                # query wrote before the r6 namespaced layout (the cast
+                # keeps the comparison valid whether partition discovery
+                # inferred the column as int — legacy dirs only — or
+                # string).
                 if "batch" in corpus_sigs.columns:
                     corpus_sigs = corpus_sigs.where(
-                        F.col("batch") != F.lit(batch_id))
+                        ~F.col("batch").cast("string")
+                        .isin(own_dir_val, str(batch_id)))
                 vs_corpus = lsh_join_sigs(corpus_sigs, new_sigs,
                                           id_col=id_col,
                                           threshold=threshold)
@@ -216,17 +241,22 @@ def stream_dedup_ingest(stream_df, path: str, sig_path: str,
                              txn_app_id=query_name, txn_version=batch_id,
                              **write_kwargs)
                 # per-batch overwrite = idempotent on replay (batch ids
-                # never repeat across the checkpoint's lifetime)
+                # never repeat across the checkpoint's lifetime; the
+                # query-name prefix keeps a second query sharing the
+                # store from colliding on the same ids)
                 (new_sigs.join(dup_ids, id_col, "left_anti")
                  .write.mode("overwrite")
-                 .parquet(f"{sig_path}/batch={batch_id}"))
+                 .parquet(f"{sig_path}/batch={own_dir_val}"))
             finally:
                 dup_ids.unpersist()
         finally:
             new_sigs.unpersist()
         if compact_store_every \
                 and (batch_id + 1) % compact_store_every == 0:
-            compact_sig_store(spark, sig_path, id_col=id_col)
+            # never fold the in-flight batch's directory — see the
+            # docstring's compaction contract
+            compact_sig_store(spark, sig_path, id_col=id_col,
+                              exclude=own_dir_val)
 
     writer = (stream_df.writeStream.foreachBatch(sink)
               .queryName(query_name)
@@ -236,6 +266,14 @@ def stream_dedup_ingest(stream_df, path: str, sig_path: str,
     if trigger_available_now:
         writer = writer.trigger(availableNow=True)
     return writer.start()
+
+
+def _safe_store_name(query_name: str) -> str:
+    """Sanitize a query name for use inside a ``batch=`` partition
+    directory value: path separators / '=' / whitespace would corrupt
+    the layout, so anything outside [A-Za-z0-9._-] becomes '_'."""
+    safe = re.sub(r"[^A-Za-z0-9._-]", "_", query_name)
+    return safe or "q"
 
 
 def _migrate_flat_store(spark, sig_path: str) -> None:
@@ -262,22 +300,31 @@ def _migrate_flat_store(spark, sig_path: str) -> None:
 
 
 def compact_sig_store(spark, sig_path: str, id_col: str = "doc_id",
-                      min_dirs: int = 2) -> Optional[int]:
+                      min_dirs: int = 2,
+                      exclude: Optional[str] = None) -> Optional[int]:
     """Fold a signature store's per-batch directories into ONE
     deduplicated directory (one row per ``id_col``) — the small-files
     hygiene pass for long-running ``stream_dedup_ingest`` queries.
 
     Crash-safe by construction: the consolidated rows are written to a
-    brand-new directory (``batch=-(max |id| + 1)`` — negative, so it can
-    never collide with a real checkpoint batch id or a previous
-    consolidation) BEFORE the covered directories are deleted. A crash
-    between the write and the deletes leaves duplicate signature rows
-    visible, which are harmless (same doc carries the same signature;
-    candidate pairs are distinct) and are removed by the next pass.
-    No directory holding the only copy of a row is ever truncated.
+    brand-new directory (``batch=-(max |trailing int| + 1)`` — negative
+    and bare, so it can never collide with a checkpoint batch
+    directory, which always carries a query-name prefix or a
+    non-negative legacy id, nor with a previous consolidation) BEFORE
+    the covered directories are deleted. A crash between the write and
+    the deletes leaves duplicate signature rows visible, which are
+    harmless (same doc carries the same signature; candidate pairs are
+    distinct) and are removed by the next pass. No directory holding
+    the only copy of a row is ever truncated.
 
-    Returns the new directory's batch id, or None if the store has
-    fewer than ``min_dirs`` directories. Uses the Hadoop FileSystem
+    ``exclude`` names one partition VALUE (e.g. ``myquery-7``) to leave
+    out of the fold — the sink passes its in-flight batch's directory,
+    which must survive untouched until its checkpoint entry is durable
+    (ADVICE r5: folding it would void the own-batch corpus exclusion on
+    a replay).
+
+    Returns the new directory's batch id, or None if fewer than
+    ``min_dirs`` directories are eligible. Uses the Hadoop FileSystem
     API, so it works wherever the store lives (local, s3a, ...)."""
     jvm = spark._jvm
     root = jvm.org.apache.hadoop.fs.Path(sig_path)
@@ -288,20 +335,30 @@ def compact_sig_store(spark, sig_path: str, id_col: str = "doc_id",
     for st in fs.listStatus(root):
         name = st.getPath().getName()
         if st.isDirectory() and name.startswith("batch="):
-            try:
-                dirs[int(name[len("batch="):])] = st.getPath()
-            except ValueError:
-                continue
+            val = name[len("batch="):]
+            if val != exclude:
+                dirs[val] = st.getPath()
     if len(dirs) < min_dirs:
         return None
-    new_id = -(max(abs(b) for b in dirs) + 1)
-    sigs = spark.read.parquet(*[f"{sig_path}/batch={b}" for b in dirs])
+    # derive a never-used negative id from every trailing integer in
+    # sight — legacy ``batch=7``, namespaced ``batch=q-7`` (trailing
+    # -7 -> |7|) and consolidations ``batch=-9`` all contribute, and the
+    # excluded value counts too so the new id cannot collide with it
+    seen_ints = [0]
+    for val in list(dirs) + ([exclude] if exclude is not None else []):
+        m = re.search(r"(-?\d+)$", val)
+        if m:
+            seen_ints.append(abs(int(m.group(1))))
+    new_id = -(max(seen_ints) + 1)
+    sigs = spark.read.parquet(*[f"{sig_path}/batch={v}" for v in dirs])
     # identical doc -> identical signature, so keeping any one row per
-    # doc id is exact; drop any stale 'batch' col a reader may add
+    # doc id is exact; drop any stale 'batch' col a reader may add.
+    # (Assumes one global id space across writers sharing the store —
+    # the same assumption the cross-batch same-id dedup makes.)
     keep = [c for c in sigs.columns if c != "batch"]
     (sigs.select(*keep).dropDuplicates([id_col])
      .write.mode("overwrite").parquet(f"{sig_path}/batch={new_id}"))
-    for b, p in dirs.items():
+    for p in dirs.values():
         fs.delete(p, True)
     return new_id
 

@@ -532,6 +532,58 @@ def test_scoped_source_prunes_through_index(spark, tmp_table):
     assert got2 == want and want > 0
 
 
+def test_scoped_source_prunes_past_256_keys(spark, tmp_table):
+    """VERDICT r5 Next #2: beyond the old 256-key cap the recompute scan
+    used to fall back to the full live-file list. With batched IN
+    pruning (chunks of 256, unioned), 1,200 affected keys on an indexed
+    column must still read strictly fewer files than the table holds —
+    and a matching refresh must still equal a from-scratch recompute."""
+    import qbeast_spark_spark as qss
+    from pyspark.sql import functions as F
+    from qbeast_spark_spark.sources.matview import (_scoped_source,
+                                                    create_continuous_agg,
+                                                    read_continuous_agg,
+                                                    refresh_continuous_agg)
+
+    n = 60_000
+    df = spark.range(n).select(
+        F.col("id").alias("k"),
+        (F.col("id") % 97).cast("double").alias("v"))
+    qss.write(df, tmp_table, columns_to_index=["k"], cube_size=2000)
+    qt = qss.QbeastTable.for_path(spark, tmp_table)
+    snap = qt.snapshot(refresh=True)
+    n_files = len(snap.files)
+    assert n_files > 5, "need a multi-file table for a pruning assertion"
+
+    # 1,200 affected keys clustered in the low 10% of the key space:
+    # far past the old cap, well within _MAX_SCOPE_KEYS
+    keys = list(range(100, 1300))
+    affected = spark.createDataFrame([(k,) for k in keys], "k long")
+    scoped = _scoped_source(qt, snap.version, ["k"], affected)
+    read_files = {r[0] for r in scoped.select(
+        "_metadata.file_path").distinct().collect()}
+    assert len(read_files) < n_files, (len(read_files), n_files)
+    got = scoped.where(F.col("k").isin(keys)).count()
+    assert got == len(keys)      # nothing under-fetched
+
+    # end-to-end: a delete touching those 1,200 groups forces the
+    # min/max recompute path through the batched pruning; the refreshed
+    # view must equal a from-scratch recompute
+    view = tmp_table + "_mv"
+    qt.enable_change_data_feed()
+    create_continuous_agg(spark, tmp_table, view, ["k"],
+                          {"lo": ("min", "v"), "n": "count"})
+    qt.update({"v": "v + 1000"}, [("k", ">=", 100), ("k", "<", 1300)])
+    refresh_continuous_agg(spark, view)
+    got_rows = {tuple(r) for r in
+                read_continuous_agg(spark, view).collect()}
+    want_rows = {tuple(r) for r in
+                 qt.to_df().groupBy("k")
+                 .agg(F.min("v").alias("lo"), F.count("*").alias("n"))
+                 .collect()}
+    assert got_rows == want_rows
+
+
 def test_refresh_lock_serializes(spark, tmp_table):
     """A held _refresh.lock makes a second refresher wait and then time
     out with an actionable error; releasing it un-wedges refresh."""
@@ -555,3 +607,58 @@ def test_refresh_lock_serializes(spark, tmp_table):
     out = refresh_continuous_agg(spark, view)
     assert out["refreshed"] is False      # nothing new, but not locked
     assert not os.path.exists(lock)       # lock released on exit
+
+
+def test_refresh_lock_stale_takeover(spark, tmp_table):
+    """A lock whose holder crashed must not wedge refreshes forever
+    (ADVICE r5): a dead recorded pid, or an ancient hold, is reclaimed;
+    a LIVE holder still forces the timeout path."""
+    import json
+    import time as _time
+    import warnings as _warnings
+
+    import qbeast_spark_spark as qss
+    from qbeast_spark_spark.sources.matview import (create_continuous_agg,
+                                                    refresh_continuous_agg)
+
+    li = load(spark, "lineitem").select(
+        "l_orderkey", "l_quantity", "l_returnflag").limit(500)
+    qss.write(li, tmp_table, columns_to_index=["l_orderkey"],
+              cube_size=2000)
+    view = tmp_table + "_mv"
+    create_continuous_agg(spark, tmp_table, view, ["l_returnflag"],
+                          {"n": "count"})
+    lock = os.path.join(view, "_refresh.lock")
+
+    # (a) dead pid -> reclaimed without waiting out the timeout
+    dead_pid = 1  # pid 1 exists but isn't ours -> PermissionError = live;
+    # find a genuinely dead pid instead: fork-free heuristic — spawn
+    # nothing, just pick a huge pid far beyond pid_max on this box
+    dead_pid = 2 ** 22 + 12345
+    with open(lock, "w") as fh:
+        json.dump({"pid": dead_pid, "ts": int(_time.time() * 1000)}, fh)
+    t0 = _time.monotonic()
+    with _warnings.catch_warnings(record=True) as caught:
+        _warnings.simplefilter("always")
+        out = refresh_continuous_agg(spark, view, lock_timeout_s=30.0)
+    assert out["refreshed"] is False
+    assert _time.monotonic() - t0 < 10, "should reclaim, not wait"
+    assert any("reclaimed stale refresh lock" in str(w.message)
+               for w in caught)
+    assert not os.path.exists(lock)
+
+    # (b) live pid, recent ts -> still times out (no takeover)
+    with open(lock, "w") as fh:
+        json.dump({"pid": os.getpid(), "ts": int(_time.time() * 1000)}, fh)
+    with pytest.raises(TimeoutError, match="_refresh.lock"):
+        refresh_continuous_agg(spark, view, lock_timeout_s=0.5)
+    os.unlink(lock)
+
+    # (c) live pid but ancient ts (holder on another host / hung) ->
+    # reclaimed once past max_hold_s
+    with open(lock, "w") as fh:
+        json.dump({"pid": os.getpid(),
+                   "ts": int(_time.time() * 1000) - 3_600_000}, fh)
+    out = refresh_continuous_agg(spark, view, lock_timeout_s=30.0)
+    assert out["refreshed"] is False
+    assert not os.path.exists(lock)

@@ -389,12 +389,24 @@ def test_stream_dedup_ingest_pipeline(spark, tmp_path):
     final3 = qss.QbeastTable.for_path(spark, table).to_df()
     assert final3.where("doc_id = 109").count() == 0   # corpus near-dup
     assert final3.where("doc_id = 110").count() == 1
-    # compact_store_every folded the store back to ONE directory
-    dirs = [d for d in os.listdir(sig_path) if d.startswith("batch=")]
-    assert len(dirs) == 1, dirs
+    # compact_store_every must NOT fold the in-flight batch's own
+    # directory (ADVICE r5: folding it before the checkpoint commits
+    # would void the own-batch corpus exclusion on a replay): the
+    # current batch's namespaced dir survives next to the earlier
+    # consolidation, and joins a LATER compaction cycle instead
+    dirs = sorted(d for d in os.listdir(sig_path)
+                  if d.startswith("batch="))
+    assert len(dirs) == 2, dirs
+    assert any(d.startswith("batch=qbeast-dedup-ingest-") for d in dirs), dirs
     sigs = spark.read.parquet(sig_path)
     assert sigs.count() == n_sigs2 + 1
     assert sigs.select("doc_id").distinct().count() == n_sigs2 + 1
+    # ... and once the batch is durable, a standalone pass folds it
+    from qbeast_spark_spark.streaming.ingest import compact_sig_store
+    assert compact_sig_store(spark, sig_path) is not None
+    dirs = [d for d in os.listdir(sig_path) if d.startswith("batch=")]
+    assert len(dirs) == 1, dirs
+    assert spark.read.parquet(sig_path).count() == n_sigs2 + 1
 
 
 def test_sig_store_flat_layout_migration(spark, tmp_path):
@@ -424,6 +436,46 @@ def test_sig_store_flat_layout_migration(spark, tmp_path):
     # idempotent
     _migrate_flat_store(spark, sig_path)
     assert spark.read.parquet(sig_path).count() == n0
+
+
+def test_sig_store_two_queries_no_collision(spark, tmp_path):
+    """Two streaming queries sharing one sig_path both start at batch 0;
+    the query-name-namespaced directories (ADVICE r5) keep them from
+    overwriting each other's signatures."""
+    import os
+
+    import qbeast_spark_spark as qss
+    from qbeast_spark_spark.streaming.ingest import stream_dedup_ingest
+
+    sig_path = str(tmp_path / "shared_sigs")
+    texts = {
+        "a": "alpha corpus text about rivers valleys stones and the "
+             "slow patience of erosion across geological time spans",
+        "b": "beta corpus text concerning harbor cranes containers "
+             "manifests customs and the logistics of modern shipping",
+    }
+    handles = {}
+    for tag, text in texts.items():
+        src = str(tmp_path / f"src_{tag}")
+        os.makedirs(src)
+        df = spark.createDataFrame([(1, text)], ["doc_id", "text"])
+        df.coalesce(1).write.mode("overwrite").parquet(src)
+        stream = spark.readStream.schema(df.schema).parquet(src)
+        handles[tag] = stream_dedup_ingest(
+            stream, str(tmp_path / f"tbl_{tag}"), sig_path,
+            columns_to_index=["doc_id"], cube_size=100,
+            checkpoint=str(tmp_path / f"ckpt_{tag}"),
+            trigger_available_now=True, query_name=f"ingest-{tag}")
+    for q in handles.values():
+        q.awaitTermination(120)
+    dirs = sorted(d for d in os.listdir(sig_path)
+                  if d.startswith("batch="))
+    assert dirs == ["batch=ingest-a-0", "batch=ingest-b-0"], dirs
+    # both queries' signatures present — nothing overwrote anything
+    sigs = spark.read.parquet(sig_path)
+    assert sigs.count() == 2
+    assert sorted(r.batch for r in sigs.select("batch").collect()) \
+        == ["ingest-a-0", "ingest-b-0"]
 
 
 def test_sig_store_repeated_compaction_cycles(spark, tmp_path):
