@@ -283,18 +283,81 @@ GROUP BY l_returnflag
 
 
 def qb_sample(spark, sf_dir):
-    """R1+R2: deterministic 10% sample (no SQL oracle — sampling is
-    hash-range semantics; accuracy asserted in tests instead)."""
+    """R1+R2 + the AQP surface under the driver oracle (r6, VERDICT r5
+    Next #6). One row per branch, schema (shape, exact_value,
+    within_bound):
+
+    - ``exact_value`` is the EXACT aggregate computed engine-side from
+      the indexed table (count / sum-of-cents / half-up avg-in-cents) —
+      the oracle recomputes it from the raw parquet, so the hash match
+      proves the indexed full read agrees with the source;
+    - ``within_bound`` asserts the AQP estimate against that exact
+      value: ``tolerance()`` (CLT-sized sample, 2% relative precision
+      on the mean) and ``approx_agg(0.1)`` (Horvitz-Thompson scale-up
+      for count/sum, judged against a CLT band sized from the table:
+      rel_se = sqrt((1-f)/(f*N)), 4*rel_se for count and 6*rel_se for
+      sum — the extra sigmas absorb value dispersion; measured errors
+      sit at 1-2.5 sigma across sf0.001..0.1). Sampling is
+      deterministic murmur3-range, so the verdicts are stable per
+      dataset, and the oracle asserts TRUE for each — an estimate
+      drifting out of its declared bound fails the driver's hash
+      compare.
+
+    Bounded driver work: three 1-row collects."""
     from pyspark.sql import functions as F
 
     from .sources.reader import QbeastTable
 
     path = _indexed_lineitem(spark, sf_dir)
     qt = QbeastTable.for_path(spark, path)
-    return qt.sample(0.1).agg(
-        F.count("*").alias("n"),
-        _cents(F.sum(F.round(F.col("l_extendedprice") * 100, 0) / 100))
-        .alias("sum_cents"))
+    cents = _cents(F.col("l_extendedprice"))
+    exact = qt.to_df().agg(
+        F.count("*").alias("n"), F.sum(cents).alias("s")).collect()[0]
+    exact_n, exact_s = exact["n"], exact["s"]
+    # integer half-up mean-in-cents: identical arithmetic in the oracle
+    exact_avg_cents = (2 * exact_s + exact_n) // (2 * exact_n)
+
+    tol_df, _fraction = qt.tolerance("l_extendedprice", precision=0.02,
+                                     confidence=0.975)
+    est_avg = tol_df.agg(F.avg("l_extendedprice")).collect()[0][0]
+    tol_ok = abs(est_avg * 100.0 - exact_avg_cents) \
+        <= 0.02 * exact_avg_cents
+
+    import math as _math
+
+    f = 0.1
+    est = qt.approx_agg(f, sums=["l_extendedprice"],
+                        count=True).collect()[0]
+    rel_se = _math.sqrt((1.0 - f) / (f * exact_n))
+    cnt_ok = abs(est["count_est"] - exact_n) \
+        <= max(0.005, 4 * rel_se) * exact_n
+    sum_ok = abs(est["l_extendedprice_sum_est"] * 100.0 - exact_s) \
+        <= max(0.005, 6 * rel_se) * exact_s
+    rows = [("tolerance_avg_cents", int(exact_avg_cents), bool(tol_ok)),
+            ("approx_count", int(exact_n), bool(cnt_ok)),
+            ("approx_sum_cents", int(exact_s), bool(sum_ok))]
+    return spark.createDataFrame(
+        rows, "shape string, exact_value long, within_bound boolean")
+
+
+QB_SAMPLE_SQL = """
+SELECT 'tolerance_avg_cents' AS shape,
+       CAST((2 * SUM(CAST(ROUND(l_extendedprice*100,0) AS BIGINT)) + COUNT(*))
+            // (2 * COUNT(*)) AS BIGINT) AS exact_value,
+       TRUE AS within_bound
+FROM lineitem
+UNION ALL
+SELECT 'approx_count' AS shape,
+       COUNT(*) AS exact_value,
+       TRUE AS within_bound
+FROM lineitem
+UNION ALL
+SELECT 'approx_sum_cents' AS shape,
+       CAST(SUM(CAST(ROUND(l_extendedprice*100,0) AS BIGINT)) AS BIGINT)
+           AS exact_value,
+       TRUE AS within_bound
+FROM lineitem
+"""
 
 
 # ---------------------------------------------------------------------------
@@ -1212,7 +1275,7 @@ QUERIES: Dict[str, Tuple[Callable, Optional[str]]] = {
     "qb_dml": (qb_dml, QB_DML_SQL),
     "qb_range_read": (qb_range_read, QB_RANGE_READ_SQL),
     "qb_sql_view": (qb_sql_view, QB_SQL_VIEW_SQL),
-    "qb_sample": (qb_sample, None),
+    "qb_sample": (qb_sample, QB_SAMPLE_SQL),
     # relational surface (delegated operators)
     "q1_pricing_summary": (q1_pricing_summary, Q1_SQL),
     "q3_shipping_priority": (q3_shipping_priority, Q3_SQL),
