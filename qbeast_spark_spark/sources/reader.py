@@ -518,18 +518,45 @@ class QbeastTable:
                 for conj in dnf:
                     boxed.update(self._prune_files(snap, conj))
                 selected = [p for p in selected if p in boxed]
-        df = self._df_for_files(selected, snap=snap)
         rev = snap.latest_revision()
         if rev is None:
-            df = df.sample(fraction)  # unindexed table: vanilla sample
+            df = self._df_for_files(selected, snap=snap).sample(fraction)
             return df.where(residual) if residual is not None else df
-        hash_col = F.hash(*[F.col(c) for c in rev.column_names])
-        cond = hash_col < F.lit(w_to)
-        if lower_bound > 0.0:
-            cond = cond & (hash_col >= F.lit(w_from))
-        if residual is not None:
-            cond = cond & residual
-        return df.where(cond)
+        # Per-REVISION hash filtering (r6, found by the golden-fixture
+        # parity test): a file's block weights were assigned from ITS
+        # revision's column hash, so the row-level range filter must use
+        # the same columns. Filtering every file through the latest
+        # revision's hash under-samples any revision indexing DIFFERENT
+        # columns (possible on imported reference tables; native
+        # revisions only widen ranges over the same columns, where the
+        # groups collapse to one and the plan is unchanged). Staging
+        # (revision 0) files carry no weights and keep the previous
+        # behavior: the latest revision's hash, deterministic and
+        # fraction-exact.
+        latest_cols = tuple(rev.column_names)
+        groups: dict = {}
+        for rel in selected:
+            rid = snap.files[rel].revision_id
+            r = snap.revisions.get(rid)
+            cols = (tuple(r.column_names)
+                    if rid and r is not None and r.column_names
+                    else latest_cols)
+            groups.setdefault(cols, []).append(rel)
+        parts = []
+        for cols, files in sorted(groups.items()):
+            hash_col = F.hash(*[F.col(c) for c in cols])
+            cond = hash_col < F.lit(w_to)
+            if lower_bound > 0.0:
+                cond = cond & (hash_col >= F.lit(w_from))
+            if residual is not None:
+                cond = cond & residual
+            parts.append(self._df_for_files(files, snap=snap).where(cond))
+        if not parts:
+            return self._df_for_files([], snap=snap)
+        out = parts[0]
+        for p in parts[1:]:
+            out = out.unionByName(p)
+        return out
 
     def tolerance(self, col: str, precision: float,
                   confidence: float = 0.95,

@@ -33,6 +33,17 @@ not O(rows)).
 
 Usage: python tools/scale_soak.py [--rebuild] [--sf10]
 Writes soak_results.json; SCALE.md summarizes.
+
+``--stream`` (r6, VERDICT r5 Next #3) runs the STREAMING-lane soak
+instead: stream_dedup_ingest over 24 micro-batches of the synthesized
+sf1 documents corpus (~10x the bench corpus, one batch per source
+file via maxFilesPerTrigger=1), twice — one straight run, one with a
+hard stop at batch 12 and a restart on the same checkpoint (the
+in-flight batch replays). Asserts exactly-once equivalence (both
+lanes' final table row count + content checksum + signature-store doc
+count identical) and records the per-batch wall/shuffle trend, which
+must stay FLAT as the store grows (the band join reads matching store
+slices, never the whole corpus). Writes stream_soak_results.json.
 """
 from __future__ import annotations
 
@@ -211,6 +222,153 @@ def run_soak(spark, sf_dir: str) -> dict:
     return out
 
 
+# -- streaming-lane soak (r6) ------------------------------------------------
+
+def _build_stream_source(spark, sf_dir: str, src: str, n_batches: int):
+    """Split the corpus into n_batches single-file chunks (deterministic
+    by doc_id) so maxFilesPerTrigger=1 makes each chunk one micro-batch."""
+    from pyspark.sql import functions as F
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet") \
+        .select("doc_id", "text")
+    os.makedirs(src, exist_ok=True)
+    for b in range(n_batches):
+        _write_single(docs.where(F.pmod(F.col("doc_id"),
+                                        F.lit(n_batches)) == b),
+                      f"{src}/b{b:03d}.parquet")
+    return docs.schema
+
+
+def _stream_lane(spark, root: str, src: str, schema, tag: str,
+                 kill_after: int | None) -> dict:
+    """One ingest lane: all batches from ``src`` into a fresh table +
+    signature store. ``kill_after`` hard-stops the query once that batch
+    id has COMMITTED and restarts on the same checkpoint — the next
+    batch was usually mid-flight, so the restart replays it. Polls
+    lastProgress at 0.2s to attribute per-batch wall (durationMs) and a
+    stage-id window (per-batch shuffle) — batches run sequentially, so
+    the windows are sound."""
+    from qbeast_spark_spark.streaming.ingest import stream_dedup_ingest
+
+    table = f"{root}/tbl_{tag}"
+    sig = f"{root}/sigs_{tag}"
+    ckpt = f"{root}/ckpt_{tag}"
+    for p in (table, sig, ckpt):
+        shutil.rmtree(p, ignore_errors=True)
+
+    batches: dict[int, dict] = {}
+    stage_marks: dict[int, int] = {}
+
+    def start():
+        stream = (spark.readStream.schema(schema)
+                  .option("maxFilesPerTrigger", 1).parquet(src))
+        return stream_dedup_ingest(
+            stream, table, sig, columns_to_index=["doc_id"],
+            cube_size=100_000, checkpoint=ckpt,
+            trigger_available_now=True, query_name=f"soak-{tag}")
+
+    def pump(q, stop_at=None):
+        last = -1
+        while q.isActive:
+            lp = q.lastProgress
+            if lp and lp["batchId"] > last:
+                bid = lp["batchId"]
+                last = bid
+                stage_marks[bid + 1] = _last_stage_id(spark)
+                batches[bid] = {
+                    "wall_ms": lp["durationMs"].get("triggerExecution"),
+                    "rows_in": lp.get("numInputRows"),
+                }
+                if stop_at is not None and bid >= stop_at:
+                    q.stop()
+                    break
+            time.sleep(0.2)
+        q.awaitTermination(120)
+
+    stage_marks[0] = _last_stage_id(spark)
+    t0 = time.time()
+    q = start()
+    if kill_after is not None:
+        pump(q, stop_at=kill_after)
+        q2 = start()
+        pump(q2)
+    else:
+        pump(q)
+    wall = round(time.time() - t0, 1)
+
+    # per-batch shuffle from the stage-id windows
+    all_stages = {s["stageId"]: s
+                  for s in _api(spark, "/stages?status=complete")}
+    bids = sorted(batches)
+    for i, bid in enumerate(bids):
+        lo = stage_marks.get(bid, -1)
+        hi = stage_marks.get(bid + 1, 10 ** 9)
+        sw = sum(s.get("shuffleWriteBytes", 0)
+                 for sid, s in all_stages.items() if lo < sid <= hi)
+        batches[bid]["shuffle_write_mb"] = round(sw / 1e6, 1)
+
+    import qbeast_spark_spark as qss
+    from pyspark.sql import functions as F
+
+    final = qss.QbeastTable.for_path(spark, table).to_df()
+    chk = final.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.pmod(F.xxhash64(F.col("doc_id").cast("string"),
+                                F.col("text")), F.lit(2 ** 31))).alias("h")
+    ).collect()[0]
+    sig_docs = spark.read.parquet(sig).select("doc_id").distinct().count()
+    return {"wall_sec": wall, "table_rows": chk["n"],
+            "table_checksum": int(chk["h"]), "sig_store_docs": sig_docs,
+            "batches": {str(b): batches[b] for b in bids},
+            **driver_memory(spark)}
+
+
+def run_stream_soak(spark, sf_dir: str, n_batches: int = 24,
+                    kill_after: int = 12) -> dict:
+    root = f"{SCALE_ROOT}/stream_soak"
+    src = f"{root}/src"
+    shutil.rmtree(root, ignore_errors=True)
+    schema = _build_stream_source(spark, sf_dir, src, n_batches)
+    print("== stream lane: straight", flush=True)
+    straight = _stream_lane(spark, root, src, schema, "straight", None)
+    print(json.dumps(straight, indent=1), flush=True)
+    print(f"== stream lane: kill@{kill_after}+restart", flush=True)
+    killed = _stream_lane(spark, root, src, schema, "killed", kill_after)
+    print(json.dumps(killed, indent=1), flush=True)
+
+    # exactly-once equivalence: a mid-run kill/restart must leave the
+    # SAME table contents and signature store as the straight run
+    eo_ok = (straight["table_rows"] == killed["table_rows"]
+             and straight["table_checksum"] == killed["table_checksum"]
+             and straight["sig_store_docs"] == killed["sig_store_docs"])
+
+    # flatness: steady-state tail vs head medians (skip warmup batch 0-1)
+    import statistics as _st
+
+    def _trend(lane):
+        walls = [v["wall_ms"] for k, v in sorted(
+            lane["batches"].items(), key=lambda kv: int(kv[0]))
+            if v.get("wall_ms")]
+        if len(walls) < 10:
+            return None
+        head = _st.median(walls[2:2 + len(walls) // 3])
+        tail = _st.median(walls[-len(walls) // 3:])
+        return {"head_ms": round(head), "tail_ms": round(tail),
+                "tail_over_head": round(tail / head, 2)}
+
+    out = {"n_batches": n_batches, "kill_after": kill_after,
+           "straight": straight, "killed": killed,
+           "exactly_once_equivalent": eo_ok,
+           "trend": {"straight": _trend(straight),
+                     "killed": _trend(killed)}}
+    path = os.path.join(HERE, "stream_soak_results.json")
+    with open(path, "w") as fh:
+        json.dump(out, fh, indent=1)
+    print(json.dumps({"exactly_once_equivalent": eo_ok,
+                      "trend": out["trend"]}, indent=1), flush=True)
+    return out
+
+
 def main():
     from pyspark.sql import SparkSession
 
@@ -224,6 +382,16 @@ def main():
              .config("spark.sql.adaptive.enabled", "true")
              .getOrCreate())
     spark.sparkContext.setLogLevel("ERROR")
+    if "--stream" in sys.argv:
+        # streaming-lane soak over the synthesized sf1 corpus (10x)
+        dst = f"{SCALE_ROOT}/sf1"
+        if "--rebuild" in sys.argv or not os.path.exists(
+                f"{dst}/embeddings.parquet"):
+            print(f"building sf1 ({COPIES}x) ...", flush=True)
+            build_scaled(spark, dst, COPIES)
+        run_stream_soak(spark, dst)
+        spark.stop()
+        return
     # --sf10 adds a 100x leg (second decade of scaling evidence)
     legs = [("sf1", f"{SCALE_ROOT}/sf1", COPIES)]
     if "--sf10" in sys.argv:
