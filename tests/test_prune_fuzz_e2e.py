@@ -167,6 +167,10 @@ def test_pruned_read_equals_plain_spark(spark, fuzz_setup):
     assert n_files > 1, "fuzz table must span multiple files"
     rng = random.Random(seed)
     chk = _checksum_exprs(cols)
+    rev_cols = [c.name for c in
+                snap.revisions[max(snap.revisions)].column_specs]
+    w03 = __import__("qbeast_spark_spark.core.weight",
+                     fromlist=["fraction_to_weight"]).fraction_to_weight(0.3)
     parsed = pruned = 0
     for i in range(N_CASES):
         q = _tree(rng, 3)
@@ -174,6 +178,16 @@ def test_pruned_read_equals_plain_spark(spark, fuzz_setup):
         got = qt.read(q).agg(*chk).collect()[0]
         assert (got.n, got.h) == (want.n, want.h), \
             f"[{name} seed={seed} case={i}] {q}"
+        if i % 5 == 0:
+            # composed sampling + filter soundness (the surface the
+            # golden-fixture parity test caught a real bug in): the
+            # weight-range row filter over pruned files must equal the
+            # plain hash inequality over a plain filtered read
+            w_s = (base.where(q)
+                   .where(F.hash(*rev_cols) < w03).agg(*chk).collect()[0])
+            g_s = qt.sample(0.3, filters=q).agg(*chk).collect()[0]
+            assert (g_s.n, g_s.h) == (w_s.n, w_s.h), \
+                f"[{name} seed={seed} case={i} SAMPLE] {q}"
         # pruning-rate tally: measured through the same translation the
         # read used, without a second scan
         dnf = to_dnf_filters(q)
