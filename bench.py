@@ -143,6 +143,16 @@ def main() -> None:
                 for k, v in LAST_TIMECDF_PHASES.items():
                     dml_phases.setdefault(f"qb_time_cdf.{k}", []).append(v)
                 samples[-1] -= LAST_TIMECDF_PHASES.get("setup", 0.0)
+            elif name == "qb_sample":
+                # r6: the probe grew from one sample aggregate to the
+                # whole AQP surface (exact scan + tolerance sizing +
+                # approx_agg scale-ups); the phase submetrics make the
+                # headline delta attributable without changing its
+                # meaning (nothing subtracted — the probe IS the AQP
+                # surface now)
+                from qbeast_spark_spark.queries import LAST_SAMPLE_PHASES
+                for k, v in LAST_SAMPLE_PHASES.items():
+                    dml_phases.setdefault(f"qb_sample.{k}", []).append(v)
         timings[name] = round(statistics.median(samples), 3)
         # Isolation between queries: some pipelines persist intermediates
         # (LSH signature tables) or localCheckpoint loop state (connected

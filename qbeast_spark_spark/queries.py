@@ -175,6 +175,10 @@ LAST_DML_PHASES: Dict[str, float] = {}
 # instead of rebuilding (never persisted — a new process rebuilds)
 _DML_BASE: Dict[str, int] = {}
 
+# per-phase wall times of the last qb_sample call (bench submetrics:
+# qb_sample.exact / .tolerance / .approx — r6 scope attribution)
+LAST_SAMPLE_PHASES: Dict[str, float] = {}
+
 
 QB_DML_SQL = """
 WITH survivors AS (
@@ -303,31 +307,45 @@ def qb_sample(spark, sf_dir):
       drifting out of its declared bound fails the driver's hash
       compare.
 
-    Bounded driver work: three 1-row collects."""
+    Bounded driver work: three 1-row collects. Phase wall times land in
+    LAST_SAMPLE_PHASES (bench submetrics qb_sample.exact/.tolerance/
+    .approx) so the r6 scope growth — one sample aggregate became
+    exact-scan + tolerance sizing + HT scale-ups — stays attributable
+    round-over-round, the same decomposition convention as
+    qb_range_read/sim_topk/train_assembly."""
+    import math as _math
+    import time as _time
+
     from pyspark.sql import functions as F
 
     from .sources.reader import QbeastTable
 
     path = _indexed_lineitem(spark, sf_dir)
     qt = QbeastTable.for_path(spark, path)
+    phases = LAST_SAMPLE_PHASES
+    phases.clear()
     cents = _cents(F.col("l_extendedprice"))
+    t0 = _time.time()
     exact = qt.to_df().agg(
         F.count("*").alias("n"), F.sum(cents).alias("s")).collect()[0]
+    phases["exact"] = _time.time() - t0
     exact_n, exact_s = exact["n"], exact["s"]
     # integer half-up mean-in-cents: identical arithmetic in the oracle
     exact_avg_cents = (2 * exact_s + exact_n) // (2 * exact_n)
 
+    t0 = _time.time()
     tol_df, _fraction = qt.tolerance("l_extendedprice", precision=0.02,
                                      confidence=0.975)
     est_avg = tol_df.agg(F.avg("l_extendedprice")).collect()[0][0]
+    phases["tolerance"] = _time.time() - t0
     tol_ok = abs(est_avg * 100.0 - exact_avg_cents) \
         <= 0.02 * exact_avg_cents
 
-    import math as _math
-
     f = 0.1
+    t0 = _time.time()
     est = qt.approx_agg(f, sums=["l_extendedprice"],
                         count=True).collect()[0]
+    phases["approx"] = _time.time() - t0
     rel_se = _math.sqrt((1.0 - f) / (f * exact_n))
     cnt_ok = abs(est["count_est"] - exact_n) \
         <= max(0.005, 4 * rel_se) * exact_n

@@ -62,10 +62,13 @@ from __future__ import annotations
 import json
 import os
 import shutil
+import socket
 import time
 import warnings
 from contextlib import contextmanager
 from typing import Dict, Tuple, Union
+
+_HOSTNAME = socket.gethostname()
 
 __all__ = ["create_continuous_agg", "refresh_continuous_agg",
            "read_continuous_agg"]
@@ -173,56 +176,91 @@ def _delta_frame(changes, group_cols, aggs):
     return changes.groupBy(*group_cols).agg(*exprs)
 
 
-def _try_reclaim_stale_lock(lock: str, max_hold_s: float) -> bool:
-    """Reclaim ``lock`` if its holder is provably gone: the recorded pid
-    is dead on this host, or the lock has been held longer than
-    ``max_hold_s`` (covers a holder on ANOTHER host, where the pid test
-    says nothing — refreshes finish in seconds, so hours of hold means a
-    crash). The reclaim is race-free among waiters: each renames the
-    stale file to a name salted with its own pid first, and os.rename
-    succeeds for exactly one of them — the losers see FileNotFoundError
-    and go back to the O_EXCL create, so a FRESH lock taken by the
-    winner is never deleted by a late loser (ADVICE r5, matview.py:175).
-    Returns True when the caller should immediately retry the create."""
+def _lock_is_stale(lock: str, max_hold_s: float):
+    """Judge ``lock``: returns (stale: bool, info) where info is the
+    parsed content (or None when unreadable). SAME-host liveness is
+    authoritative: a pid that os.kill(pid, 0) proves alive is NEVER
+    stale no matter how old the lock — a legitimately long refresh (a
+    wide recompute can scan for a long time) must not lose its lock
+    mid-write (r6 review). The ``max_hold_s`` age test applies only
+    when liveness cannot be established on this host: a holder on a
+    DIFFERENT host (hostname recorded in the lock), an undecidable
+    kill(0), or unreadable content."""
     try:
         with open(lock) as fh:
             info = json.load(fh)
         pid, ts = int(info["pid"]), int(info["ts"])
-    except (OSError, ValueError, KeyError):
+        host = info.get("host")
+    except (OSError, ValueError, KeyError, TypeError):
         # unreadable content: the holder may be between O_EXCL-create
         # and writing pid/ts, so only the file's age can prove staleness
         try:
             age_s = time.time() - os.path.getmtime(lock)
         except OSError:
-            return True          # vanished: holder released it, retry
-        if age_s <= max_hold_s:
-            return False
-        pid, ts = None, None
-    else:
-        pid_dead = False
-        if pid is not None:
-            try:
-                os.kill(pid, 0)
-            except ProcessLookupError:
-                pid_dead = True
-            except PermissionError:
-                pass             # exists under another uid: alive
-            except OSError:
-                pass             # can't tell: fall through to age test
-        if not pid_dead and (time.time() * 1000 - ts) <= max_hold_s * 1000:
-            return False
-    claim = f"{lock}.stale-{os.getpid()}"
+            return True, None    # vanished: holder released it
+        return age_s > max_hold_s, None
+    if host is None or host == _HOSTNAME:
+        try:
+            os.kill(pid, 0)
+            return False, info   # alive HERE: never reclaim, wait
+        except ProcessLookupError:
+            return True, info    # provably dead on this host
+        except OSError:
+            pass                 # PermissionError etc: can't tell
+    # foreign/undecidable holder: age is the only evidence
+    return (time.time() * 1000 - ts) > max_hold_s * 1000, info
+
+
+def _try_reclaim_stale_lock(lock: str, max_hold_s: float) -> bool:
+    """Reclaim ``lock`` if its holder is provably gone (judgment in
+    _lock_is_stale). The reclaim itself is serialized by a secondary
+    O_EXCL guard (``<lock>.reclaim``) and the staleness judgment is
+    REPEATED inside that critical section immediately before the
+    rename: without the guard, a waiter that judged the OLD lock stale
+    could rename away a FRESH lock another waiter re-created in the
+    judgment-to-rename window (r6 review — the rename alone only
+    protects losers racing the winner's rename, not losers racing past
+    the winner's re-create). Inside the guard the lock's content cannot
+    turn fresh unnoticed: re-creating requires the path to be absent,
+    and only the guard holder removes it. A guard file older than 60 s
+    is itself debris from a crashed reclaimer (the critical section is
+    microseconds) and is swept. Returns True when the caller should
+    immediately retry the O_EXCL create."""
+    stale, _ = _lock_is_stale(lock, max_hold_s)
+    if not stale:
+        return False
+    guard = lock + ".reclaim"
     try:
-        os.rename(lock, claim)
-    except OSError:
-        return True              # another waiter won the rename: retry
+        gfd = os.open(guard, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+    except FileExistsError:
+        try:
+            if time.time() - os.path.getmtime(guard) > 60.0:
+                os.unlink(guard)         # crashed reclaimer's debris
+        except OSError:
+            pass
+        return False                     # someone else is reclaiming
     try:
-        os.unlink(claim)
-    except OSError:
-        pass
-    warnings.warn(f"reclaimed stale refresh lock {lock} "
-                  f"(holder pid={pid} ts={ts})", stacklevel=3)
-    return True
+        os.close(gfd)
+        stale, info = _lock_is_stale(lock, max_hold_s)   # re-judge
+        if not stale:
+            return False
+        claim = f"{lock}.stale-{os.getpid()}"
+        try:
+            os.rename(lock, claim)
+        except OSError:
+            return True          # holder released it meanwhile: retry
+        try:
+            os.unlink(claim)
+        except OSError:
+            pass
+        warnings.warn(f"reclaimed stale refresh lock {lock} "
+                      f"(holder {info})", stacklevel=3)
+        return True
+    finally:
+        try:
+            os.unlink(guard)
+        except OSError:
+            pass
 
 
 @contextmanager
@@ -235,11 +273,13 @@ def _refresh_lock(view_path: str, timeout_s: float = 60.0,
     the same ``state-<v>`` dir mid-write and (b) race the GC pass into
     deleting the state dir the other refresher just repointed meta at
     (ADVICE r4, matview.py:239). Waits up to ``timeout_s`` for a LIVE
-    holder, then raises naming the lock file. A lock whose recorded pid
-    is dead, or older than ``max_hold_s``, is reclaimed instead of
-    wedging every later refresh (and, through auto_maintain's
+    holder, then raises naming the lock file. A lock whose recorded
+    same-host pid is dead — or whose holder is on another host (or
+    undecidable) and older than ``max_hold_s`` — is reclaimed instead
+    of wedging every later refresh (and, through auto_maintain's
     skip-vacuum-on-refresh-error rule, vacuum too) until a human
-    deletes the file (ADVICE r5)."""
+    deletes the file (ADVICE r5); a pid provably alive on this host
+    keeps its lock no matter how old (r6 review)."""
     lock = os.path.join(view_path, "_refresh.lock")
     deadline = time.monotonic() + timeout_s
     while True:
@@ -256,7 +296,7 @@ def _refresh_lock(view_path: str, timeout_s: float = 60.0,
             time.sleep(0.1)
     try:
         with os.fdopen(fd, "w") as fh:
-            fh.write(json.dumps({"pid": os.getpid(),
+            fh.write(json.dumps({"pid": os.getpid(), "host": _HOSTNAME,
                                  "ts": int(time.time() * 1000)}))
         yield
     finally:

@@ -301,7 +301,8 @@ def _migrate_flat_store(spark, sig_path: str) -> None:
 
 def compact_sig_store(spark, sig_path: str, id_col: str = "doc_id",
                       min_dirs: int = 2,
-                      exclude: Optional[str] = None) -> Optional[int]:
+                      exclude: Optional[str] = None,
+                      protect_latest: bool = True) -> Optional[int]:
     """Fold a signature store's per-batch directories into ONE
     deduplicated directory (one row per ``id_col``) — the small-files
     hygiene pass for long-running ``stream_dedup_ingest`` queries.
@@ -321,7 +322,17 @@ def compact_sig_store(spark, sig_path: str, id_col: str = "doc_id",
     out of the fold — the sink passes its in-flight batch's directory,
     which must survive untouched until its checkpoint entry is durable
     (ADVICE r5: folding it would void the own-batch corpus exclusion on
-    a replay).
+    a replay). Independently of ``exclude``, the NEWEST directory of
+    EVERY writer namespace (highest non-negative trailing id per
+    query-name prefix, legacy bare ids included) is always skipped (r6
+    review): when several queries share a store, a compaction triggered
+    by query A must not fold query B's latest batch — B may be mid
+    two-phase commit, and folding its directory would void B's
+    own-batch exclusion on replay exactly like folding A's would. A
+    skipped directory simply joins the next cycle, once a newer batch
+    of the same writer exists. Pass ``protect_latest=False`` ONLY for
+    offline compaction of a store no query is writing (then every
+    directory is checkpoint-durable and full folding is safe).
 
     Returns the new directory's batch id, or None if fewer than
     ``min_dirs`` directories are eligible. Uses the Hadoop FileSystem
@@ -331,24 +342,52 @@ def compact_sig_store(spark, sig_path: str, id_col: str = "doc_id",
     fs = root.getFileSystem(spark._jsc.hadoopConfiguration())
     if not fs.exists(root):
         return None
-    dirs = {}
+    all_vals = []
+    paths = {}
     for st in fs.listStatus(root):
         name = st.getPath().getName()
         if st.isDirectory() and name.startswith("batch="):
             val = name[len("batch="):]
-            if val != exclude:
-                dirs[val] = st.getPath()
+            all_vals.append(val)
+            paths[val] = st.getPath()
+
+    def _split(val):
+        # bare value = legacy batch id or negative consolidation id;
+        # otherwise '<qname>-<id>' where the checkpoint id is >= 0 (the
+        # '-' is the separator, NOT a sign — a sign-greedy trailing-int
+        # regex would read 'q-1' as id -1 and misplace the namespace's
+        # newest batch)
+        if re.fullmatch(r"-?\d+", val):
+            return "", int(val)
+        m = re.search(r"-(\d+)$", val)
+        if not m:
+            return None, None
+        return val[:m.start()], int(m.group(1))
+
+    # newest non-negative id per writer prefix = possibly in-flight
+    protected = set()
+    if protect_latest:
+        newest: dict = {}
+        for val in all_vals:
+            pre, num = _split(val)
+            if num is not None and num >= 0:
+                if pre not in newest or num > newest[pre][1]:
+                    newest[pre] = (val, num)
+        protected = {v for v, _n in newest.values()}
+    if exclude is not None:
+        protected.add(exclude)
+    dirs = {v: paths[v] for v in all_vals if v not in protected}
     if len(dirs) < min_dirs:
         return None
     # derive a never-used negative id from every trailing integer in
     # sight — legacy ``batch=7``, namespaced ``batch=q-7`` (trailing
-    # -7 -> |7|) and consolidations ``batch=-9`` all contribute, and the
-    # excluded value counts too so the new id cannot collide with it
+    # -7 -> |7|) and consolidations ``batch=-9`` all contribute, and
+    # protected values count too so the new id cannot collide with them
     seen_ints = [0]
-    for val in list(dirs) + ([exclude] if exclude is not None else []):
-        m = re.search(r"(-?\d+)$", val)
-        if m:
-            seen_ints.append(abs(int(m.group(1))))
+    for val in all_vals + list(protected):
+        _pre, num = _split(val)
+        if num is not None:
+            seen_ints.append(abs(num))
     new_id = -(max(seen_ints) + 1)
     sigs = spark.read.parquet(*[f"{sig_path}/batch={v}" for v in dirs])
     # identical doc -> identical signature, so keeping any one row per

@@ -648,17 +648,30 @@ def test_refresh_lock_stale_takeover(spark, tmp_table):
     assert not os.path.exists(lock)
 
     # (b) live pid, recent ts -> still times out (no takeover)
+    import socket as _socket
+    host = _socket.gethostname()
     with open(lock, "w") as fh:
-        json.dump({"pid": os.getpid(), "ts": int(_time.time() * 1000)}, fh)
+        json.dump({"pid": os.getpid(), "host": host,
+                   "ts": int(_time.time() * 1000)}, fh)
     with pytest.raises(TimeoutError, match="_refresh.lock"):
         refresh_continuous_agg(spark, view, lock_timeout_s=0.5)
     os.unlink(lock)
 
-    # (c) live pid but ancient ts (holder on another host / hung) ->
-    # reclaimed once past max_hold_s
+    # (c) SAME-host live pid with an ancient ts keeps its lock (r6
+    # review: a legitimately long refresh must not be robbed mid-write)
     with open(lock, "w") as fh:
-        json.dump({"pid": os.getpid(),
+        json.dump({"pid": os.getpid(), "host": host,
+                   "ts": int(_time.time() * 1000) - 3_600_000}, fh)
+    with pytest.raises(TimeoutError, match="_refresh.lock"):
+        refresh_continuous_agg(spark, view, lock_timeout_s=0.5)
+    os.unlink(lock)
+
+    # (d) FOREIGN-host holder past max_hold_s -> reclaimed (the pid
+    # test says nothing about another machine; age is the evidence)
+    with open(lock, "w") as fh:
+        json.dump({"pid": os.getpid(), "host": "some-other-executor",
                    "ts": int(_time.time() * 1000) - 3_600_000}, fh)
     out = refresh_continuous_agg(spark, view, lock_timeout_s=30.0)
     assert out["refreshed"] is False
     assert not os.path.exists(lock)
+    assert not os.path.exists(lock + ".reclaim")   # guard cleaned up

@@ -401,9 +401,14 @@ def test_stream_dedup_ingest_pipeline(spark, tmp_path):
     sigs = spark.read.parquet(sig_path)
     assert sigs.count() == n_sigs2 + 1
     assert sigs.select("doc_id").distinct().count() == n_sigs2 + 1
-    # ... and once the batch is durable, a standalone pass folds it
+    # a later ONLINE pass still protects the namespace's newest batch
+    # (another query could be mid two-phase commit), so it folds nothing
+    # here (only 1 other dir < min_dirs)...
     from qbeast_spark_spark.streaming.ingest import compact_sig_store
-    assert compact_sig_store(spark, sig_path) is not None
+    assert compact_sig_store(spark, sig_path) is None
+    # ... while OFFLINE compaction of a stopped store folds everything
+    assert compact_sig_store(spark, sig_path,
+                             protect_latest=False) is not None
     dirs = [d for d in os.listdir(sig_path) if d.startswith("batch=")]
     assert len(dirs) == 1, dirs
     assert spark.read.parquet(sig_path).count() == n_sigs2 + 1
@@ -479,9 +484,11 @@ def test_sig_store_two_queries_no_collision(spark, tmp_path):
 
 
 def test_sig_store_repeated_compaction_cycles(spark, tmp_path):
-    """Alternating batch appends and compactions: each consolidation
-    must pick a NEVER-USED negative id (no overwrite of the only copy),
-    and the store always reads back with one row per doc."""
+    """Alternating batch appends and OFFLINE compactions
+    (protect_latest=False — the writer is stopped between cycles): each
+    consolidation must pick a NEVER-USED negative id (no overwrite of
+    the only copy), and the store always reads back with one row per
+    doc."""
     import os
 
     sig_path = str(tmp_path / "cycle_sigs")
@@ -501,7 +508,7 @@ def test_sig_store_repeated_compaction_cycles(spark, tmp_path):
             total_ids.update(ids)
             write_batch(next_id, ids)
             next_id += 1
-        new_id = compact_sig_store(spark, sig_path)
+        new_id = compact_sig_store(spark, sig_path, protect_latest=False)
         assert new_id is not None and new_id < 0
         assert new_id not in seen_dirs
         seen_dirs.add(new_id)
@@ -510,3 +517,35 @@ def test_sig_store_repeated_compaction_cycles(spark, tmp_path):
         got = spark.read.parquet(sig_path)
         assert got.count() == len(total_ids)
         assert got.select("doc_id").distinct().count() == len(total_ids)
+
+
+def test_sig_store_online_compaction_protects_other_writers(spark,
+                                                            tmp_path):
+    """r6 review: an ONLINE compaction (triggered by query A's sink)
+    must not fold the NEWEST batch directory of ANY writer namespace —
+    another query sharing the store may be mid two-phase commit on its
+    latest batch. Older directories of every namespace still fold."""
+    import os
+
+    sig_path = str(tmp_path / "multi_sigs")
+    from qbeast_spark_spark.streaming.ingest import compact_sig_store
+
+    def write_batch(val, ids):
+        df = spark.createDataFrame([(i, i * 7) for i in ids],
+                                   "doc_id long, mh0 long")
+        df.write.mode("overwrite").parquet(f"{sig_path}/batch={val}")
+
+    write_batch("qa-0", [1, 2])
+    write_batch("qa-1", [3, 4])        # A's newest
+    write_batch("qb-0", [5, 6])
+    write_batch("qb-1", [7, 8])        # B's newest: possibly in-flight
+    write_batch("7", [9])              # legacy writer's newest
+    new_id = compact_sig_store(spark, sig_path, exclude="qa-1")
+    assert new_id is not None
+    dirs = {d[len("batch="):] for d in os.listdir(sig_path)
+            if d.startswith("batch=")}
+    # every namespace's newest survives; only the old dirs folded
+    assert dirs == {"qa-1", "qb-1", "7", str(new_id)}, dirs
+    got = spark.read.parquet(sig_path)
+    assert got.count() == 9
+    assert got.select("doc_id").distinct().count() == 9

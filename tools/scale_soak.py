@@ -268,11 +268,19 @@ def _stream_lane(spark, root: str, src: str, schema, tag: str,
             trigger_available_now=True, query_name=f"soak-{tag}")
 
     def pump(q, stop_at=None):
+        # drain recentProgress (buffers every batch update) instead of
+        # sampling lastProgress: a batch finishing between polls would
+        # otherwise lose its entry and fold its stage window into a
+        # neighbor's (r6 review). Stage marks are still taken at
+        # observation time, so when two batches complete within one
+        # poll the earlier one's shuffle window absorbs the later's —
+        # wall_ms (from the progress event itself) is always exact.
         last = -1
         while q.isActive:
-            lp = q.lastProgress
-            if lp and lp["batchId"] > last:
+            for lp in q.recentProgress:
                 bid = lp["batchId"]
+                if bid <= last:
+                    continue
                 last = bid
                 stage_marks[bid + 1] = _last_stage_id(spark)
                 batches[bid] = {
@@ -284,6 +292,15 @@ def _stream_lane(spark, root: str, src: str, schema, tag: str,
                     break
             time.sleep(0.2)
         q.awaitTermination(120)
+        for lp in q.recentProgress:      # anything after the last poll
+            bid = lp["batchId"]
+            if bid > last:
+                last = bid
+                stage_marks[bid + 1] = _last_stage_id(spark)
+                batches[bid] = {
+                    "wall_ms": lp["durationMs"].get("triggerExecution"),
+                    "rows_in": lp.get("numInputRows"),
+                }
 
     stage_marks[0] = _last_stage_id(spark)
     t0 = time.time()
