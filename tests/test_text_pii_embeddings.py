@@ -152,6 +152,43 @@ def test_ivf_multiprobe_recall_monotone(spark):
     assert recall(n_cents) == 1.0
 
 
+def test_ivf_with_trained_kmeans_centroids(spark):
+    """r6: kmeans_centroids (pyspark.ml, k-means|| init) feeds ivf_topk.
+    On well-separated planted clusters the trained cells align with the
+    data, so probe=1 already equals brute force — the property heuristic
+    seed centroids cannot guarantee."""
+    import random
+
+    from pyspark.sql import functions as F
+
+    from qbeast_spark_spark.operators.similarity import (cosine_topk,
+                                                         ivf_topk,
+                                                         kmeans_centroids)
+
+    rng = random.Random(20260814)
+    dim, per = 16, 40
+    rows = []
+    for c in range(3):                      # 3 well-separated blobs
+        center = [0.0] * dim
+        center[c * 5] = 10.0
+        for i in range(per):
+            rows.append((c * per + i,
+                         [center[d] + rng.uniform(-0.5, 0.5)
+                          for d in range(dim)]))
+    vecs = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    queries = (vecs.where(F.col("vec_id") % per == 0)
+               .select(F.col("vec_id").alias("q_id"),
+                       F.col("embedding").alias("q_embedding")))
+    body = vecs.where(F.col("vec_id") % per != 0)
+    cents = kmeans_centroids(vecs, k=3)
+    assert cents.count() == 3
+    truth = {(r["q_id"], r["vec_id"])
+             for r in cosine_topk(body, queries, k=5).collect()}
+    got = {(r["q_id"], r["vec_id"])
+           for r in ivf_topk(body, queries, cents, k=5, probe=1).collect()}
+    assert got == truth
+
+
 def test_quantization_matches_duckdb_arithmetic(spark):
     """floor(x/s + 0.5) agrees between Spark and DuckDB, negatives
     included — the precondition for using the quantizer under a SQL
