@@ -17,6 +17,7 @@ deterministic and exactly mirrored by the DuckDB oracle
 from __future__ import annotations
 
 __all__ = ["cosine_col", "cosine_topk", "cosine_pairs", "ivf_topk",
+           "kmeans_centroids", "otree_prefilter_topk",
            "embedding_lsh_pairs", "semantic_dedup"]
 
 

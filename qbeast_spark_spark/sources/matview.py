@@ -64,7 +64,6 @@ import os
 import shutil
 import socket
 import time
-import warnings
 from contextlib import contextmanager
 from typing import Dict, Tuple, Union
 
@@ -176,134 +175,61 @@ def _delta_frame(changes, group_cols, aggs):
     return changes.groupBy(*group_cols).agg(*exprs)
 
 
-def _lock_is_stale(lock: str, max_hold_s: float):
-    """Judge ``lock``: returns (stale: bool, info) where info is the
-    parsed content (or None when unreadable). SAME-host liveness is
-    authoritative: a pid that os.kill(pid, 0) proves alive is NEVER
-    stale no matter how old the lock — a legitimately long refresh (a
-    wide recompute can scan for a long time) must not lose its lock
-    mid-write (r6 review). The ``max_hold_s`` age test applies only
-    when liveness cannot be established on this host: a holder on a
-    DIFFERENT host (hostname recorded in the lock), an undecidable
-    kill(0), or unreadable content."""
-    try:
-        with open(lock) as fh:
-            info = json.load(fh)
-        pid, ts = int(info["pid"]), int(info["ts"])
-        host = info.get("host")
-    except (OSError, ValueError, KeyError, TypeError):
-        # unreadable content: the holder may be between O_EXCL-create
-        # and writing pid/ts, so only the file's age can prove staleness
-        try:
-            age_s = time.time() - os.path.getmtime(lock)
-        except OSError:
-            return True, None    # vanished: holder released it
-        return age_s > max_hold_s, None
-    if host is None or host == _HOSTNAME:
-        try:
-            os.kill(pid, 0)
-            return False, info   # alive HERE: never reclaim, wait
-        except ProcessLookupError:
-            return True, info    # provably dead on this host
-        except OSError:
-            pass                 # PermissionError etc: can't tell
-    # foreign/undecidable holder: age is the only evidence
-    return (time.time() * 1000 - ts) > max_hold_s * 1000, info
-
-
-def _try_reclaim_stale_lock(lock: str, max_hold_s: float) -> bool:
-    """Reclaim ``lock`` if its holder is provably gone (judgment in
-    _lock_is_stale). The reclaim itself is serialized by a secondary
-    O_EXCL guard (``<lock>.reclaim``) and the staleness judgment is
-    REPEATED inside that critical section immediately before the
-    rename: without the guard, a waiter that judged the OLD lock stale
-    could rename away a FRESH lock another waiter re-created in the
-    judgment-to-rename window (r6 review — the rename alone only
-    protects losers racing the winner's rename, not losers racing past
-    the winner's re-create). Inside the guard the lock's content cannot
-    turn fresh unnoticed: re-creating requires the path to be absent,
-    and only the guard holder removes it. A guard file older than 60 s
-    is itself debris from a crashed reclaimer (the critical section is
-    microseconds) and is swept. Returns True when the caller should
-    immediately retry the O_EXCL create."""
-    stale, _ = _lock_is_stale(lock, max_hold_s)
-    if not stale:
-        return False
-    guard = lock + ".reclaim"
-    try:
-        gfd = os.open(guard, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
-    except FileExistsError:
-        try:
-            if time.time() - os.path.getmtime(guard) > 60.0:
-                os.unlink(guard)         # crashed reclaimer's debris
-        except OSError:
-            pass
-        return False                     # someone else is reclaiming
-    try:
-        os.close(gfd)
-        stale, info = _lock_is_stale(lock, max_hold_s)   # re-judge
-        if not stale:
-            return False
-        claim = f"{lock}.stale-{os.getpid()}"
-        try:
-            os.rename(lock, claim)
-        except OSError:
-            return True          # holder released it meanwhile: retry
-        try:
-            os.unlink(claim)
-        except OSError:
-            pass
-        warnings.warn(f"reclaimed stale refresh lock {lock} "
-                      f"(holder {info})", stacklevel=3)
-        return True
-    finally:
-        try:
-            os.unlink(guard)
-        except OSError:
-            pass
-
-
 @contextmanager
-def _refresh_lock(view_path: str, timeout_s: float = 60.0,
-                  max_hold_s: float = 15 * 60.0):
-    """Serialize refreshes of one view with an exclusive-create lock file
-    (the commit log's O_EXCL pattern, log.py:552). Without it two
-    concurrent ``refresh_continuous_agg`` calls — e.g. two streaming
-    queries sharing an ``auto_maintain`` view list — can (a) overwrite
-    the same ``state-<v>`` dir mid-write and (b) race the GC pass into
-    deleting the state dir the other refresher just repointed meta at
-    (ADVICE r4, matview.py:239). Waits up to ``timeout_s`` for a LIVE
-    holder, then raises naming the lock file. A lock whose recorded
-    same-host pid is dead — or whose holder is on another host (or
-    undecidable) and older than ``max_hold_s`` — is reclaimed instead
-    of wedging every later refresh (and, through auto_maintain's
-    skip-vacuum-on-refresh-error rule, vacuum too) until a human
-    deletes the file (ADVICE r5); a pid provably alive on this host
-    keeps its lock no matter how old (r6 review)."""
+def _refresh_lock(view_path: str, timeout_s: float = 60.0):
+    """Serialize refreshes of one view with an OS advisory lock
+    (``fcntl.flock``) held on a persistent ``_refresh.lock`` file.
+    Without it two concurrent ``refresh_continuous_agg`` calls — e.g.
+    two streaming queries sharing an ``auto_maintain`` view list — can
+    (a) overwrite the same ``state-<v>`` dir mid-write and (b) race the
+    GC pass into deleting the state dir the other refresher just
+    repointed meta at (ADVICE r4, matview.py:239).
+
+    flock is the whole protocol (r6 — replaces the pid/ts staleness
+    heuristics, whose reclaim path the round's review showed could
+    steal a freshly re-created lock, rob a live different-uid holder,
+    wedge on pid reuse, and leak half-written lock files): the KERNEL
+    releases the lock when the holder's fd closes, including on any
+    crash, so a dead holder can never wedge later refreshes (ADVICE
+    r5) and a live holder can never be robbed no matter how long its
+    refresh runs — both properties are unconditional, with no race
+    windows to reason about. The lock file itself is never deleted
+    (an unlink/re-open race would let two processes flock DIFFERENT
+    inodes of the same path) and its JSON content is diagnostic only,
+    surfaced in the TimeoutError. Two handles within one process
+    conflict too (flock is per open-file-description), so in-process
+    concurrency is covered. Cross-HOST exclusion is explicitly out of
+    scope — flock is host-local (NFS forwarding is mount-dependent);
+    run view maintenance from one owner per view, the same
+    single-writer assumption the state-snapshot GC already makes."""
+    import fcntl
+
     lock = os.path.join(view_path, "_refresh.lock")
-    deadline = time.monotonic() + timeout_s
-    while True:
-        try:
-            fd = os.open(lock, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
-            break
-        except FileExistsError:
-            if _try_reclaim_stale_lock(lock, max_hold_s):
-                continue
-            if time.monotonic() >= deadline:
-                raise TimeoutError(
-                    f"another refresh holds {lock} (waited {timeout_s}s); "
-                    f"if its process died, delete the lock file and retry")
-            time.sleep(0.1)
+    fd = os.open(lock, os.O_CREAT | os.O_RDWR)
     try:
-        with os.fdopen(fd, "w") as fh:
-            fh.write(json.dumps({"pid": os.getpid(), "host": _HOSTNAME,
-                                 "ts": int(time.time() * 1000)}))
+        deadline = time.monotonic() + timeout_s
+        while True:
+            try:
+                fcntl.flock(fd, fcntl.LOCK_EX | fcntl.LOCK_NB)
+                break
+            except OSError:
+                if time.monotonic() >= deadline:
+                    try:
+                        with open(lock) as fh:
+                            holder = fh.read(256)
+                    except OSError:
+                        holder = "?"
+                    raise TimeoutError(
+                        f"another refresh holds {lock} (waited "
+                        f"{timeout_s}s; holder {holder}); the lock "
+                        f"auto-releases if that process exits")
+                time.sleep(0.1)
+        os.ftruncate(fd, 0)
+        os.write(fd, json.dumps({"pid": os.getpid(), "host": _HOSTNAME,
+                                 "ts": int(time.time() * 1000)}).encode())
         yield
     finally:
-        try:
-            os.unlink(lock)
-        except OSError:
-            pass
+        os.close(fd)             # the kernel releases the flock
 
 
 def _read_meta(view_path: str) -> dict:

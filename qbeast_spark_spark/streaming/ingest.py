@@ -302,7 +302,8 @@ def _migrate_flat_store(spark, sig_path: str) -> None:
 def compact_sig_store(spark, sig_path: str, id_col: str = "doc_id",
                       min_dirs: int = 2,
                       exclude: Optional[str] = None,
-                      protect_latest: bool = True) -> Optional[int]:
+                      protect_latest: bool = True,
+                      protect_age_s: float = 3600.0) -> Optional[int]:
     """Fold a signature store's per-batch directories into ONE
     deduplicated directory (one row per ``id_col``) — the small-files
     hygiene pass for long-running ``stream_dedup_ingest`` queries.
@@ -329,10 +330,16 @@ def compact_sig_store(spark, sig_path: str, id_col: str = "doc_id",
     by query A must not fold query B's latest batch — B may be mid
     two-phase commit, and folding its directory would void B's
     own-batch exclusion on replay exactly like folding A's would. A
-    skipped directory simply joins the next cycle, once a newer batch
-    of the same writer exists. Pass ``protect_latest=False`` ONLY for
-    offline compaction of a store no query is writing (then every
-    directory is checkpoint-durable and full folding is safe).
+    skipped directory joins a later cycle: once a newer batch of the
+    same writer exists, or — for a RETIRED writer that will never
+    produce one — once the directory's modification time ages past
+    ``protect_age_s`` (in-flight means seconds-to-minutes between the
+    signature write and the checkpoint commit; an hour-old newest dir
+    is a stopped query's durable tail, not an open two-phase commit,
+    so retired namespaces don't pin one directory forever). Pass
+    ``protect_latest=False`` ONLY for offline compaction of a store no
+    query is writing (then every directory is checkpoint-durable and
+    full folding is safe).
 
     Returns the new directory's batch id, or None if fewer than
     ``min_dirs`` directories are eligible. Uses the Hadoop FileSystem
@@ -344,12 +351,14 @@ def compact_sig_store(spark, sig_path: str, id_col: str = "doc_id",
         return None
     all_vals = []
     paths = {}
+    mtimes = {}
     for st in fs.listStatus(root):
         name = st.getPath().getName()
         if st.isDirectory() and name.startswith("batch="):
             val = name[len("batch="):]
             all_vals.append(val)
             paths[val] = st.getPath()
+            mtimes[val] = st.getModificationTime() / 1000.0
 
     def _split(val):
         # bare value = legacy batch id or negative consolidation id;
@@ -364,16 +373,21 @@ def compact_sig_store(spark, sig_path: str, id_col: str = "doc_id",
             return None, None
         return val[:m.start()], int(m.group(1))
 
-    # newest non-negative id per writer prefix = possibly in-flight
+    # newest non-negative id per writer prefix = possibly in-flight,
+    # unless old enough that no two-phase commit can still be open
     protected = set()
     if protect_latest:
+        import time as _time
+
+        now = _time.time()
         newest: dict = {}
         for val in all_vals:
             pre, num = _split(val)
             if num is not None and num >= 0:
                 if pre not in newest or num > newest[pre][1]:
                     newest[pre] = (val, num)
-        protected = {v for v, _n in newest.values()}
+        protected = {v for v, _n in newest.values()
+                     if now - mtimes.get(v, now) < protect_age_s}
     if exclude is not None:
         protected.add(exclude)
     dirs = {v: paths[v] for v in all_vals if v not in protected}

@@ -585,8 +585,12 @@ def test_scoped_source_prunes_past_256_keys(spark, tmp_table):
 
 
 def test_refresh_lock_serializes(spark, tmp_table):
-    """A held _refresh.lock makes a second refresher wait and then time
-    out with an actionable error; releasing it un-wedges refresh."""
+    """A held refresh lock (flock) makes a second refresher wait and
+    then time out with an actionable error; releasing the fd un-wedges
+    refresh. flock conflicts between two open file descriptions even
+    within one process, so this tests the real contention path."""
+    import fcntl
+
     import qbeast_spark_spark as qss
     from qbeast_spark_spark.sources.matview import (create_continuous_agg,
                                                     refresh_continuous_agg)
@@ -599,23 +603,31 @@ def test_refresh_lock_serializes(spark, tmp_table):
     create_continuous_agg(spark, tmp_table, view, ["l_returnflag"],
                           {"n": "count"})
     lock = os.path.join(view, "_refresh.lock")
-    with open(lock, "w") as fh:
-        fh.write("{}")
-    with pytest.raises(TimeoutError, match="_refresh.lock"):
-        refresh_continuous_agg(spark, view, lock_timeout_s=0.5)
-    os.unlink(lock)
+    fd = os.open(lock, os.O_CREAT | os.O_RDWR)
+    fcntl.flock(fd, fcntl.LOCK_EX)
+    try:
+        with pytest.raises(TimeoutError, match="_refresh.lock"):
+            refresh_continuous_agg(spark, view, lock_timeout_s=0.5)
+    finally:
+        os.close(fd)             # releases the flock
     out = refresh_continuous_agg(spark, view)
     assert out["refreshed"] is False      # nothing new, but not locked
-    assert not os.path.exists(lock)       # lock released on exit
+    # the lock FILE persists by design (deleting it would open an
+    # unlink/re-open race); only the flock is released
+    assert os.path.exists(lock)
 
 
-def test_refresh_lock_stale_takeover(spark, tmp_table):
-    """A lock whose holder crashed must not wedge refreshes forever
-    (ADVICE r5): a dead recorded pid, or an ancient hold, is reclaimed;
-    a LIVE holder still forces the timeout path."""
+def test_refresh_lock_crash_autorelease(spark, tmp_table):
+    """The kernel releases a crashed holder's flock the instant the
+    process dies — no staleness heuristics, no timeout wait, no manual
+    cleanup (ADVICE r5 + r6 review: the pid/ts reclaim protocol this
+    replaces could steal fresh locks and rob live holders). A stale
+    lock FILE left by the pre-flock protocol is equally harmless: file
+    existence alone never blocks."""
     import json
+    import subprocess
+    import sys
     import time as _time
-    import warnings as _warnings
 
     import qbeast_spark_spark as qss
     from qbeast_spark_spark.sources.matview import (create_continuous_agg,
@@ -630,48 +642,36 @@ def test_refresh_lock_stale_takeover(spark, tmp_table):
                           {"n": "count"})
     lock = os.path.join(view, "_refresh.lock")
 
-    # (a) dead pid -> reclaimed without waiting out the timeout
-    dead_pid = 1  # pid 1 exists but isn't ours -> PermissionError = live;
-    # find a genuinely dead pid instead: fork-free heuristic — spawn
-    # nothing, just pick a huge pid far beyond pid_max on this box
-    dead_pid = 2 ** 22 + 12345
+    # (a) legacy debris: a lock FILE with no flock behind it (what the
+    # old O_EXCL protocol left after a crash) must not block at all
     with open(lock, "w") as fh:
-        json.dump({"pid": dead_pid, "ts": int(_time.time() * 1000)}, fh)
+        json.dump({"pid": 2 ** 22 + 12345, "ts": 0}, fh)
     t0 = _time.monotonic()
-    with _warnings.catch_warnings(record=True) as caught:
-        _warnings.simplefilter("always")
-        out = refresh_continuous_agg(spark, view, lock_timeout_s=30.0)
-    assert out["refreshed"] is False
-    assert _time.monotonic() - t0 < 10, "should reclaim, not wait"
-    assert any("reclaimed stale refresh lock" in str(w.message)
-               for w in caught)
-    assert not os.path.exists(lock)
-
-    # (b) live pid, recent ts -> still times out (no takeover)
-    import socket as _socket
-    host = _socket.gethostname()
-    with open(lock, "w") as fh:
-        json.dump({"pid": os.getpid(), "host": host,
-                   "ts": int(_time.time() * 1000)}, fh)
-    with pytest.raises(TimeoutError, match="_refresh.lock"):
-        refresh_continuous_agg(spark, view, lock_timeout_s=0.5)
-    os.unlink(lock)
-
-    # (c) SAME-host live pid with an ancient ts keeps its lock (r6
-    # review: a legitimately long refresh must not be robbed mid-write)
-    with open(lock, "w") as fh:
-        json.dump({"pid": os.getpid(), "host": host,
-                   "ts": int(_time.time() * 1000) - 3_600_000}, fh)
-    with pytest.raises(TimeoutError, match="_refresh.lock"):
-        refresh_continuous_agg(spark, view, lock_timeout_s=0.5)
-    os.unlink(lock)
-
-    # (d) FOREIGN-host holder past max_hold_s -> reclaimed (the pid
-    # test says nothing about another machine; age is the evidence)
-    with open(lock, "w") as fh:
-        json.dump({"pid": os.getpid(), "host": "some-other-executor",
-                   "ts": int(_time.time() * 1000) - 3_600_000}, fh)
     out = refresh_continuous_agg(spark, view, lock_timeout_s=30.0)
     assert out["refreshed"] is False
-    assert not os.path.exists(lock)
-    assert not os.path.exists(lock + ".reclaim")   # guard cleaned up
+    assert _time.monotonic() - t0 < 10, "file debris must not wedge"
+
+    # (b) a subprocess takes the flock and is SIGKILLed mid-hold: the
+    # kernel releases it and the next refresh proceeds immediately
+    child = subprocess.Popen(
+        [sys.executable, "-c",
+         "import fcntl, os, sys, time\n"
+         f"fd = os.open({lock!r}, os.O_CREAT | os.O_RDWR)\n"
+         "fcntl.flock(fd, fcntl.LOCK_EX)\n"
+         "print('locked', flush=True)\n"
+         "time.sleep(600)\n"],
+        stdout=subprocess.PIPE, text=True)
+    try:
+        assert child.stdout.readline().strip() == "locked"
+        # while the child lives, the lock is genuinely held
+        with pytest.raises(TimeoutError, match="_refresh.lock"):
+            refresh_continuous_agg(spark, view, lock_timeout_s=0.5)
+        child.kill()             # crash: no release code runs
+        child.wait(30)
+        t0 = _time.monotonic()
+        out = refresh_continuous_agg(spark, view, lock_timeout_s=30.0)
+        assert out["refreshed"] is False
+        assert _time.monotonic() - t0 < 10, "kernel must auto-release"
+    finally:
+        if child.poll() is None:
+            child.kill()

@@ -276,31 +276,29 @@ def _stream_lane(spark, root: str, src: str, schema, tag: str,
         # poll the earlier one's shuffle window absorbs the later's —
         # wall_ms (from the progress event itself) is always exact.
         last = -1
+
+        def record(lp):
+            nonlocal last
+            bid = lp["batchId"]
+            if bid <= last:
+                return False
+            last = bid
+            stage_marks[bid + 1] = _last_stage_id(spark)
+            batches[bid] = {
+                "wall_ms": lp["durationMs"].get("triggerExecution"),
+                "rows_in": lp.get("numInputRows"),
+            }
+            return True
+
         while q.isActive:
             for lp in q.recentProgress:
-                bid = lp["batchId"]
-                if bid <= last:
-                    continue
-                last = bid
-                stage_marks[bid + 1] = _last_stage_id(spark)
-                batches[bid] = {
-                    "wall_ms": lp["durationMs"].get("triggerExecution"),
-                    "rows_in": lp.get("numInputRows"),
-                }
-                if stop_at is not None and bid >= stop_at:
+                if record(lp) and stop_at is not None and last >= stop_at:
                     q.stop()
                     break
             time.sleep(0.2)
         q.awaitTermination(120)
         for lp in q.recentProgress:      # anything after the last poll
-            bid = lp["batchId"]
-            if bid > last:
-                last = bid
-                stage_marks[bid + 1] = _last_stage_id(spark)
-                batches[bid] = {
-                    "wall_ms": lp["durationMs"].get("triggerExecution"),
-                    "rows_in": lp.get("numInputRows"),
-                }
+            record(lp)
 
     stage_marks[0] = _last_stage_id(spark)
     t0 = time.time()
