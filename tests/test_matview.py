@@ -675,3 +675,59 @@ def test_refresh_lock_crash_autorelease(spark, tmp_table):
     finally:
         if child.poll() is None:
             child.kill()
+
+
+def test_concurrent_refreshes_serialize_and_converge(spark, tmp_table):
+    """Four threads race interleaved appends and refreshes against one
+    view (each refresh opens its own lock fd — flock conflicts between
+    open file descriptions, so in-process racers contend like separate
+    processes). Serialization must hold (no refresher may crash on a
+    half-written state dir, no state dir may be GC'd out from under a
+    winner) and the final refreshed view must equal a from-scratch
+    recompute."""
+    import threading
+
+    import qbeast_spark_spark as qss
+    from pyspark.sql import functions as F
+    from qbeast_spark_spark.sources.matview import (create_continuous_agg,
+                                                    read_continuous_agg,
+                                                    refresh_continuous_agg)
+
+    li = load(spark, "lineitem").select(
+        "l_orderkey", "l_quantity", "l_returnflag").limit(2000)
+    qss.write(li, tmp_table, columns_to_index=["l_orderkey"],
+              cube_size=2000)
+    view = tmp_table + "_mv"
+    create_continuous_agg(spark, tmp_table, view, ["l_returnflag"],
+                          {"n": "count", "qty": ("sum", "l_quantity")})
+    errors = []
+
+    def worker(i):
+        try:
+            extra = li.select(
+                (F.col("l_orderkey") + 100000 * (i + 1)).alias(
+                    "l_orderkey"),
+                "l_quantity", "l_returnflag").limit(200)
+            for _ in range(3):
+                qss.write(extra, tmp_table,
+                          columns_to_index=["l_orderkey"],
+                          cube_size=2000, mode="append")
+                refresh_continuous_agg(spark, view, lock_timeout_s=120.0)
+        except Exception as e:                  # noqa: BLE001
+            errors.append(repr(e))
+
+    threads = [threading.Thread(target=worker, args=(i,))
+               for i in range(4)]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join(600)
+    assert not errors, errors
+    refresh_continuous_agg(spark, view)         # fold any straggler
+    qt = qss.QbeastTable.for_path(spark, tmp_table)
+    got = {tuple(r) for r in read_continuous_agg(spark, view)
+           .select("l_returnflag", "n", "qty").collect()}
+    want = {tuple(r) for r in qt.to_df().groupBy("l_returnflag")
+            .agg(F.count("*").alias("n"),
+                 F.sum("l_quantity").alias("qty")).collect()}
+    assert got == want
