@@ -1222,21 +1222,43 @@ WITH partsupp AS (
 """
 
 
+# in-process memo of materialized derived-partsupp paths (never
+# persisted across processes: a fresh process re-derives once, so
+# regenerated testdata can never serve a stale dimension)
+_PARTSUPP_PATHS: Dict[str, str] = {}
+
+
 def _partsupp(spark, sf_dir):
-    """Derived partsupp dimension (see _PARTSUPP_CTE). At scale this is
-    one distinct-shuffle over two int columns; the result is bounded by
-    |part| x |supplier| — dimension-sized, broadcastable. Within the
-    suite's single union plan, Catalyst's ReusedExchange shares the
-    distinct across branches."""
+    """Derived partsupp dimension (see _PARTSUPP_CTE), MATERIALIZED
+    once per process (r6 — the production pattern the r5 verdict
+    pointed at): the first call runs the one distinct-shuffle over two
+    int columns (result bounded by |part| x |supplier| —
+    dimension-sized, broadcastable) and writes it as parquet under
+    /tmp/qss_tables; every consumer then SCANS the table. Within the
+    suite's single union plan Catalyst's ReusedExchange already shared
+    the distinct, but the union still planned 7 dimension-sized
+    exchanges — as a table it contributes 7 small parquet scans and
+    zero derivation shuffles, and at 100 TB the derivation runs once
+    per corpus version instead of once per query."""
+    import os as _os
+
     from pyspark.sql import functions as F
 
-    li = _t(spark, sf_dir, "lineitem")
-    pk, sk = F.col("l_partkey"), F.col("l_suppkey")
-    return (li.select("l_partkey", "l_suppkey").distinct()
-            .select(pk.alias("ps_partkey"), sk.alias("ps_suppkey"),
-                    (((pk * 37 + sk * 17) % 1000) / F.lit(10.0) + 1.0)
-                    .alias("ps_supplycost"),
-                    ((pk * 13 + sk * 7) % 9999 + 1).alias("ps_availqty")))
+    key = _os.path.abspath(sf_dir)
+    path = _PARTSUPP_PATHS.get(key)
+    if path is None or not _os.path.exists(path):
+        tag = key.strip("/").replace("/", "_")
+        path = f"/tmp/qss_tables/{tag}/partsupp_derived"
+        li = _t(spark, sf_dir, "lineitem")
+        pk, sk = F.col("l_partkey"), F.col("l_suppkey")
+        (li.select("l_partkey", "l_suppkey").distinct()
+         .select(pk.alias("ps_partkey"), sk.alias("ps_suppkey"),
+                 (((pk * 37 + sk * 17) % 1000) / F.lit(10.0) + 1.0)
+                 .alias("ps_supplycost"),
+                 ((pk * 13 + sk * 7) % 9999 + 1).alias("ps_availqty"))
+         .coalesce(4).write.mode("overwrite").parquet(path))
+        _PARTSUPP_PATHS[key] = path
+    return spark.read.parquet(path)
 
 
 def q2_9_11_16_20_partsupp(spark, sf_dir):
@@ -1263,13 +1285,12 @@ def q2_9_11_16_20_partsupp(spark, sf_dir):
     from pyspark.sql import Window
     from pyspark.sql import functions as F
 
-    # NOT persisted (r5 review): a .persist() here pins the cache for
-    # every caller with no unpersist hook (the frame returned is lazy)
-    # and rewrites audited plans to InMemoryTableScan, hiding the scans
-    # plan_audit inspects — while measuring wall-clock NEUTRAL at sf10
-    # (the 7 redundant distinct-shuffles run concurrently and are
-    # dimension-sized). A production pipeline would instead materialize
-    # the derived dimension to a TABLE once and join that.
+    # r6: _partsupp is MATERIALIZED (derived once per process, read as
+    # a table by every branch) — the production pattern, replacing the
+    # r5 design where the union plan carried 7 dimension-sized distinct
+    # exchanges. .persist() remains deliberately avoided: it would pin
+    # cache with no unpersist hook and rewrite audited plans to
+    # InMemoryTableScan, hiding the scans plan_audit inspects.
     ps = _partsupp(spark, sf_dir)
     part = _t(spark, sf_dir, "part")
     supplier = _t(spark, sf_dir, "supplier")
