@@ -353,9 +353,10 @@ def refresh_continuous_agg(spark, view_path: str, *,
     (index-pruned when possible) and REPLACE their delta-merged rows;
     every other group still merges in O(changed rows).
 
-    Serialized per view by an O_EXCL lock (``_refresh.lock``) so
-    concurrent maintenance passes can't overwrite each other's state
-    snapshot or GC a directory the other just repointed meta at."""
+    Serialized per view by an OS advisory lock (flock on
+    ``_refresh.lock``, auto-released on holder death) so concurrent
+    maintenance passes can't overwrite each other's state snapshot or
+    GC a directory the other just repointed meta at."""
     from pyspark.sql import functions as F
 
     from .reader import QbeastTable
