@@ -205,3 +205,41 @@ def test_pruned_read_equals_plain_spark(spark, fuzz_setup):
     # >=10%: deep OR-heavy trees legitimately match every file, and a
     # coarse layout (cube_size 800+ over 6k rows) has few files to cut
     assert pruned >= parsed * 0.1, (pruned, parsed)
+
+
+def test_pruned_read_after_dml_equals_plain_spark(spark,
+                                                  tmp_path_factory):
+    """The fuzz grammar driven over a DML-MUTATED table: a deletion-
+    vector delete, a rewrite delete, and an update have all touched the
+    files, so every read composes cube/stats pruning + DV row masking +
+    rewritten-file contents + the residual. Expected side is the same
+    mutations applied to the plain frame."""
+    import qbeast_spark_spark as qss
+
+    base = _base_frame(spark)
+    path = str(tmp_path_factory.mktemp("e2e_dml") / "t")
+    qss.write(base, path, columns_to_index=["l_orderkey",
+                                            "l_extendedprice"],
+              cube_size=500)
+    qt = qss.QbeastTable.for_path(spark, path)
+    qt.delete([("l_orderkey", "<", 120)], mode="dv")
+    qt.delete([("l_orderkey", ">=", 1400)], mode="rewrite")
+    qt.update({"l_quantity": "l_quantity + 100"},
+              [("l_extendedprice", "<", 2000.0)])
+    expected = (base
+                .where(~(F.col("l_orderkey") < 120))
+                .where(~(F.col("l_orderkey") >= 1400))
+                .withColumn("l_quantity",
+                            F.when(F.col("l_extendedprice") < 2000.0,
+                                   F.col("l_quantity") + 100)
+                            .otherwise(F.col("l_quantity"))))
+    cols = sorted(base.columns)
+    chk = _checksum_exprs(cols)
+    rng = random.Random(20260819)
+    n_cases = max(50, N_CASES // 3)
+    for i in range(n_cases):
+        q = _tree(rng, 3)
+        want = expected.where(q).agg(*chk).collect()[0]
+        got = qt.read(q).agg(*chk).collect()[0]
+        assert (got.n, got.h) == (want.n, want.h), \
+            f"[dml seed=20260819 case={i}] {q}"
