@@ -39,6 +39,7 @@ __all__ = ["QUERIES", "spark_queries", "oracle_queries", "flagship"]
 
 from .queries_common import (  # noqa: E402
     DD_JACCARD_SQL as _DD_JACCARD_SQL,
+    _cache_path,
     _cents,
     _events,
     _t,
@@ -58,8 +59,7 @@ def _indexed_lineitem(spark, sf_dir: str) -> str:
     from .sources.log import CommitLog
 
     key = os.path.abspath(sf_dir)
-    tag = key.strip("/").replace("/", "_")
-    path = _QB_CACHE.get(key) or f"/tmp/qss_tables/{tag}/lineitem"
+    path = _QB_CACHE.get(key) or _cache_path(sf_dir, "lineitem")
     if not CommitLog(path).exists():
         import pyarrow.parquet as pq
 
@@ -118,9 +118,7 @@ def qb_dml(spark, sf_dir):
 
     import time as _time
 
-    key = os.path.abspath(sf_dir)
-    tag = key.strip("/").replace("/", "_")
-    path = f"/tmp/qss_tables/{tag}/lineitem_dml"
+    path = _cache_path(sf_dir, "lineitem_dml")
     li = _t(spark, sf_dir, "lineitem").select(
         "l_orderkey", "l_extendedprice", "l_quantity", "l_returnflag")
     phases = LAST_DML_PHASES

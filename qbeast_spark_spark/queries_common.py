@@ -8,7 +8,17 @@ from __future__ import annotations
 
 import os
 
-__all__ = ["_t", "_events", "_cents"]
+__all__ = ["_t", "_events", "_cents", "_cache_path"]
+
+
+def _cache_path(sf_dir: str, name: str) -> str:
+    """Stable per-sf_dir scratch path under /tmp/qss_tables for tables
+    derived from (and pure in) sf_dir. One scheme for every memoized
+    derived table (indexed lineitem/embeddings/events, DML/CDF bases,
+    partsupp) so a future change — e.g. hashing the key against the
+    '/'-to-'_' collision — lands in exactly one place."""
+    tag = os.path.abspath(sf_dir).strip("/").replace("/", "_")
+    return f"/tmp/qss_tables/{tag}/{name}"
 
 
 def _t(spark, sf_dir: str, name: str):

@@ -26,7 +26,7 @@ from __future__ import annotations
 
 from typing import Callable, Dict, Optional, Tuple
 
-from .queries_common import _cents, _events, _t
+from .queries_common import _cache_path, _cents, _events, _t
 
 __all__ = ["EXT_QUERIES"]
 
@@ -583,8 +583,7 @@ def _indexed_embeddings(spark, sf_dir):
     from .sources.writer import write_qbeast
 
     key = os.path.abspath(sf_dir)
-    tag = key.strip("/").replace("/", "_")
-    path = _EMB_CACHE.get(key) or f"/tmp/qss_tables/{tag}/embeddings"
+    path = _EMB_CACHE.get(key) or _cache_path(sf_dir, "embeddings")
     if not CommitLog(path).exists():
         shutil.rmtree(path, ignore_errors=True)
         emb = (spark.read.parquet(os.path.join(sf_dir, "embeddings.parquet"))
@@ -772,8 +771,7 @@ def _indexed_events(spark, sf_dir):
     from .sources.writer import write_qbeast
 
     key = os.path.abspath(sf_dir)
-    tag = key.strip("/").replace("/", "_")
-    path = _EV_CACHE.get(key) or f"/tmp/qss_tables/{tag}/events"
+    path = _EV_CACHE.get(key) or _cache_path(sf_dir, "events")
     if not CommitLog(path).exists():
         shutil.rmtree(path, ignore_errors=True)
         ev = _events(spark, sf_dir)
@@ -1086,9 +1084,7 @@ def qb_time_cdf(spark, sf_dir):
 
     import time as _time
 
-    key = _os.path.abspath(sf_dir)
-    tag = key.strip("/").replace("/", "_")
-    path = f"/tmp/qss_tables/{tag}/lineitem_timecdf"
+    path = _cache_path(sf_dir, "lineitem_timecdf")
     cols = ["l_orderkey", "l_extendedprice", "l_quantity", "l_returnflag"]
     li = _t(spark, sf_dir, "lineitem").select(*cols)
     LAST_TIMECDF_PHASES.clear()
@@ -1245,10 +1241,13 @@ def _partsupp(spark, sf_dir):
     from pyspark.sql import functions as F
 
     key = _os.path.abspath(sf_dir)
-    path = _PARTSUPP_PATHS.get(key)
-    if path is None or not _os.path.exists(path):
-        tag = key.strip("/").replace("/", "_")
-        path = f"/tmp/qss_tables/{tag}/partsupp_derived"
+    path = _PARTSUPP_PATHS.get(key) or _cache_path(sf_dir, "partsupp_derived")
+    # on-disk _SUCCESS gates the rebuild (same pattern as
+    # _indexed_lineitem/_indexed_embeddings): a fresh process reuses a
+    # previously materialized table instead of overwriting it out from
+    # under another process's in-flight scans; the derivation is pure
+    # in sf_dir so reuse is always valid
+    if not _os.path.exists(_os.path.join(path, "_SUCCESS")):
         li = _t(spark, sf_dir, "lineitem")
         pk, sk = F.col("l_partkey"), F.col("l_suppkey")
         (li.select("l_partkey", "l_suppkey").distinct()
@@ -1257,7 +1256,7 @@ def _partsupp(spark, sf_dir):
                  .alias("ps_supplycost"),
                  ((pk * 13 + sk * 7) % 9999 + 1).alias("ps_availqty"))
          .coalesce(4).write.mode("overwrite").parquet(path))
-        _PARTSUPP_PATHS[key] = path
+    _PARTSUPP_PATHS[key] = path
     return spark.read.parquet(path)
 
 

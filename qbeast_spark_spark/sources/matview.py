@@ -212,7 +212,12 @@ def _refresh_lock(view_path: str, timeout_s: float = 60.0):
             try:
                 fcntl.flock(fd, fcntl.LOCK_EX | fcntl.LOCK_NB)
                 break
-            except OSError:
+            # ONLY contention (EWOULDBLOCK -> BlockingIOError) and
+            # signal interruption are retryable; anything else (ENOLCK
+            # on lockd-less NFS, EOPNOTSUPP on odd FUSE mounts) means
+            # flock cannot work here at all and must surface
+            # immediately, not masquerade as a held lock for timeout_s
+            except (BlockingIOError, InterruptedError):
                 if time.monotonic() >= deadline:
                     try:
                         with open(lock) as fh:

@@ -386,8 +386,15 @@ def compact_sig_store(spark, sig_path: str, id_col: str = "doc_id",
             if num is not None and num >= 0:
                 if pre not in newest or num > newest[pre][1]:
                     newest[pre] = (val, num)
-        protected = {v for v, _n in newest.values()
-                     if now - mtimes.get(v, now) < protect_age_s}
+        # an unknown or synthetic age must err toward protection:
+        # object stores (s3a) report 0 modification time for
+        # "directories" (they are key prefixes), which would otherwise
+        # make every in-flight dir look ancient and fold it mid-commit
+        protected = set()
+        for v, _n in newest.values():
+            mt = mtimes.get(v)
+            if mt is None or mt <= 0 or now - mt < protect_age_s:
+                protected.add(v)
     if exclude is not None:
         protected.add(exclude)
     dirs = {v: paths[v] for v in all_vals if v not in protected}

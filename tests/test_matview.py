@@ -722,6 +722,9 @@ def test_concurrent_refreshes_serialize_and_converge(spark, tmp_table):
         t.start()
     for t in threads:
         t.join(600)
+    # a wedged refresher (the deadlock class this test exists to catch)
+    # would survive join(600) silently and race the asserts below
+    assert not any(t.is_alive() for t in threads), "worker wedged"
     assert not errors, errors
     refresh_continuous_agg(spark, view)         # fold any straggler
     qt = qss.QbeastTable.for_path(spark, tmp_table)
