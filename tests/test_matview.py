@@ -734,3 +734,27 @@ def test_concurrent_refreshes_serialize_and_converge(spark, tmp_table):
             .agg(F.count("*").alias("n"),
                  F.sum("l_quantity").alias("qty")).collect()}
     assert got == want
+
+
+def test_refresh_lock_surfaces_unsupported_fs(tmp_path, monkeypatch):
+    """ENOLCK (lockd-less NFS) / EOPNOTSUPP must surface immediately —
+    not spin the full timeout disguised as contention and then claim
+    another refresh holds the lock (r6 fourth review pass). Note
+    TimeoutError subclasses OSError, so the errno assert is what
+    distinguishes the two outcomes."""
+    import errno
+    import fcntl
+    import time
+
+    from qbeast_spark_spark.sources.matview import _refresh_lock
+
+    def no_lockd(fd, op):
+        raise OSError(errno.ENOLCK, "No locks available")
+
+    monkeypatch.setattr(fcntl, "flock", no_lockd)
+    t0 = time.monotonic()
+    with pytest.raises(OSError) as ei:
+        with _refresh_lock(str(tmp_path), timeout_s=5.0):
+            pass
+    assert ei.value.errno == errno.ENOLCK
+    assert time.monotonic() - t0 < 1.0, "spun the timeout instead"

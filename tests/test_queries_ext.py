@@ -75,3 +75,27 @@ def test_lsh_join_finds_cross_corpus_near_dups(spark):
         assert (oid, oid + 100000) in exact
     # reversed-text docs never reach the 0.9 threshold
     assert all(r["id_b"] < 200000 for r in pairs)
+
+
+def test_partsupp_materialization_reused_across_processes(spark):
+    """A fresh process (simulated by clearing the in-process memo) must
+    REUSE the on-disk partsupp table, not overwrite it out from under a
+    concurrent reader (r6 fourth review pass): the _SUCCESS-gated
+    rebuild makes the first call of every process a scan, not a write."""
+    import glob
+
+    from qbeast_spark_spark import queries_ext as qx
+
+    first = qx._partsupp(spark, SF_DIR)
+    n1 = first.count()
+    path = qx._PARTSUPP_PATHS[os.path.abspath(SF_DIR)]
+    parts = sorted(glob.glob(os.path.join(path, "part-*")))
+    assert parts, "materialized table should exist on disk"
+    mtimes = [os.path.getmtime(p) for p in parts]
+
+    qx._PARTSUPP_PATHS.clear()           # simulate a new process
+    again = qx._partsupp(spark, SF_DIR)
+    assert again.count() == n1
+    assert [os.path.getmtime(p) for p in
+            sorted(glob.glob(os.path.join(path, "part-*")))] == mtimes, \
+        "fresh process rewrote the table instead of reusing it"

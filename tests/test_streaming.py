@@ -549,3 +549,35 @@ def test_sig_store_online_compaction_protects_other_writers(spark,
     got = spark.read.parquet(sig_path)
     assert got.count() == 9
     assert got.select("doc_id").distinct().count() == 9
+
+
+def test_sig_store_compaction_protects_synthetic_mtime_dirs(spark,
+                                                            tmp_path):
+    """Object stores report synthetic (0) modification times for
+    directory prefixes; an unknown age must err toward protecting the
+    newest per-writer dir instead of treating it as ancient and folding
+    it mid two-phase commit (r6 fourth review pass). Simulated locally
+    by utime()ing the newest dir to epoch 0."""
+    import os
+
+    from qbeast_spark_spark.streaming.ingest import compact_sig_store
+
+    sig_path = str(tmp_path / "s3ish_sigs")
+
+    def write_batch(val, ids):
+        df = spark.createDataFrame([(i, i * 7) for i in ids],
+                                   "doc_id long, mh0 long")
+        df.write.mode("overwrite").parquet(f"{sig_path}/batch={val}")
+
+    write_batch("qb-0", [1, 2])
+    write_batch("qb-1", [3, 4])
+    write_batch("qb-2", [5, 6])          # newest: possibly in-flight
+    os.utime(f"{sig_path}/batch=qb-2", (0, 0))   # synthetic s3a mtime
+    new_id = compact_sig_store(spark, sig_path)
+    assert new_id is not None
+    dirs = {d[len("batch="):] for d in os.listdir(sig_path)
+            if d.startswith("batch=")}
+    assert "qb-2" in dirs, "zero-mtime newest dir was folded"
+    assert dirs == {"qb-2", str(new_id)}, dirs
+    got = spark.read.parquet(sig_path)
+    assert got.count() == 6
