@@ -13,8 +13,10 @@ O(rows). Snapshot construction replays the commit list on the driver; at
 100 TB with desiredCubeSize=5M that is ~10^5 entries, trivially held in
 memory (same order as Delta's own snapshot state).
 
-Commits are atomic via exclusive-create (O_EXCL) of ``NNNNNNNNNNNN.json``;
-a concurrent writer losing the race retries with the next version, matching
+Commits are atomic via put-if-absent of ``NNNNNNNNNNNN.json`` — the full
+body is written to a hidden tmp file and published with ``os.link`` (atomic;
+EEXIST when the version is taken), so readers never observe a partial
+commit; a writer losing the race retries with the next version, matching
 the reference's optimistic-retry loop (IndexedTable.scala:355-368).
 
 Checkpointing (the Delta `_last_checkpoint` pattern): every
@@ -32,6 +34,7 @@ from __future__ import annotations
 import json
 import os
 import time
+import uuid
 from dataclasses import dataclass, field
 from typing import Any, Dict, List, Optional
 
@@ -538,34 +541,53 @@ class CommitLog:
             "protocol": dict(protocol) if protocol else None,
         }
         body = json.dumps(payload, sort_keys=True).encode()
+        # Atomic publish (put-if-absent): write the FULL body to a hidden
+        # tmp (no ".json" suffix — _versions() never lists it), then
+        # hard-link it to the version path. link(2) is atomic and fails
+        # with EEXIST when the version is taken, so a concurrent reader
+        # can never observe a created-but-not-yet-written commit — the
+        # torn-read window of a plain O_CREAT|O_EXCL + write() sequence
+        # (caught by tests/test_concurrency_stress.py: a racer's
+        # _check_conflicts read a 0-byte gap commit and crashed).
+        tmp = os.path.join(self.log_dir,
+                           f".commit-{os.getpid()}-{uuid.uuid4().hex}.tmp")
+        with open(tmp, "wb") as fh:
+            fh.write(body)
         last_err = None
-        for _ in range(max_retries):
-            if txn is not None:
-                # Close the check-then-act window (ADVICE r2): the writer's
-                # idempotent skip reads a snapshot taken before this commit,
-                # so two concurrent writers sharing (appId, version) could
-                # both pass it. Re-reading committed txns here — and again
-                # after every lost O_EXCL race — makes the loser skip.
-                snap = self.snapshot()
-                if snap.txns.get(txn["appId"], -1) >= int(txn["version"]):
-                    return snap.version
-            versions = self._versions()
-            next_v = (versions[-1] + 1) if versions else 0
-            if read_version is not None and next_v > read_version + 1:
-                self._check_conflicts(read_version, next_v, list(remove),
-                                      list(read_files or ()))
-            target = os.path.join(self.log_dir, f"{next_v:012d}.json")
-            try:
-                fd = os.open(target, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
-            except FileExistsError as e:  # lost the race; re-read and retry
-                last_err = e
-                continue
-            with os.fdopen(fd, "wb") as fh:
-                fh.write(body)
-            if next_v > 0 and next_v % CHECKPOINT_INTERVAL == 0:
+        try:
+            for _ in range(max_retries):
+                if txn is not None:
+                    # Close the check-then-act window (ADVICE r2): the
+                    # writer's idempotent skip reads a snapshot taken
+                    # before this commit, so two concurrent writers
+                    # sharing (appId, version) could both pass it.
+                    # Re-reading committed txns here — and again after
+                    # every lost publish race — makes the loser skip.
+                    snap = self.snapshot()
+                    if snap.txns.get(txn["appId"], -1) >= int(txn["version"]):
+                        return snap.version
+                versions = self._versions()
+                next_v = (versions[-1] + 1) if versions else 0
+                if read_version is not None and next_v > read_version + 1:
+                    self._check_conflicts(read_version, next_v, list(remove),
+                                          list(read_files or ()))
+                target = os.path.join(self.log_dir, f"{next_v:012d}.json")
                 try:
-                    self._write_checkpoint(self.snapshot(at_version=next_v))
-                except OSError:
-                    pass    # derived state: next eligible commit retries
-            return next_v
-        raise RuntimeError(f"commit failed after {max_retries} retries: {last_err}")
+                    os.link(tmp, target)
+                except FileExistsError as e:  # lost the race; re-read, retry
+                    last_err = e
+                    continue
+                if next_v > 0 and next_v % CHECKPOINT_INTERVAL == 0:
+                    try:
+                        self._write_checkpoint(
+                            self.snapshot(at_version=next_v))
+                    except OSError:
+                        pass  # derived state: next eligible commit retries
+                return next_v
+            raise RuntimeError(
+                f"commit failed after {max_retries} retries: {last_err}")
+        finally:
+            try:
+                os.unlink(tmp)
+            except OSError:
+                pass
