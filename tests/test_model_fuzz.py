@@ -47,9 +47,11 @@ def test_random_op_sequences_match_model(spark, tmp_table, seed):
     versions = {qt.snapshot().version: model.copy()}
     appended = 0
 
+    n_inserted = 0
     for step_no in range(14):
         op = rng.choice(["append", "delete_rw", "delete_dv", "update",
-                         "compact", "optimize", "restore", "vacuum"])
+                         "merge", "compact", "optimize", "restore",
+                         "vacuum"])
         if op == "append" and appended < len(rest):
             chunk = rest.iloc[appended:appended + 500]
             appended += 500
@@ -75,6 +77,38 @@ def test_random_op_sequences_match_model(spark, tmp_table, seed):
             m = (model.l_orderkey >= lo) & (model.l_orderkey < lo + 2000)
             model = model.copy()
             model.loc[m, "l_extendedprice"] += 1.0
+        elif op == "merge":
+            # matched side: up to 40 existing (l_orderkey, l_linenumber)
+            # pairs get l_extendedprice += 10; not-matched side: 20 fresh
+            # rows with out-of-range keys (insert path + revision widen)
+            pairs = (model[["l_orderkey", "l_linenumber"]]
+                     .drop_duplicates().sample(
+                         n=min(40, len(model)),
+                         random_state=rng.randrange(1 << 30)))
+            fresh = pdf_all.iloc[:20].copy()
+            fresh["l_orderkey"] = [10_000_000 + n_inserted + i
+                                   for i in range(len(fresh))]
+            n_inserted += len(fresh)
+            src = pd.concat(
+                [pd.merge(model, pairs,
+                          on=["l_orderkey", "l_linenumber"])
+                 .drop_duplicates(["l_orderkey", "l_linenumber"]),
+                 fresh], ignore_index=True)
+            src = src.astype(pdf_all.dtypes.to_dict())
+            qss.merge_rows(
+                spark, tmp_table, spark.createDataFrame(src),
+                on=["l_orderkey", "l_linenumber"],
+                when_matched_update={
+                    "l_extendedprice": "l_extendedprice + 10.0"},
+                when_not_matched_insert="all")
+            key = set(map(tuple, pairs.itertuples(index=False)))
+            m = [
+                (r.l_orderkey, r.l_linenumber) in key
+                for r in model[["l_orderkey", "l_linenumber"]]
+                .itertuples(index=False)]
+            model = model.copy()
+            model.loc[m, "l_extendedprice"] += 10.0
+            model = pd.concat([model, fresh], ignore_index=True)
         elif op == "compact":
             qss.compact_table(spark, tmp_table)
         elif op == "optimize":
@@ -95,6 +129,25 @@ def test_random_op_sequences_match_model(spark, tmp_table, seed):
         qt = qss.QbeastTable.for_path(spark, tmp_table)
         versions[qt.snapshot().version] = model.copy()
         _assert_equal(spark, qt, model, f"step {step_no}:{op}")
+
+    # time-travel sweep: every recorded version that is still physically
+    # readable must reproduce its model snapshot EXACTLY (vacuum may have
+    # removed a superseded version's files — raising is allowed, a wrong
+    # answer never is)
+    readable = 0
+    for v in sorted(versions):
+        try:
+            got = qt.to_df(version=v).select(
+                "l_orderkey", "l_linenumber", "l_extendedprice").toPandas()
+        except Exception:
+            continue            # vacuumed away: unreadable, not wrong
+        readable += 1
+        g = sorted(map(tuple, got.itertuples(index=False)))
+        w = sorted(map(tuple, versions[v][
+            ["l_orderkey", "l_linenumber", "l_extendedprice"]]
+            .itertuples(index=False)))
+        assert g == w, f"time travel to v{v} diverged (seed {seed})"
+    assert readable >= 1        # the current version always reads
 
     # end with the maintenance loop and a final equality check
     qss.auto_maintain(spark, tmp_table, max_revisions=1, max_small_files=2,
