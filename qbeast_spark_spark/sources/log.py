@@ -17,7 +17,11 @@ Commits are atomic via put-if-absent of ``NNNNNNNNNNNN.json`` — the full
 body is written to a hidden tmp file and published with ``os.link`` (atomic;
 EEXIST when the version is taken), so readers never observe a partial
 commit; a writer losing the race retries with the next version, matching
-the reference's optimistic-retry loop (IndexedTable.scala:355-368).
+the reference's optimistic-retry loop (IndexedTable.scala:355-368). On a
+filesystem without hard links the publish degrades to O_EXCL + write; on
+object stores without ANY put-if-absent primitive, multi-writer tables
+need an external commit coordinator — the same constraint Delta solves
+with LogStore implementations / commit-coordinator services on S3.
 
 Checkpointing (the Delta `_last_checkpoint` pattern): every
 ``CHECKPOINT_INTERVAL`` commits the committer also materializes the full
@@ -31,6 +35,7 @@ commit JSONs are never deleted, so time travel to any version still works.
 
 from __future__ import annotations
 
+import errno
 import json
 import os
 import time
@@ -577,6 +582,24 @@ class CommitLog:
                 except FileExistsError as e:  # lost the race; re-read, retry
                     last_err = e
                     continue
+                except OSError as e:
+                    # filesystem without hard links (some network/object
+                    # mounts): degrade to exclusive-create + write. This
+                    # reopens the short created-but-unwritten reader
+                    # window on such filesystems only; a real cluster
+                    # deployment fronts the log with a commit service
+                    # anyway (module docstring).
+                    if e.errno not in (errno.EPERM, errno.ENOTSUP,
+                                       errno.EXDEV, errno.ENOSYS):
+                        raise
+                    try:
+                        fd = os.open(target,
+                                     os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+                    except FileExistsError as e2:
+                        last_err = e2
+                        continue
+                    with os.fdopen(fd, "wb") as fh:
+                        fh.write(body)
                 if next_v > 0 and next_v % CHECKPOINT_INTERVAL == 0:
                     try:
                         self._write_checkpoint(

@@ -452,6 +452,21 @@ class QbeastTable:
                 except OSError:
                     continue
                 victims.append(os.path.join(CHANGE_DIR, sub))
+        # commit-staging tmps orphaned by a writer that crashed between
+        # writing the body and publishing the version link (log.py
+        # commit): harmless litter, aged out on the same retention clock
+        from .log import LOG_DIR
+
+        if os.path.isdir(self.log.log_dir):
+            for name in os.listdir(self.log.log_dir):
+                if name.startswith(".commit-") and name.endswith(".tmp"):
+                    try:
+                        if os.path.getmtime(os.path.join(
+                                self.log.log_dir, name)) > cutoff:
+                            continue
+                    except OSError:
+                        continue
+                    victims.append(os.path.join(LOG_DIR, name))
         if not dry_run:
             import shutil as _shutil
 

@@ -158,3 +158,73 @@ def test_multiprocess_conflicting_rewrites_serialize(tmp_path):
     hist = [json.loads(open(os.path.join(log.log_dir, f"{v:012d}.json"))
                        .read()) for v in range(1, total + 1)]
     assert all(len(h["remove"]) == 1 and len(h["add"]) == 2 for h in hist)
+
+
+_CRASH_WORKER = r"""
+import sys
+sys.path.insert(0, @@REPO@@)
+from qbeast_spark_spark.sources.log import Block, CommitLog, IndexFile
+
+table, wid, n = sys.argv[1], int(sys.argv[2]), int(sys.argv[3])
+log = CommitLog(table)
+for j in range(n):                      # no gate: parent kills us mid-run
+    log.commit(add=[IndexFile(f"k{wid}_c{j}.parquet", 1, 1, 1,
+                              [Block("0:0", 0, 1, 1)])],
+               operation="WRITE", max_retries=500)
+"""
+
+
+def test_sigkill_mid_commit_never_corrupts_the_log(tmp_path):
+    """Kill committing writers at random moments, repeatedly: every
+    version file that exists must be COMPLETE valid JSON (the atomic
+    link publish guarantees it), versions stay contiguous, the snapshot
+    replays, and new commits keep working. Orphaned staging tmps are the
+    only permitted residue — and vacuum ages them out."""
+    import signal
+
+    from qbeast_spark_spark.sources.log import Block, CommitLog, IndexFile
+
+    table = str(tmp_path / "t")
+    os.makedirs(table)
+    log = CommitLog(table)
+    for round_no in range(6):
+        p = subprocess.Popen(
+            [sys.executable, "-c",
+             _CRASH_WORKER.replace("@@REPO@@", repr(REPO)),
+             table, str(round_no), "10000"],
+            stdout=subprocess.DEVNULL, stderr=subprocess.DEVNULL)
+        time.sleep(0.4 + 0.15 * round_no)   # varied kill points
+        p.send_signal(signal.SIGKILL)
+        p.wait()
+        versions = log._versions()
+        assert versions == list(range(len(versions))), "gap after crash"
+        for v in versions[-3:]:             # newest are the risky ones
+            with open(os.path.join(log.log_dir, f"{v:012d}.json")) as fh:
+                assert json.load(fh)["add"], f"torn commit at v{v}"
+        snap = log.snapshot()               # full replay still works
+        assert snap.version == len(versions) - 1
+        # the log stays writable after every crash
+        log.commit(add=[IndexFile(f"alive_{round_no}.parquet", 1, 1, 1,
+                                  [Block("0:0", 0, 1, 1)])],
+                   operation="WRITE")
+
+    # a crash between staging and publish may orphan .commit-*.tmp files;
+    # they are invisible to _versions() and vacuum ages them out
+    stale = os.path.join(log.log_dir, ".commit-999-deadbeef.tmp")
+    with open(stale, "w") as fh:
+        fh.write("{}")
+    os.utime(stale, (time.time() - 9000, time.time() - 9000))
+    import pyspark  # noqa: F401 — QbeastTable needs no session for vacuum
+
+    from qbeast_spark_spark.sources.reader import QbeastTable
+    qt = QbeastTable(None, table)
+    gone = qt.vacuum(retention_hours=1.0)
+    assert any(p.endswith(".commit-999-deadbeef.tmp") for p in gone)
+    assert not os.path.exists(stale)
+    # fresh tmps (a possibly in-flight writer) survive the retention
+    live = os.path.join(log.log_dir, ".commit-1000-cafe.tmp")
+    with open(live, "w") as fh:
+        fh.write("{}")
+    assert not any(".commit-1000" in p
+                   for p in qt.vacuum(retention_hours=1.0))
+    assert os.path.exists(live)
