@@ -43,6 +43,33 @@ for j in range(n):
 print("OK")
 """
 
+_READER_WORKER = r"""
+import sys
+sys.path.insert(0, @@REPO@@)
+from qbeast_spark_spark.sources.log import CommitLog
+import os, time
+
+table, wid, _ = sys.argv[1], int(sys.argv[2]), sys.argv[3]
+go = os.path.join(table, "_go")
+open(os.path.join(table, f"_ready_{wid}"), "w").close()
+while not os.path.exists(go):
+    time.sleep(0.001)
+log = CommitLog(table)
+last_v, reads = -1, 0
+while not os.path.exists(os.path.join(table, "_stop")):
+    snap = log.snapshot()       # must NEVER see a torn/partial commit
+    assert snap.version >= last_v, "snapshot went backwards"
+    if snap.version >= 0:
+        # blind-append workload: every commit adds exactly one file, so
+        # any valid prefix satisfies files == version + 1
+        assert len(snap.files) == snap.version + 1, (
+            f"inconsistent prefix at v{snap.version}: "
+            f"{len(snap.files)} files")
+    last_v = snap.version
+    reads += 1
+print(f"READS={reads}")
+"""
+
 _REWRITE_WORKER = r"""
 import sys
 sys.path.insert(0, @@REPO@@)
@@ -109,8 +136,38 @@ def test_multiprocess_blind_appends_lose_nothing(tmp_path):
 
     table = str(tmp_path / "t")
     os.makedirs(table)
-    n_workers, n_commits = 6, 20
-    _run_workers(_APPEND_WORKER, table, n_workers, n_commits)
+    n_writers, n_commits = 6, 20
+    n_readers = 2               # hammer snapshot() while writers commit:
+    n_workers = n_writers + n_readers   # this is the torn-read scenario
+
+    scripts = ([_APPEND_WORKER] * n_writers + [_READER_WORKER] * n_readers)
+    procs = [subprocess.Popen(
+        [sys.executable, "-c", s.replace("@@REPO@@", repr(REPO)),
+         table, str(i), str(n_commits)],
+        stdout=subprocess.PIPE, stderr=subprocess.PIPE, text=True)
+        for i, s in enumerate(scripts)]
+    deadline = time.time() + 60
+    while time.time() < deadline:
+        if len([f for f in os.listdir(table)
+                if f.startswith("_ready_")]) == n_workers:
+            break
+        time.sleep(0.005)
+    else:
+        raise TimeoutError("workers never reached the start gate")
+    with open(os.path.join(table, "_go"), "w"):
+        pass
+    outs = []
+    for i, p in enumerate(procs[:n_writers]):
+        out, err = p.communicate(timeout=300)
+        assert p.returncode == 0, f"writer failed:\n{err[-2000:]}"
+        outs.append(out)
+    with open(os.path.join(table, "_stop"), "w"):
+        pass
+    for p in procs[n_writers:]:
+        out, err = p.communicate(timeout=60)
+        assert p.returncode == 0, f"reader saw a torn commit:\n{err[-2000:]}"
+        assert int(out.strip().split("=")[1]) >= 1, "reader never read"
+    n_workers = n_writers       # the assertions below count writers only
 
     log = CommitLog(table)
     total = n_workers * n_commits
