@@ -460,12 +460,43 @@ def merge_rows(spark, path: str, source, on,
             cols.append(e.alias(c))
         return df.select(*cols)
 
-    # pass 1: which files contain a matched row (column-pruned key scan)
+    # pass 1: which files contain a matched row (column-pruned key scan).
+    # Candidate files are first pruned with the source's per-key
+    # [min, max] bounding box (ONE tiny agg job over the source): an
+    # equi-match must lie inside every key's range, so the same
+    # OTree/stats pruning read() uses skips files outside the box before
+    # any target scan. A source spanning the full key domain degrades to
+    # the all-files scan; an empty (or all-null-key) source skips pass 1
+    # outright. At 100 TB this turns MERGE's find-touched-files pass
+    # from O(table) into O(files overlapping the source's key range).
     per_file: Dict[str, int] = {}
-    if has_matched and snap.files:
+    box: Optional[list] = []        # [] = no pruning possible; None = no
+    box_cands = None                # non-null source keys (no matches)
+    if snap.files:
+        import datetime as _dt
+
+        aggs = []
+        for k in keys:
+            aggs += [F.min(k).alias(f"__lo_{k}"),
+                     F.max(k).alias(f"__hi_{k}")]
+        b = source.agg(*aggs).collect()[0]
+        for k in keys:
+            lo, hi = b[f"__lo_{k}"], b[f"__hi_{k}"]
+            if lo is None:          # no non-null key values: no matches
+                box = None
+                break
+            if (isinstance(lo, (int, float, str, _dt.date, _dt.datetime))
+                    and not isinstance(lo, bool)):
+                box += [(k, ">=", lo), (k, "<=", hi)]
+        if box is not None:
+            box_cands = qt._candidates_and_residual(box or None, snap)
+    n_scanned = 0
+    if has_matched and snap.files and box_cands is not None:
+        candidates, residual = box_cands
+        n_scanned = len(candidates)
         per_file = _match_counts(
-            qt, sorted(snap.files),
-            F.lit(True),
+            qt, candidates,
+            residual if residual is not None else F.lit(True),
             probe=(source.select(*keys).distinct(), keys))
     matched = sorted(per_file)
 
@@ -486,8 +517,16 @@ def merge_rows(spark, path: str, source, on,
     n_ins = 0
     if when_not_matched_insert is not None:
         anti = source
-        if snap.files:
-            anti = source.join(qt.to_df().select(*keys).distinct(),
+        if snap.files and box_cands is not None:
+            # the anti-join's right side only needs target keys inside
+            # the source's key box: keys outside it cannot equal any
+            # source key, so the box-pruned file list (shared with
+            # pass 1) replaces the full-table scan
+            cand, resid = box_cands
+            tgt = qt._df_for_files(cand, snap=snap)
+            if resid is not None:
+                tgt = tgt.where(resid)
+            anti = source.join(tgt.select(*keys).distinct(),
                                keys, "left_anti")
         if when_not_matched_insert == "all":
             lacking = [c for c in tcols if c not in source.columns]
@@ -560,7 +599,8 @@ def merge_rows(spark, path: str, source, on,
         if inserts is not None:
             inserts.unpersist()
         return {"version": None, "files_rewritten": 0, "rows_inserted": 0,
-                "rows_updated": 0, "rows_deleted": 0}
+                "rows_updated": 0, "rows_deleted": 0,
+                "files_scanned": int(n_scanned)}
 
     if updated is not None and when_matched_update is not None:
         assigned = set(tcols) - set(keys) if when_matched_update == "all" \
@@ -605,7 +645,10 @@ def merge_rows(spark, path: str, source, on,
             "inserts_staged": staged is not None,
             "rows_updated": n_matched if when_matched_update is not None
             else 0,
-            "rows_deleted": n_matched if when_matched_delete else 0}
+            "rows_deleted": n_matched if when_matched_delete else 0,
+            # pass-1 observability: how many files the source-key
+            # bounding box let the match scan read (vs len(snap.files))
+            "files_scanned": int(n_scanned)}
 
 
 def _space_violation(rev, df, cols: set):

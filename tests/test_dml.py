@@ -297,3 +297,49 @@ def test_merge_out_of_space_inserts_go_to_staging(spark, table):
     # merge with no WHEN clause is rejected
     with pytest.raises(ValueError, match="WHEN clause"):
         qt.merge(li.limit(1), on="l_orderkey")
+
+
+def test_merge_prunes_pass1_with_source_key_box(spark, table):
+    """MERGE's find-matched-files pass prunes candidates with the
+    source's key [min, max] box through the index (dml.py pass 1): a
+    narrow-key source must scan strictly fewer files than the table
+    holds, results identical to an unpruned merge; an all-null-key
+    source skips the scan entirely."""
+    path, li = table
+    qt = qss.QbeastTable.for_path(spark, path)
+    n_files = len(qt.file_paths())
+    assert n_files > 4          # pruning needs something to prune
+
+    src = (li.where("l_orderkey BETWEEN 100 AND 140")
+           .select("l_orderkey").distinct())
+    n_match = li.where("l_orderkey BETWEEN 100 AND 140").count()
+    out = qt.merge(src, on="l_orderkey",
+                   when_matched_update={"l_returnflag": "'Z'"})
+    assert out["rows_updated"] == n_match
+    assert 0 < out["files_scanned"] < n_files, (
+        f"box should prune: scanned {out['files_scanned']} of {n_files}")
+    got = qt.to_df()
+    assert got.where(
+        "l_orderkey BETWEEN 100 AND 140 AND l_returnflag <> 'Z'"
+    ).count() == 0
+    assert got.where(
+        "l_returnflag = 'Z' AND l_orderkey NOT BETWEEN 100 AND 140"
+    ).count() == 0
+
+    # all-null keys: nothing can match, pass 1 never scans
+    src_null = spark.createDataFrame(
+        [(None,)], "l_orderkey bigint")
+    out2 = qt.merge(src_null, on="l_orderkey",
+                    when_matched_update={"l_returnflag": "'X'"})
+    assert out2["files_scanned"] == 0
+    assert out2["rows_updated"] == 0 and out2["version"] is None
+
+    # insert-only merge over a narrow new-key source: the anti-join
+    # right side is box-pruned too, and inserts land correctly
+    fresh = li.where("l_orderkey BETWEEN 200 AND 220").withColumn(
+        "l_orderkey", F.col("l_orderkey") + F.lit(90000))
+    before = qt.to_df().count()
+    out3 = qt.merge(fresh, on="l_orderkey",
+                    when_not_matched_insert="all")
+    assert out3["rows_inserted"] == fresh.count()
+    assert qt.to_df().count() == before + out3["rows_inserted"]
