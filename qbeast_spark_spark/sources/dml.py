@@ -491,26 +491,35 @@ def merge_rows(spark, path: str, source, on,
         if box is not None:
             box_cands = qt._candidates_and_residual(box or None, snap)
     n_scanned = 0
-    if has_matched and snap.files and box_cands is not None:
+    if has_matched and snap.files and box_cands is not None and \
+            box_cands[0]:
         candidates, residual = box_cands
         n_scanned = len(candidates)
-        per_file = _match_counts(
-            qt, candidates,
-            residual if residual is not None else F.lit(True),
-            probe=(source.select(*keys).distinct(), keys))
-    matched = sorted(per_file)
-
-    if matched:
-        # Delta's multiple-source-match guard, restricted to keys that
-        # actually matched (scans only the matched files + the source)
-        dup = (source.groupBy(*keys).count()
-               .where(F.col("count") > 1).drop("count")
-               .join(qt._df_for_files(matched).select(*keys).distinct(),
-                     keys, "left_semi").limit(1).count())
-        if dup:
+        # ONE job yields both the per-file match counts and Delta's
+        # multiple-source-match guard: the target key scan inner-joins
+        # the key-GROUPED source (unique per key, so target row
+        # multiplicity is preserved — counts equal the former semi-join)
+        # while carrying each key's source row count; any matched key
+        # with >1 source rows raises before anything is planned further.
+        srcg = source.groupBy(*keys).agg(
+            F.count(F.lit(1)).alias("__src_n"))
+        sel = qt._df_for_files(candidates, file_col="_f")
+        if residual is not None:
+            sel = sel.where(residual)
+        rows = (sel.select("_f", *keys).join(srcg, keys, "inner")
+                .groupBy("_f")
+                .agg(F.count(F.lit(1)).alias("__n"),
+                     F.max("__src_n").alias("__mx")).collect())
+        if any(r["__mx"] > 1 for r in rows):
             raise ValueError(
                 "merge source has multiple rows for a matched key; "
                 "aggregate the source to one row per key first")
+        root = os.path.abspath(qt.path)
+        for r in rows:
+            p = urllib.parse.unquote(urllib.parse.urlparse(r["_f"]).path)
+            per_file[os.path.relpath(os.path.abspath(p), root)] = \
+                int(r["__n"])
+    matched = sorted(per_file)
 
     # not-matched source rows -> insert set (bounded by the source size)
     inserts = None
