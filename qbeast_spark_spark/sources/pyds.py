@@ -365,12 +365,28 @@ class QbeastBatchReader:
             for conj in dnf:
                 boxed.update(prune_files(snap, conj))
             rels = [r for r in rels if r in boxed]
+
+        def _cols_for(rel):
+            # per-REVISION hash columns (same r6 golden-fixture finding
+            # as reader.sample): a file's block weights were assigned
+            # from ITS revision's columns — hashing an imported
+            # different-column revision with the latest revision's
+            # columns under-samples it. Staging (revision 0) files keep
+            # the latest revision's hash, like reader.sample.
+            if hash_cols is None:
+                return None
+            rid = snap.files[rel].revision_id
+            rr = snap.revisions.get(rid)
+            if rid and rr is not None and rr.column_names:
+                return rr.column_names
+            return hash_cols
+
         return [
             _FilePartition(
                 abs_path=os.path.join(self.path, r),
                 table_path=self.path,
                 dv_json=snap.files[r].dv,
-                hash_cols=hash_cols, w_from=w_from, w_to=w_to)
+                hash_cols=_cols_for(r), w_from=w_from, w_to=w_to)
             for r in rels
         ]
 

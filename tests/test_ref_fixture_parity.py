@@ -148,3 +148,25 @@ def test_fixture_checkpoint_is_complete(spark, manifest, logical_rows,
     assert sorted(snap.revisions) == [0, 1, 2]
     assert len(snap.files) == len(manifest["files"])
     assert _chk(qt.to_df()) == _chk(logical_rows)
+
+
+def test_fixture_pyds_fraction_matches_native_sample(spark):
+    """format("qbeast") + option("fraction") over the reference fixture
+    returns exactly reader.sample()'s row set: the pyds planner assigns
+    per-REVISION hash columns per file (pyds.py _cols_for — the same
+    golden-fixture finding as reader.sample; before the fix every file
+    was hashed with the LATEST revision's columns, under-sampling the
+    different-column legacy revision)."""
+    from qbeast_spark_spark.sources.pyds import register
+
+    register(spark)
+    qt = qss.QbeastTable.for_delta(spark, FIXTURE)
+    cols = sorted(qt.to_df().columns)
+    for f in (0.1, 0.37):
+        via_pyds = {tuple(r) for r in
+                    spark.read.format("qbeast").option("fraction", f)
+                    .load(FIXTURE).select(*cols).collect()}
+        via_api = {tuple(r) for r in
+                   qt.sample(f).select(*cols).collect()}
+        assert via_pyds == via_api, f
+        assert via_pyds, "empty sample would vacuously pass"
