@@ -42,27 +42,23 @@ from .writer import _complete_file_map, _cube_str, _materialize, _parse_cube
 __all__ = ["delete_rows", "update_rows", "merge_rows"]
 
 
-def _match_counts(qt, candidates: Sequence[str], residual,
-                  probe=None) -> Dict[str, int]:
+def _rel_path(qt, file_uri: str) -> str:
+    """Scan-captured file URI -> table-relative path (snapshot key)."""
+    p = urllib.parse.unquote(urllib.parse.urlparse(file_uri).path)
+    return os.path.relpath(os.path.abspath(p), os.path.abspath(qt.path))
+
+
+def _match_counts(qt, candidates: Sequence[str], residual
+                  ) -> Dict[str, int]:
     """{rel_path: matching row count} for candidate files that contain at
     least one row matching ``residual`` — one job, O(#files) result.
-    ``probe=(df, keys)`` additionally left-semi joins the (column-pruned)
-    target scan against ``df`` on ``keys`` — merge's pass-1 shape."""
-    from pyspark.sql import functions as F
-
+    (merge's pass 1 runs its own variant inline: an inner join against
+    the key-grouped source that also carries the multi-match guard.)"""
     if not candidates:
         return {}
     sel = qt._df_for_files(candidates, file_col="_f").where(residual)
-    if probe is not None:
-        pdf, keys = probe
-        sel = sel.select("_f", *keys).join(pdf, keys, "left_semi")
     rows = sel.groupBy("_f").count().collect()
-    root = os.path.abspath(qt.path)
-    out: Dict[str, int] = {}
-    for r in rows:
-        p = urllib.parse.unquote(urllib.parse.urlparse(r["_f"]).path)
-        out[os.path.relpath(os.path.abspath(p), root)] = int(r["count"])
-    return out
+    return {_rel_path(qt, r["_f"]): int(r["count"]) for r in rows}
 
 
 def _cdc_of(qt, snap, frames) -> Optional[List[Dict[str, Any]]]:
@@ -514,11 +510,8 @@ def merge_rows(spark, path: str, source, on,
             raise ValueError(
                 "merge source has multiple rows for a matched key; "
                 "aggregate the source to one row per key first")
-        root = os.path.abspath(qt.path)
         for r in rows:
-            p = urllib.parse.unquote(urllib.parse.urlparse(r["_f"]).path)
-            per_file[os.path.relpath(os.path.abspath(p), root)] = \
-                int(r["__n"])
+            per_file[_rel_path(qt, r["_f"])] = int(r["__n"])
     matched = sorted(per_file)
 
     # not-matched source rows -> insert set (bounded by the source size)
@@ -532,6 +525,7 @@ def merge_rows(spark, path: str, source, on,
             # source key, so the box-pruned file list (shared with
             # pass 1) replaces the full-table scan
             cand, resid = box_cands
+            n_scanned = max(n_scanned, len(cand))
             tgt = qt._df_for_files(cand, snap=snap)
             if resid is not None:
                 tgt = tgt.where(resid)

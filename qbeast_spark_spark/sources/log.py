@@ -556,8 +556,7 @@ class CommitLog:
         # _check_conflicts read a 0-byte gap commit and crashed).
         tmp = os.path.join(self.log_dir,
                            f".commit-{os.getpid()}-{uuid.uuid4().hex}.tmp")
-        with open(tmp, "wb") as fh:
-            fh.write(body)
+        staged = False          # lazily staged: a txn skip never writes
         last_err = None
         try:
             for _ in range(max_retries):
@@ -577,10 +576,31 @@ class CommitLog:
                     self._check_conflicts(read_version, next_v, list(remove),
                                           list(read_files or ()))
                 target = os.path.join(self.log_dir, f"{next_v:012d}.json")
+                if not staged:
+                    with open(tmp, "wb") as fh:
+                        fh.write(body)
+                    staged = True
                 try:
                     os.link(tmp, target)
-                except FileExistsError as e:  # lost the race; re-read, retry
+                except FileExistsError as e:
+                    # Usually a lost race — but on NFS a lost-reply
+                    # retransmit of OUR OWN successful link also returns
+                    # EEXIST. The tmp's link count disambiguates: 2 means
+                    # the link landed (fall through to the success path),
+                    # 1 means the version truly belongs to someone else.
+                    own = False
+                    try:
+                        own = os.stat(tmp).st_nlink == 2
+                    except OSError:
+                        pass
+                    if not own:
+                        last_err = e
+                        continue
+                except FileNotFoundError as e:
+                    # an aggressive concurrent vacuum (retention ~0) may
+                    # have removed the staged tmp; re-stage and retry
                     last_err = e
+                    staged = False
                     continue
                 except OSError as e:
                     # filesystem without hard links (some network/object
@@ -610,7 +630,8 @@ class CommitLog:
             raise RuntimeError(
                 f"commit failed after {max_retries} retries: {last_err}")
         finally:
-            try:
-                os.unlink(tmp)
-            except OSError:
-                pass
+            if staged:
+                try:
+                    os.unlink(tmp)
+                except OSError:
+                    pass

@@ -455,18 +455,26 @@ class QbeastTable:
         # commit-staging tmps orphaned by a writer that crashed between
         # writing the body and publishing the version link (log.py
         # commit): harmless litter, aged out on the same retention clock
-        from .log import LOG_DIR
-
-        if os.path.isdir(self.log.log_dir):
-            for name in os.listdir(self.log.log_dir):
+        # but NEVER under 1 hour old — an aggressive retention-0 vacuum
+        # racing a live writer's stage-then-link window must not steal
+        # its tmp (commit() re-stages on ENOENT, but not silently losing
+        # in-flight work is cheaper than retrying it). Victim paths are
+        # derived from the actual log dir (a for_delta table logs under
+        # _delta_log, not _qbeast_log).
+        log_dir = getattr(self.log, "log_dir", None)
+        if log_dir and os.path.isdir(log_dir):
+            tmp_cutoff = min(cutoff, _time.time() - 3600.0)
+            rel_log = os.path.relpath(os.path.abspath(log_dir),
+                                      os.path.abspath(self.path))
+            for name in os.listdir(log_dir):
                 if name.startswith(".commit-") and name.endswith(".tmp"):
                     try:
                         if os.path.getmtime(os.path.join(
-                                self.log.log_dir, name)) > cutoff:
+                                log_dir, name)) > tmp_cutoff:
                             continue
                     except OSError:
                         continue
-                    victims.append(os.path.join(LOG_DIR, name))
+                    victims.append(os.path.join(rel_log, name))
         if not dry_run:
             import shutil as _shutil
 
