@@ -285,3 +285,66 @@ def test_sigkill_mid_commit_never_corrupts_the_log(tmp_path):
     assert not any(".commit-1000" in p
                    for p in qt.vacuum(retention_hours=1.0))
     assert os.path.exists(live)
+
+
+def test_readers_racing_dml_see_only_committed_versions(spark, tmp_table):
+    """Snapshot-isolation invariant through the FULL stack: while one
+    thread runs a DML burst (delete / update / merge / optimize), reader
+    threads continuously open fresh QbeastTable handles and count rows.
+    Every observed count must equal the row count of SOME committed
+    version — never a mix of two (files are immutable and commits are
+    atomic adds+removes, so a snapshot either includes a rewrite
+    entirely or not at all)."""
+    import threading
+
+    from conftest import load
+
+    import qbeast_spark_spark as qss
+
+    li = load(spark, "lineitem").limit(5000)
+    qss.write(li, tmp_table,
+              columns_to_index=["l_orderkey", "l_extendedprice"],
+              cube_size=600)
+    qt = qss.QbeastTable.for_path(spark, tmp_table)
+
+    committed = {li.count()}        # version 0
+    commit_lock = threading.Lock()
+    observed = []
+    stop = threading.Event()
+    errs = []
+
+    def reader():
+        try:
+            while not stop.is_set():
+                h = qss.QbeastTable.for_path(spark, tmp_table)
+                observed.append(h.to_df().count())
+        except Exception as e:      # pragma: no cover
+            errs.append(e)
+
+    threads = [threading.Thread(target=reader) for _ in range(2)]
+    for t in threads:
+        t.start()
+    try:
+        for step in range(6):
+            if step % 3 == 0:
+                qt.delete([("l_orderkey", ">=", 100 * step),
+                           ("l_orderkey", "<", 100 * step + 60)])
+            elif step % 3 == 1:
+                qt.update({"l_quantity": "l_quantity + 1"},
+                          [("l_extendedprice", "<", 20000.0)])
+            else:
+                qss.optimize_table(spark, tmp_table, fraction=1.0)
+            with commit_lock:
+                committed.add(
+                    qss.QbeastTable.for_path(spark, tmp_table)
+                    .to_df().count())
+    finally:
+        stop.set()
+        for t in threads:
+            t.join()
+    assert not errs, errs[:1]
+    assert len(observed) >= 3, "readers never completed a read"
+    stray = [n for n in observed if n not in committed]
+    assert not stray, (
+        f"reader saw row counts {sorted(set(stray))} matching no "
+        f"committed version (committed: {sorted(committed)})")
