@@ -243,3 +243,53 @@ def test_pruned_read_after_dml_equals_plain_spark(spark,
         got = qt.read(q).agg(*chk).collect()[0]
         assert (got.n, got.h) == (want.n, want.h), \
             f"[dml seed=20260819 case={i}] {q}"
+
+
+def test_pyds_where_lane_equals_plain_spark(spark, tmp_path_factory):
+    """The same random predicate grammar through the Python Data Source
+    lane, driven as documented (pyds.py module docstring): option("where")
+    is a WIDENING pruning hint planned without a SparkSession, paired
+    with a regular .where(q) for row exactness. Soundness contract:
+    pruning may keep extra files but the composed read must equal plain
+    Spark row for row — catches planner drift the fixed-predicate oracle
+    probe (qb_range_read_pyds) cannot. A tally asserts the hint really
+    prunes (fewer input files) on a healthy share of translatable
+    predicates rather than degenerating to full scans."""
+    import qbeast_spark_spark as qss
+    from qbeast_spark_spark.sources.pyds import register
+
+    register(spark)
+    base = _base_frame(spark)
+    path = str(tmp_path_factory.mktemp("e2e_pyds") / "t")
+    qss.write(base, path,
+              columns_to_index=["l_orderkey", "l_shipdate"],
+              cube_size=600)
+    qt = qss.QbeastTable.for_path(spark, path)
+    snap = qt.snapshot(refresh=True)
+    n_files = len(snap.files)
+    assert n_files > 1
+    from qbeast_spark_spark.sources.predicates import to_dnf_filters
+    from qbeast_spark_spark.sources.reader import prune_files
+
+    cols = sorted(base.columns)
+    chk = _checksum_exprs(cols)
+    rng = random.Random(20260820)
+    n_cases = max(30, N_CASES // 10)
+    parsed = pruned = 0
+    for i in range(n_cases):
+        q = _tree(rng, 2)
+        want = base.where(q).agg(*chk).collect()[0]
+        got = (spark.read.format("qbeast").option("where", q).load(path)
+               .where(q).agg(*chk).collect()[0])
+        assert (got.n, got.h) == (want.n, want.h), \
+            f"[pyds seed=20260820 case={i}] {q}"
+        dnf = to_dnf_filters(q)
+        if dnf is not None:
+            parsed += 1
+            selected = set()
+            for conj in dnf:
+                selected.update(prune_files(snap, conj))
+            if len(selected) < n_files:
+                pruned += 1
+    assert parsed >= n_cases * 0.5, (parsed, n_cases)
+    assert pruned >= parsed * 0.1, (pruned, parsed)
