@@ -577,9 +577,9 @@ class CommitLog:
                                           list(read_files or ()))
                 target = os.path.join(self.log_dir, f"{next_v:012d}.json")
                 if not staged:
-                    with open(tmp, "wb") as fh:
-                        fh.write(body)
-                    staged = True
+                    staged = True   # set BEFORE writing: a mid-write
+                    with open(tmp, "wb") as fh:   # failure (ENOSPC) must
+                        fh.write(body)            # still unlink the tmp
                 try:
                     os.link(tmp, target)
                 except FileExistsError as e:
@@ -592,7 +592,16 @@ class CommitLog:
                     try:
                         own = os.stat(tmp).st_nlink == 2
                     except OSError:
-                        pass
+                        # stat itself failed (ESTALE/EIO right after a
+                        # lost reply, or the tmp was vacuumed): fall back
+                        # to the definitive check — if the published
+                        # version's content IS our body, our link landed
+                        # and retrying would duplicate the commit.
+                        try:
+                            with open(target, "rb") as th:
+                                own = th.read() == body
+                        except OSError:
+                            pass
                     if not own:
                         last_err = e
                         continue

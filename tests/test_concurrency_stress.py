@@ -308,7 +308,6 @@ def test_readers_racing_dml_see_only_committed_versions(spark, tmp_table):
     qt = qss.QbeastTable.for_path(spark, tmp_table)
 
     committed = {li.count()}        # version 0
-    commit_lock = threading.Lock()
     observed = []
     stop = threading.Event()
     errs = []
@@ -334,10 +333,9 @@ def test_readers_racing_dml_see_only_committed_versions(spark, tmp_table):
                           [("l_extendedprice", "<", 20000.0)])
             else:
                 qss.optimize_table(spark, tmp_table, fraction=1.0)
-            with commit_lock:
-                committed.add(
-                    qss.QbeastTable.for_path(spark, tmp_table)
-                    .to_df().count())
+            committed.add(          # read only after all threads join
+                qss.QbeastTable.for_path(spark, tmp_table)
+                .to_df().count())
     finally:
         stop.set()
         for t in threads:

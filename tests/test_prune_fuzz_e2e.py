@@ -279,17 +279,31 @@ def test_pyds_where_lane_equals_plain_spark(spark, tmp_path_factory):
     for i in range(n_cases):
         q = _tree(rng, 2)
         want = base.where(q).agg(*chk).collect()[0]
-        got = (spark.read.format("qbeast").option("where", q).load(path)
-               .where(q).agg(*chk).collect()[0])
+        pyds_df = (spark.read.format("qbeast").option("where", q)
+                   .load(path))
+        got = pyds_df.where(q).agg(*chk).collect()[0]
         assert (got.n, got.h) == (want.n, want.h), \
             f"[pyds seed=20260820 case={i}] {q}"
+        # the tally measures the ACTUAL pyds scan, not a recomputation:
+        # the planner emits one partition per surviving file, so the
+        # scan's partition count must equal the native pruning's file
+        # count for the same predicate — a silently dropped option or
+        # planner drift fails here even though the equality above stays
+        # green (option('where') is widening + .where(q) is row-exact)
+        nparts = pyds_df.rdd.getNumPartitions()
         dnf = to_dnf_filters(q)
-        if dnf is not None:
-            parsed += 1
-            selected = set()
-            for conj in dnf:
-                selected.update(prune_files(snap, conj))
-            if len(selected) < n_files:
-                pruned += 1
+        if dnf is None:
+            assert nparts == n_files, (nparts, n_files, q)
+            continue
+        parsed += 1
+        selected = set()
+        for conj in dnf:
+            selected.update(prune_files(snap, conj))
+        # an empty scan still materializes as one (empty) RDD partition
+        assert nparts == len(selected) or \
+            (len(selected) == 0 and nparts == 1), \
+            (nparts, len(selected), q)
+        if len(selected) < n_files:
+            pruned += 1
     assert parsed >= n_cases * 0.5, (parsed, n_cases)
     assert pruned >= parsed * 0.1, (pruned, parsed)
