@@ -560,18 +560,23 @@ class CommitLog:
         last_err = None
         try:
             for _ in range(max_retries):
-                if txn is not None:
-                    # Close the check-then-act window (ADVICE r2): the
-                    # writer's idempotent skip reads a snapshot taken
-                    # before this commit, so two concurrent writers
-                    # sharing (appId, version) could both pass it.
-                    # Re-reading committed txns here — and again after
-                    # every lost publish race — makes the loser skip.
-                    snap = self.snapshot()
-                    if snap.txns.get(txn["appId"], -1) >= int(txn["version"]):
-                        return snap.version
                 versions = self._versions()
                 next_v = (versions[-1] + 1) if versions else 0
+                if txn is not None and versions:
+                    # Close the check-then-act window (ADVICE r2, tightened
+                    # round 6): the idempotent skip must be evaluated
+                    # against EXACTLY the listed state — a snapshot read
+                    # before the listing leaves a window where a racer's
+                    # commit with the same (appId, version) lands between
+                    # check and list, and this writer then publishes a
+                    # DUPLICATE at next_v. Checking AS OF versions[-1]
+                    # closes it: if our link at next_v succeeds, no commit
+                    # landed after the listing, so the check was complete;
+                    # if one did land, the link loses (EEXIST) and the
+                    # retry re-checks.
+                    snap = self.snapshot(at_version=versions[-1])
+                    if snap.txns.get(txn["appId"], -1) >= int(txn["version"]):
+                        return snap.version
                 if read_version is not None and next_v > read_version + 1:
                     self._check_conflicts(read_version, next_v, list(remove),
                                           list(read_files or ()))

@@ -18,6 +18,8 @@ hazards), synchronized on a go-file so they actually race.
 
 import json
 import os
+
+import pytest
 import subprocess
 import sys
 import time
@@ -346,3 +348,85 @@ def test_readers_racing_dml_see_only_committed_versions(spark, tmp_table):
     assert not stray, (
         f"reader saw row counts {sorted(set(stray))} matching no "
         f"committed version (committed: {sorted(committed)})")
+
+
+def _mk_txn_log(table, marker_holder):
+    """CommitLog whose Nth _versions() call lets a racing writer land
+    the same (appId, version) txn commit at a controlled point — a
+    deterministic reproduction of the check-then-act windows.
+
+    Call #1 is the first listing commit() makes; call #2 is the listing
+    inside the idempotency-check snapshot (new ordering) or the next_v
+    listing (old ordering). Injecting BEFORE call #2's listing is
+    exactly the old ordering's bug window: its txn check used call #1's
+    state, the racer landed, and call #2's listing then handed it
+    next_v = racer + 1 — a clean link and a DUPLICATE commit."""
+    from qbeast_spark_spark.sources.log import Block, CommitLog, IndexFile
+
+    class InjectingLog(CommitLog):
+        def __init__(self, path, inject_on_call, after_listing):
+            super().__init__(path)
+            self._calls = 0
+            self._on = inject_on_call
+            self._after = after_listing
+
+        def _inject(self):
+            racer = CommitLog(self.table_path)
+            racer.commit(add=[IndexFile("racer.parquet", 1, 1, 1,
+                                        [Block("0:0", 0, 1, 1)])],
+                         operation="WRITE",
+                         txn={"appId": "stream", "version": 7})
+            marker_holder.append("injected")
+
+        def _versions(self):
+            self._calls += 1
+            if self._calls != self._on or marker_holder:
+                return super()._versions()
+            if self._after:
+                out = super()._versions()
+                self._inject()
+                return out
+            self._inject()
+            return super()._versions()
+
+    return InjectingLog
+
+
+@pytest.mark.parametrize("inject_on_call,after_listing",
+                         [(1, False), (2, False), (2, True), (3, False)])
+def test_txn_idempotence_survives_racing_same_txn_commit(
+        tmp_path, inject_on_call, after_listing):
+    """Exactly-once under the worst interleavings: a racer commits the
+    SAME (appId, version) at every boundary of this writer's
+    check/list/publish sequence. Wherever it lands, exactly ONE data
+    commit for the txn may exist — the reordered skip (checked AS OF the
+    listed state, log.py) plus the EEXIST retry cover every window. The
+    (2, False) case DUPLICATED the commit under the pre-r6 ordering
+    (idempotency snapshot read before the version listing)."""
+    from qbeast_spark_spark.sources.log import Block, CommitLog, IndexFile
+
+    table = str(tmp_path / "t")
+    os.makedirs(table)
+    base = CommitLog(table)
+    base.commit(add=[IndexFile("seed.parquet", 1, 1, 1,
+                               [Block("0:0", 0, 1, 1)])], operation="WRITE")
+
+    markers = []
+    Injecting = _mk_txn_log(table, markers)
+    log = Injecting(table, inject_on_call, after_listing)
+    v = log.commit(add=[IndexFile("mine.parquet", 1, 1, 1,
+                                  [Block("0:0", 0, 1, 1)])],
+                   operation="WRITE",
+                   txn={"appId": "stream", "version": 7})
+    assert markers == ["injected"]
+
+    final = CommitLog(table)
+    snap = final.snapshot()
+    # exactly one data commit for the txn: the racer's file is in, ours
+    # must NOT be (we lost the idempotency race and returned its version)
+    assert "racer.parquet" in snap.files
+    assert "mine.parquet" not in snap.files, (
+        "duplicate txn commit: both writers published (appId,version)")
+    assert snap.txns.get("stream") == 7
+    # the skip returned the version the racer committed
+    assert v == snap.version == 1
