@@ -211,7 +211,8 @@ def delete_rows(spark, path: str, filters=None,
                 "files_rewritten": 0}
     per_file = _match_counts(qt, candidates, residual)
     if not per_file:
-        return {"version": None, "rows_deleted": 0, "files_rewritten": 0}
+        return {"version": None, "rows_deleted": 0, "files_rewritten": 0,
+                "files_scanned": len(candidates)}
     matched = sorted(per_file)
     if mode == "auto":
         live = sum(snap.files[rel].live_rows for rel in matched)
@@ -220,14 +221,17 @@ def delete_rows(spark, path: str, filters=None,
     cdc = _cdc_of(qt, snap, [
         (qt._df_for_files(matched, snap=snap).where(residual), "delete")])
     if mode == "dv":
-        return _delete_with_dvs(qt, snap, matched, residual, cdc=cdc)
+        out = _delete_with_dvs(qt, snap, matched, residual, cdc=cdc)
+        out["files_scanned"] = len(candidates)
+        return out
     survivors = qt._df_for_files(matched, snap=snap).where(
         ~F.coalesce(residual, F.lit(False)))
     version = _rewrite(qt, snap, matched, survivors, operation="DELETE",
                        cdc=cdc)
     return {"version": version,
             "rows_deleted": int(sum(per_file.values())),
-            "files_rewritten": len(matched)}
+            "files_rewritten": len(matched),
+            "files_scanned": len(candidates)}
 
 
 def _delete_with_dvs(qt, snap, matched: List[str], residual,
@@ -358,7 +362,8 @@ def update_rows(spark, path: str, assignments: Dict[str, Any],
     else:
         per_file = _match_counts(qt, candidates, residual)
     if not per_file:
-        return {"version": None, "rows_updated": 0, "files_rewritten": 0}
+        return {"version": None, "rows_updated": 0, "files_rewritten": 0,
+                "files_scanned": len(candidates)}
     matched = sorted(per_file)
     df = qt._df_for_files(matched)
     pred = (F.coalesce(residual, F.lit(False))
@@ -387,7 +392,8 @@ def update_rows(spark, path: str, assignments: Dict[str, Any],
                        cdc=cdc)
     return {"version": version,
             "rows_updated": int(sum(per_file.values())),
-            "files_rewritten": len(matched)}
+            "files_rewritten": len(matched),
+            "files_scanned": len(candidates)}
 
 
 def merge_rows(spark, path: str, source, on,

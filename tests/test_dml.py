@@ -310,6 +310,13 @@ def test_merge_prunes_pass1_with_source_key_box(spark, table):
     n_files = len(qt.file_paths())
     assert n_files > 4          # pruning needs something to prune
 
+    # delete/update report the same observability field
+    d = qt.delete([("l_orderkey", ">=", 100000)])          # no matches
+    assert d["files_scanned"] < n_files and d["version"] is None
+    u = qt.update({"l_quantity": "l_quantity"},
+                  [("l_orderkey", "<", 50)])
+    assert 0 < u["files_scanned"] < n_files
+
     src = (li.where("l_orderkey BETWEEN 100 AND 140")
            .select("l_orderkey").distinct())
     n_match = li.where("l_orderkey BETWEEN 100 AND 140").count()
