@@ -83,7 +83,8 @@ def test_delete_no_matches_no_commit(spark, table):
     qt = qss.QbeastTable.for_path(spark, path)
     v_before = qt.snapshot(refresh=True).version
     out = qt.delete([("l_orderkey", "<", -5)])
-    assert out == {"version": None, "rows_deleted": 0, "files_rewritten": 0}
+    assert out == {"version": None, "rows_deleted": 0,
+                   "files_rewritten": 0, "files_scanned": 0}
     assert qt.snapshot(refresh=True).version == v_before
 
 
