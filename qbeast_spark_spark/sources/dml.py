@@ -199,7 +199,8 @@ def delete_rows(spark, path: str, filters=None,
     qt = QbeastTable(spark, path)
     snap = qt.snapshot(refresh=True)
     if not snap.files:
-        return {"version": None, "rows_deleted": 0, "files_rewritten": 0}
+        return {"version": None, "rows_deleted": 0, "files_rewritten": 0,
+                "files_scanned": 0}
     candidates, residual = qt._candidates_and_residual(filters, snap)
     if residual is None:
         rows = sum(f.live_rows for f in snap.files.values())
@@ -208,7 +209,7 @@ def delete_rows(spark, path: str, filters=None,
                                 data_change=True, operation="DELETE",
                                 read_version=snap.version)
         return {"version": version, "rows_deleted": int(rows),
-                "files_rewritten": 0}
+                "files_rewritten": 0, "files_scanned": 0}
     per_file = _match_counts(qt, candidates, residual)
     if not per_file:
         return {"version": None, "rows_deleted": 0, "files_rewritten": 0,
@@ -349,7 +350,8 @@ def update_rows(spark, path: str, assignments: Dict[str, Any],
     qt = QbeastTable(spark, path)
     snap = qt.snapshot(refresh=True)
     if not snap.files:
-        return {"version": None, "rows_updated": 0, "files_rewritten": 0}
+        return {"version": None, "rows_updated": 0, "files_rewritten": 0,
+                "files_scanned": 0}
     schema = qt.schema()
     by_name = {f.name: f for f in schema.fields} if schema else {}
     for c in assignments:
@@ -358,7 +360,7 @@ def update_rows(spark, path: str, assignments: Dict[str, Any],
                              f"(table has {sorted(by_name)})")
     candidates, residual = qt._candidates_and_residual(filters, snap)
     if residual is None:
-        per_file = {rel: snap.files[rel].rows for rel in candidates}
+        per_file = {rel: snap.files[rel].live_rows for rel in candidates}
     else:
         per_file = _match_counts(qt, candidates, residual)
     if not per_file:

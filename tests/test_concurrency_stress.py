@@ -18,11 +18,11 @@ hazards), synchronized on a go-file so they actually race.
 
 import json
 import os
-
-import pytest
 import subprocess
 import sys
 import time
+
+import pytest
 
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
@@ -355,12 +355,14 @@ def _mk_txn_log(table, marker_holder):
     the same (appId, version) txn commit at a controlled point — a
     deterministic reproduction of the check-then-act windows.
 
-    Call #1 is the first listing commit() makes; call #2 is the listing
-    inside the idempotency-check snapshot (new ordering) or the next_v
-    listing (old ordering). Injecting BEFORE call #2's listing is
-    exactly the old ordering's bug window: its txn check used call #1's
-    state, the racer landed, and call #2's listing then handed it
-    next_v = racer + 1 — a clean link and a DUPLICATE commit."""
+    NOTE on call numbering: commit() consumes _versions() call #1
+    inside table_protocol() before the retry loop, so the loop's own
+    listings start at call #2. The parametrized injection points (1-3,
+    before/after the listing) bracket every boundary of the
+    check/list/publish sequence; against the pre-fix ordering the
+    (2, True) and (3, False) points produce DUPLICATE commits (verified
+    by checking out the old log.py), and all four are exactly-once under
+    the reordered check."""
     from qbeast_spark_spark.sources.log import Block, CommitLog, IndexFile
 
     class InjectingLog(CommitLog):
@@ -401,8 +403,9 @@ def test_txn_idempotence_survives_racing_same_txn_commit(
     check/list/publish sequence. Wherever it lands, exactly ONE data
     commit for the txn may exist — the reordered skip (checked AS OF the
     listed state, log.py) plus the EEXIST retry cover every window. The
-    (2, False) case DUPLICATED the commit under the pre-r6 ordering
-    (idempotency snapshot read before the version listing)."""
+    (2, True) and (3, False) cases DUPLICATED the commit under the
+    pre-r6 ordering (idempotency snapshot read before the version
+    listing); see _mk_txn_log's call-numbering note."""
     from qbeast_spark_spark.sources.log import Block, CommitLog, IndexFile
 
     table = str(tmp_path / "t")
