@@ -27,7 +27,7 @@ def _assert_equal(spark, qt, model: pd.DataFrame, step: str):
     assert g == w, f"{step}: content diverged"
 
 
-@pytest.mark.parametrize("seed", [0xC0FFEE, 7, 20260813])
+@pytest.mark.parametrize("seed", [0xC0FFEE, 7, 20260813, 1010])
 def test_random_op_sequences_match_model(spark, tmp_table, seed):
     import qbeast_spark_spark as qss
 
@@ -95,20 +95,30 @@ def test_random_op_sequences_match_model(spark, tmp_table, seed):
                  .drop_duplicates(["l_orderkey", "l_linenumber"]),
                  fresh], ignore_index=True)
             src = src.astype(pdf_all.dtypes.to_dict())
-            qss.merge_rows(
-                spark, tmp_table, spark.createDataFrame(src),
-                on=["l_orderkey", "l_linenumber"],
-                when_matched_update={
-                    "l_extendedprice": "l_extendedprice + 10.0"},
-                when_not_matched_insert="all")
-            key = set(map(tuple, pairs.itertuples(index=False)))
-            m = [
-                (r.l_orderkey, r.l_linenumber) in key
-                for r in model[["l_orderkey", "l_linenumber"]]
-                .itertuples(index=False)]
-            model = model.copy()
-            model.loc[m, "l_extendedprice"] += 10.0
-            model = pd.concat([model, fresh], ignore_index=True)
+            try:
+                qss.merge_rows(
+                    spark, tmp_table, spark.createDataFrame(src),
+                    on=["l_orderkey", "l_linenumber"],
+                    when_matched_update={
+                        "l_extendedprice": "l_extendedprice + 10.0"},
+                    when_not_matched_insert="all")
+            except ValueError as e:
+                # documented refusal: +10 would push a sampled row past
+                # the revision-space max (validation precedes any
+                # commit, so the table is untouched — the next step's
+                # equality check proves it); found by an extended-seed
+                # hunt at seed 1010
+                if "outside the revision space" not in str(e):
+                    raise
+            else:
+                key = set(map(tuple, pairs.itertuples(index=False)))
+                m = [
+                    (r.l_orderkey, r.l_linenumber) in key
+                    for r in model[["l_orderkey", "l_linenumber"]]
+                    .itertuples(index=False)]
+                model = model.copy()
+                model.loc[m, "l_extendedprice"] += 10.0
+                model = pd.concat([model, fresh], ignore_index=True)
         elif op == "compact":
             qss.compact_table(spark, tmp_table)
         elif op == "optimize":
