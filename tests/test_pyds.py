@@ -355,3 +355,36 @@ def test_sql_ddl_catalog_limitation(ds_spark, indexed_table):
             ds_spark.sql("SELECT count(*) FROM t_ddl_probe").collect()
     finally:
         ds_spark.sql("DROP TABLE IF EXISTS t_ddl_probe")
+
+
+def test_fraction_and_where_compose_like_native_sample(spark, tmp_table):
+    """option('fraction') x option('where') composition: the planner
+    intersects weight-range survivors with query-box survivors, and the
+    composed read (+ .where for row exactness) must return exactly
+    reader.sample(f, filters=q)'s row set — the same composition the
+    native surface oracle-tests via qb_sample."""
+    import random
+
+    from conftest import load
+
+    register(spark)
+    li = load(spark, "lineitem").select(
+        "l_orderkey", "l_extendedprice", "l_quantity", "l_returnflag")
+    qss.write(li, tmp_table,
+              columns_to_index=["l_orderkey", "l_extendedprice"],
+              cube_size=500)
+    qt = qss.QbeastTable.for_path(spark, tmp_table)
+    cols = sorted(li.columns)
+    rng = random.Random(77004)
+    for _ in range(8):
+        lo = rng.randrange(0, 1200)
+        q = f"l_orderkey >= {lo} AND l_orderkey < {lo + 400}"
+        f = rng.choice([0.15, 0.4])
+        native = {tuple(r) for r in
+                  qt.sample(f, filters=q).select(*cols).collect()}
+        via = {tuple(r) for r in
+               spark.read.format("qbeast").option("fraction", f)
+               .option("where", q).load(tmp_table).where(q)
+               .select(*cols).collect()}
+        assert via == native, (f, q)
+    assert native, "last case sampled nothing — weak test data"
