@@ -153,7 +153,25 @@ def table_changes(qt, starting_version: int,
             raise ValueError("no decodable commits in range and no schema")
         return _tag(base.withColumn(CHANGE_TYPE, F.lit("insert")),
                     0, 0, None).limit(0)
+    # Frames read each commit with ITS schema (change files written
+    # pre-evolution lack later-added columns; versioned snapshots carry
+    # the as-of schema); CDF semantics are schema-on-read — union with
+    # null-fill, then project to the END-of-range schema (Delta parity:
+    # old change rows show NULL for columns added later).
     out = frames[0]
     for f in frames[1:]:
-        out = out.unionByName(f)
+        out = out.unionByName(f, allowMissingColumns=True)
+    sj = log.snapshot(at_version=end).schema_json
+    if sj:
+        import json as _json
+
+        from pyspark.sql import types as T
+
+        schema = T.StructType.fromJson(_json.loads(sj))
+        cols = [F.col(f.name) if f.name in out.columns
+                else F.lit(None).cast(f.dataType).alias(f.name)
+                for f in schema.fields]
+        cols += [F.col(c) for c in (CHANGE_TYPE, COMMIT_VERSION, COMMIT_TS)
+                 if c in out.columns]
+        out = out.select(*cols)
     return out

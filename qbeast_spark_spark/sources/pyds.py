@@ -724,7 +724,23 @@ class QbeastDataSource(_DataSource):
         from pyspark.sql.types import (LongType, StringType, StructField,
                                        StructType, TimestampType)
 
-        snap = _load_snapshot(self._path())
+        # versionAsOf / timestampAsOf read the schema AS OF that commit
+        # (Delta parity; same fix as reader._df_for_files): a
+        # pre-evolution version must not show later-added columns.
+        version = None
+        v = self.options.get("versionasof")
+        if v is not None:
+            version = int(v)
+        else:
+            ts = self.options.get("timestampasof")
+            if ts is not None and not _is_foreign_delta(self._path()):
+                try:
+                    ts = float(ts)      # "1700000000000" -> epoch ms
+                except (TypeError, ValueError):
+                    pass
+                version = CommitLog(self._path()).version_at_timestamp(
+                    _timestamp_to_ms(ts))
+        snap = _load_snapshot(self._path(), version)
         if not snap.schema_json:
             raise ValueError(f"{self._path()} has no schema in its log")
         st = StructType.fromJson(_json.loads(snap.schema_json))

@@ -137,8 +137,15 @@ class QbeastTable:
         must use this instead of ``input_file_name()``, which goes blank
         if the deletion-vector anti-join below shuffles."""
         from pyspark.sql import functions as F
+        from pyspark.sql import types as T
 
-        schema = self.schema()
+        # Schema comes from the SAME snapshot as the file list: a
+        # time-travel read must present the schema AS OF that version
+        # (Delta parity) — reading pre-evolution versions with the
+        # latest schema invented null columns that never existed then.
+        snap = snap if snap is not None else self.snapshot()
+        sj = snap.schema_json
+        schema = T.StructType.fromJson(json.loads(sj)) if sj else None
         if not rel_paths:
             df = self.spark.createDataFrame([], schema)
             return df.withColumn(file_col, F.lit("")) if file_col else df
@@ -151,7 +158,6 @@ class QbeastTable:
             df = df.withColumn(file_col, F.col("_metadata.file_path"))
         # logical deletes: anti-join away DV'd positions (no-op plan change
         # when no listed file carries a deletion vector — the common case)
-        snap = snap if snap is not None else self.snapshot()
         dv_entries = []
         for rel in rel_paths:
             f = snap.files.get(rel)
