@@ -80,12 +80,36 @@ def cosine_topk(vectors, queries, k: int = 5, vec_col: str = "embedding",
     )
 
 
+# cosine_pairs is the documented O(n^2) correctness baseline; above this
+# many vectors the theta-join cross product is a scale bug, not a query —
+# the operator itself refuses (mirroring matview's _MAX_SCOPE_KEYS guard)
+# instead of trusting every caller to remember the cap.
+MAX_EXACT_PAIR_VECTORS = 10_000
+
+
 def cosine_pairs(vectors, threshold: float, vec_col: str = "embedding",
-                 id_col: str = "vec_id"):
-    """Exact embedding near-dup pairs (cos >= threshold), id1 < id2."""
+                 id_col: str = "vec_id", exact_ok: bool = False):
+    """Exact embedding near-dup pairs (cos >= threshold), id1 < id2.
+
+    O(n^2) by construction (theta join id1 < id2) — the correctness
+    baseline next to the scale paths (embedding_lsh_pairs /
+    semantic_dedup). Inputs beyond ``MAX_EXACT_PAIR_VECTORS`` raise
+    unless ``exact_ok=True``: at corpus scale the cross product is
+    never the intended plan, and failing loudly at plan time is cheaper
+    than a cartesian at run time. The bounded count probe reads at most
+    cap+1 rows (limit + count — no full scan)."""
     from pyspark.sql import functions as F
 
     from ..functions.partitioning import spread
+
+    if not exact_ok:
+        n = vectors.limit(MAX_EXACT_PAIR_VECTORS + 1).count()
+        if n > MAX_EXACT_PAIR_VECTORS:
+            raise ValueError(
+                f"cosine_pairs is the exact O(n^2) baseline and the input "
+                f"exceeds {MAX_EXACT_PAIR_VECTORS} vectors; use "
+                f"embedding_lsh_pairs/semantic_dedup (the LSH scale path) "
+                f"or pass exact_ok=True to force the cross product")
 
     vectors = spread(vectors).select(
         F.col(id_col), _as_double(vec_col).alias("_vd")

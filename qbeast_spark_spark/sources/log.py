@@ -13,15 +13,20 @@ O(rows). Snapshot construction replays the commit list on the driver; at
 100 TB with desiredCubeSize=5M that is ~10^5 entries, trivially held in
 memory (same order as Delta's own snapshot state).
 
-Commits are atomic via put-if-absent of ``NNNNNNNNNNNN.json`` — the full
-body is written to a hidden tmp file and published with ``os.link`` (atomic;
-EEXIST when the version is taken), so readers never observe a partial
-commit; a writer losing the race retries with the next version, matching
-the reference's optimistic-retry loop (IndexedTable.scala:355-368). On a
-filesystem without hard links the publish degrades to O_EXCL + write; on
-object stores without ANY put-if-absent primitive, multi-writer tables
-need an external commit coordinator — the same constraint Delta solves
-with LogStore implementations / commit-coordinator services on S3.
+Commits are atomic via put-if-absent of ``NNNNNNNNNNNN.json``; a writer
+losing the race retries with the next version, matching the reference's
+optimistic-retry loop (IndexedTable.scala:355-368). HOW put-if-absent is
+achieved is a pluggable :class:`CommitPublisher` strategy — the same
+role Delta's LogStore implementations play for the reference
+(docs/CloudStorages.md). Default: full body staged to a hidden tmp +
+``os.link`` publish (atomic; EEXIST when the version is taken, so
+readers never observe a partial commit). Object stores plug in their
+conditional PUT (S3 ``If-None-Match:*``, GCS ``if-generation-match:0``,
+ABFS ``If-None-Match:*``) via :class:`ConditionalPutPublisher`;
+deployments without any safe primitive set ``fail`` to refuse
+multi-writer commits loudly instead of corrupting silently. Select via
+``CommitLog(path, publisher_factory=...)`` or the
+``QBEAST_COMMIT_PUBLISHER`` environment variable.
 
 Checkpointing (the Delta `_last_checkpoint` pattern): every
 ``CHECKPOINT_INTERVAL`` commits the committer also materializes the full
@@ -46,7 +51,10 @@ from typing import Any, Dict, List, Optional
 from ..core.revision import Revision
 
 __all__ = ["Block", "IndexFile", "Snapshot", "CommitLog",
-           "ConcurrentModificationError", "CHECKPOINT_INTERVAL"]
+           "ConcurrentModificationError", "CHECKPOINT_INTERVAL",
+           "CommitPublisher", "LinkPublisher", "ExclusivePublisher",
+           "ConditionalPutPublisher", "LocalConditionalPutPublisher",
+           "FailLoudPublisher"]
 
 
 class ConcurrentModificationError(RuntimeError):
@@ -191,10 +199,272 @@ class Snapshot:
         return out
 
 
+# -- commit publish strategies (put-if-absent) ---------------------------
+#
+# The reference inherits object-store commit safety from Delta's LogStore
+# implementations (docs/CloudStorages.md: HDFSLogStore / S3SingleDriver /
+# GCSLogStore). This engine makes the same concern pluggable: the ONE
+# correctness-critical filesystem primitive in the whole log is the
+# atomic put-if-absent of ``NNNNNNNNNNNN.json``, so the strategy below is
+# the entire porting surface for a new storage backend. Everything else
+# in the log (checkpoints, tmp staging, vacuums) is derived or
+# crash-discardable state where last-writer-wins rename semantics are
+# already safe.
+
+
+class CommitPublisher:
+    """Strategy for atomically publishing one commit body at a version
+    path. One instance serves ONE ``commit()`` call (it may hold staged
+    state across that call's retries); ``publish`` must be
+    put-if-absent:
+
+    - return ``True``  -> ``body`` is now the durable content of
+      ``target`` (this writer won the version);
+    - return ``False`` -> another writer's commit holds ``target`` and
+      OUR body was NOT written (retry with the next version);
+    - raise            -> the outcome is unknown / the backend cannot
+      provide the primitive (the commit aborts loudly rather than risk
+      a duplicate or torn commit).
+
+    Readers list ``*.json`` and parse whatever they find, so a
+    published path must never be observable with partial content.
+
+    ALL concurrent writers of one table must use the SAME strategy:
+    the mutual exclusion lives inside the strategy (link(2) atomicity,
+    a store's conditional PUT, condsim's flock), so a link-writer racing
+    a conditional-put-writer can silently clobber a commit. Same
+    constraint as mixing Delta LogStore implementations on one table.
+    """
+
+    def publish(self, target: str, body: bytes) -> bool:
+        raise NotImplementedError
+
+    def close(self) -> None:
+        """Release staged state (tmp files); called exactly once."""
+
+
+class LinkPublisher(CommitPublisher):
+    """POSIX strategy (the default): stage the full body to a hidden tmp
+    (no ``.json`` suffix — ``_versions()`` never lists it), then
+    ``os.link`` it to the version path. link(2) is atomic and fails with
+    EEXIST when the version is taken, so a concurrent reader can never
+    observe a created-but-not-yet-written commit — the torn-read window
+    of a plain O_CREAT|O_EXCL + write() sequence (caught by
+    tests/test_concurrency_stress.py: a racer's _check_conflicts read a
+    0-byte gap commit and crashed).
+
+    NFS caveat handled here: a lost-reply retransmit of our OWN
+    successful link also returns EEXIST; the tmp's link count (or, if
+    stat itself fails, content equality with the published target)
+    disambiguates. On a filesystem without hard links the strategy
+    degrades to :class:`ExclusivePublisher` for the rest of the commit.
+    """
+
+    def __init__(self, log_dir: str) -> None:
+        self._log_dir = log_dir
+        self._tmp = os.path.join(
+            log_dir, f".commit-{os.getpid()}-{uuid.uuid4().hex}.tmp")
+        self._staged = False
+        self._excl: Optional[ExclusivePublisher] = None
+
+    def publish(self, target: str, body: bytes) -> bool:
+        if self._excl is not None:
+            return self._excl.publish(target, body)
+        if not self._staged:
+            self._staged = True     # set BEFORE writing: a mid-write
+            with open(self._tmp, "wb") as fh:   # failure (ENOSPC) must
+                fh.write(body)                  # still unlink the tmp
+        try:
+            os.link(self._tmp, target)
+            return True
+        except FileExistsError:
+            own = False
+            try:
+                own = os.stat(self._tmp).st_nlink == 2
+            except OSError:
+                # stat failed (ESTALE/EIO right after a lost reply, or
+                # the tmp was vacuumed): definitive check — if the
+                # published version's content IS our body, our link
+                # landed and retrying would duplicate the commit.
+                try:
+                    with open(target, "rb") as th:
+                        own = th.read() == body
+                except OSError:
+                    pass
+            return own
+        except FileNotFoundError:
+            # an aggressive concurrent vacuum (retention ~0) removed the
+            # staged tmp; re-stage and report a lost round — commit()'s
+            # retry loop re-lists and calls publish again
+            self._staged = False
+            return False
+        except OSError as e:
+            # filesystem without hard links (some network/object
+            # mounts): degrade to exclusive-create + write. This reopens
+            # the short created-but-unwritten reader window on such
+            # filesystems only; object-store deployments should instead
+            # configure a ConditionalPutPublisher (module docstring).
+            if e.errno not in (errno.EPERM, errno.ENOTSUP,
+                               errno.EXDEV, errno.ENOSYS):
+                raise
+            self._excl = ExclusivePublisher(self._log_dir)
+            return self._excl.publish(target, body)
+
+    def close(self) -> None:
+        if self._staged:
+            try:
+                os.unlink(self._tmp)
+            except OSError:
+                pass
+
+
+class ExclusivePublisher(CommitPublisher):
+    """O_CREAT|O_EXCL + write. Atomic claim, but the claim and the body
+    land in TWO steps, so a reader (or conflict checker) can observe a
+    created-but-empty commit for a moment — acceptable as a degraded
+    mode on link-less filesystems, never the default. Crash between the
+    two steps leaves a 0-byte version file that wedges the log (that is
+    exactly the torn-read race the link strategy closes)."""
+
+    def __init__(self, log_dir: str) -> None:
+        self._log_dir = log_dir
+
+    def publish(self, target: str, body: bytes) -> bool:
+        try:
+            fd = os.open(target, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+        except FileExistsError:
+            return False
+        with os.fdopen(fd, "wb") as fh:
+            fh.write(body)
+        return True
+
+
+class ConditionalPutPublisher(CommitPublisher):
+    """Object-store strategy: delegate to a conditional-PUT callable —
+    the primitive every major store now exposes:
+
+    - S3:   ``PutObject`` with ``If-None-Match: *`` (412 on conflict)
+    - GCS:  ``x-goog-if-generation-match: 0``
+    - ABFS: ``If-None-Match: *`` on Create Path
+
+    ``put(path, body) -> bool`` must atomically write the FULL body iff
+    the path does not exist and say whether THIS call created it. A
+    retried request whose first attempt succeeded server-side reports a
+    conflict for our own object (the S3/NFS lost-reply shape), so when
+    ``get`` is provided a ``False`` from ``put`` is disambiguated by
+    content equality — same logic as LinkPublisher's st_nlink check.
+    """
+
+    def __init__(self, put, get=None) -> None:
+        self._put = put
+        self._get = get
+
+    def publish(self, target: str, body: bytes) -> bool:
+        if self._put(target, body):
+            return True
+        if self._get is not None:
+            try:
+                return self._get(target) == body
+            except OSError:
+                pass
+        return False
+
+
+class LocalConditionalPutPublisher(ConditionalPutPublisher):
+    """Reference implementation of the conditional-PUT contract over a
+    local directory, using ``fcntl.flock`` for the check-and-write
+    critical section and tmp+rename so readers never observe partial
+    content — NO hard links anywhere. This is what the multi-process
+    stress suite runs to validate that the commit protocol is correct
+    given only the conditional-put primitive (i.e. on an object store);
+    it also documents exactly the atomicity a real backend must provide.
+    Lock files (``<version>.json.lock``) are one per version and never
+    deleted — unlinking a live lock file is the classic flock race.
+    """
+
+    def __init__(self, log_dir: str) -> None:
+        super().__init__(self._cond_put, self._read)
+
+    @staticmethod
+    def _read(path: str) -> bytes:
+        with open(path, "rb") as fh:
+            return fh.read()
+
+    @staticmethod
+    def _cond_put(path: str, body: bytes) -> bool:
+        import fcntl
+
+        with open(path + ".lock", "w") as lf:
+            fcntl.flock(lf, fcntl.LOCK_EX)
+            try:
+                if os.path.exists(path):
+                    return False
+                tmp = path + ".put"
+                with open(tmp, "wb") as fh:
+                    fh.write(body)
+                os.replace(tmp, path)
+                return True
+            finally:
+                fcntl.flock(lf, fcntl.LOCK_UN)
+
+
+class FailLoudPublisher(CommitPublisher):
+    """Deployment guard: every commit fails with configuration guidance.
+    For mounts where neither hard links nor a conditional-put callable
+    are available, silently degrading to O_EXCL risks torn commits under
+    multi-writer load — an operator who knows the table is single-writer
+    can still opt into ``excl`` explicitly."""
+
+    def __init__(self, log_dir: Optional[str] = None) -> None:
+        pass
+
+    def publish(self, target: str, body: bytes) -> bool:
+        raise RuntimeError(
+            "commit publishing is set to 'fail': this storage location "
+            "has no safe put-if-absent primitive configured. Options: "
+            "QBEAST_COMMIT_PUBLISHER=link (POSIX/NFS hard links), "
+            "excl (single-writer only), condsim (flock reference "
+            "implementation), or pass publisher_factory="
+            "lambda log_dir: ConditionalPutPublisher(put, get) wired to "
+            "your object store's conditional write (S3 If-None-Match:*, "
+            "GCS if-generation-match:0, ABFS If-None-Match:*).")
+
+
+_PUBLISHER_KEYWORDS = {
+    "link": LinkPublisher,
+    "excl": ExclusivePublisher,
+    "condsim": LocalConditionalPutPublisher,
+    "fail": FailLoudPublisher,
+}
+
+
+def _publisher_factory_from_env():
+    """Resolve the publish strategy from ``QBEAST_COMMIT_PUBLISHER``:
+    a keyword (link | excl | condsim | fail) or a dotted
+    ``module.sub:attr`` path to a factory ``(log_dir) -> CommitPublisher``
+    (how a deployment plugs in its object-store SDK without forking the
+    engine; also how subprocess stress workers select the shim)."""
+    spec = os.environ.get("QBEAST_COMMIT_PUBLISHER", "").strip()
+    if not spec:
+        return LinkPublisher
+    kw = _PUBLISHER_KEYWORDS.get(spec.lower())
+    if kw is not None:
+        return kw
+    if ":" in spec:
+        import importlib
+
+        mod, attr = spec.split(":", 1)
+        return getattr(importlib.import_module(mod), attr)
+    raise ValueError(
+        f"QBEAST_COMMIT_PUBLISHER={spec!r}: expected one of "
+        f"{sorted(_PUBLISHER_KEYWORDS)} or a 'module:attr' factory path")
+
+
 class CommitLog:
-    def __init__(self, table_path: str) -> None:
+    def __init__(self, table_path: str, publisher_factory=None) -> None:
         self.table_path = table_path
         self.log_dir = os.path.join(table_path, LOG_DIR)
+        self._publisher_factory = publisher_factory
 
     def exists(self) -> bool:
         return os.path.isdir(self.log_dir)
@@ -546,18 +816,13 @@ class CommitLog:
             "protocol": dict(protocol) if protocol else None,
         }
         body = json.dumps(payload, sort_keys=True).encode()
-        # Atomic publish (put-if-absent): write the FULL body to a hidden
-        # tmp (no ".json" suffix — _versions() never lists it), then
-        # hard-link it to the version path. link(2) is atomic and fails
-        # with EEXIST when the version is taken, so a concurrent reader
-        # can never observe a created-but-not-yet-written commit — the
-        # torn-read window of a plain O_CREAT|O_EXCL + write() sequence
-        # (caught by tests/test_concurrency_stress.py: a racer's
-        # _check_conflicts read a 0-byte gap commit and crashed).
-        tmp = os.path.join(self.log_dir,
-                           f".commit-{os.getpid()}-{uuid.uuid4().hex}.tmp")
-        staged = False          # lazily staged: a txn skip never writes
-        last_err = None
+        # Atomic publish via the configured put-if-absent strategy (see
+        # the CommitPublisher hierarchy above): POSIX hard links by
+        # default, conditional PUT on object stores. The strategy is
+        # instantiated lazily — a txn idempotency skip never stages
+        # anything.
+        factory = self._publisher_factory or _publisher_factory_from_env()
+        pub: Optional[CommitPublisher] = None
         try:
             for _ in range(max_retries):
                 versions = self._versions()
@@ -570,10 +835,10 @@ class CommitLog:
                     # commit with the same (appId, version) lands between
                     # check and list, and this writer then publishes a
                     # DUPLICATE at next_v. Checking AS OF versions[-1]
-                    # closes it: if our link at next_v succeeds, no commit
-                    # landed after the listing, so the check was complete;
-                    # if one did land, the link loses (EEXIST) and the
-                    # retry re-checks.
+                    # closes it: if our publish at next_v succeeds, no
+                    # commit landed after the listing, so the check was
+                    # complete; if one did land, the publish loses and
+                    # the retry re-checks.
                     snap = self.snapshot(at_version=versions[-1])
                     if snap.txns.get(txn["appId"], -1) >= int(txn["version"]):
                         return snap.version
@@ -581,59 +846,10 @@ class CommitLog:
                     self._check_conflicts(read_version, next_v, list(remove),
                                           list(read_files or ()))
                 target = os.path.join(self.log_dir, f"{next_v:012d}.json")
-                if not staged:
-                    staged = True   # set BEFORE writing: a mid-write
-                    with open(tmp, "wb") as fh:   # failure (ENOSPC) must
-                        fh.write(body)            # still unlink the tmp
-                try:
-                    os.link(tmp, target)
-                except FileExistsError as e:
-                    # Usually a lost race — but on NFS a lost-reply
-                    # retransmit of OUR OWN successful link also returns
-                    # EEXIST. The tmp's link count disambiguates: 2 means
-                    # the link landed (fall through to the success path),
-                    # 1 means the version truly belongs to someone else.
-                    own = False
-                    try:
-                        own = os.stat(tmp).st_nlink == 2
-                    except OSError:
-                        # stat itself failed (ESTALE/EIO right after a
-                        # lost reply, or the tmp was vacuumed): fall back
-                        # to the definitive check — if the published
-                        # version's content IS our body, our link landed
-                        # and retrying would duplicate the commit.
-                        try:
-                            with open(target, "rb") as th:
-                                own = th.read() == body
-                        except OSError:
-                            pass
-                    if not own:
-                        last_err = e
-                        continue
-                except FileNotFoundError as e:
-                    # an aggressive concurrent vacuum (retention ~0) may
-                    # have removed the staged tmp; re-stage and retry
-                    last_err = e
-                    staged = False
-                    continue
-                except OSError as e:
-                    # filesystem without hard links (some network/object
-                    # mounts): degrade to exclusive-create + write. This
-                    # reopens the short created-but-unwritten reader
-                    # window on such filesystems only; a real cluster
-                    # deployment fronts the log with a commit service
-                    # anyway (module docstring).
-                    if e.errno not in (errno.EPERM, errno.ENOTSUP,
-                                       errno.EXDEV, errno.ENOSYS):
-                        raise
-                    try:
-                        fd = os.open(target,
-                                     os.O_CREAT | os.O_EXCL | os.O_WRONLY)
-                    except FileExistsError as e2:
-                        last_err = e2
-                        continue
-                    with os.fdopen(fd, "wb") as fh:
-                        fh.write(body)
+                if pub is None:
+                    pub = factory(self.log_dir)
+                if not pub.publish(target, body):
+                    continue        # lost the version race: re-list, retry
                 if next_v > 0 and next_v % CHECKPOINT_INTERVAL == 0:
                     try:
                         self._write_checkpoint(
@@ -642,10 +858,8 @@ class CommitLog:
                         pass  # derived state: next eligible commit retries
                 return next_v
             raise RuntimeError(
-                f"commit failed after {max_retries} retries: {last_err}")
+                f"commit failed after {max_retries} retries "
+                f"(lost every version race)")
         finally:
-            if staged:
-                try:
-                    os.unlink(tmp)
-                except OSError:
-                    pass
+            if pub is not None:
+                pub.close()

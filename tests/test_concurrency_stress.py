@@ -108,11 +108,27 @@ print(f"CME={cme}")
 """
 
 
-def _run_workers(script: str, table: str, n_workers: int, arg: int):
+def _env(publisher: str):
+    """Worker environment selecting the commit publish strategy — "" is
+    the default (POSIX hard links), "condsim" is the object-store
+    simulation (flock conditional put, NO hard links), so every
+    multi-process property is proven for both the POSIX deployment and
+    the conditional-PUT protocol an S3/GCS backend would plug in."""
+    env = dict(os.environ)
+    if publisher:
+        env["QBEAST_COMMIT_PUBLISHER"] = publisher
+    else:
+        env.pop("QBEAST_COMMIT_PUBLISHER", None)
+    return env
+
+
+def _run_workers(script: str, table: str, n_workers: int, arg: int,
+                 publisher: str = ""):
     procs = [subprocess.Popen(
         [sys.executable, "-c", script.replace("@@REPO@@", repr(REPO)),
          table, str(i), str(arg)],
-        stdout=subprocess.PIPE, stderr=subprocess.PIPE, text=True)
+        stdout=subprocess.PIPE, stderr=subprocess.PIPE, text=True,
+        env=_env(publisher))
         for i in range(n_workers)]
     deadline = time.time() + 60           # wait until EVERYONE is at the
     while time.time() < deadline:         # gate — interpreter startup
@@ -133,7 +149,8 @@ def _run_workers(script: str, table: str, n_workers: int, arg: int):
     return outs
 
 
-def test_multiprocess_blind_appends_lose_nothing(tmp_path):
+@pytest.mark.parametrize("publisher", ["", "condsim"])
+def test_multiprocess_blind_appends_lose_nothing(tmp_path, publisher):
     from qbeast_spark_spark.sources.log import CommitLog
 
     table = str(tmp_path / "t")
@@ -146,7 +163,8 @@ def test_multiprocess_blind_appends_lose_nothing(tmp_path):
     procs = [subprocess.Popen(
         [sys.executable, "-c", s.replace("@@REPO@@", repr(REPO)),
          table, str(i), str(n_commits)],
-        stdout=subprocess.PIPE, stderr=subprocess.PIPE, text=True)
+        stdout=subprocess.PIPE, stderr=subprocess.PIPE, text=True,
+        env=_env(publisher))
         for i, s in enumerate(scripts)]
     deadline = time.time() + 60
     while time.time() < deadline:
@@ -185,7 +203,8 @@ def test_multiprocess_blind_appends_lose_nothing(tmp_path):
     assert len(log.snapshot(at_version=cp).files) == cp + 1
 
 
-def test_multiprocess_conflicting_rewrites_serialize(tmp_path):
+@pytest.mark.parametrize("publisher", ["", "condsim"])
+def test_multiprocess_conflicting_rewrites_serialize(tmp_path, publisher):
     from qbeast_spark_spark.sources.log import Block, CommitLog, IndexFile
 
     table = str(tmp_path / "t")
@@ -195,7 +214,8 @@ def test_multiprocess_conflicting_rewrites_serialize(tmp_path):
                               [Block("0:0", 0, 1, 1)])], operation="WRITE")
 
     n_workers, n_rewrites = 4, 5
-    outs = _run_workers(_REWRITE_WORKER, table, n_workers, n_rewrites)
+    outs = _run_workers(_REWRITE_WORKER, table, n_workers, n_rewrites,
+                        publisher=publisher)
 
     total = n_workers * n_rewrites
     snap = log.snapshot()
@@ -233,12 +253,16 @@ for j in range(n):                      # no gate: parent kills us mid-run
 """
 
 
-def test_sigkill_mid_commit_never_corrupts_the_log(tmp_path):
+@pytest.mark.parametrize("publisher", ["", "condsim"])
+def test_sigkill_mid_commit_never_corrupts_the_log(tmp_path, publisher):
     """Kill committing writers at random moments, repeatedly: every
     version file that exists must be COMPLETE valid JSON (the atomic
-    link publish guarantees it), versions stay contiguous, the snapshot
-    replays, and new commits keep working. Orphaned staging tmps are the
-    only permitted residue — and vacuum ages them out."""
+    link — or conditional-put tmp+rename — publish guarantees it),
+    versions stay contiguous, the snapshot replays, and new commits keep
+    working. Orphaned staging tmps are the only permitted residue — and
+    vacuum ages them out. Under condsim a writer can die HOLDING the
+    flock (the kernel releases it with the fd), so later commits must
+    not wedge."""
     import signal
 
     from qbeast_spark_spark.sources.log import Block, CommitLog, IndexFile
@@ -251,7 +275,8 @@ def test_sigkill_mid_commit_never_corrupts_the_log(tmp_path):
             [sys.executable, "-c",
              _CRASH_WORKER.replace("@@REPO@@", repr(REPO)),
              table, str(round_no), "10000"],
-            stdout=subprocess.DEVNULL, stderr=subprocess.DEVNULL)
+            stdout=subprocess.DEVNULL, stderr=subprocess.DEVNULL,
+            env=_env(publisher))
         time.sleep(0.4 + 0.15 * round_no)   # varied kill points
         p.send_signal(signal.SIGKILL)
         p.wait()

