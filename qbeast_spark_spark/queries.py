@@ -75,19 +75,51 @@ def _indexed_lineitem(spark, sf_dir: str) -> str:
     return path
 
 
+def _relayout_lineitem(spark, sf_dir: str) -> str:
+    """Write (once per process) an indexed lineitem copy that has ALSO
+    been through the maintenance surface: optimize (O1 re-layout of half
+    the fraction space) then compact (bin-pack small files, no
+    re-index). Separate from ``_indexed_lineitem`` so the re-layout
+    never mutates the table every other query shares."""
+    from . import compact_table, optimize_table
+    from .sources.log import CommitLog
+
+    key = os.path.abspath(sf_dir) + "#relayout"
+    path = _QB_CACHE.get(key) or _cache_path(sf_dir, "lineitem_rt")
+    if not CommitLog(path).exists():
+        import pyarrow.parquet as pq
+
+        from . import write_qbeast
+
+        shutil.rmtree(path, ignore_errors=True)
+        li = _t(spark, sf_dir, "lineitem")
+        n_rows = pq.ParquetFile(
+            os.path.join(sf_dir, "lineitem.parquet")).metadata.num_rows
+        write_qbeast(li, path,
+                     columns_to_index=["l_orderkey", "l_extendedprice"],
+                     cube_size=max(1000, n_rows // 64))
+        optimize_table(spark, path, fraction=0.5)
+        compact_table(spark, path, target_file_bytes=256 * 1024 * 1024)
+    _QB_CACHE[key] = path
+    return path
+
+
 def qb_roundtrip(spark, sf_dir):
-    """W1-W7 + R4 + qbeast-Delta interop: indexed write, then the read
-    goes through the REFERENCE on-disk format — the snapshot is exported
-    as a qbeast-tagged Delta log (revision JSON in metaData.configuration,
+    """W1-W7 + O1/O2 re-layout + R4 + qbeast-Delta interop under ONE
+    strict hash check (VERDICT r6 Next #7): indexed write, then
+    optimize (re-layout through existing cube weights) and compact
+    (bin-pack) rewrite the physical files, then the read goes through
+    the REFERENCE on-disk format — the snapshot is exported as a
+    qbeast-tagged Delta log (revision JSON in metaData.configuration,
     Block lists in AddFile.tags — docs/QbeastFormat.md:85-190) and read
     back via ``QbeastTable.for_delta``, which rebuilds the index from
-    those tags alone (sources/qbeast_format.py). The full read must still
-    return exactly the input, proving the format roundtrip is lossless."""
+    those tags alone (sources/qbeast_format.py). The full read must
+    still return exactly the input rows, proving BOTH the maintenance
+    rewrites and the format roundtrip are lossless."""
     from .sources.reader import QbeastTable
 
-    path = _indexed_lineitem(spark, sf_dir)
-    # re-export every call: other queries (qb_optimize) re-layout the
-    # shared table, and each export appends a fresh Delta version
+    path = _relayout_lineitem(spark, sf_dir)
+    # re-export every call: each export appends a fresh Delta version
     # mirroring the current snapshot (versioned-export semantics)
     QbeastTable.for_path(spark, path).export_delta_log()
     return QbeastTable.for_delta(spark, path).to_df()
