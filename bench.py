@@ -279,9 +279,13 @@ def main() -> None:
     # as .ivf_train — it is a one-time build, like qb_write)
     from qbeast_spark_spark.operators.similarity import kmeans_centroids
 
+    # untimed warmup fit: the first pyspark.ml use in a session pays
+    # ML-class loading + codegen that would otherwise dominate the
+    # submetric and read as round-over-round noise (BENCH_NOTES.md rule)
+    kmeans_centroids(emb.limit(500), k=4, max_iter=2)
     t0 = time.time()
-    # the fit runs inside kmeans_centroids; the returned frame is 32
-    # driver-local rows (broadcast-sized by construction)
+    # the timed fit; the returned frame is 32 driver-local rows
+    # (broadcast-sized by construction)
     trained = kmeans_centroids(emb, k=32)
     submetrics["sim_topk.ivf_train"] = round(time.time() - t0, 3)
     lanes = {

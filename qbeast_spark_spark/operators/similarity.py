@@ -331,7 +331,7 @@ def embedding_lsh_pairs(vectors, threshold: float, n_bits: int = 8,
 def semantic_dedup(vectors, threshold: float = 0.95,
                    vec_col: str = "embedding", id_col: str = "vec_id",
                    n_bits: int = 8, n_tables: int = 2,
-                   exact: bool = False):
+                   exact: bool = False, exact_ok: bool = False):
     """SemDeDup-style semantic deduplication: docs whose EMBEDDINGS are
     near-identical (cosine >= threshold) collapse to one canonical
     representative — the dedup tier that catches paraphrases and
@@ -339,7 +339,8 @@ def semantic_dedup(vectors, threshold: float = 0.95,
 
     Plan: candidate pairs from hyperplane-LSH buckets (equi-join inside
     buckets — never all-pairs; ``exact=True`` swaps in the labeled
-    O(n^2) cosine_pairs baseline for small/verification runs), then
+    O(n^2) cosine_pairs baseline for small/verification runs, guarded
+    above MAX_EXACT_PAIR_VECTORS unless ``exact_ok=True``), then
     min-label connected components (dedup.connected_components) so
     chains of near-dupes collapse transitively, like the exact-dedup
     clustering. Returns one row per input vector:
@@ -351,7 +352,7 @@ def semantic_dedup(vectors, threshold: float = 0.95,
     from .dedup import connected_components
 
     pairs = (cosine_pairs(vectors, threshold, vec_col=vec_col,
-                          id_col=id_col)
+                          id_col=id_col, exact_ok=exact_ok)
              if exact else
              embedding_lsh_pairs(vectors, threshold, n_bits=n_bits,
                                  n_tables=n_tables, vec_col=vec_col,

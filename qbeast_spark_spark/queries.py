@@ -53,24 +53,32 @@ from .queries_common import (  # noqa: E402
 _QB_CACHE: Dict[str, str] = {}
 
 
+def _build_indexed_lineitem(spark, sf_dir: str, path: str) -> None:
+    """The one canonical indexed-lineitem build (columns, cube-size
+    heuristic) — shared by the plain and the re-layout cached copies so
+    their layouts can never silently diverge."""
+    import pyarrow.parquet as pq
+
+    from . import write_qbeast
+
+    shutil.rmtree(path, ignore_errors=True)
+    li = _t(spark, sf_dir, "lineitem")
+    # row count from the parquet footer — no Spark job needed
+    n_rows = pq.ParquetFile(
+        os.path.join(sf_dir, "lineitem.parquet")).metadata.num_rows
+    write_qbeast(li, path,
+                 columns_to_index=["l_orderkey", "l_extendedprice"],
+                 cube_size=max(1000, n_rows // 64))
+
+
 def _indexed_lineitem(spark, sf_dir: str) -> str:
     """Write (once) an OTree-indexed copy of lineitem for this sf_dir."""
-    from . import write_qbeast
     from .sources.log import CommitLog
 
     key = os.path.abspath(sf_dir)
     path = _QB_CACHE.get(key) or _cache_path(sf_dir, "lineitem")
     if not CommitLog(path).exists():
-        import pyarrow.parquet as pq
-
-        shutil.rmtree(path, ignore_errors=True)
-        li = _t(spark, sf_dir, "lineitem")
-        # row count from the parquet footer — no Spark job needed
-        n_rows = pq.ParquetFile(
-            os.path.join(sf_dir, "lineitem.parquet")).metadata.num_rows
-        write_qbeast(li, path,
-                     columns_to_index=["l_orderkey", "l_extendedprice"],
-                     cube_size=max(1000, n_rows // 64))
+        _build_indexed_lineitem(spark, sf_dir, path)
     _QB_CACHE[key] = path
     return path
 
@@ -86,20 +94,22 @@ def _relayout_lineitem(spark, sf_dir: str) -> str:
 
     key = os.path.abspath(sf_dir) + "#relayout"
     path = _QB_CACHE.get(key) or _cache_path(sf_dir, "lineitem_rt")
-    if not CommitLog(path).exists():
-        import pyarrow.parquet as pq
-
-        from . import write_qbeast
-
-        shutil.rmtree(path, ignore_errors=True)
-        li = _t(spark, sf_dir, "lineitem")
-        n_rows = pq.ParquetFile(
-            os.path.join(sf_dir, "lineitem.parquet")).metadata.num_rows
-        write_qbeast(li, path,
-                     columns_to_index=["l_orderkey", "l_extendedprice"],
-                     cube_size=max(1000, n_rows // 64))
+    # crash-safe cache gate: the log exists after write's FIRST commit,
+    # so a process killed between write and the maintenance verbs would
+    # otherwise cache a half-built table forever and this row would
+    # silently stop exercising the re-layout path it pins. A plain
+    # operation-history check can't work either (compact_table
+    # legitimately no-ops without a commit), so the build publishes an
+    # explicit completion-marker property as its LAST commit.
+    log = CommitLog(path)
+    done = log.exists() and \
+        log.table_properties().get("qss.bench.relayout") == "done"
+    if not done:
+        _build_indexed_lineitem(spark, sf_dir, path)
         optimize_table(spark, path, fraction=0.5)
         compact_table(spark, path, target_file_bytes=256 * 1024 * 1024)
+        log.commit(properties={"qss.bench.relayout": "done"},
+                   data_change=False, operation="SET TBLPROPERTIES")
     _QB_CACHE[key] = path
     return path
 

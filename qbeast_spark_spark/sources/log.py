@@ -236,6 +236,12 @@ class CommitPublisher:
     constraint as mixing Delta LogStore implementations on one table.
     """
 
+    #: last non-race reason a publish round returned False (e.g. a
+    #: vacuumed staging tmp) — commit() includes it in the
+    #: retries-exhausted error so exhaustion caused by something other
+    #: than rival writers stays diagnosable
+    last_error: Optional[BaseException] = None
+
     def publish(self, target: str, body: bytes) -> bool:
         raise NotImplementedError
 
@@ -292,10 +298,11 @@ class LinkPublisher(CommitPublisher):
                 except OSError:
                     pass
             return own
-        except FileNotFoundError:
+        except FileNotFoundError as e:
             # an aggressive concurrent vacuum (retention ~0) removed the
             # staged tmp; re-stage and report a lost round — commit()'s
             # retry loop re-lists and calls publish again
+            self.last_error = e
             self._staged = False
             return False
         except OSError as e:
@@ -399,10 +406,20 @@ class LocalConditionalPutPublisher(ConditionalPutPublisher):
             try:
                 if os.path.exists(path):
                     return False
-                tmp = path + ".put"
-                with open(tmp, "wb") as fh:
-                    fh.write(body)
-                os.replace(tmp, path)
+                # unique tmp name: a crash-orphaned tmp from an earlier
+                # writer of this same version can never collide with a
+                # live writer's staging (a shared name reopens a
+                # vacuum-vs-replace TOCTOO); vacuum matches the
+                # ".json.put" infix
+                tmp = f"{path}.put-{uuid.uuid4().hex}"
+                try:
+                    with open(tmp, "wb") as fh:
+                        fh.write(body)
+                    os.replace(tmp, path)
+                except FileNotFoundError:
+                    # tmp vanished (racing cleanup): body not published —
+                    # report a lost round so the caller retries
+                    return False
                 return True
             finally:
                 fcntl.flock(lf, fcntl.LOCK_UN)
@@ -857,9 +874,11 @@ class CommitLog:
                     except OSError:
                         pass  # derived state: next eligible commit retries
                 return next_v
+            reason = getattr(pub, "last_error", None)
             raise RuntimeError(
-                f"commit failed after {max_retries} retries "
-                f"(lost every version race)")
+                f"commit failed after {max_retries} retries: "
+                + (f"last non-race failure: {reason!r}" if reason
+                   else "lost every version race"))
         finally:
             if pub is not None:
                 pub.close()

@@ -481,7 +481,7 @@ class QbeastTable:
                 # split-lock double-publish race the flock exists to
                 # prevent.
                 if ((name.startswith(".commit-") and name.endswith(".tmp"))
-                        or name.endswith(".json.put")):
+                        or ".json.put" in name):
                     try:
                         if os.path.getmtime(os.path.join(
                                 log_dir, name)) > tmp_cutoff:

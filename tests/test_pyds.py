@@ -103,11 +103,18 @@ def test_plain_dataframe_sample_reads_all_files_pinning(
     plan = df.sample(0.01)._jdf.queryExecution().executedPlan().toString()
     # the Sample operator sits ABOVE the scan: row-level, post-scan
     assert "Sample" in plan
-    # and the scan underneath is the unpruned one: same partition count
-    # as a full read (option('fraction') reads strictly fewer)
+    # THE PIN: the sampled plan's scan reads the SAME number of input
+    # partitions (= reader partitions = files) as the unsampled full
+    # read — no pruning reached the source. If a future Spark pushes
+    # .sample into the DS, the sampled scan would read fewer partitions
+    # and this assertion fails, flagging the new fast path.
+    full_parts = df.rdd.getNumPartitions()
+    samp_parts = df.sample(0.01, seed=7).rdd.getNumPartitions()
+    assert samp_parts == full_parts
+    # while the option('fraction') route DOES prune (the advertised path)
     r_all = _BatchReaderImpl(indexed_table, {}, None)
     r_frac = _BatchReaderImpl(indexed_table, {"fraction": "0.01"}, None)
-    assert len(r_frac.partitions()) < len(r_all.partitions())
+    assert len(r_frac.partitions()) < len(r_all.partitions()) == full_parts
     # results are still CORRECT (row-level Bernoulli over all rows)
     n_full = df.count()
     n_samp = df.sample(0.5, seed=7).count()

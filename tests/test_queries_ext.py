@@ -99,3 +99,35 @@ def test_partsupp_materialization_reused_across_processes(spark):
     assert [os.path.getmtime(p) for p in
             sorted(glob.glob(os.path.join(path, "part-*")))] == mtimes, \
         "fresh process rewrote the table instead of reusing it"
+
+
+def test_relayout_lineitem_build_is_crash_safe(spark, tmp_path,
+                                               monkeypatch):
+    """The qb_roundtrip table build is write -> optimize -> compact ->
+    completion marker; a process killed mid-sequence must NOT poison the
+    cache (the log exists after write's first commit, so a bare
+    existence check would skip the maintenance verbs forever and the
+    row would silently stop pinning the re-layout path)."""
+    from qbeast_spark_spark import queries as q
+    from qbeast_spark_spark.sources.log import CommitLog
+
+    monkeypatch.setattr(q, "_cache_path",
+                        lambda sf, name: str(tmp_path / name))
+    monkeypatch.setattr(q, "_QB_CACHE", {})
+    # simulate the crash: only the indexed write happened
+    half = str(tmp_path / "lineitem_rt")
+    q._build_indexed_lineitem(spark, SF_DIR, half)
+    assert CommitLog(half).exists()
+    assert "qss.bench.relayout" not in CommitLog(half).table_properties()
+    # the helper must detect the missing marker and finish the build
+    path = q._relayout_lineitem(spark, SF_DIR)
+    assert path == half
+    log = CommitLog(path)
+    assert log.table_properties().get("qss.bench.relayout") == "done"
+    ops = {h.get("operation") for h in log.history()}
+    assert "OPTIMIZE" in ops
+    # idempotent once complete: no new versions on a second call
+    v = log.snapshot().version
+    q._QB_CACHE.clear()
+    assert q._relayout_lineitem(spark, SF_DIR) == path
+    assert CommitLog(path).snapshot().version == v
