@@ -93,23 +93,43 @@ def _relayout_lineitem(spark, sf_dir: str) -> str:
     from .sources.log import CommitLog
 
     key = os.path.abspath(sf_dir) + "#relayout"
-    path = _QB_CACHE.get(key) or _cache_path(sf_dir, "lineitem_rt")
+    if key in _QB_CACHE:        # set only after a COMPLETED build — no
+        return _QB_CACHE[key]   # per-call log re-parse in the bench path
+    path = _cache_path(sf_dir, "lineitem_rt")
     # crash-safe cache gate: the log exists after write's FIRST commit,
     # so a process killed between write and the maintenance verbs would
     # otherwise cache a half-built table forever and this row would
     # silently stop exercising the re-layout path it pins. A plain
     # operation-history check can't work either (compact_table
     # legitimately no-ops without a commit), so the build publishes an
-    # explicit completion-marker property as its LAST commit.
+    # explicit completion-marker property as its LAST commit. The build
+    # itself runs under an inter-process flock: the multi-step
+    # write→optimize→compact sequence means "log exists" no longer
+    # implies "build complete", so without the lock a second process
+    # could rmtree the path mid-maintenance under the first.
+    import fcntl
+
     log = CommitLog(path)
-    done = log.exists() and \
-        log.table_properties().get("qss.bench.relayout") == "done"
-    if not done:
-        _build_indexed_lineitem(spark, sf_dir, path)
-        optimize_table(spark, path, fraction=0.5)
-        compact_table(spark, path, target_file_bytes=256 * 1024 * 1024)
-        log.commit(properties={"qss.bench.relayout": "done"},
-                   data_change=False, operation="SET TBLPROPERTIES")
+
+    def _done() -> bool:
+        return log.exists() and \
+            log.table_properties().get("qss.bench.relayout") == "done"
+
+    if not _done():
+        os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
+        with open(path + ".buildlock", "w") as lf:
+            fcntl.flock(lf, fcntl.LOCK_EX)
+            try:
+                if not _done():     # re-check under the lock
+                    _build_indexed_lineitem(spark, sf_dir, path)
+                    optimize_table(spark, path, fraction=0.5)
+                    compact_table(spark, path,
+                                  target_file_bytes=256 * 1024 * 1024)
+                    log.commit(
+                        properties={"qss.bench.relayout": "done"},
+                        data_change=False, operation="SET TBLPROPERTIES")
+            finally:
+                fcntl.flock(lf, fcntl.LOCK_UN)
     _QB_CACHE[key] = path
     return path
 

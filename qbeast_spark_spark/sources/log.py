@@ -367,8 +367,17 @@ class ConditionalPutPublisher(CommitPublisher):
         self._get = get
 
     def publish(self, target: str, body: bytes) -> bool:
-        if self._put(target, body):
-            return True
+        try:
+            if self._put(target, body):
+                return True
+        except OSError as e:
+            # infrastructure failure, outcome UNKNOWN (e.g. condsim's
+            # staging tmp vacuumed mid-section, a store timeout after
+            # the request may have landed): record for retry-exhaustion
+            # diagnostics, then fall through to the content check —
+            # treating an unknown outcome as plainly lost could
+            # duplicate the commit if the put landed server-side.
+            self.last_error = e
         if self._get is not None:
             try:
                 return self._get(target) == body
@@ -409,17 +418,15 @@ class LocalConditionalPutPublisher(ConditionalPutPublisher):
                 # unique tmp name: a crash-orphaned tmp from an earlier
                 # writer of this same version can never collide with a
                 # live writer's staging (a shared name reopens a
-                # vacuum-vs-replace TOCTOO); vacuum matches the
-                # ".json.put" infix
+                # vacuum-vs-replace TOCTOU); vacuum matches the
+                # ".json.put" infix. A tmp vanished by racing cleanup
+                # raises FileNotFoundError out of here — publish()
+                # records it (last_error) and resolves the round via
+                # the content check, so exhaustion stays diagnosable.
                 tmp = f"{path}.put-{uuid.uuid4().hex}"
-                try:
-                    with open(tmp, "wb") as fh:
-                        fh.write(body)
-                    os.replace(tmp, path)
-                except FileNotFoundError:
-                    # tmp vanished (racing cleanup): body not published —
-                    # report a lost round so the caller retries
-                    return False
+                with open(tmp, "wb") as fh:
+                    fh.write(body)
+                os.replace(tmp, path)
                 return True
             finally:
                 fcntl.flock(lf, fcntl.LOCK_UN)

@@ -159,6 +159,38 @@ def test_conditional_put_without_get_treats_conflict_as_lost(tmp_path):
     assert set(snap.files) == {"a.parquet", "b.parquet"}
 
 
+def test_conditional_put_oserror_is_recorded_and_disambiguated(tmp_path):
+    """A put raising OSError is an UNKNOWN outcome: the publisher
+    records it (retry-exhaustion diagnostics) and resolves the round
+    via the content check — treating it as plainly lost could duplicate
+    a commit whose request landed server-side."""
+    boom = OSError("staging tmp vacuumed")
+
+    def failing_put(path, body):
+        raise boom
+
+    pub = ConditionalPutPublisher(failing_put)
+    assert pub.publish(str(tmp_path / "x.json"), b"{}") is False
+    assert pub.last_error is boom
+
+    # same failure, but the request DID land: get() sees our body
+    landed = {"body": None}
+
+    def landing_put(path, body):
+        landed["body"] = body
+        raise OSError("timeout after send")
+
+    pub2 = ConditionalPutPublisher(landing_put,
+                                   get=lambda p: landed["body"])
+    assert pub2.publish(str(tmp_path / "y.json"), b"mine") is True
+
+    # and commit() surfaces the recorded reason on exhaustion
+    log = CommitLog(str(tmp_path), publisher_factory=lambda d:
+                    ConditionalPutPublisher(failing_put))
+    with pytest.raises(RuntimeError, match="staging tmp vacuumed"):
+        log.commit(add=[_f("a.parquet")], max_retries=3)
+
+
 def test_orphaned_put_tmp_is_vacuumed(tmp_path):
     """A writer crashing inside the condsim critical section orphans
     NNNN.json.put; vacuum ages it out. Lock files are NEVER vacuumed
