@@ -112,8 +112,14 @@ def _relayout_lineitem(spark, sf_dir: str) -> str:
     log = CommitLog(path)
 
     def _done() -> bool:
-        return log.exists() and \
-            log.table_properties().get("qss.bench.relayout") == "done"
+        try:
+            return log.exists() and \
+                log.table_properties().get("qss.bench.relayout") == "done"
+        except OSError:
+            # racing builder's rmtree between our listdir and open —
+            # only possible on the unlocked fast probe; settle it by
+            # taking the lock
+            return False
 
     if not _done():
         os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
@@ -121,6 +127,8 @@ def _relayout_lineitem(spark, sf_dir: str) -> str:
             fcntl.flock(lf, fcntl.LOCK_EX)
             try:
                 if not _done():     # re-check under the lock
+                    from .sources.reader import QbeastTable
+
                     _build_indexed_lineitem(spark, sf_dir, path)
                     optimize_table(spark, path, fraction=0.5)
                     compact_table(spark, path,
@@ -128,6 +136,13 @@ def _relayout_lineitem(spark, sf_dir: str) -> str:
                     log.commit(
                         properties={"qss.bench.relayout": "done"},
                         data_change=False, operation="SET TBLPROPERTIES")
+                    # export the reference-format Delta log ONCE here:
+                    # the table is immutable after the marker, so a
+                    # per-call export in qb_roundtrip would only append
+                    # redundant full-manifest versions (each read
+                    # replays them all — unbounded growth across bench
+                    # runs sharing the /tmp cache)
+                    QbeastTable.for_path(spark, path).export_delta_log()
             finally:
                 fcntl.flock(lf, fcntl.LOCK_UN)
     _QB_CACHE[key] = path
@@ -149,9 +164,11 @@ def qb_roundtrip(spark, sf_dir):
     from .sources.reader import QbeastTable
 
     path = _relayout_lineitem(spark, sf_dir)
-    # re-export every call: each export appends a fresh Delta version
-    # mirroring the current snapshot (versioned-export semantics)
-    QbeastTable.for_path(spark, path).export_delta_log()
+    # the Delta export happens once inside the locked build (the table
+    # is immutable after its completion marker); re-export here only if
+    # a cache predating that change lacks the log entirely
+    if not os.path.isdir(os.path.join(path, "_delta_log")):
+        QbeastTable.for_path(spark, path).export_delta_log()
     return QbeastTable.for_delta(spark, path).to_df()
 
 

@@ -373,11 +373,23 @@ class ConditionalPutPublisher(CommitPublisher):
         except OSError as e:
             # infrastructure failure, outcome UNKNOWN (e.g. condsim's
             # staging tmp vacuumed mid-section, a store timeout after
-            # the request may have landed): record for retry-exhaustion
-            # diagnostics, then fall through to the content check —
-            # treating an unknown outcome as plainly lost could
-            # duplicate the commit if the put landed server-side.
+            # the request may have landed): record it, then resolve via
+            # the content check — treating an unknown outcome as
+            # plainly lost could duplicate the commit if the put landed
+            # server-side. Without a get() there is NO way to resolve
+            # it, so abort loudly (the publisher contract: unknown
+            # outcome => raise, never guess).
             self.last_error = e
+            if self._get is None:
+                raise
+            try:
+                return self._get(target) == body
+            except FileNotFoundError:
+                # target absent => our put definitely did not land
+                # (commit files are never deleted): safely lost
+                return False
+            except OSError:
+                raise e     # still unresolved: abort, never guess
         if self._get is not None:
             try:
                 return self._get(target) == body
@@ -394,8 +406,11 @@ class LocalConditionalPutPublisher(ConditionalPutPublisher):
     stress suite runs to validate that the commit protocol is correct
     given only the conditional-put primitive (i.e. on an object store);
     it also documents exactly the atomicity a real backend must provide.
-    Lock files (``<version>.json.lock``) are one per version and never
-    deleted — unlinking a live lock file is the classic flock race.
+    ONE lock file per table (``.commitlock``, hidden from every
+    ``*.json`` listing) serializes the check-and-write section for all
+    versions; it is never deleted — unlinking a live lock file is the
+    classic flock race — and being a single file it adds O(1) litter,
+    not O(#commits).
     """
 
     def __init__(self, log_dir: str) -> None:
@@ -410,7 +425,8 @@ class LocalConditionalPutPublisher(ConditionalPutPublisher):
     def _cond_put(path: str, body: bytes) -> bool:
         import fcntl
 
-        with open(path + ".lock", "w") as lf:
+        lock_path = os.path.join(os.path.dirname(path), ".commitlock")
+        with open(lock_path, "w") as lf:
             fcntl.flock(lf, fcntl.LOCK_EX)
             try:
                 if os.path.exists(path):

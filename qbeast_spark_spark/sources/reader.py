@@ -473,11 +473,12 @@ class QbeastTable:
             rel_log = os.path.relpath(os.path.abspath(log_dir),
                                       os.path.abspath(self.path))
             for name in os.listdir(log_dir):
-                # ".put" staging tmps are the conditional-put publisher's
-                # equivalent residue (LocalConditionalPutPublisher: a
-                # crash inside the flock section orphans one). Its
-                # ".lock" files are NEVER vacuumed — deleting a lock file
-                # a slow writer may still open reintroduces the
+                # ".json.put-*" staging tmps are the conditional-put
+                # publisher's equivalent residue
+                # (LocalConditionalPutPublisher: a crash inside the
+                # flock section orphans one). Its single per-table
+                # ".commitlock" is NEVER vacuumed — deleting a lock
+                # file a slow writer may still open reintroduces the
                 # split-lock double-publish race the flock exists to
                 # prevent.
                 if ((name.startswith(".commit-") and name.endswith(".tmp"))

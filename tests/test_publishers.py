@@ -63,11 +63,12 @@ def test_condsim_commit_roundtrip_without_hardlinks(tmp_path):
     snap = CommitLog(str(tmp_path)).snapshot()
     assert (v0, v1) == (0, 1)
     assert set(snap.files) == {"b.parquet"}
-    # published versions are complete JSON; locks are per-version litter
+    # published versions are complete JSON; ONE per-table lock file
     for v in (0, 1):
         with open(os.path.join(log.log_dir, f"{v:012d}.json")) as fh:
             json.load(fh)
-    assert os.path.exists(os.path.join(log.log_dir, "000000000000.json.lock"))
+    assert os.path.exists(os.path.join(log.log_dir, ".commitlock"))
+    assert not [n for n in os.listdir(log.log_dir) if n.endswith(".lock")]
 
 
 def test_condsim_in_process_race_loses_no_commit(tmp_path):
@@ -169,9 +170,17 @@ def test_conditional_put_oserror_is_recorded_and_disambiguated(tmp_path):
     def failing_put(path, body):
         raise boom
 
+    # no get(): the outcome cannot be resolved — abort loudly (contract)
     pub = ConditionalPutPublisher(failing_put)
-    assert pub.publish(str(tmp_path / "x.json"), b"{}") is False
+    with pytest.raises(OSError, match="staging tmp vacuumed"):
+        pub.publish(str(tmp_path / "x.json"), b"{}")
     assert pub.last_error is boom
+
+    # with get(): target absent resolves to a safe lost round
+    pub1 = ConditionalPutPublisher(failing_put,
+                                   get=LocalConditionalPutPublisher._read)
+    assert pub1.publish(str(tmp_path / "x.json"), b"{}") is False
+    assert pub1.last_error is boom
 
     # same failure, but the request DID land: get() sees our body
     landed = {"body": None}
@@ -184,11 +193,24 @@ def test_conditional_put_oserror_is_recorded_and_disambiguated(tmp_path):
                                    get=lambda p: landed["body"])
     assert pub2.publish(str(tmp_path / "y.json"), b"mine") is True
 
-    # and commit() surfaces the recorded reason on exhaustion
+    # WITHOUT a get() an unknown outcome is UNRESOLVABLE: the publisher
+    # must abort loudly (retrying could duplicate a commit whose
+    # request landed), so the OSError propagates out of commit()
     log = CommitLog(str(tmp_path), publisher_factory=lambda d:
                     ConditionalPutPublisher(failing_put))
-    with pytest.raises(RuntimeError, match="staging tmp vacuumed"):
+    with pytest.raises(OSError, match="staging tmp vacuumed"):
         log.commit(add=[_f("a.parquet")], max_retries=3)
+    assert CommitLog(str(tmp_path))._versions() == [], \
+        "aborted unknown-outcome commit must not publish"
+
+    # with a get() that resolves 'absent', the same failure is a safe
+    # lost round and the retry eventually errors out as exhaustion
+    log2 = CommitLog(str(tmp_path), publisher_factory=lambda d:
+                     ConditionalPutPublisher(
+                         failing_put,
+                         get=LocalConditionalPutPublisher._read))
+    with pytest.raises(RuntimeError, match="staging tmp vacuumed"):
+        log2.commit(add=[_f("a.parquet")], max_retries=3)
 
 
 def test_orphaned_put_tmp_is_vacuumed(tmp_path):
@@ -205,18 +227,19 @@ def test_orphaned_put_tmp_is_vacuumed(tmp_path):
     table = str(tmp_path)
     log = CommitLog(table, publisher_factory=LocalConditionalPutPublisher)
     log.commit(add=[_f("a.parquet")])
-    orphan = os.path.join(log.log_dir, "000000000007.json.put")
+    orphan = os.path.join(log.log_dir,
+                          "000000000007.json.put-deadbeefcafe")
     with open(orphan, "w") as fh:
         fh.write("{")
     old = time.time() - 9000
     os.utime(orphan, (old, old))
-    lock = os.path.join(log.log_dir, "000000000000.json.lock")
+    lock = os.path.join(log.log_dir, ".commitlock")
     os.utime(lock, (old, old))
     qt = QbeastTable(None, table)
     gone = qt.vacuum(retention_hours=1.0)
-    assert any(p.endswith("000000000007.json.put") for p in gone)
+    assert any("000000000007.json.put" in p for p in gone)
     assert not os.path.exists(orphan)
-    assert os.path.exists(lock), "vacuum must never delete lock files"
+    assert os.path.exists(lock), "vacuum must never delete the lock file"
 
 
 def test_link_publisher_still_default_and_checkpointing_works(tmp_path):
