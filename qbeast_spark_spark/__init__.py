@@ -27,6 +27,7 @@ from .sources.maintenance import auto_maintain
 from .sources.matview import (create_continuous_agg, read_continuous_agg,
                               refresh_continuous_agg)
 from .sources.optimize import convert_to_qbeast, optimize_table, write_staging
+from .sources.catalog import QbeastSqlCatalog, qsql
 from .sources.pyds import QbeastDataSource
 from .sources.pyds import register as register_data_source
 from .sources.reader import QbeastTable, read_qbeast
@@ -70,4 +71,5 @@ __all__ = [
     "fraction_to_weight", "weight_to_fraction",
     "rows_at_ranks", "exact_ntile_cuts", "salted_join",
     "QbeastDataSource", "register_data_source",
+    "QbeastSqlCatalog", "qsql",
 ]

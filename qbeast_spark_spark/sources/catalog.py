@@ -1,0 +1,1173 @@
+"""SQL statement surface for qbeast tables (C1 at the Python level).
+
+The reference exposes qbeast through a DSv2 catalog plugin —
+``CREATE TABLE ... USING qbeast``, CTAS / REPLACE staging, ``INSERT
+INTO``, ``ALTER TABLE SET TBLPROPERTIES`` (catalog/QbeastCatalog.scala:
+48-355, catalog/QbeastCatalogUtils.scala:124-315, docs/Quickstart.md).
+Spark 4.1 cannot host that plugin from Python: catalog readers receive
+EMPTY options (negative probe pinned in tests/test_pyds.py), so the
+statement surface lives one level up instead. ``qsql(spark, stmt)``
+parses only the statement HEAD:
+
+- qbeast DDL/DML heads (CREATE/DROP/ALTER TABLE, INSERT, DELETE,
+  UPDATE, MERGE, OPTIMIZE, VACUUM, RESTORE, DESCRIBE, SHOW) route
+  through the native pipeline (writer/reader/dml/optimize);
+- every other statement is handed to ``spark.sql`` after the
+  referenced qbeast tables are registered as temp views, so joins
+  against parquet views, CTEs, windows, and set ops work unchanged.
+
+Registration is pruning-aware where the text allows it:
+
+- ``name VERSION AS OF n`` / ``name TIMESTAMP AS OF 'ts'`` become a
+  time-travel view of that snapshot;
+- ``name TABLESAMPLE (x PERCENT)`` becomes the index-pruned
+  deterministic sample (the SampleRule.scala:44-107 analogue — the
+  clause is rewritten away and the view reads only the sample's
+  file slice);
+- a single-table ``SELECT ... FROM name WHERE <pred>`` registers the
+  FILE-PRUNED read for ``pred`` (the WHERE stays in the statement, so
+  Spark still applies the residual; the view merely shrinks the file
+  list). Multi-table statements fall back to full-table views — file
+  pruning needs the predicate at plan-build time, which a Python-side
+  shim can only recover textually (documented limit, SURVEY §4).
+
+Metastore: one JSON file per warehouse (``_qbeast_catalog.json``)
+read-modify-written under an ``fcntl.flock`` + atomic tmp/rename —
+same discipline as sources/log.py. The metastore holds only the
+name -> {location, managed, options, comment} binding; TABLE
+properties live in the table's own commit log (``set_properties``),
+so writers on other hosts observe them transactionally.
+"""
+from __future__ import annotations
+
+import fcntl
+import json
+import os
+import re
+import shutil
+import tempfile
+from typing import Any, Dict, List, Optional, Tuple
+
+CATALOG_FILE = "_qbeast_catalog.json"
+CATALOG_LOCK = "_qbeast_catalog.lock"
+
+_IDENT = r"(?:`[^`]+`|[A-Za-z_][A-Za-z0-9_]*)"
+# one- or two-part name; the leading part must be `default` (flat store)
+_NAME = rf"(?:{_IDENT}\.)?{_IDENT}"
+
+
+def _unquote_ident(tok: str) -> str:
+    tok = tok.strip()
+    if tok.startswith("`") and tok.endswith("`"):
+        tok = tok[1:-1]
+    return tok
+
+
+def _normalize_name(raw: str) -> str:
+    """Lower-case, strip backticks, accept an optional ``default.``
+    qualifier (the metastore is a flat namespace, like the reference's
+    session-catalog default database)."""
+    parts = [_unquote_ident(p) for p in raw.split(".")]
+    if len(parts) == 2 and parts[0].lower() == "default":
+        parts = parts[1:]
+    if len(parts) != 1:
+        raise ValueError(
+            f"qbeast SQL catalog is a flat namespace; got {raw!r} "
+            "(use `name` or `default.name`)")
+    name = parts[0].lower()
+    if not re.fullmatch(r"[a-z_][a-z0-9_]*", name):
+        raise ValueError(f"invalid table name {raw!r}")
+    return name
+
+
+def _strip_comments(stmt: str) -> str:
+    """Remove -- and /* */ comments, respecting quoted strings."""
+    out, i, n = [], 0, len(stmt)
+    while i < n:
+        c = stmt[i]
+        if c in ("'", '"', "`"):
+            j = _skip_quoted(stmt, i)
+            out.append(stmt[i:j])
+            i = j
+        elif c == "-" and stmt[i:i + 2] == "--":
+            j = stmt.find("\n", i)
+            i = n if j < 0 else j
+        elif c == "/" and stmt[i:i + 2] == "/*":
+            j = stmt.find("*/", i + 2)
+            if j < 0:
+                raise ValueError("unterminated /* comment")
+            i = j + 2
+        else:
+            out.append(c)
+            i += 1
+    return "".join(out)
+
+
+def _skip_quoted(s: str, i: int) -> int:
+    """``s[i]`` opens a quote; return the index just past its close.
+    Single quotes double-escape ('' inside '...')."""
+    q = s[i]
+    j = i + 1
+    n = len(s)
+    while j < n:
+        if s[j] == "\\" and q != "`":
+            j += 2
+            continue
+        if s[j] == q:
+            if q == "'" and j + 1 < n and s[j + 1] == "'":
+                j += 2
+                continue
+            return j + 1
+        j += 1
+    raise ValueError(f"unterminated {q} quote in statement")
+
+
+def _quote_spans(s: str) -> List[Tuple[int, int]]:
+    spans, i, n = [], 0, len(s)
+    while i < n:
+        if s[i] in ("'", '"', "`"):
+            j = _skip_quoted(s, i)
+            spans.append((i, j))
+            i = j
+        else:
+            i += 1
+    return spans
+
+
+def _find_top_level(s: str, pattern: str, start: int = 0,
+                    flags=re.IGNORECASE):
+    """First regex match at paren depth 0 and outside quotes."""
+    depth = 0
+    i = start
+    n = len(s)
+    rx = re.compile(pattern, flags)
+    while i < n:
+        c = s[i]
+        if c in ("'", '"', "`"):
+            i = _skip_quoted(s, i)
+            continue
+        if c == "(":
+            depth += 1
+        elif c == ")":
+            depth -= 1
+        elif depth == 0:
+            m = rx.match(s, i)
+            if m:
+                return m
+        i += 1
+    return None
+
+
+def _balanced_paren(s: str, i: int) -> int:
+    """``s[i]`` is '('; return index just past the matching ')'."""
+    depth = 0
+    n = len(s)
+    while i < n:
+        c = s[i]
+        if c in ("'", '"', "`"):
+            i = _skip_quoted(s, i)
+            continue
+        if c == "(":
+            depth += 1
+        elif c == ")":
+            depth -= 1
+            if depth == 0:
+                return i + 1
+        i += 1
+    raise ValueError("unbalanced parentheses in statement")
+
+
+def _split_top_level_commas(s: str) -> List[str]:
+    parts, buf, i, n = [], [], 0, len(s)
+    depth = 0
+    while i < n:
+        c = s[i]
+        if c in ("'", '"', "`"):
+            j = _skip_quoted(s, i)
+            buf.append(s[i:j])
+            i = j
+            continue
+        if c == "(":
+            depth += 1
+        elif c == ")":
+            depth -= 1
+        if c == "," and depth == 0:
+            parts.append("".join(buf).strip())
+            buf = []
+        else:
+            buf.append(c)
+        i += 1
+    tail = "".join(buf).strip()
+    if tail:
+        parts.append(tail)
+    return parts
+
+
+def _parse_kv_list(body: str) -> Dict[str, str]:
+    """Parse the body of OPTIONS(...) / TBLPROPERTIES(...):
+    ``'k'='v', k2=3, `k3` "v3"`` — keys and values may be quoted with
+    ' " or backticks, separated by = or whitespace."""
+    out: Dict[str, str] = {}
+    for item in _split_top_level_commas(body):
+        if not item:
+            continue
+        m = re.match(r"\s*('(?:[^']|'')*'|\"[^\"]*\"|`[^`]+`|[\w.\-]+)"
+                     r"\s*(?:=|\s)\s*"
+                     r"('(?:[^']|'')*'|\"[^\"]*\"|[^\s].*?)\s*$", item)
+        if not m:
+            raise ValueError(f"cannot parse option entry {item!r}")
+        out[_unquote_lit(m.group(1))] = _unquote_lit(m.group(2))
+    return out
+
+
+def _unquote_lit(tok: str) -> str:
+    tok = tok.strip()
+    if len(tok) >= 2 and tok[0] == tok[-1] and tok[0] in ("'", '"', "`"):
+        inner = tok[1:-1]
+        if tok[0] == "'":
+            inner = inner.replace("''", "'")
+        return inner
+    return tok
+
+
+def _strip_alias_prefixes(expr: str, aliases: List[str],
+                          replacement: str = "") -> str:
+    """Rewrite ``alias.col`` -> ``<replacement>col`` for the given
+    aliases (used to translate MERGE clause expressions into the
+    dml.merge_rows dialect)."""
+    for a in aliases:
+        if not a:
+            continue
+        expr = re.sub(rf"(?i)(?<![\w.`]){re.escape(a)}\.",
+                      replacement, expr)
+    return expr
+
+
+class QbeastSqlCatalog:
+    """Flat, warehouse-scoped qbeast table catalog + SQL dispatcher.
+
+    ``warehouse_dir`` defaults to ``spark.sql.warehouse.dir``; managed
+    tables live at ``<warehouse>/<name>``, external tables where their
+    LOCATION points. See module docstring for the statement grammar.
+    """
+
+    def __init__(self, spark, warehouse_dir: Optional[str] = None):
+        self.spark = spark
+        if warehouse_dir is None:
+            warehouse_dir = spark.conf.get(
+                "spark.sql.warehouse.dir", "spark-warehouse")
+            warehouse_dir = re.sub(r"^file:/*", "/", warehouse_dir)
+        self.warehouse = os.path.abspath(warehouse_dir)
+
+    # -- metastore ---------------------------------------------------------
+
+    @property
+    def _catalog_path(self) -> str:
+        return os.path.join(self.warehouse, CATALOG_FILE)
+
+    def tables(self) -> Dict[str, Dict[str, Any]]:
+        try:
+            with open(self._catalog_path) as fh:
+                return json.load(fh)
+        except FileNotFoundError:
+            return {}
+
+    def _mutate(self, fn) -> Any:
+        """Run ``fn(entries) -> result`` under the catalog flock;
+        persist ``entries`` with tmp + atomic rename."""
+        os.makedirs(self.warehouse, exist_ok=True)
+        lock_path = os.path.join(self.warehouse, CATALOG_LOCK)
+        with open(lock_path, "w") as lk:
+            fcntl.flock(lk, fcntl.LOCK_EX)
+            entries = self.tables()
+            result = fn(entries)
+            fd, tmp = tempfile.mkstemp(dir=self.warehouse,
+                                       prefix=".catalog-", suffix=".json")
+            try:
+                with os.fdopen(fd, "w") as fh:
+                    json.dump(entries, fh, indent=1, sort_keys=True)
+                os.replace(tmp, self._catalog_path)
+            except BaseException:
+                if os.path.exists(tmp):
+                    os.unlink(tmp)
+                raise
+        return result
+
+    def _entry(self, raw_name: str) -> Tuple[str, Dict[str, Any]]:
+        name = _normalize_name(raw_name)
+        entry = self.tables().get(name)
+        if entry is None:
+            raise ValueError(f"qbeast table {name!r} not found in the "
+                             f"catalog at {self.warehouse}")
+        return name, entry
+
+    def _qt(self, entry):
+        from .reader import QbeastTable
+
+        return QbeastTable(self.spark, entry["location"])
+
+    # -- statement dispatch --------------------------------------------------
+
+    def sql(self, statement: str):
+        """Execute one SQL statement. Returns a DataFrame for queries,
+        DESCRIBE/SHOW, and DML status; ``None`` for pure DDL."""
+        stmt = _strip_comments(statement).strip().rstrip(";").strip()
+        if not stmt:
+            raise ValueError("empty statement")
+        head = stmt.split(None, 1)[0].upper()
+        if head == "CREATE":
+            return self._sql_create(stmt, statement)
+        if head == "DROP":
+            return self._sql_drop(stmt, statement)
+        if head == "ALTER":
+            return self._sql_alter(stmt, statement)
+        if head == "INSERT":
+            return self._sql_insert(stmt, statement)
+        if head == "DELETE":
+            return self._sql_delete(stmt, statement)
+        if head == "UPDATE":
+            return self._sql_update(stmt, statement)
+        if head == "MERGE":
+            return self._sql_merge(stmt, statement)
+        if head == "OPTIMIZE":
+            return self._sql_optimize(stmt)
+        if head == "VACUUM":
+            return self._sql_vacuum(stmt)
+        if head == "RESTORE":
+            return self._sql_restore(stmt)
+        if head in ("DESCRIBE", "DESC"):
+            return self._sql_describe(stmt, statement)
+        if head == "SHOW":
+            return self._sql_show(stmt, statement)
+        return self._delegate(stmt)
+
+    # -- CREATE TABLE --------------------------------------------------------
+
+    _CREATE_RX = re.compile(
+        rf"^CREATE\s+(?P<replace>OR\s+REPLACE\s+)?(?:EXTERNAL\s+)?TABLE\s+"
+        rf"(?P<ine>IF\s+NOT\s+EXISTS\s+)?(?P<name>{_NAME})\s*",
+        re.IGNORECASE)
+
+    def _sql_create(self, stmt: str, original: str):
+        m = self._CREATE_RX.match(stmt)
+        if not m:
+            return self._delegate(stmt)
+        rest = stmt[m.end():]
+
+        schema_ddl = None
+        if rest.startswith("("):
+            end = _balanced_paren(rest, 0)
+            schema_ddl = rest[1:end - 1]
+            rest = rest[end:].lstrip()
+
+        clauses, as_query = self._parse_table_clauses(rest)
+        provider = (clauses.get("using") or "").lower()
+        if provider != "qbeast":
+            # not ours — let Spark handle it (views of referenced qbeast
+            # tables are registered so CTAS-from-qbeast still works)
+            return self._delegate(stmt)
+        if "partitioned" in clauses or "clustered" in clauses:
+            # QbeastCatalogUtils.scala:269-274 parity
+            raise ValueError(
+                "Qbeast Format does not support partitioning/bucketing. "
+                "You may still want to use your partition columns as "
+                "columnsToIndex to get all the benefits of data skipping.")
+
+        name = _normalize_name(m.group("name"))
+        replace = bool(m.group("replace"))
+        if_not_exists = bool(m.group("ine"))
+        options = clauses.get("options", {})
+        properties = clauses.get("tblproperties", {})
+        location = clauses.get("location")
+        managed = location is None
+        if managed:
+            location = os.path.join(self.warehouse, name)
+        location = os.path.abspath(location)
+
+        existing = self.tables().get(name)
+        if existing is not None and not replace:
+            if if_not_exists:
+                return None
+            raise ValueError(f"table {name!r} already exists "
+                             "(use IF NOT EXISTS or OR REPLACE)")
+
+        from pyspark.sql import types as T
+
+        from .log import CommitLog
+        from .reader import QbeastTable
+
+        schema = (T.StructType.fromDDL(schema_ddl)
+                  if schema_ddl is not None else None)
+        log_exists = CommitLog(location).exists()
+
+        df = None
+        if as_query is not None:
+            df = self._delegate(as_query)
+            if schema is not None:
+                raise ValueError(
+                    "CREATE TABLE ... AS SELECT cannot also declare a "
+                    "column list")
+        elif log_exists and not replace:
+            # adopting an existing location: verifySchema parity
+            existing_schema = QbeastTable(self.spark, location).schema()
+            if schema is not None and not _schemas_equal(schema,
+                                                         existing_schema):
+                raise ValueError(
+                    "Trying to create a table with a different schema "
+                    "than the existing qbeast table at "
+                    f"{location}. Do you want to ALTER TABLE first?")
+        elif schema is not None:
+            df = self.spark.createDataFrame([], schema)
+        else:
+            kind = "managed" if managed else "External"
+            raise ValueError(
+                f"Trying to create a {kind} Table without any schema. "
+                "Please specify the schema in the command, add AS "
+                "SELECT, or use a path of a populated table.")
+
+        def register(entries):
+            if replace:
+                old = entries.get(name)
+                if old is not None and old.get("managed") \
+                        and old["location"] != location \
+                        and os.path.exists(old["location"]):
+                    shutil.rmtree(old["location"])
+            entries[name] = {
+                "location": location,
+                "managed": managed,
+                "options": options,
+                "comment": clauses.get("comment"),
+            }
+
+        if df is not None:
+            self._write_table(location, df, options,
+                              mode="overwrite" if replace else "append")
+        if properties:
+            QbeastTable(self.spark, location).set_properties(properties)
+        self._mutate(register)
+        return None
+
+    def _parse_table_clauses(self, rest: str):
+        """Parse the clause tail of CREATE TABLE: USING / OPTIONS /
+        LOCATION / TBLPROPERTIES / COMMENT / PARTITIONED BY / CLUSTERED
+        BY, in any order, then an optional top-level AS <query>."""
+        clauses: Dict[str, Any] = {}
+        s = rest.strip()
+        while s:
+            m = re.match(r"(?i)^AS\b\s*", s)
+            if m:
+                return clauses, s[m.end():].strip()
+            m = re.match(rf"(?i)^USING\s+({_IDENT})\s*", s)
+            if m:
+                clauses["using"] = _unquote_ident(m.group(1))
+                s = s[m.end():]
+                continue
+            m = re.match(r"(?i)^(OPTIONS|TBLPROPERTIES)\s*\(", s)
+            if m:
+                end = _balanced_paren(s, m.end() - 1)
+                clauses[m.group(1).lower()] = _parse_kv_list(
+                    s[m.end():end - 1])
+                s = s[end:].lstrip()
+                continue
+            m = re.match(r"(?i)^LOCATION\s+('(?:[^']|'')*'|\"[^\"]*\")\s*",
+                         s)
+            if m:
+                clauses["location"] = _unquote_lit(m.group(1))
+                s = s[m.end():]
+                continue
+            m = re.match(r"(?i)^COMMENT\s+('(?:[^']|'')*'|\"[^\"]*\")\s*", s)
+            if m:
+                clauses["comment"] = _unquote_lit(m.group(1))
+                s = s[m.end():]
+                continue
+            m = re.match(r"(?i)^(PARTITIONED|CLUSTERED)\s+BY\s*\(", s)
+            if m:
+                end = _balanced_paren(s, len(m.group(0)) - 1)
+                clauses[m.group(1).lower()] = s[len(m.group(0)):end - 1]
+                s = s[end:].lstrip()
+                continue
+            raise ValueError(f"cannot parse CREATE TABLE clause at: "
+                             f"{s[:60]!r}")
+        return clauses, None
+
+    def _write_table(self, location: str, df, options: Dict[str, str],
+                     mode: str):
+        """Route a DataFrame through the indexed write with the table's
+        CREATE-time options (columnsToIndex / cubeSize / columnStats —
+        docs/Quickstart.md's option table)."""
+        from .log import CommitLog
+        from .reader import QbeastTable
+        from .writer import write_qbeast
+        from ..core.revision import DEFAULT_CUBE_SIZE
+
+        cols = options.get("columnsToIndex") or options.get(
+            "columnstoindex")
+        cols = [c.strip() for c in cols.split(",")] if cols else None
+        if cols is None and mode == "append" and CommitLog(
+                location).exists():
+            rev = QbeastTable(self.spark, location) \
+                .snapshot(refresh=True).latest_revision()
+            if rev is not None:
+                cols = [f"{s.name}:{s.transformer}" if s.transformer
+                        else s.name for s in rev.column_specs]
+        cube_size = int(options.get("cubeSize")
+                        or options.get("cubesize")
+                        or DEFAULT_CUBE_SIZE)
+        stats_raw = options.get("columnStats") or options.get(
+            "columnstats")
+        return write_qbeast(
+            df, location, columns_to_index=cols, cube_size=cube_size,
+            mode=mode, column_stats=_parse_column_stats(stats_raw))
+
+    # -- DROP / ALTER ---------------------------------------------------------
+
+    _DROP_RX = re.compile(
+        rf"^DROP\s+TABLE\s+(?P<ie>IF\s+EXISTS\s+)?(?P<name>{_NAME})\s*$",
+        re.IGNORECASE)
+
+    def _sql_drop(self, stmt: str, original: str):
+        m = self._DROP_RX.match(stmt)
+        if not m:
+            return self._delegate(stmt)
+        try:
+            name = _normalize_name(m.group("name"))
+        except ValueError:
+            return self._delegate(stmt)
+        if name not in self.tables():
+            if m.group("ie"):
+                return None
+            return self._delegate(stmt)  # maybe a Spark-side table
+
+        def drop(entries):
+            entry = entries.pop(name, None)
+            if entry and entry.get("managed") \
+                    and os.path.exists(entry["location"]):
+                shutil.rmtree(entry["location"])
+
+        self._mutate(drop)
+        self.spark.catalog.dropTempView(name)
+        return None
+
+    _ALTER_RX = re.compile(
+        rf"^ALTER\s+TABLE\s+(?P<name>{_NAME})\s+(?P<rest>.*)$",
+        re.IGNORECASE | re.DOTALL)
+
+    def _sql_alter(self, stmt: str, original: str):
+        m = self._ALTER_RX.match(stmt)
+        if not m:
+            return self._delegate(stmt)
+        try:
+            name = _normalize_name(m.group("name"))
+        except ValueError:
+            return self._delegate(stmt)
+        if name not in self.tables():
+            return self._delegate(stmt)
+        entry = self.tables()[name]
+        rest = m.group("rest").strip()
+
+        ms = re.match(r"(?i)^SET\s+TBLPROPERTIES\s*\(", rest)
+        if ms:
+            end = _balanced_paren(rest, ms.end() - 1)
+            props = _parse_kv_list(rest[ms.end():end - 1])
+            self._qt(entry).set_properties(props)
+            return None
+        mu = re.match(r"(?i)^UNSET\s+TBLPROPERTIES\s*"
+                      r"(IF\s+EXISTS\s*)?\(", rest)
+        if mu:
+            end = _balanced_paren(rest, mu.end() - 1)
+            keys = [_unquote_lit(k)
+                    for k in _split_top_level_commas(rest[mu.end():end - 1])]
+            qt = self._qt(entry)
+            # DSv2 RemoveProperty is always IF EXISTS
+            # (QbeastCatalog.scala:292-298) — a null value deletes the
+            # key in the log's property merge.
+            qt.log.commit(
+                properties={k: None for k in keys},
+                schema_json=qt.snapshot(refresh=True).schema_json,
+                data_change=False, operation="UNSET TBLPROPERTIES")
+            return None
+        mr = re.match(rf"(?i)^RENAME\s+TO\s+(?P<to>{_NAME})\s*$", rest)
+        if mr:
+            new = _normalize_name(mr.group("to"))
+
+            def rename(entries):
+                if new in entries:
+                    raise ValueError(f"table {new!r} already exists")
+                e = entries.pop(name)
+                if e.get("managed"):
+                    new_loc = os.path.join(self.warehouse, new)
+                    os.rename(e["location"], new_loc)
+                    e["location"] = new_loc
+                entries[new] = e
+
+            self._mutate(rename)
+            self.spark.catalog.dropTempView(name)
+            return None
+        raise ValueError(f"unsupported ALTER TABLE operation on a "
+                         f"qbeast table: {rest[:60]!r}")
+
+    # -- INSERT ---------------------------------------------------------------
+
+    _INSERT_RX = re.compile(
+        rf"^INSERT\s+(?P<kind>INTO|OVERWRITE)\s+(?:TABLE\s+)?"
+        rf"(?P<name>{_NAME})\s*(?P<rest>.*)$",
+        re.IGNORECASE | re.DOTALL)
+
+    def _sql_insert(self, stmt: str, original: str):
+        m = self._INSERT_RX.match(stmt)
+        if not m:
+            return self._delegate(stmt)
+        try:
+            name = _normalize_name(m.group("name"))
+        except ValueError:
+            return self._delegate(stmt)
+        entries = self.tables()
+        if name not in entries:
+            return self._delegate(stmt)
+        entry = entries[name]
+        rest = m.group("rest").strip()
+
+        col_list = None
+        if rest.startswith("(") and not re.match(
+                r"(?i)^\(\s*(SELECT|WITH|VALUES|FROM|TABLE)\b", rest):
+            end = _balanced_paren(rest, 0)
+            col_list = [_unquote_ident(c)
+                        for c in _split_top_level_commas(rest[1:end - 1])]
+            rest = rest[end:].strip()
+        if re.match(r"(?i)^VALUES\b", rest):
+            df = self._delegate("SELECT * FROM " + rest)
+        elif rest:
+            df = self._delegate(rest)
+        else:
+            raise ValueError("INSERT needs VALUES or a query")
+
+        from .reader import QbeastTable
+
+        table_schema = QbeastTable(self.spark, entry["location"]).schema()
+        df = _align_insert(df, table_schema, col_list)
+        mode = ("append" if m.group("kind").upper() == "INTO"
+                else "overwrite")
+        version = self._write_table(entry["location"], df,
+                                    entry.get("options", {}), mode)
+        # affected_rows stays NULL: counting df would re-run the source
+        # query a third time (the indexed write already scans it twice)
+        return self._status_df(operation=f"INSERT {m.group('kind').upper()}",
+                               table=name, version=version, rows=None)
+
+    # -- DELETE / UPDATE / MERGE ------------------------------------------------
+
+    _DELETE_RX = re.compile(
+        rf"^DELETE\s+FROM\s+(?P<name>{_NAME})"
+        rf"(?:\s+WHERE\s+(?P<where>.*))?$",
+        re.IGNORECASE | re.DOTALL)
+
+    def _sql_delete(self, stmt: str, original: str):
+        m = self._DELETE_RX.match(stmt)
+        if not m:
+            return self._delegate(stmt)
+        try:
+            name = _normalize_name(m.group("name"))
+        except ValueError:
+            return self._delegate(stmt)
+        entries = self.tables()
+        if name not in entries:
+            return self._delegate(stmt)
+        from .dml import delete_rows
+
+        out = delete_rows(self.spark, entries[name]["location"],
+                          filters=m.group("where"))
+        return self._status_df(operation="DELETE", table=name,
+                               version=out.get("version"),
+                               rows=out.get("rows_deleted"))
+
+    _UPDATE_RX = re.compile(
+        rf"^UPDATE\s+(?P<name>{_NAME})\s+SET\s+(?P<body>.*)$",
+        re.IGNORECASE | re.DOTALL)
+
+    def _sql_update(self, stmt: str, original: str):
+        m = self._UPDATE_RX.match(stmt)
+        if not m:
+            return self._delegate(stmt)
+        try:
+            name = _normalize_name(m.group("name"))
+        except ValueError:
+            return self._delegate(stmt)
+        entries = self.tables()
+        if name not in entries:
+            return self._delegate(stmt)
+        body = m.group("body")
+        wm = _find_top_level(body, r"\bWHERE\b")
+        where = None
+        if wm:
+            where = body[wm.end():].strip()
+            body = body[:wm.start()]
+        assignments: Dict[str, str] = {}
+        for item in _split_top_level_commas(body):
+            am = re.match(rf"^\s*(?P<col>{_IDENT})\s*=\s*(?P<expr>.+)$",
+                          item, re.DOTALL)
+            if not am:
+                raise ValueError(f"cannot parse UPDATE assignment "
+                                 f"{item!r}")
+            assignments[_unquote_ident(am.group("col"))] = \
+                am.group("expr").strip()
+        from .dml import update_rows
+
+        out = update_rows(self.spark, entries[name]["location"],
+                          assignments, filters=where)
+        return self._status_df(operation="UPDATE", table=name,
+                               version=out.get("version"),
+                               rows=out.get("rows_updated"))
+
+    _MERGE_RX = re.compile(
+        rf"^MERGE\s+INTO\s+(?P<target>{_NAME})"
+        rf"(?:\s+(?:AS\s+)?(?P<talias>{_IDENT}))?\s+"
+        rf"USING\s+(?P<source>\((?:[^()]|\([^()]*\))*\)|{_NAME})"
+        rf"(?:\s+(?:AS\s+)?(?P<salias>{_IDENT}))?\s+"
+        rf"ON\s+(?P<on>.*?)(?P<whens>\bWHEN\b.*)$",
+        re.IGNORECASE | re.DOTALL)
+
+    def _sql_merge(self, stmt: str, original: str):
+        m = self._MERGE_RX.match(stmt)
+        if not m:
+            return self._delegate(stmt)
+        try:
+            name = _normalize_name(m.group("target"))
+        except ValueError:
+            return self._delegate(stmt)
+        entries = self.tables()
+        if name not in entries:
+            return self._delegate(stmt)
+        talias = _unquote_ident(m.group("talias") or "")
+        salias = _unquote_ident(m.group("salias") or "")
+        if talias.upper() == "USING":
+            raise ValueError("cannot parse MERGE target alias")
+
+        src_text = m.group("source").strip()
+        if src_text.startswith("("):
+            source_df = self._delegate(src_text[1:-1])
+        else:
+            source_df = self._delegate(f"SELECT * FROM {src_text}")
+            if not salias:
+                try:
+                    salias = _normalize_name(src_text)
+                except ValueError:
+                    salias = ""
+
+        keys = _merge_on_keys(m.group("on"), talias or name,
+                              salias)
+        upd, dele, ins = _merge_when_clauses(
+            m.group("whens"), talias or name, salias)
+        from .dml import merge_rows
+
+        out = merge_rows(self.spark, entries[name]["location"], source_df,
+                         on=keys, when_matched_update=upd,
+                         when_matched_delete=dele,
+                         when_not_matched_insert=ins)
+        return self._status_df(
+            operation="MERGE", table=name, version=out.get("version"),
+            rows=(out.get("rows_updated") or 0)
+            + (out.get("rows_deleted") or 0)
+            + (out.get("rows_inserted") or 0))
+
+    # -- maintenance verbs -------------------------------------------------------
+
+    def _sql_optimize(self, stmt: str):
+        m = re.match(rf"(?i)^OPTIMIZE\s+(?P<name>{_NAME})\s*$", stmt)
+        if not m:
+            raise ValueError("OPTIMIZE takes a single qbeast table name")
+        name, entry = self._entry(m.group("name"))
+        version = self._qt(entry).optimize()
+        return self._status_df(operation="OPTIMIZE", table=name,
+                               version=version, rows=None)
+
+    def _sql_vacuum(self, stmt: str):
+        m = re.match(rf"(?i)^VACUUM\s+(?P<name>{_NAME})"
+                     r"(?:\s+RETAIN\s+(?P<hours>[\d.]+)\s+HOURS)?"
+                     r"(?:\s+(?P<dry>DRY\s+RUN))?\s*$", stmt)
+        if not m:
+            raise ValueError(
+                "expected VACUUM <table> [RETAIN n HOURS] [DRY RUN]")
+        name, entry = self._entry(m.group("name"))
+        deleted = self._qt(entry).vacuum(
+            dry_run=bool(m.group("dry")),
+            retention_hours=float(m.group("hours") or 168.0))
+        return self._status_df(operation="VACUUM", table=name,
+                               version=None, rows=len(deleted))
+
+    def _sql_restore(self, stmt: str):
+        m = re.match(rf"(?i)^RESTORE\s+(?:TABLE\s+)?(?P<name>{_NAME})\s+"
+                     r"TO\s+VERSION\s+AS\s+OF\s+(?P<v>\d+)\s*$", stmt)
+        if not m:
+            raise ValueError(
+                "expected RESTORE [TABLE] <table> TO VERSION AS OF <n>")
+        name, entry = self._entry(m.group("name"))
+        version = self._qt(entry).restore(int(m.group("v")))
+        return self._status_df(operation="RESTORE", table=name,
+                               version=version, rows=None)
+
+    # -- DESCRIBE / SHOW -----------------------------------------------------------
+
+    def _sql_describe(self, stmt: str, original: str):
+        m = re.match(rf"(?i)^DESC(?:RIBE)?\s+(?P<kind>EXTENDED\s+|DETAIL\s+"
+                     rf"|HISTORY\s+)?(?:TABLE\s+)?(?P<name>{_NAME})\s*$",
+                     stmt)
+        if not m:
+            return self._delegate(stmt)
+        try:
+            name = _normalize_name(m.group("name"))
+        except ValueError:
+            return self._delegate(stmt)
+        entries = self.tables()
+        if name not in entries:
+            return self._delegate(stmt)
+        entry = entries[name]
+        qt = self._qt(entry)
+        kind = (m.group("kind") or "").strip().upper()
+        if kind == "HISTORY":
+            hist = [(int(h.get("version", -1)),
+                     str(h.get("operation", "")),
+                     str(h.get("timestamp", "")))
+                    for h in qt.history()]
+            return self.spark.createDataFrame(
+                hist, "version BIGINT, operation STRING, timestamp STRING")
+        if kind == "DETAIL":
+            detail = qt.detail()
+            return self.spark.createDataFrame(
+                [(k, json.dumps(v, default=str))
+                 for k, v in sorted(detail.items())],
+                "key STRING, value STRING")
+        rows = [(f.name, f.dataType.simpleString(), "")
+                for f in qt.schema().fields]
+        if kind == "EXTENDED":
+            rows += [("", "", ""),
+                     ("# Detailed Table Information", "", ""),
+                     ("Name", name, ""),
+                     ("Location", entry["location"], ""),
+                     ("Provider", "qbeast", ""),
+                     ("Type", "MANAGED" if entry.get("managed")
+                      else "EXTERNAL", "")]
+        return self.spark.createDataFrame(
+            rows, "col_name STRING, data_type STRING, comment STRING")
+
+    def _sql_show(self, stmt: str, original: str):
+        if re.match(r"(?i)^SHOW\s+TABLES\s*$", stmt):
+            rows = [(n, e["location"], bool(e.get("managed")))
+                    for n, e in sorted(self.tables().items())]
+            return self.spark.createDataFrame(
+                rows, "tableName STRING, location STRING, managed BOOLEAN") \
+                if rows else self.spark.createDataFrame(
+                    [], "tableName STRING, location STRING, managed BOOLEAN")
+        m = re.match(rf"(?i)^SHOW\s+TBLPROPERTIES\s+(?P<name>{_NAME})\s*$",
+                     stmt)
+        if m:
+            try:
+                name = _normalize_name(m.group("name"))
+            except ValueError:
+                return self._delegate(stmt)
+            if name not in self.tables():
+                return self._delegate(stmt)
+            _, entry = self._entry(name)
+            props = self._qt(entry).log.table_properties()
+            return self.spark.createDataFrame(
+                sorted(props.items()), "key STRING, value STRING") \
+                if props else self.spark.createDataFrame(
+                    [], "key STRING, value STRING")
+        return self._delegate(stmt)
+
+    # -- query delegation ------------------------------------------------------------
+
+    def _delegate(self, stmt: str):
+        """Register every referenced qbeast table as a temp view
+        (time-travel / TABLESAMPLE / single-table-WHERE aware), then run
+        the (possibly rewritten) statement through ``spark.sql``."""
+        rewritten = self._register_referenced(stmt)
+        return self.spark.sql(rewritten)
+
+    def _register_referenced(self, stmt: str) -> str:
+        from .reader import QbeastTable
+
+        entries = self.tables()
+        if not entries:
+            return stmt
+        spans = _quote_spans(stmt)
+
+        def outside_quotes(pos: int) -> bool:
+            return not any(a <= pos < b for a, b in spans)
+
+        single_pred = self._single_table_predicate(stmt, entries)
+        out = stmt
+        # longest names first so `orders_big` is never matched as `orders`
+        for name in sorted(entries, key=len, reverse=True):
+            qt = None
+            rx = re.compile(
+                rf"(?i)(?<![\w.`'\"]){re.escape(name)}(?![\w.`])"
+                rf"(?P<tt>\s+(?:VERSION|TIMESTAMP)\s+AS\s+OF\s+"
+                rf"(?P<ttval>'(?:[^']|'')*'|[\w.:\-]+))?"
+                rf"(?P<ts>\s+TABLESAMPLE\s*\(\s*(?P<pct>[\d.]+)\s+"
+                rf"PERCENT\s*\))?")
+            pieces = []
+            last = 0
+            counter = 0
+            for mm in rx.finditer(out):
+                if not outside_quotes(mm.start()):
+                    continue
+                if qt is None:
+                    qt = QbeastTable(self.spark, entries[name]["location"])
+                counter += 1
+                if mm.group("tt"):
+                    raw = mm.group("ttval")
+                    view = f"__qb_{name}_tt{counter}"
+                    if re.search(r"(?i)VERSION", mm.group("tt")):
+                        qt.to_df(version=int(raw)) \
+                            .createOrReplaceTempView(view)
+                    else:
+                        qt.to_df(timestamp=_unquote_lit(raw)) \
+                            .createOrReplaceTempView(view)
+                    pieces.append(out[last:mm.start()])
+                    pieces.append(view)
+                    last = mm.end()
+                elif mm.group("ts"):
+                    view = f"__qb_{name}_s{counter}"
+                    qt.sample(float(mm.group("pct")) / 100.0) \
+                        .createOrReplaceTempView(view)
+                    pieces.append(out[last:mm.start()])
+                    pieces.append(view)
+                    last = mm.end()
+                # plain occurrence: text unchanged, view registered below
+            if qt is not None:
+                pieces.append(out[last:])
+                out = "".join(pieces)
+                # plain occurrences need the current table registered
+                # under its own name (pruned when the statement is a
+                # single-table WHERE we could lift)
+                pred = single_pred.get(name)
+                if pred is not None:
+                    try:
+                        qt.read(pred).createOrReplaceTempView(name)
+                        continue
+                    except Exception:
+                        pass  # un-liftable predicate: full view below
+                qt.to_df().createOrReplaceTempView(name)
+                spans = _quote_spans(out)
+        return out
+
+    def _single_table_predicate(self, stmt: str,
+                                entries) -> Dict[str, str]:
+        """If the whole statement is one SELECT over exactly one qbeast
+        table with a top-level WHERE, return {name: predicate_text} so
+        the registered view can be the FILE-PRUNED read. The WHERE stays
+        in the statement — the view only shrinks the file list, Spark
+        re-applies the residual."""
+        m = re.match(
+            rf"(?i)^SELECT\b.*?\bFROM\s+(?P<name>{_NAME})"
+            rf"(?:\s+(?:AS\s+)?{_IDENT})?\s+WHERE\s+(?P<pred>.*)$",
+            stmt, re.DOTALL)
+        if not m:
+            return {}
+        try:
+            name = _normalize_name(m.group("name"))
+        except ValueError:
+            return {}
+        if name not in entries:
+            return {}
+        pred = m.group("pred")
+        stop = _find_top_level(
+            pred, r"\b(GROUP|ORDER|HAVING|LIMIT|UNION|EXCEPT|INTERSECT"
+                  r"|WINDOW|SORT|CLUSTER|DISTRIBUTE)\b")
+        if stop:
+            pred = pred[:stop.start()]
+        pred = pred.strip()
+        # a second FROM / a subquery / another catalog name inside the
+        # predicate means it is not a single-table shape we can lift
+        if _find_top_level(pred, r"\bSELECT\b") or not pred:
+            return {}
+        others = [n for n in entries if n != name]
+        for other in others:
+            if re.search(rf"(?i)(?<![\w.`]){re.escape(other)}(?![\w.`])",
+                         pred):
+                return {}
+        # strip `name.` / alias qualifiers? keep simple: only lift
+        # unqualified predicates (qualified ones fall back to full view)
+        if re.search(rf"(?i)(?<![\w.`]){re.escape(name)}\.", pred):
+            return {}
+        return {name: pred}
+
+    # -- helpers ---------------------------------------------------------------------
+
+    def _status_df(self, operation: str, table: str, version, rows):
+        return self.spark.createDataFrame(
+            [(operation, table,
+              None if version is None else int(version),
+              None if rows is None else int(rows))],
+            "operation STRING, tableName STRING, version BIGINT, "
+            "affected_rows BIGINT")
+
+
+def _schemas_equal(a, b) -> bool:
+    if a is None or b is None:
+        return a is b
+    na = [(f.name.lower(), f.dataType.simpleString()) for f in a.fields]
+    nb = [(f.name.lower(), f.dataType.simpleString()) for f in b.fields]
+    return na == nb
+
+
+def _align_insert(df, table_schema, col_list: Optional[List[str]]):
+    """Spark INSERT semantics: positional without a column list (arity
+    must match), by-listed-name with one (missing columns become NULL);
+    values cast to the table's declared types."""
+    from pyspark.sql import functions as F
+
+    if table_schema is None:
+        return df
+    fields = list(table_schema.fields)
+    if col_list is None:
+        if len(df.columns) != len(fields):
+            raise ValueError(
+                f"INSERT has {len(df.columns)} columns but the table "
+                f"expects {len(fields)}")
+        pairs = list(zip(df.columns, fields))
+        return df.select(*[F.col(c).cast(f.dataType).alias(f.name)
+                           for c, f in pairs])
+    lower = {c.lower(): c for c in col_list}
+    if len(lower) != len(col_list):
+        raise ValueError("duplicate column in INSERT column list")
+    if len(df.columns) != len(col_list):
+        raise ValueError(
+            f"INSERT column list has {len(col_list)} names but the "
+            f"query produced {len(df.columns)} columns")
+    unknown = set(lower) - {f.name.lower() for f in fields}
+    if unknown:
+        raise ValueError(f"unknown INSERT column(s) {sorted(unknown)}")
+    src_for = {lc: df.columns[i]
+               for i, lc in enumerate(c.lower() for c in col_list)}
+    cols = []
+    for f in fields:
+        src = src_for.get(f.name.lower())
+        if src is None:
+            cols.append(F.lit(None).cast(f.dataType).alias(f.name))
+        else:
+            cols.append(F.col(src).cast(f.dataType).alias(f.name))
+    return df.select(*cols)
+
+
+def _parse_column_stats(raw: Optional[str]):
+    """Accept the reference's flat columnStats JSON
+    (``{"a_min":0,"a_max":10}``, docs/Quickstart.md option table) as
+    well as the writer's nested ``{"a": {"min":0,"max":10}}`` form."""
+    if not raw:
+        return None
+    stats = json.loads(raw)
+    if not isinstance(stats, dict):
+        raise ValueError("columnStats must be a JSON object")
+    if all(isinstance(v, dict) for v in stats.values()):
+        return stats
+    nested: Dict[str, Dict[str, Any]] = {}
+    for k, v in stats.items():
+        m = re.match(r"^(.*)_(min|max)$", k)
+        if not m:
+            raise ValueError(f"columnStats key {k!r} is neither "
+                             "nested nor <col>_min/<col>_max")
+        nested.setdefault(m.group(1), {})[m.group(2)] = v
+    return nested
+
+
+def _merge_on_keys(on_text: str, talias: str, salias: str) -> List[str]:
+    """Extract equi-join key names from a MERGE ON condition. Only
+    conjunctions of ``t.k = s.k`` (same column name both sides, any
+    qualifier order) translate to dml.merge_rows' key list."""
+    keys = []
+    for term in re.split(r"(?i)\bAND\b", on_text):
+        em = re.match(
+            rf"^\s*(?:(?P<q1>{_IDENT})\.)?(?P<c1>{_IDENT})\s*=\s*"
+            rf"(?:(?P<q2>{_IDENT})\.)?(?P<c2>{_IDENT})\s*$", term)
+        if not em:
+            raise ValueError(
+                f"MERGE ON term {term.strip()!r} is not an equi-join "
+                "on a shared column name; use qbeast_spark_spark."
+                "merge_rows() for general conditions")
+        c1 = _unquote_ident(em.group("c1")).lower()
+        c2 = _unquote_ident(em.group("c2")).lower()
+        if c1 != c2:
+            raise ValueError(
+                f"MERGE ON {term.strip()!r}: the SQL surface needs the "
+                "same column name on both sides (rename in the USING "
+                "subquery, or call merge_rows() directly)")
+        keys.append(c1)
+    return keys
+
+
+def _merge_when_clauses(whens_text: str, talias: str, salias: str):
+    """Translate the WHEN clause list into merge_rows arguments.
+    Source-qualified columns (``s.col``) become the ``__src_<col>``
+    names merge_rows' update expressions expect; target qualifiers are
+    stripped. WHEN ... AND <extra> conditions are not supported (the
+    two-pass rewrite has no per-clause gate) — raise with guidance."""
+    upd = None
+    dele = False
+    ins = None
+    rx = re.compile(
+        r"(?i)\bWHEN\s+(?P<not>NOT\s+)?MATCHED\s*(?P<cond>AND\b.*?)?"
+        r"\s*THEN\s+(?P<action>.*?)(?=\bWHEN\b|$)", re.DOTALL)
+    matched_any = False
+    for m in rx.finditer(whens_text):
+        matched_any = True
+        if m.group("cond"):
+            raise ValueError(
+                "WHEN ... AND <condition> clauses are not supported by "
+                "the SQL surface; filter the USING source instead or "
+                "call merge_rows() directly")
+        action = m.group("action").strip().rstrip(";").strip()
+        if m.group("not"):
+            im = re.match(r"(?i)^INSERT\s*(?:\*|\((?P<cols>[^)]*)\)\s*"
+                          r"VALUES\s*\((?P<vals>.*)\))\s*$",
+                          action, re.DOTALL)
+            if not im:
+                raise ValueError(f"cannot parse MERGE insert action "
+                                 f"{action!r}")
+            if im.group("cols") is None:
+                ins = "all"
+            else:
+                cols = [_unquote_ident(c).lower()
+                        for c in _split_top_level_commas(im.group("cols"))]
+                vals = _split_top_level_commas(im.group("vals"))
+                if len(cols) != len(vals):
+                    raise ValueError("MERGE INSERT column/value arity "
+                                     "mismatch")
+                ins = {c: _strip_alias_prefixes(v, [salias], "")
+                       for c, v in zip(cols, vals)}
+        else:
+            if re.match(r"(?i)^DELETE\s*$", action):
+                dele = True
+            else:
+                um = re.match(r"(?i)^UPDATE\s+SET\s+(?P<body>.*)$",
+                              action, re.DOTALL)
+                if not um:
+                    raise ValueError(f"cannot parse MERGE matched action "
+                                     f"{action!r}")
+                body = um.group("body").strip()
+                if body == "*":
+                    upd = "all"
+                else:
+                    upd = {}
+                    for item in _split_top_level_commas(body):
+                        am = re.match(
+                            rf"^\s*(?:{_IDENT}\.)?(?P<col>{_IDENT})\s*=\s*"
+                            rf"(?P<expr>.+)$", item, re.DOTALL)
+                        if not am:
+                            raise ValueError(
+                                f"cannot parse MERGE SET {item!r}")
+                        expr = am.group("expr").strip()
+                        expr = _strip_alias_prefixes(expr, [salias],
+                                                     "__src_")
+                        expr = _strip_alias_prefixes(expr, [talias], "")
+                        upd[_unquote_ident(am.group("col"))] = expr
+    if not matched_any:
+        raise ValueError("MERGE needs at least one WHEN clause")
+    return upd, dele, ins
+
+
+def qsql(spark, statement: str, warehouse_dir: Optional[str] = None):
+    """Module-level convenience: ``QbeastSqlCatalog(spark,
+    warehouse_dir).sql(statement)``. The catalog object is stateless
+    besides its paths, so constructing one per call is free."""
+    return QbeastSqlCatalog(spark, warehouse_dir).sql(statement)

@@ -1,0 +1,382 @@
+"""SQL statement surface (sources/catalog.py) — the Python-level C1.
+
+Reference behaviors mirrored: catalog/QbeastCatalog.scala:48-355
+(createTable / stageCreate / alterTable / dropTable),
+catalog/QbeastCatalogUtils.scala:124-315 (verifySchema / updateLog /
+partitioning refusal), docs/Quickstart.md:200-290 (CREATE USING qbeast,
+OPTIONS, LOCATION, INSERT INTO VALUES).
+"""
+import os
+
+import pytest
+
+from qbeast_spark_spark.sources.catalog import (QbeastSqlCatalog,
+                                                _parse_column_stats,
+                                                _parse_kv_list)
+from tests.conftest import TESTDATA, load
+
+
+@pytest.fixture()
+def cat(spark, tmp_path):
+    """A catalog over a fresh warehouse directory."""
+    return QbeastSqlCatalog(spark, str(tmp_path / "wh"))
+
+
+def _rows(df):
+    return sorted([tuple(r) for r in df.collect()])
+
+
+# -- CREATE ------------------------------------------------------------------
+
+
+def test_create_schema_insert_select(spark, cat):
+    cat.sql("CREATE TABLE t (id INT, age STRING) USING qbeast "
+            "OPTIONS ('columnsToIndex'='id', cubeSize=100)")
+    assert cat.sql("SELECT * FROM t").count() == 0
+    assert [f.name for f in cat.sql("SELECT * FROM t").schema.fields] \
+        == ["id", "age"]
+    cat.sql("INSERT INTO t VALUES (1, 'a'), (2, 'b'), (3, 'c')")
+    assert _rows(cat.sql("SELECT id, age FROM t")) \
+        == [(1, "a"), (2, "b"), (3, "c")]
+
+
+def test_create_if_not_exists_and_duplicate(spark, cat):
+    cat.sql("CREATE TABLE t (id INT) USING qbeast")
+    cat.sql("CREATE TABLE IF NOT EXISTS t (id INT) USING qbeast")  # no-op
+    with pytest.raises(ValueError, match="already exists"):
+        cat.sql("CREATE TABLE t (id INT) USING qbeast")
+
+
+def test_create_partitioned_refused(spark, cat):
+    # QbeastCatalogUtils.scala:269-274
+    with pytest.raises(ValueError, match="does not support partitioning"):
+        cat.sql("CREATE TABLE p (x INT) USING qbeast PARTITIONED BY (x)")
+
+
+def test_create_managed_without_schema_refused(spark, cat):
+    with pytest.raises(ValueError, match="without any schema"):
+        cat.sql("CREATE TABLE nos USING qbeast")
+
+
+def test_ctas_and_or_replace(spark, cat):
+    li = load(spark, "lineitem").limit(200)
+    li.createOrReplaceTempView("ctas_src")
+    cat.sql("CREATE TABLE c USING qbeast "
+            "OPTIONS ('columnsToIndex'='l_orderkey') "
+            "AS SELECT * FROM ctas_src")
+    assert cat.sql("SELECT COUNT(*) AS n FROM c").collect()[0].n == 200
+    cat.sql("CREATE OR REPLACE TABLE c USING qbeast "
+            "OPTIONS ('columnsToIndex'='l_orderkey') "
+            "AS SELECT * FROM ctas_src LIMIT 50")
+    assert cat.sql("SELECT COUNT(*) AS n FROM c").collect()[0].n == 50
+
+
+def test_external_location_adoption_and_schema_check(spark, cat, tmp_path):
+    # verifySchema parity (QbeastCatalogUtils.scala:124-154)
+    from qbeast_spark_spark import write_qbeast
+
+    ext = str(tmp_path / "ext")
+    write_qbeast(load(spark, "lineitem").limit(10), ext,
+                 columns_to_index=["l_orderkey"], cube_size=100)
+    cat.sql(f"CREATE TABLE ext_t USING qbeast LOCATION '{ext}'")
+    assert cat.sql("SELECT COUNT(*) AS n FROM ext_t").collect()[0].n == 10
+    with pytest.raises(ValueError, match="different schema"):
+        cat.sql(f"CREATE TABLE ext2 (wrong INT) USING qbeast "
+                f"LOCATION '{ext}'")
+    # DROP of an external table keeps the files
+    cat.sql("DROP TABLE ext_t")
+    assert "ext_t" not in cat.tables()
+    assert os.path.exists(ext)
+
+
+def test_external_without_schema_or_data_refused(spark, cat, tmp_path):
+    with pytest.raises(ValueError, match="External Table without"):
+        cat.sql(f"CREATE TABLE e USING qbeast "
+                f"LOCATION '{tmp_path / 'nowhere'}'")
+
+
+def test_non_qbeast_create_delegates(spark, cat, tmp_path):
+    cat.sql("CREATE TABLE qt (id INT) USING qbeast")
+    cat.sql("INSERT INTO qt VALUES (7)")
+    # a parquet CTAS *from* a qbeast table goes through spark.sql with
+    # the qbeast view registered
+    out = str(tmp_path / "pq")
+    cat.sql(f"CREATE TABLE pq_t USING parquet LOCATION '{out}' "
+            f"AS SELECT * FROM qt")
+    assert spark.read.parquet(out).collect()[0].id == 7
+    spark.sql("DROP TABLE IF EXISTS pq_t")
+
+
+# -- INSERT ------------------------------------------------------------------
+
+
+def test_insert_column_list_null_fill(spark, cat):
+    cat.sql("CREATE TABLE t (id INT, age STRING) USING qbeast "
+            "OPTIONS ('columnsToIndex'='id')")
+    cat.sql("INSERT INTO t (age) VALUES ('only-age')")
+    row = cat.sql("SELECT id, age FROM t").collect()[0]
+    assert row.id is None and row.age == "only-age"
+    with pytest.raises(ValueError, match="unknown INSERT column"):
+        cat.sql("INSERT INTO t (nope) VALUES (1)")
+    with pytest.raises(ValueError, match="expects 2"):
+        cat.sql("INSERT INTO t VALUES (1)")
+
+
+def test_insert_overwrite_and_select_source(spark, cat):
+    cat.sql("CREATE TABLE t (id BIGINT, v BIGINT) USING qbeast "
+            "OPTIONS ('columnsToIndex'='id')")
+    spark.range(20).selectExpr("id", "id * 2 AS v") \
+        .createOrReplaceTempView("io_src")
+    cat.sql("INSERT INTO t SELECT * FROM io_src")
+    cat.sql("INSERT OVERWRITE t SELECT * FROM io_src LIMIT 5")
+    assert cat.sql("SELECT COUNT(*) AS n FROM t").collect()[0].n == 5
+
+
+def test_insert_casts_to_table_types(spark, cat):
+    cat.sql("CREATE TABLE t (id INT, price DOUBLE) USING qbeast "
+            "OPTIONS ('columnsToIndex'='id')")
+    cat.sql("INSERT INTO t VALUES (1, 10)")  # int literal -> double col
+    assert cat.sql("SELECT price FROM t").collect()[0].price == 10.0
+
+
+# -- DML ---------------------------------------------------------------------
+
+
+def test_delete_update_merge_sql(spark, cat):
+    cat.sql("CREATE TABLE t (id INT, age STRING) USING qbeast "
+            "OPTIONS ('columnsToIndex'='id', cubeSize=100)")
+    cat.sql("INSERT INTO t VALUES (1,'a'), (2,'b'), (3,'c'), (4,'d')")
+    out = cat.sql("DELETE FROM t WHERE id = 4").collect()[0]
+    assert out.affected_rows == 1
+    out = cat.sql("UPDATE t SET age = upper(age) WHERE id <= 2") \
+        .collect()[0]
+    assert out.affected_rows == 2
+    spark.createDataFrame([(1, "Z"), (9, "NEW")], "id INT, age STRING") \
+        .createOrReplaceTempView("merge_src")
+    cat.sql("MERGE INTO t tgt USING merge_src s ON tgt.id = s.id "
+            "WHEN MATCHED THEN UPDATE SET age = s.age "
+            "WHEN NOT MATCHED THEN INSERT *")
+    assert _rows(cat.sql("SELECT id, age FROM t")) \
+        == [(1, "Z"), (2, "B"), (3, "c"), (9, "NEW")]
+
+
+def test_merge_unsupported_shapes_raise(spark, cat):
+    cat.sql("CREATE TABLE t (id INT, v INT) USING qbeast "
+            "OPTIONS ('columnsToIndex'='id')")
+    cat.sql("INSERT INTO t VALUES (1, 10)")
+    spark.createDataFrame([(1, 11)], "id INT, v INT") \
+        .createOrReplaceTempView("ms")
+    with pytest.raises(ValueError, match="not an equi-join"):
+        cat.sql("MERGE INTO t USING ms s ON t.id > s.id "
+                "WHEN MATCHED THEN DELETE")
+    with pytest.raises(ValueError, match="AND <condition>"):
+        cat.sql("MERGE INTO t USING ms s ON t.id = s.id "
+                "WHEN MATCHED AND s.v > 100 THEN DELETE")
+
+
+def test_truncating_delete(spark, cat):
+    cat.sql("CREATE TABLE t (id INT) USING qbeast "
+            "OPTIONS ('columnsToIndex'='id')")
+    cat.sql("INSERT INTO t VALUES (1), (2)")
+    cat.sql("DELETE FROM t")
+    assert cat.sql("SELECT COUNT(*) AS n FROM t").collect()[0].n == 0
+
+
+# -- ALTER / properties --------------------------------------------------------
+
+
+def test_alter_set_unset_tblproperties(spark, cat):
+    cat.sql("CREATE TABLE t (id INT) USING qbeast "
+            "OPTIONS ('columnsToIndex'='id')")
+    cat.sql("ALTER TABLE t SET TBLPROPERTIES ('k1'='v1', 'k2'='v2')")
+    props = dict(_rows(cat.sql("SHOW TBLPROPERTIES t")))
+    assert props["k1"] == "v1" and props["k2"] == "v2"
+    cat.sql("ALTER TABLE t UNSET TBLPROPERTIES ('k2', 'never-set')")
+    props = dict(_rows(cat.sql("SHOW TBLPROPERTIES t")))
+    assert "k2" not in props and props["k1"] == "v1"
+
+
+def test_alter_rename(spark, cat):
+    cat.sql("CREATE TABLE old_name (id INT) USING qbeast "
+            "OPTIONS ('columnsToIndex'='id')")
+    cat.sql("INSERT INTO old_name VALUES (5)")
+    cat.sql("ALTER TABLE old_name RENAME TO new_name")
+    assert "old_name" not in cat.tables()
+    assert cat.sql("SELECT id FROM new_name").collect()[0].id == 5
+
+
+# -- query delegation ------------------------------------------------------------
+
+
+def test_join_qbeast_with_parquet_view(spark, cat):
+    orders = load(spark, "orders")
+    orders.createOrReplaceTempView("plain_orders")
+    li = load(spark, "lineitem").limit(500)
+    li.createOrReplaceTempView("li_src")
+    cat.sql("CREATE TABLE qli USING qbeast "
+            "OPTIONS ('columnsToIndex'='l_orderkey') "
+            "AS SELECT * FROM li_src")
+    got = cat.sql(
+        "SELECT COUNT(*) AS n FROM qli JOIN plain_orders "
+        "ON qli.l_orderkey = plain_orders.o_orderkey").collect()[0].n
+    exp = li.join(orders, li.l_orderkey == orders.o_orderkey).count()
+    assert got == exp
+
+
+def test_where_lift_prunes_files(spark, cat):
+    li = load(spark, "lineitem")
+    li.createOrReplaceTempView("li_src")
+    cat.sql("CREATE TABLE qli USING qbeast OPTIONS "
+            "('columnsToIndex'='l_orderkey,l_extendedprice', cubeSize=500) "
+            "AS SELECT * FROM li_src")
+    full_files = len(cat.sql("SELECT * FROM qli").inputFiles())
+    pruned = cat.sql(
+        "SELECT * FROM qli WHERE l_orderkey >= 100 AND l_orderkey < 300")
+    assert len(pruned.inputFiles()) < full_files
+    assert pruned.count() == li.filter(
+        "l_orderkey >= 100 AND l_orderkey < 300").count()
+
+
+def test_where_lift_same_rows_on_aggregate(spark, cat):
+    li = load(spark, "lineitem")
+    li.createOrReplaceTempView("li_src")
+    cat.sql("CREATE TABLE qli USING qbeast OPTIONS "
+            "('columnsToIndex'='l_orderkey', cubeSize=500) "
+            "AS SELECT * FROM li_src")
+    got = _rows(cat.sql(
+        "SELECT l_returnflag, COUNT(*) AS n FROM qli "
+        "WHERE l_orderkey < 700 GROUP BY l_returnflag"))
+    exp = _rows(li.filter("l_orderkey < 700")
+                .groupBy("l_returnflag").count())
+    assert got == exp
+
+
+def test_tablesample_percent_is_pruned_sample(spark, cat):
+    li = load(spark, "lineitem")
+    li.createOrReplaceTempView("li_src")
+    cat.sql("CREATE TABLE qli USING qbeast OPTIONS "
+            "('columnsToIndex'='l_orderkey', cubeSize=500) "
+            "AS SELECT * FROM li_src")
+    full = cat.sql("SELECT COUNT(*) AS n FROM qli").collect()[0].n
+    samp_df = cat.sql("SELECT * FROM qli TABLESAMPLE (10 PERCENT)")
+    n = samp_df.count()
+    assert 0 < n < full
+    # deterministic: the rewrite reads the index's sample slice
+    from qbeast_spark_spark import QbeastTable
+
+    qt = QbeastTable(spark, cat.tables()["qli"]["location"])
+    assert n == qt.sample(0.10).count()
+
+
+def test_version_and_timestamp_as_of(spark, cat):
+    cat.sql("CREATE TABLE t (id INT) USING qbeast "
+            "OPTIONS ('columnsToIndex'='id')")
+    cat.sql("INSERT INTO t VALUES (1)")
+    cat.sql("INSERT INTO t VALUES (2)")
+    assert cat.sql("SELECT COUNT(*) AS n FROM t VERSION AS OF 1") \
+        .collect()[0].n == 1
+    assert cat.sql("SELECT COUNT(*) AS n FROM t").collect()[0].n == 2
+    # both spellings in ONE statement resolve independently
+    got = cat.sql(
+        "SELECT (SELECT COUNT(*) FROM t VERSION AS OF 1) AS a, "
+        "(SELECT COUNT(*) FROM t VERSION AS OF 2) AS b").collect()[0]
+    assert (got.a, got.b) == (1, 2)
+
+
+def test_name_not_rewritten_inside_strings(spark, cat):
+    cat.sql("CREATE TABLE t (id INT) USING qbeast "
+            "OPTIONS ('columnsToIndex'='id')")
+    cat.sql("INSERT INTO t VALUES (1)")
+    row = cat.sql("SELECT 't VERSION AS OF 0' AS lit, id FROM t") \
+        .collect()[0]
+    assert row.lit == "t VERSION AS OF 0" and row.id == 1
+
+
+# -- maintenance verbs -----------------------------------------------------------
+
+
+def test_optimize_vacuum_restore_sql(spark, cat):
+    cat.sql("CREATE TABLE t (id INT) USING qbeast "
+            "OPTIONS ('columnsToIndex'='id', cubeSize=50)")
+    for batch in range(3):
+        spark.range(batch * 100, batch * 100 + 100) \
+            .selectExpr("CAST(id AS INT) AS id") \
+            .createOrReplaceTempView("ov_src")
+        cat.sql("INSERT INTO t SELECT * FROM ov_src")
+    assert cat.sql("SELECT COUNT(*) AS n FROM t").collect()[0].n == 300
+    cat.sql("OPTIMIZE t")
+    assert cat.sql("SELECT COUNT(*) AS n FROM t").collect()[0].n == 300
+    deletable = cat.sql("VACUUM t RETAIN 0 HOURS DRY RUN") \
+        .collect()[0].affected_rows
+    assert deletable > 0  # optimize left unreferenced files behind
+    cat.sql("VACUUM t RETAIN 0 HOURS")
+    assert cat.sql("SELECT COUNT(*) AS n FROM t").collect()[0].n == 300
+    cat.sql("INSERT INTO t VALUES (9999)")
+    ver = [h.version for h in cat.sql("DESCRIBE HISTORY t").collect()]
+    cat.sql(f"RESTORE TABLE t TO VERSION AS OF {ver[-2]}")
+    assert cat.sql("SELECT COUNT(*) AS n FROM t").collect()[0].n == 300
+
+
+def test_describe_and_show(spark, cat):
+    cat.sql("CREATE TABLE t (id INT, age STRING) USING qbeast "
+            "OPTIONS ('columnsToIndex'='id')")
+    cols = [(r.col_name, r.data_type)
+            for r in cat.sql("DESCRIBE t").collect()]
+    assert cols == [("id", "int"), ("age", "string")]
+    ext = {r.col_name: r.data_type
+           for r in cat.sql("DESCRIBE EXTENDED t").collect()}
+    assert ext["Provider"] == "qbeast" and ext["Type"] == "MANAGED"
+    assert cat.sql("DESCRIBE DETAIL t").count() > 5
+    names = [r.tableName for r in cat.sql("SHOW TABLES").collect()]
+    assert names == ["t"]
+
+
+# -- metastore mechanics -----------------------------------------------------------
+
+
+def test_catalog_is_per_warehouse_and_persistent(spark, tmp_path):
+    c1 = QbeastSqlCatalog(spark, str(tmp_path / "w1"))
+    c2 = QbeastSqlCatalog(spark, str(tmp_path / "w2"))
+    c1.sql("CREATE TABLE t (id INT) USING qbeast "
+           "OPTIONS ('columnsToIndex'='id')")
+    assert "t" not in c2.tables()
+    # a fresh catalog object over the same warehouse sees the table
+    c1b = QbeastSqlCatalog(spark, str(tmp_path / "w1"))
+    assert "t" in c1b.tables()
+    c1b.sql("DROP TABLE t")
+    assert "t" not in QbeastSqlCatalog(spark, str(tmp_path / "w1")).tables()
+
+
+def test_drop_if_exists_managed_removes_dir(spark, cat):
+    cat.sql("CREATE TABLE t (id INT) USING qbeast "
+            "OPTIONS ('columnsToIndex'='id')")
+    loc = cat.tables()["t"]["location"]
+    cat.sql("DROP TABLE IF EXISTS t")
+    assert not os.path.exists(loc)
+    cat.sql("DROP TABLE IF EXISTS t")  # second drop: no-op, no raise
+
+
+# -- parsing units ------------------------------------------------------------------
+
+
+def test_parse_kv_list_quoting():
+    assert _parse_kv_list("'a'='1', \"b\" = 'x''y', c=3, `d` 'v'") \
+        == {"a": "1", "b": "x'y", "c": "3", "d": "v"}
+
+
+def test_parse_column_stats_both_shapes():
+    flat = _parse_column_stats('{"a_min": 0, "a_max": 10}')
+    nested = _parse_column_stats('{"a": {"min": 0, "max": 10}}')
+    assert flat == nested == {"a": {"min": 0, "max": 10}}
+    assert _parse_column_stats(None) is None
+    with pytest.raises(ValueError, match="neither nested"):
+        _parse_column_stats('{"weird": 3}')
+
+
+def test_comments_stripped(spark, cat):
+    cat.sql("""-- leading comment
+        CREATE TABLE t (id INT) USING qbeast /* inline */
+        OPTIONS ('columnsToIndex'='id')  -- trailing
+    """)
+    cat.sql("INSERT INTO t VALUES (1)")
+    assert cat.sql("SELECT COUNT(*) AS n FROM t").collect()[0].n == 1
