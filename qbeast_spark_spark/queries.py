@@ -325,30 +325,33 @@ WHERE l_orderkey >= 1000 AND l_orderkey < 3000 AND l_extendedprice >= 20000.0
 
 
 def qb_sql_view(spark, sf_dir):
-    """C1-lite SQL bridge: the qbeast table registered as a temp view and
-    queried through plain ``spark.sql`` (the catalog-less analogue of
-    `CREATE TABLE ... USING qbeast` + SELECT; QbeastCatalog.scala:48-355).
-    A second, file-pruned view proves pruning survives the SQL surface:
-    its plan reads only the pruned file list."""
-    from .sources.reader import QbeastTable
+    """C1 SQL surface (sources/catalog.py): the indexed table adopted via
+    ``CREATE TABLE ... USING qbeast LOCATION`` and queried through plain
+    SQL statements (QbeastCatalog.scala:48-355 at the Python level). The
+    slice statement is a single-table WHERE, so the dispatcher registers
+    the FILE-PRUNED read — pruning survives the SQL surface (the r6-era
+    ``create_view(filters=...)`` lane, now reached by statement text
+    alone)."""
+    from .sources.catalog import QbeastSqlCatalog
 
     path = _indexed_lineitem(spark, sf_dir)
-    qt = QbeastTable.for_path(spark, path)
-    qt.create_view("qss_lineitem_v")
-    qt.create_view("qss_lineitem_slice_v",
-                   filters=[("l_orderkey", ">=", 5000),
-                            ("l_orderkey", "<", 7000)])
-    return spark.sql("""
+    cat = QbeastSqlCatalog(spark, _cache_path(sf_dir, "sqlwh"))
+    cat.sql(f"CREATE TABLE IF NOT EXISTS qss_li USING qbeast "
+            f"LOCATION '{path}'")
+    full = cat.sql("""
         SELECT 'full' AS src, l_returnflag,
                COUNT(*) AS n,
                SUM(CAST(ROUND(l_extendedprice*100, 0) AS BIGINT)) AS price_cents
-        FROM qss_lineitem_v GROUP BY l_returnflag
-        UNION ALL
+        FROM qss_li GROUP BY l_returnflag
+    """)
+    sliced = cat.sql("""
         SELECT 'slice' AS src, l_returnflag,
                COUNT(*) AS n,
                SUM(CAST(ROUND(l_extendedprice*100, 0) AS BIGINT)) AS price_cents
-        FROM qss_lineitem_slice_v GROUP BY l_returnflag
+        FROM qss_li WHERE l_orderkey >= 5000 AND l_orderkey < 7000
+        GROUP BY l_returnflag
     """)
+    return full.unionByName(sliced)
 
 
 QB_SQL_VIEW_SQL = """
