@@ -234,13 +234,23 @@ def _strip_alias_prefixes(expr: str, aliases: List[str],
                           replacement: str = "") -> str:
     """Rewrite ``alias.col`` -> ``<replacement>col`` for the given
     aliases (used to translate MERGE clause expressions into the
-    dml.merge_rows dialect)."""
-    for a in aliases:
-        if not a:
-            continue
-        expr = re.sub(rf"(?i)(?<![\w.`]){re.escape(a)}\.",
-                      replacement, expr)
-    return expr
+    dml.merge_rows dialect). Quote-aware: text inside string literals
+    and backticks is never rewritten."""
+    aliases = [a for a in aliases if a]
+    if not aliases:
+        return expr
+    spans = _quote_spans(expr)
+    out = []
+    last = 0
+    for a, b in spans + [(len(expr), len(expr))]:
+        seg = expr[last:a]
+        for alias in aliases:
+            seg = re.sub(rf"(?i)(?<![\w.`'\"]){re.escape(alias)}\.",
+                         replacement, seg)
+        out.append(seg)
+        out.append(expr[a:b])
+        last = b
+    return "".join(out)
 
 
 class QbeastSqlCatalog:
@@ -360,7 +370,15 @@ class QbeastSqlCatalog:
             schema_ddl = rest[1:end - 1]
             rest = rest[end:].lstrip()
 
-        clauses, as_query = self._parse_table_clauses(rest)
+        try:
+            clauses, as_query = self._parse_table_clauses(rest)
+        except ValueError:
+            # a clause this parser does not know (STORED AS, ROW
+            # FORMAT, ...): only statements claiming USING qbeast are
+            # ours to reject — everything else belongs to spark.sql
+            if re.search(r"(?i)\bUSING\s+qbeast\b", rest):
+                raise
+            return self._delegate(stmt)
         provider = (clauses.get("using") or "").lower()
         if provider != "qbeast":
             # not ours — let Spark handle it (views of referenced qbeast
@@ -425,26 +443,56 @@ class QbeastSqlCatalog:
                 "Please specify the schema in the command, add AS "
                 "SELECT, or use a path of a populated table.")
 
-        def register(entries):
-            if replace:
-                old = entries.get(name)
-                if old is not None and old.get("managed") \
-                        and old["location"] != location \
-                        and os.path.exists(old["location"]):
-                    shutil.rmtree(old["location"])
-            entries[name] = {
-                "location": location,
-                "managed": managed,
-                "options": options,
-                "comment": clauses.get("comment"),
-            }
+        # Reserve the name UNDER the metastore flock before any write:
+        # the unlocked `existing` probe above gives a fast error, but
+        # two racing CREATEs would both pass it — the re-check inside
+        # the critical section is the authoritative one (two managed
+        # creators derive the SAME location, so letting both proceed
+        # would interleave their appends into one table).
+        new_entry = {
+            "location": location,
+            "managed": managed,
+            "options": options,
+            "comment": clauses.get("comment"),
+        }
 
-        if df is not None:
-            self._write_table(location, df, options,
-                              mode="overwrite" if replace else "append")
-        if properties:
-            QbeastTable(self.spark, location).set_properties(properties)
-        self._mutate(register)
+        def reserve(entries):
+            cur = entries.get(name)
+            if cur is not None and not replace:
+                if if_not_exists:
+                    return ("exists", cur)
+                raise ValueError(f"table {name!r} already exists "
+                                 "(use IF NOT EXISTS or OR REPLACE)")
+            entries[name] = new_entry
+            return ("ok", cur)
+
+        status, old = self._mutate(reserve)
+        if status == "exists":
+            return None
+        try:
+            if df is not None:
+                self._write_table(location, df, options,
+                                  mode="overwrite" if replace else "append")
+            if properties:
+                QbeastTable(self.spark, location).set_properties(properties)
+        except BaseException:
+            def rollback(entries):
+                # restore only if nobody re-created the name meanwhile
+                if entries.get(name) is new_entry or \
+                        entries.get(name) == new_entry:
+                    if old is not None:
+                        entries[name] = old
+                    else:
+                        entries.pop(name, None)
+
+            self._mutate(rollback)
+            raise
+        # old managed data dir is removed only after the new table is
+        # fully written, so a failed REPLACE never loses the old table
+        if replace and old is not None and old.get("managed") \
+                and old["location"] != location \
+                and os.path.exists(old["location"]):
+            shutil.rmtree(old["location"])
         return None
 
     def _parse_table_clauses(self, rest: str):
@@ -457,7 +505,7 @@ class QbeastSqlCatalog:
             m = re.match(r"(?i)^AS\b\s*", s)
             if m:
                 return clauses, s[m.end():].strip()
-            m = re.match(rf"(?i)^USING\s+({_IDENT})\s*", s)
+            m = re.match(rf"(?i)^USING\s+({_IDENT}(?:\.{_IDENT})*)\s*", s)
             if m:
                 clauses["using"] = _unquote_ident(m.group(1))
                 s = s[m.end():]
@@ -495,21 +543,14 @@ class QbeastSqlCatalog:
         """Route a DataFrame through the indexed write with the table's
         CREATE-time options (columnsToIndex / cubeSize / columnStats —
         docs/Quickstart.md's option table)."""
-        from .log import CommitLog
-        from .reader import QbeastTable
         from .writer import write_qbeast
         from ..core.revision import DEFAULT_CUBE_SIZE
 
+        # columns_to_index=None lets write_qbeast resolve: an existing
+        # table's indexed columns win on append, else auto-selection
         cols = options.get("columnsToIndex") or options.get(
             "columnstoindex")
         cols = [c.strip() for c in cols.split(",")] if cols else None
-        if cols is None and mode == "append" and CommitLog(
-                location).exists():
-            rev = QbeastTable(self.spark, location) \
-                .snapshot(refresh=True).latest_revision()
-            if rev is not None:
-                cols = [f"{s.name}:{s.transformer}" if s.transformer
-                        else s.name for s in rev.column_specs]
         cube_size = int(options.get("cubeSize")
                         or options.get("cubesize")
                         or DEFAULT_CUBE_SIZE)
@@ -534,9 +575,9 @@ class QbeastSqlCatalog:
         except ValueError:
             return self._delegate(stmt)
         if name not in self.tables():
-            if m.group("ie"):
-                return None
-            return self._delegate(stmt)  # maybe a Spark-side table
+            # maybe a Spark-side table — delegate either way (Spark's
+            # own DROP TABLE IF EXISTS no-ops on a missing name)
+            return self._delegate(stmt)
 
         def drop(entries):
             entry = entries.pop(name, None)
@@ -899,6 +940,7 @@ class QbeastSqlCatalog:
         # longest names first so `orders_big` is never matched as `orders`
         for name in sorted(entries, key=len, reverse=True):
             qt = None
+            need_bare_view = False
             rx = re.compile(
                 rf"(?i)(?<![\w.`'\"]){re.escape(name)}(?![\w.`])"
                 rf"(?P<tt>\s+(?:VERSION|TIMESTAMP)\s+AS\s+OF\s+"
@@ -926,41 +968,69 @@ class QbeastSqlCatalog:
                     pieces.append(out[last:mm.start()])
                     pieces.append(view)
                     last = mm.end()
-                elif mm.group("ts"):
+                    continue
+                if mm.group("ts"):
                     view = f"__qb_{name}_s{counter}"
                     qt.sample(float(mm.group("pct")) / 100.0) \
                         .createOrReplaceTempView(view)
                     pieces.append(out[last:mm.start()])
                     pieces.append(view)
                     last = mm.end()
-                # plain occurrence: text unchanged, view registered below
+                    continue
+                lift = single_pred.get(name)
+                if lift is not None:
+                    # single-occurrence guarantee (enforced by
+                    # _single_table_predicate) — this IS the FROM
+                    # reference the lifted WHERE belongs to. Register
+                    # the pruned FILE LIST under a synthesized name
+                    # (never under the bare table name: a lingering
+                    # filtered view would leak the slice into later
+                    # plain reads) and WITHOUT the residual predicate
+                    # (the statement's WHERE still applies it — doing
+                    # it here too would double-evaluate
+                    # nondeterministic filters).
+                    pred, has_alias = lift
+                    view = f"__qb_{name}_w{counter}"
+                    try:
+                        qt.prune_scan(pred).createOrReplaceTempView(view)
+                    except Exception:
+                        need_bare_view = True  # un-liftable: full view
+                        continue
+                    pieces.append(out[last:mm.start()])
+                    # without a user alias, alias the view back to the
+                    # table name so qualified column refs keep working
+                    pieces.append(view if has_alias
+                                  else f"{view} AS {name}")
+                    last = mm.end()
+                    continue
+                need_bare_view = True
             if qt is not None:
                 pieces.append(out[last:])
                 out = "".join(pieces)
-                # plain occurrences need the current table registered
-                # under its own name (pruned when the statement is a
-                # single-table WHERE we could lift)
-                pred = single_pred.get(name)
-                if pred is not None:
-                    try:
-                        qt.read(pred).createOrReplaceTempView(name)
-                        continue
-                    except Exception:
-                        pass  # un-liftable predicate: full view below
-                qt.to_df().createOrReplaceTempView(name)
+                if need_bare_view:
+                    qt.to_df().createOrReplaceTempView(name)
                 spans = _quote_spans(out)
         return out
 
-    def _single_table_predicate(self, stmt: str,
-                                entries) -> Dict[str, str]:
-        """If the whole statement is one SELECT over exactly one qbeast
-        table with a top-level WHERE, return {name: predicate_text} so
-        the registered view can be the FILE-PRUNED read. The WHERE stays
-        in the statement — the view only shrinks the file list, Spark
-        re-applies the residual."""
+    def _single_table_predicate(
+            self, stmt: str, entries) -> Dict[str, Tuple[str, bool]]:
+        """If the statement is one SELECT whose FROM references a
+        qbeast table EXACTLY ONCE in the whole text, with a top-level
+        WHERE, return {name: (predicate_text, has_user_alias)} so the
+        reference can be rewritten to the FILE-PRUNED scan. The WHERE
+        stays in the statement — the view only shrinks the file list,
+        Spark applies the predicate (exactly once).
+
+        The exactly-once rule is the soundness guard: with a second
+        reference (UNION branch, self-join, subquery) the lifted
+        predicate would not belong to every occurrence, and rewriting
+        only one of them is handled by occurrence, which a regex over
+        raw text cannot attribute reliably — so those shapes fall back
+        to the full-table view."""
         m = re.match(
             rf"(?i)^SELECT\b.*?\bFROM\s+(?P<name>{_NAME})"
-            rf"(?:\s+(?:AS\s+)?{_IDENT})?\s+WHERE\s+(?P<pred>.*)$",
+            rf"(?:\s+(?:AS\s+)?(?P<alias>{_IDENT}))?\s+WHERE\s+"
+            rf"(?P<pred>.*)$",
             stmt, re.DOTALL)
         if not m:
             return {}
@@ -970,6 +1040,15 @@ class QbeastSqlCatalog:
             return {}
         if name not in entries:
             return {}
+        # exactly-once: count references outside quotes in the WHOLE
+        # statement (a second one means the pred is not global truth)
+        spans = _quote_spans(stmt)
+        occurrences = [
+            om for om in re.finditer(
+                rf"(?i)(?<![\w.`'\"]){re.escape(name)}(?![\w.`])", stmt)
+            if not any(a <= om.start() < b for a, b in spans)]
+        if len(occurrences) != 1:
+            return {}
         pred = m.group("pred")
         stop = _find_top_level(
             pred, r"\b(GROUP|ORDER|HAVING|LIMIT|UNION|EXCEPT|INTERSECT"
@@ -977,20 +1056,15 @@ class QbeastSqlCatalog:
         if stop:
             pred = pred[:stop.start()]
         pred = pred.strip()
-        # a second FROM / a subquery / another catalog name inside the
-        # predicate means it is not a single-table shape we can lift
+        # a subquery or another catalog table inside the predicate is
+        # not a shape prune_scan's DNF translation understands — skip
         if _find_top_level(pred, r"\bSELECT\b") or not pred:
             return {}
-        others = [n for n in entries if n != name]
-        for other in others:
-            if re.search(rf"(?i)(?<![\w.`]){re.escape(other)}(?![\w.`])",
-                         pred):
+        for other in entries:
+            if other != name and re.search(
+                    rf"(?i)(?<![\w.`]){re.escape(other)}(?![\w.`])", pred):
                 return {}
-        # strip `name.` / alias qualifiers? keep simple: only lift
-        # unqualified predicates (qualified ones fall back to full view)
-        if re.search(rf"(?i)(?<![\w.`]){re.escape(name)}\.", pred):
-            return {}
-        return {name: pred}
+        return {name: (pred, m.group("alias") is not None)}
 
     # -- helpers ---------------------------------------------------------------------
 
@@ -1105,12 +1179,26 @@ def _merge_when_clauses(whens_text: str, talias: str, salias: str):
     upd = None
     dele = False
     ins = None
+    # the action boundary is the NEXT `WHEN [NOT] MATCHED`, not any bare
+    # WHEN — a CASE WHEN inside an UPDATE SET expression must stay in
+    # the action text
     rx = re.compile(
         r"(?i)\bWHEN\s+(?P<not>NOT\s+)?MATCHED\s*(?P<cond>AND\b.*?)?"
-        r"\s*THEN\s+(?P<action>.*?)(?=\bWHEN\b|$)", re.DOTALL)
+        r"\s*THEN\s+(?P<action>.*?)"
+        r"(?=\bWHEN\s+(?:NOT\s+)?MATCHED\b|$)", re.DOTALL)
+    # every WHEN ... MATCHED head must be consumed by a parsed clause —
+    # silently dropping one (e.g. WHEN NOT MATCHED BY SOURCE, which the
+    # two-pass rewrite does not implement) would run a DIFFERENT merge
+    # than the user wrote
+    heads = [hm.start() for hm in re.finditer(
+        r"(?i)\bWHEN\s+(?:NOT\s+)?MATCHED\b", whens_text)
+        if not any(a <= hm.start() < b
+                   for a, b in _quote_spans(whens_text))]
+    parsed_starts = set()
     matched_any = False
     for m in rx.finditer(whens_text):
         matched_any = True
+        parsed_starts.add(m.start())
         if m.group("cond"):
             raise ValueError(
                 "WHEN ... AND <condition> clauses are not supported by "
@@ -1163,6 +1251,14 @@ def _merge_when_clauses(whens_text: str, talias: str, salias: str):
                         upd[_unquote_ident(am.group("col"))] = expr
     if not matched_any:
         raise ValueError("MERGE needs at least one WHEN clause")
+    unparsed = [h for h in heads if h not in parsed_starts]
+    if unparsed:
+        snippet = whens_text[unparsed[0]:unparsed[0] + 40]
+        raise ValueError(
+            f"unsupported MERGE clause at {snippet!r} (e.g. WHEN "
+            "[NOT] MATCHED BY SOURCE/TARGET); the SQL surface runs "
+            "only clauses it fully parses — use merge_rows()/"
+            "delete_rows() directly for these shapes")
     return upd, dele, ins
 
 
