@@ -41,6 +41,7 @@ so writers on other hosts observe them transactionally.
 from __future__ import annotations
 
 import fcntl
+import itertools
 import json
 import os
 import re
@@ -50,6 +51,11 @@ from typing import Any, Dict, List, Optional, Tuple
 
 CATALOG_FILE = "_qbeast_catalog.json"
 CATALOG_LOCK = "_qbeast_catalog.lock"
+
+# synthesized temp-view names get a process-wide sequence number so two
+# threads sharing one SparkSession can never clobber each other's
+# pruned/sampled/time-travel view between registration and spark.sql
+_VIEW_SEQ = itertools.count()
 
 _IDENT = r"(?:`[^`]+`|[A-Za-z_][A-Za-z0-9_]*)"
 # one- or two-part name; the leading part must be `default` (flat store)
@@ -120,6 +126,19 @@ def _skip_quoted(s: str, i: int) -> int:
             return j + 1
         j += 1
     raise ValueError(f"unterminated {q} quote in statement")
+
+
+def _mask_quotes(s: str) -> str:
+    """Copy of ``s`` with the CONTENTS of every quoted region replaced
+    by spaces (same length, delimiters kept), so position-preserving
+    regex passes can match keywords without being fooled by literal
+    text — slices taken at the matched positions still index into the
+    ORIGINAL string."""
+    out = list(s)
+    for a, b in _quote_spans(s):
+        for i in range(a + 1, b - 1):
+            out[i] = " "
+    return "".join(out)
 
 
 def _quote_spans(s: str) -> List[Tuple[int, int]]:
@@ -375,8 +394,15 @@ class QbeastSqlCatalog:
         except ValueError:
             # a clause this parser does not know (STORED AS, ROW
             # FORMAT, ...): only statements claiming USING qbeast are
-            # ours to reject — everything else belongs to spark.sql
-            if re.search(r"(?i)\bUSING\s+qbeast\b", rest):
+            # ours to reject — everything else belongs to spark.sql.
+            # Probe the MASKED text so a literal like
+            # LOCATION '/data/using qbeast/x' cannot claim ownership.
+            try:
+                owns = re.search(r"(?i)\bUSING\s+qbeast\b",
+                                 _mask_quotes(rest))
+            except ValueError:
+                owns = None  # unbalanced quotes: let Spark complain
+            if owns:
                 raise
             return self._delegate(stmt)
         provider = (clauses.get("using") or "").lower()
@@ -463,8 +489,17 @@ class QbeastSqlCatalog:
                     return ("exists", cur)
                 raise ValueError(f"table {name!r} already exists "
                                  "(use IF NOT EXISTS or OR REPLACE)")
-            entries[name] = new_entry
-            return ("ok", cur)
+            # install now when the name is free (the reservation is
+            # what stops two racing creators interleaving appends into
+            # one managed location) or when the location is unchanged
+            # (same-location REPLACE is arbitrated by the commit log's
+            # atomic overwrite). A location-CHANGING replace keeps the
+            # old entry visible until the new table is fully written —
+            # readers never resolve the name to a log-less path.
+            if cur is None or cur["location"] == location:
+                entries[name] = new_entry
+                return ("installed", cur)
+            return ("deferred", cur)
 
         status, old = self._mutate(reserve)
         if status == "exists":
@@ -476,17 +511,20 @@ class QbeastSqlCatalog:
             if properties:
                 QbeastTable(self.spark, location).set_properties(properties)
         except BaseException:
-            def rollback(entries):
-                # restore only if nobody re-created the name meanwhile
-                if entries.get(name) is new_entry or \
-                        entries.get(name) == new_entry:
-                    if old is not None:
-                        entries[name] = old
-                    else:
-                        entries.pop(name, None)
+            if status == "installed":
+                def rollback(entries):
+                    # restore only if nobody re-created the name since
+                    if entries.get(name) == new_entry:
+                        if old is not None:
+                            entries[name] = old
+                        else:
+                            entries.pop(name, None)
 
-            self._mutate(rollback)
+                self._mutate(rollback)
             raise
+        if status == "deferred":
+            self._mutate(lambda entries: entries.__setitem__(
+                name, new_entry))
         # old managed data dir is removed only after the new table is
         # fully written, so a failed REPLACE never loses the old table
         if replace and old is not None and old.get("managed") \
@@ -576,8 +614,10 @@ class QbeastSqlCatalog:
             return self._delegate(stmt)
         if name not in self.tables():
             # maybe a Spark-side table — delegate either way (Spark's
-            # own DROP TABLE IF EXISTS no-ops on a missing name)
-            return self._delegate(stmt)
+            # own DROP TABLE IF EXISTS no-ops on a missing name), but
+            # keep the "None for DDL" return contract
+            self._delegate(stmt)
+            return None
 
         def drop(entries):
             entry = entries.pop(name, None)
@@ -920,22 +960,32 @@ class QbeastSqlCatalog:
     def _delegate(self, stmt: str):
         """Register every referenced qbeast table as a temp view
         (time-travel / TABLESAMPLE / single-table-WHERE aware), then run
-        the (possibly rewritten) statement through ``spark.sql``."""
-        rewritten = self._register_referenced(stmt)
-        return self.spark.sql(rewritten)
+        the (possibly rewritten) statement through ``spark.sql``.
+        Synthesized views are dropped right after — ``spark.sql``
+        resolves them eagerly during analysis, so the returned
+        DataFrame stays valid while nothing filtered/sampled lingers in
+        the session's view namespace. (Bare-name full-table views DO
+        stay registered — the 'mounted table' convenience.)"""
+        rewritten, created = self._register_referenced(stmt)
+        try:
+            return self.spark.sql(rewritten)
+        finally:
+            for v in created:
+                self.spark.catalog.dropTempView(v)
 
-    def _register_referenced(self, stmt: str) -> str:
+    def _register_referenced(self, stmt: str) -> Tuple[str, List[str]]:
         from .reader import QbeastTable
 
         entries = self.tables()
         if not entries:
-            return stmt
+            return stmt, []
         spans = _quote_spans(stmt)
 
         def outside_quotes(pos: int) -> bool:
             return not any(a <= pos < b for a, b in spans)
 
         single_pred = self._single_table_predicate(stmt, entries)
+        created: List[str] = []
         out = stmt
         # longest names first so `orders_big` is never matched as `orders`
         for name in sorted(entries, key=len, reverse=True):
@@ -958,21 +1008,23 @@ class QbeastSqlCatalog:
                 counter += 1
                 if mm.group("tt"):
                     raw = mm.group("ttval")
-                    view = f"__qb_{name}_tt{counter}"
+                    view = f"__qb_{name}_tt{next(_VIEW_SEQ)}"
                     if re.search(r"(?i)VERSION", mm.group("tt")):
                         qt.to_df(version=int(raw)) \
                             .createOrReplaceTempView(view)
                     else:
                         qt.to_df(timestamp=_unquote_lit(raw)) \
                             .createOrReplaceTempView(view)
+                    created.append(view)
                     pieces.append(out[last:mm.start()])
                     pieces.append(view)
                     last = mm.end()
                     continue
                 if mm.group("ts"):
-                    view = f"__qb_{name}_s{counter}"
+                    view = f"__qb_{name}_s{next(_VIEW_SEQ)}"
                     qt.sample(float(mm.group("pct")) / 100.0) \
                         .createOrReplaceTempView(view)
+                    created.append(view)
                     pieces.append(out[last:mm.start()])
                     pieces.append(view)
                     last = mm.end()
@@ -990,12 +1042,13 @@ class QbeastSqlCatalog:
                     # it here too would double-evaluate
                     # nondeterministic filters).
                     pred, has_alias = lift
-                    view = f"__qb_{name}_w{counter}"
+                    view = f"__qb_{name}_w{next(_VIEW_SEQ)}"
                     try:
                         qt.prune_scan(pred).createOrReplaceTempView(view)
                     except Exception:
                         need_bare_view = True  # un-liftable: full view
                         continue
+                    created.append(view)
                     pieces.append(out[last:mm.start()])
                     # without a user alias, alias the view back to the
                     # table name so qualified column refs keep working
@@ -1010,7 +1063,7 @@ class QbeastSqlCatalog:
                 if need_bare_view:
                     qt.to_df().createOrReplaceTempView(name)
                 spans = _quote_spans(out)
-        return out
+        return out, created
 
     def _single_table_predicate(
             self, stmt: str, entries) -> Dict[str, Tuple[str, bool]]:
@@ -1181,7 +1234,12 @@ def _merge_when_clauses(whens_text: str, talias: str, salias: str):
     ins = None
     # the action boundary is the NEXT `WHEN [NOT] MATCHED`, not any bare
     # WHEN — a CASE WHEN inside an UPDATE SET expression must stay in
-    # the action text
+    # the action text. All structural matching runs over the MASKED
+    # text (string literals blanked, positions preserved) so a literal
+    # containing 'WHEN MATCHED' can neither end an action early nor
+    # register as a clause head; the action TEXT is sliced from the
+    # original string at the matched positions.
+    masked = _mask_quotes(whens_text)
     rx = re.compile(
         r"(?i)\bWHEN\s+(?P<not>NOT\s+)?MATCHED\s*(?P<cond>AND\b.*?)?"
         r"\s*THEN\s+(?P<action>.*?)"
@@ -1191,12 +1249,10 @@ def _merge_when_clauses(whens_text: str, talias: str, salias: str):
     # two-pass rewrite does not implement) would run a DIFFERENT merge
     # than the user wrote
     heads = [hm.start() for hm in re.finditer(
-        r"(?i)\bWHEN\s+(?:NOT\s+)?MATCHED\b", whens_text)
-        if not any(a <= hm.start() < b
-                   for a, b in _quote_spans(whens_text))]
+        r"(?i)\bWHEN\s+(?:NOT\s+)?MATCHED\b", masked)]
     parsed_starts = set()
     matched_any = False
-    for m in rx.finditer(whens_text):
+    for m in rx.finditer(masked):
         matched_any = True
         parsed_starts.add(m.start())
         if m.group("cond"):
@@ -1204,7 +1260,8 @@ def _merge_when_clauses(whens_text: str, talias: str, salias: str):
                 "WHEN ... AND <condition> clauses are not supported by "
                 "the SQL surface; filter the USING source instead or "
                 "call merge_rows() directly")
-        action = m.group("action").strip().rstrip(";").strip()
+        action = whens_text[m.start("action"):m.end("action")] \
+            .strip().rstrip(";").strip()
         if m.group("not"):
             im = re.match(r"(?i)^INSERT\s*(?:\*|\((?P<cols>[^)]*)\)\s*"
                           r"VALUES\s*\((?P<vals>.*)\))\s*$",

@@ -694,27 +694,10 @@ class QbeastTable:
         nondeterministic predicates (rand() < f filtered twice).
         Untranslatable predicates degrade to the full file list —
         pruning is only ever an optimization."""
-        if filters is None:
-            return self.to_df()
-        from pyspark.sql import Column
-
-        if isinstance(filters, (str, Column)):
-            from .predicates import to_dnf_filters
-
-            dnf = to_dnf_filters(filters)
-        elif filters and isinstance(filters[0], list):
-            dnf = filters
-        elif filters:
-            dnf = [filters]
-        else:
-            return self.to_df()
-        if dnf is None:
-            return self.to_df()
         snap = self.snapshot(refresh=True)
-        selected: set = set()
-        for conj in dnf:
-            selected.update(self._prune_files(snap, conj))
-        return self._df_for_files(sorted(selected), snap=snap)
+        candidates, _residual = self._candidates_and_residual(
+            filters, snap)
+        return self._df_for_files(candidates, snap=snap)
 
     def read(self, filters: Optional[Sequence] = None):
         """R3 — multi-dim data skipping from declarative filter tuples, plus
