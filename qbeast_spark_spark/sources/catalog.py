@@ -523,8 +523,20 @@ class QbeastSqlCatalog:
                 self._mutate(rollback)
             raise
         if status == "deferred":
-            self._mutate(lambda entries: entries.__setitem__(
-                name, new_entry))
+            def swap(entries):
+                # install only if the entry is still the one we read at
+                # reserve time — a concurrent DROP/REPLACE during the
+                # write window wins, mirroring the failure-path guard
+                if entries.get(name) == old:
+                    entries[name] = new_entry
+                    return True
+                return False
+
+            if not self._mutate(swap):
+                raise ValueError(
+                    f"table {name!r} was dropped or replaced while this "
+                    f"REPLACE was writing; the new data at {location} "
+                    "was NOT installed (remove it manually if unwanted)")
         # old managed data dir is removed only after the new table is
         # fully written, so a failed REPLACE never loses the old table
         if replace and old is not None and old.get("managed") \
@@ -965,27 +977,40 @@ class QbeastSqlCatalog:
         resolves them eagerly during analysis, so the returned
         DataFrame stays valid while nothing filtered/sampled lingers in
         the session's view namespace. (Bare-name full-table views DO
-        stay registered — the 'mounted table' convenience.)"""
-        rewritten, created = self._register_referenced(stmt)
+        stay registered — the 'mounted table' convenience.)
+
+        Exception: a delegated statement that DEFINES a view (CREATE
+        TEMP VIEW / CACHE TABLE ... AS) stores the UNRESOLVED plan and
+        re-resolves it on every later reference (Spark's
+        storeAnalyzedPlanForView=false default), so its synthesized
+        views must outlive the statement and are left registered."""
+        defines_view = re.search(
+            r"(?i)^\s*(CREATE\s+(OR\s+REPLACE\s+)?(GLOBAL\s+)?"
+            r"TEMP(ORARY)?\s+VIEW|CACHE\s+(LAZY\s+)?TABLE)\b", stmt)
+        created: List[str] = []
         try:
+            rewritten = self._register_referenced(stmt, created)
             return self.spark.sql(rewritten)
         finally:
-            for v in created:
-                self.spark.catalog.dropTempView(v)
+            # created is filled as views register, so a failure midway
+            # through a multi-reference statement still cleans up
+            if not defines_view:
+                for v in created:
+                    self.spark.catalog.dropTempView(v)
 
-    def _register_referenced(self, stmt: str) -> Tuple[str, List[str]]:
+    def _register_referenced(self, stmt: str,
+                             created: List[str]) -> str:
         from .reader import QbeastTable
 
         entries = self.tables()
         if not entries:
-            return stmt, []
+            return stmt
         spans = _quote_spans(stmt)
 
         def outside_quotes(pos: int) -> bool:
             return not any(a <= pos < b for a, b in spans)
 
         single_pred = self._single_table_predicate(stmt, entries)
-        created: List[str] = []
         out = stmt
         # longest names first so `orders_big` is never matched as `orders`
         for name in sorted(entries, key=len, reverse=True):
@@ -999,13 +1024,11 @@ class QbeastSqlCatalog:
                 rf"PERCENT\s*\))?")
             pieces = []
             last = 0
-            counter = 0
             for mm in rx.finditer(out):
                 if not outside_quotes(mm.start()):
                     continue
                 if qt is None:
                     qt = QbeastTable(self.spark, entries[name]["location"])
-                counter += 1
                 if mm.group("tt"):
                     raw = mm.group("ttval")
                     view = f"__qb_{name}_tt{next(_VIEW_SEQ)}"
@@ -1063,7 +1086,7 @@ class QbeastSqlCatalog:
                 if need_bare_view:
                     qt.to_df().createOrReplaceTempView(name)
                 spans = _quote_spans(out)
-        return out, created
+        return out
 
     def _single_table_predicate(
             self, stmt: str, entries) -> Dict[str, Tuple[str, bool]]:

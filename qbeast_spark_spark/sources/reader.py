@@ -695,8 +695,13 @@ class QbeastTable:
         Untranslatable predicates degrade to the full file list —
         pruning is only ever an optimization."""
         snap = self.snapshot(refresh=True)
-        candidates, _residual = self._candidates_and_residual(
-            filters, snap)
+        try:
+            candidates, _residual = self._candidates_and_residual(
+                filters, snap)
+        except ValueError:
+            # e.g. a tuple op _filters_to_column cannot express as the
+            # (here unused) residual — degrade per the contract above
+            candidates = sorted(snap.files.keys())
         return self._df_for_files(candidates, snap=snap)
 
     def read(self, filters: Optional[Sequence] = None):

@@ -580,3 +580,49 @@ def test_create_literal_using_qbeast_not_claimed(spark, cat):
         spark.sql("DROP TABLE IF EXISTS h2")
     except Exception as e:
         assert "cannot parse CREATE TABLE clause" not in str(e)
+
+
+def test_create_temp_view_over_tablesample_survives(spark, cat):
+    """A delegated CREATE TEMP VIEW stores the UNRESOLVED plan, so the
+    synthesized sample view it references must not be dropped."""
+    cat.sql("CREATE TABLE t (id INT) USING qbeast "
+            "OPTIONS ('columnsToIndex'='id', cubeSize=50)")
+    spark.range(500).selectExpr("CAST(id AS INT) AS id") \
+        .createOrReplaceTempView("tv_src")
+    cat.sql("INSERT INTO t SELECT * FROM tv_src")
+    cat.sql("CREATE TEMPORARY VIEW t_samp AS "
+            "SELECT * FROM t TABLESAMPLE (20 PERCENT)")
+    n1 = spark.sql("SELECT COUNT(*) AS n FROM t_samp").collect()[0].n
+    n2 = spark.sql("SELECT COUNT(*) AS n FROM t_samp").collect()[0].n
+    assert 0 < n1 < 500 and n1 == n2
+    spark.catalog.dropTempView("t_samp")
+
+
+def test_failed_registration_cleans_synthesized_views(spark, cat):
+    cat.sql("CREATE TABLE a2 (id INT) USING qbeast "
+            "OPTIONS ('columnsToIndex'='id')")
+    cat.sql("CREATE TABLE b2 (id INT) USING qbeast "
+            "OPTIONS ('columnsToIndex'='id')")
+    cat.sql("INSERT INTO a2 VALUES (1)")
+    cat.sql("INSERT INTO b2 VALUES (1)")
+    before = {v.name for v in spark.catalog.listTables()
+              if v.name.startswith("__qb_")}
+    with pytest.raises(Exception):
+        # b2 VERSION AS OF 99 fails registration AFTER a2's sample
+        # view was created — the partial views must not leak
+        cat.sql("SELECT * FROM a2 TABLESAMPLE (50 PERCENT) "
+                "JOIN b2 VERSION AS OF 99 ON a2.id = b2.id")
+    after = {v.name for v in spark.catalog.listTables()
+             if v.name.startswith("__qb_")}
+    assert after == before
+
+
+def test_prune_scan_degrades_on_unsupported_tuple_op(spark, cat, tmp_path):
+    from qbeast_spark_spark import QbeastTable, write_qbeast
+
+    loc = str(tmp_path / "ps")
+    write_qbeast(load(spark, "lineitem").limit(100), loc,
+                 columns_to_index=["l_orderkey"], cube_size=50)
+    qt = QbeastTable(spark, loc)
+    # '!=' has no residual-column mapping: full file list, no raise
+    assert qt.prune_scan([("l_orderkey", "!=", 5)]).count() == 100
