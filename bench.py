@@ -99,6 +99,26 @@ def main() -> None:
                             _writer.LAST_WRITE_PHASES.items()}
     timings["qb_write"] = round(best, 3)
 
+    # the 100-TB ingest knob: same write with the domain sketch over a
+    # Bernoulli sample (analyze_fraction) — round-over-round visibility
+    # for the sampled-analyze path (index balance may differ; the table
+    # is rebuilt afterwards so shared readers keep the canonical index)
+    import pyarrow.parquet as _pq
+
+    _sl = spark.read.parquet(os.path.join(SF_DIR, "lineitem.parquet"))
+    _n = _pq.ParquetFile(
+        os.path.join(SF_DIR, "lineitem.parquet")).metadata.num_rows
+    t0 = time.time()
+    _writer.write_qbeast(
+        _sl, f"/tmp/qss_tables/{tag}/lineitem_sa",
+        columns_to_index=["l_orderkey", "l_extendedprice"],
+        cube_size=max(1000, _n // 64), mode="overwrite",
+        analyze_fraction=0.1)
+    timings["qb_write.sampled_analyze"] = round(time.time() - t0, 3)
+    timings["qb_write.sampled_domains"] = round(
+        _writer.LAST_WRITE_PHASES.get("domains", 0.0), 3)
+    shutil.rmtree(f"/tmp/qss_tables/{tag}/lineitem_sa", ignore_errors=True)
+
     # The events and embeddings indexed tables are also one-time builds
     # (cached per sf_dir) — time them as their own write entries so the
     # queries that read them measure the READ path, not a bundled write.

@@ -36,6 +36,11 @@ NORM_PREFIX = "_qbeast_norm_"
 MIN_GROUP_CUBE_SIZE = 30          # CubeDomainsBuilder.scala:23
 DOMAIN_BUFFER_CAPACITY = 100_000  # config.scala:30-34
 
+# floor for the SAMPLED domain sketch (estimate_cube_domains
+# sample_fraction): below this many expected rows the sampled tree is
+# noise and the full sketch is cheap anyway, so the fraction is clamped
+_MIN_SKETCH_ROWS = 100_000
+
 
 def with_index_columns(df, revision: Revision):
     """Append the weight (murmur3 seed-42 == F.hash, QbeastMurmur3Hash
@@ -64,11 +69,24 @@ def group_cube_size(desired_cube_size: int, num_elements: int,
 
 
 def estimate_cube_domains(prepared_df, revision: Revision, num_elements: int,
-                          buffer_capacity: int = DOMAIN_BUFFER_CAPACITY
+                          buffer_capacity: int = DOMAIN_BUFFER_CAPACITY,
+                          sample_fraction: Optional[float] = None
                           ) -> Dict[Tuple[int, int], float]:
     """Distributed pass: per-partition weight-ordered domain simulation over
     the normalized coords, then a tiny groupBy().sum() shuffle (one row per
-    discovered cube — KBs, not data-sized). Returns {(depth, path): domain}."""
+    discovered cube — KBs, not data-sized). Returns {(depth, path): domain}.
+
+    ``sample_fraction`` runs the sketch over a Bernoulli sample and
+    scales the result back by 1/f — the 100-TB ingest lever: cube
+    weights are RATIOS (cubeSize/domain), so a cube holding ≥cubeSize
+    rows keeps relative error ~1/sqrt(f·cubeSize) (0.4% at f=0.01,
+    cubeSize=5M); under-sampled small cubes degrade to leaves, which is
+    where they were headed anyway. Sampling changes index BALANCE only,
+    never read correctness: per-file/block stats and element weights
+    are computed from the REAL rows in the write pass. The fraction is
+    clamped so the sketch still sees enough rows to shape a tree, and
+    the subdivision threshold scales with f so the sampled sketch
+    discovers the same tree granularity the full sketch would."""
     import pyarrow as pa
     from pyspark.sql import functions as F
 
@@ -117,13 +135,36 @@ def estimate_cube_domains(prepared_df, revision: Revision, num_elements: int,
 
     from ..functions.partitioning import spread
 
+    f = None
+    if sample_fraction is not None and 0.0 < sample_fraction < 1.0:
+        # keep at least ~100k expected sketch rows (or everything):
+        # below that the discovered tree is noise, and the full sketch
+        # is cheap anyway
+        f = max(sample_fraction,
+                min(1.0, _MIN_SKETCH_ROWS / max(1, num_elements)))
+        if f >= 1.0:
+            f = None
+
     # spread the NARROW projection (weight + dims doubles) so the sketch
     # parallelizes even from a single input split; cheap relative to the
     # full-row width, and a no-op when the input is already well-split.
-    narrow = spread(prepared_df.select([WEIGHT_COL] + norm_cols))
+    narrow = prepared_df.select([WEIGHT_COL] + norm_cols)
+    if f is not None:
+        narrow = narrow.sample(fraction=f, seed=42)
+    narrow = spread(narrow)
     num_partitions = max(1, narrow.rdd.getNumPartitions())
-    gcs = group_cube_size(revision.desired_cube_size, num_elements,
-                          num_partitions, buffer_capacity)
+    if f is None:
+        gcs = group_cube_size(revision.desired_cube_size, num_elements,
+                              num_partitions, buffer_capacity)
+    else:
+        # the sample is a shrunk replica of the data: shrink the target
+        # cube size and the element count together so the subdivision
+        # threshold keeps the same RATIO to group row counts, and the
+        # sketch discovers the tree at full-data granularity
+        gcs = group_cube_size(
+            max(1, int(round(revision.desired_cube_size * f))),
+            max(1, int(round(num_elements * f))),
+            num_partitions, buffer_capacity)
     sketch_df = (
         narrow
         .mapInArrow(sketch, out_schema)
@@ -131,7 +172,9 @@ def estimate_cube_domains(prepared_df, revision: Revision, num_elements: int,
         .agg(F.sum("domain").alias("domain"))
     )
     rows = sketch_df.collect()
-    return {(r["depth"], r["path"]): float(r["domain"]) for r in rows}
+    scale = 1.0 if f is None else 1.0 / f
+    return {(r["depth"], r["path"]): float(r["domain"]) * scale
+            for r in rows}
 
 
 def compute_cube_weights(domains: Dict[Tuple[int, int], float],

@@ -391,9 +391,19 @@ def write_qbeast(df, path: str,
                  txn_version: Optional[int] = None,
                  bloom_columns: Optional[Sequence[str]] = None,
                  bloom_bits: int = 16384,
-                 constraints: Optional[Dict[str, str]] = None) -> int:
+                 constraints: Optional[Dict[str, str]] = None,
+                 analyze_fraction: Optional[float] = None) -> int:
     """Index + write ``df`` as one transactional qbeast commit; returns the
     committed log version. See module docstring for the plan shape.
+
+    ``analyze_fraction`` runs the cube-domain sketch (the write's most
+    expensive analysis pass) over a Bernoulli sample scaled back by
+    1/f — the 100-TB ingest knob. Sampling shifts index BALANCE only
+    (cube weights are cubeSize/domain ratios; relative error
+    ~1/sqrt(f·cubeSize)); every read-correctness input — per-file
+    stats, block weights, element assignment — is computed from the
+    real rows in the write pass. The fraction auto-clamps so the
+    sketch keeps >=100k expected rows.
 
     ``constraints`` adds named CHECK constraints ({name: SQL boolean
     expr}, persisted as ``qbeast.constraint.<name>`` properties); this
@@ -449,7 +459,8 @@ def write_qbeast(df, path: str,
         return _write_qbeast_inner(df, path, columns_to_index, cube_size,
                                    mode, column_stats, pre_commit_hooks,
                                    merge_schema, txn_app_id, txn_version,
-                                   bloom_columns, bloom_bits, constraints)
+                                   bloom_columns, bloom_bits, constraints,
+                                   analyze_fraction)
     finally:
         if _prev_batch is None:
             _spark.conf.unset(_ARROW_BATCH_KEY)
@@ -471,7 +482,8 @@ def _write_qbeast_inner(df, path: str, columns_to_index,
                         merge_schema: bool = False,
                         txn_app_id=None, txn_version=None,
                         bloom_columns=None, bloom_bits: int = 16384,
-                        constraints=None) -> int:
+                        constraints=None,
+                        analyze_fraction=None) -> int:
     from pyspark.sql import functions as F
     from pyspark.sql import types as T
 
@@ -586,7 +598,8 @@ def _write_qbeast_inner(df, path: str, columns_to_index,
 
     # -- job 2: domains; driver: weights + rollup ---------------------------
     _t0 = time.perf_counter()
-    new_domains = estimate_cube_domains(prepared, revision, n)
+    new_domains = estimate_cube_domains(prepared, revision, n,
+                                        sample_fraction=analyze_fraction)
     LAST_WRITE_PHASES["domains"] = time.perf_counter() - _t0
     existing_domains = {
         _parse_cube(c): d

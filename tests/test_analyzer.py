@@ -129,3 +129,94 @@ def test_group_cube_size_floor():
     assert group_cube_size(5_000_000, 50_000) == 5_000_000
     assert group_cube_size(1000, 10_000_000) == 30  # floor kicks in
     assert group_cube_size(500_000, 1_000_000) == 50_000
+
+
+class TestSampledAnalyze:
+    """analyze_fraction: the domain sketch over a Bernoulli sample,
+    scaled 1/f — index balance may drift, read correctness must not."""
+
+    def _write_pair(self, spark, tmp_path, sf_dir):
+        """Writes a full-analyze and a sampled-analyze twin. The
+        production clamp keeps >=100k sketch rows, which would silently
+        disable sampling on this small fixture — lower it so the
+        sampled path actually runs (test_clamp_keeps_tiny_inputs_exact
+        covers the clamp itself)."""
+        import os
+
+        from qbeast_spark_spark import QbeastTable, write_qbeast
+        from qbeast_spark_spark.index import analyzer as A
+
+        li = spark.read.parquet(os.path.join(sf_dir, "lineitem.parquet"))
+        full_p = str(tmp_path / "full")
+        samp_p = str(tmp_path / "sampled")
+        write_qbeast(li, full_p, columns_to_index=[
+            "l_orderkey", "l_extendedprice"], cube_size=500)
+        prev = A._MIN_SKETCH_ROWS
+        A._MIN_SKETCH_ROWS = 500
+        try:
+            write_qbeast(li, samp_p, columns_to_index=[
+                "l_orderkey", "l_extendedprice"], cube_size=500,
+                analyze_fraction=0.2)
+        finally:
+            A._MIN_SKETCH_ROWS = prev
+        return li, QbeastTable(spark, full_p), QbeastTable(spark, samp_p)
+
+    def test_roundtrip_and_reads_exact(self, spark, tmp_path):
+        from tests.conftest import TESTDATA
+
+        li, qt_full, qt_samp = self._write_pair(spark, tmp_path, TESTDATA)
+        assert qt_samp.to_df().count() == li.count()
+        assert qt_samp.to_df().exceptAll(li).count() == 0
+        pred = "l_orderkey >= 200 AND l_orderkey < 900"
+        assert qt_samp.read(pred).count() == li.filter(pred).count()
+
+    def test_sampling_still_prunes_and_estimates(self, spark, tmp_path):
+        from tests.conftest import TESTDATA
+
+        li, qt_full, qt_samp = self._write_pair(spark, tmp_path, TESTDATA)
+        n = li.count()
+        s = qt_samp.sample(0.1).count()
+        assert abs(s - 0.1 * n) / (0.1 * n) < 0.25
+        # pruning parity: the sampled-analyze table must prune the 1%
+        # sample at least as well as one extra file vs the full-analyze
+        # twin (identical data, same cube size)
+        import pyspark.sql.functions as F
+
+        def files_read(qt, f):
+            return qt.sample(f).select(
+                F.input_file_name()).distinct().count()
+
+        assert files_read(qt_samp, 0.01) <= files_read(qt_full, 0.01) + 1
+        assert files_read(qt_samp, 0.01) < len(qt_samp.file_paths())
+
+    def test_index_shape_comparable(self, spark, tmp_path):
+        from tests.conftest import TESTDATA
+
+        li, qt_full, qt_samp = self._write_pair(spark, tmp_path, TESTDATA)
+        mf = qt_full.index_metrics()
+        ms = qt_samp.index_metrics()
+        # same order of magnitude of cubes/files — balance, not identity
+        assert ms["cubes"] <= mf["cubes"] * 3 + 10
+        assert ms["cubes"] * 3 + 10 >= mf["cubes"]
+        assert ms["files"] <= mf["files"] * 3 + 5
+
+    def test_clamp_keeps_tiny_inputs_exact(self, spark, tmp_path):
+        # sf0.001 lineitem is 6000 rows << _MIN_SKETCH_ROWS: the clamp
+        # must force the full sketch, making the index IDENTICAL
+        import os
+
+        from tests.conftest import TESTDATA
+        from qbeast_spark_spark import QbeastTable, write_qbeast
+
+        li = spark.read.parquet(os.path.join(TESTDATA,
+                                             "lineitem.parquet"))
+        a = str(tmp_path / "a")
+        b = str(tmp_path / "b")
+        write_qbeast(li, a, columns_to_index=["l_orderkey"], cube_size=500)
+        write_qbeast(li, b, columns_to_index=["l_orderkey"], cube_size=500,
+                     analyze_fraction=0.001)
+        qa = QbeastTable(spark, a)
+        qb = QbeastTable(spark, b)
+        sa = qa.snapshot()
+        sb = qb.snapshot()
+        assert sa.cube_weights == sb.cube_weights
