@@ -606,9 +606,12 @@ class QbeastSqlCatalog:
                         or DEFAULT_CUBE_SIZE)
         stats_raw = options.get("columnStats") or options.get(
             "columnstats")
+        frac_raw = options.get("analyzeFraction") or options.get(
+            "analyzefraction")
         return write_qbeast(
             df, location, columns_to_index=cols, cube_size=cube_size,
-            mode=mode, column_stats=_parse_column_stats(stats_raw))
+            mode=mode, column_stats=_parse_column_stats(stats_raw),
+            analyze_fraction=float(frac_raw) if frac_raw else None)
 
     # -- DROP / ALTER ---------------------------------------------------------
 

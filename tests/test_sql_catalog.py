@@ -626,3 +626,18 @@ def test_prune_scan_degrades_on_unsupported_tuple_op(spark, cat, tmp_path):
     qt = QbeastTable(spark, loc)
     # '!=' has no residual-column mapping: full file list, no raise
     assert qt.prune_scan([("l_orderkey", "!=", 5)]).count() == 100
+
+
+def test_analyze_fraction_option(spark, cat, monkeypatch):
+    """The SQL OPTIONS knob reaches the writer: with the clamp lowered
+    the sampled sketch runs, and the table still round-trips exactly."""
+    from qbeast_spark_spark.index import analyzer as A
+
+    monkeypatch.setattr(A, "_MIN_SKETCH_ROWS", 200)
+    li = load(spark, "lineitem").limit(2000)
+    li.createOrReplaceTempView("af_src")
+    cat.sql("CREATE TABLE af USING qbeast OPTIONS "
+            "('columnsToIndex'='l_orderkey', cubeSize=500, "
+            "'analyzeFraction'='0.2') AS SELECT * FROM af_src")
+    assert cat.sql("SELECT COUNT(*) AS n FROM af").collect()[0].n == 2000
+    assert cat.sql("SELECT * FROM af").exceptAll(li).count() == 0
