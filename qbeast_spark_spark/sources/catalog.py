@@ -364,6 +364,8 @@ class QbeastSqlCatalog:
             return self._sql_vacuum(stmt)
         if head == "RESTORE":
             return self._sql_restore(stmt)
+        if head == "TRUNCATE":
+            return self._sql_truncate(stmt)
         if head in ("DESCRIBE", "DESC"):
             return self._sql_describe(stmt, statement)
         if head == "SHOW":
@@ -723,6 +725,11 @@ class QbeastSqlCatalog:
         entry = entries[name]
         rest = m.group("rest").strip()
 
+        by_name = False
+        bn = re.match(r"(?i)^BY\s+NAME\b\s*", rest)
+        if bn:
+            by_name = True
+            rest = rest[bn.end():].strip()
         col_list = None
         if rest.startswith("(") and not re.match(
                 r"(?i)^\(\s*(SELECT|WITH|VALUES|FROM|TABLE)\b", rest):
@@ -730,12 +737,19 @@ class QbeastSqlCatalog:
             col_list = [_unquote_ident(c)
                         for c in _split_top_level_commas(rest[1:end - 1])]
             rest = rest[end:].strip()
+        if by_name and col_list is not None:
+            raise ValueError(
+                "INSERT ... BY NAME cannot also take a column list")
         if re.match(r"(?i)^VALUES\b", rest):
             df = self._delegate("SELECT * FROM " + rest)
         elif rest:
             df = self._delegate(rest)
         else:
             raise ValueError("INSERT needs VALUES or a query")
+        if by_name:
+            # Spark 3.5+ INSERT BY NAME: the query's own column names
+            # drive the mapping (missing table columns become NULL)
+            col_list = list(df.columns)
 
         from .reader import QbeastTable
 
@@ -901,6 +915,26 @@ class QbeastSqlCatalog:
         return self._status_df(operation="RESTORE", table=name,
                                version=version, rows=None)
 
+    def _sql_truncate(self, stmt: str):
+        m = re.match(rf"(?i)^TRUNCATE\s+TABLE\s+(?P<name>{_NAME})\s*$",
+                     stmt)
+        if not m:
+            raise ValueError("expected TRUNCATE TABLE <table>")
+        try:
+            name = _normalize_name(m.group("name"))
+        except ValueError:
+            name = None
+        if name is None or name not in self.tables():
+            self._delegate(stmt)
+            return None
+        from .dml import delete_rows
+
+        out = delete_rows(self.spark, self.tables()[name]["location"],
+                          filters=None)
+        return self._status_df(operation="TRUNCATE", table=name,
+                               version=out.get("version"),
+                               rows=out.get("rows_deleted"))
+
     # -- DESCRIBE / SHOW -----------------------------------------------------------
 
     def _sql_describe(self, stmt: str, original: str):
@@ -953,6 +987,32 @@ class QbeastSqlCatalog:
                 rows, "tableName STRING, location STRING, managed BOOLEAN") \
                 if rows else self.spark.createDataFrame(
                     [], "tableName STRING, location STRING, managed BOOLEAN")
+        mc = re.match(rf"(?i)^SHOW\s+CREATE\s+TABLE\s+(?P<name>{_NAME})\s*$",
+                      stmt)
+        if mc:
+            try:
+                name = _normalize_name(mc.group("name"))
+            except ValueError:
+                return self._delegate(stmt)
+            entries = self.tables()
+            if name not in entries:
+                return self._delegate(stmt)
+            entry = entries[name]
+            qt = self._qt(entry)
+            cols = ", ".join(f"{f.name} {f.dataType.simpleString().upper()}"
+                             for f in qt.schema().fields)
+            opts = entry.get("options") or {}
+            parts = [f"CREATE TABLE {name} ({cols}) USING qbeast"]
+            if opts:
+                kv = ", ".join(f"'{k}'='{v}'" for k, v in sorted(
+                    opts.items()))
+                parts.append(f"OPTIONS ({kv})")
+            if not entry.get("managed"):
+                parts.append(f"LOCATION '{entry['location']}'")
+            if entry.get("comment"):
+                parts.append(f"COMMENT '{entry['comment']}'")
+            return self.spark.createDataFrame(
+                [("\n".join(parts),)], "createtab_stmt STRING")
         m = re.match(rf"(?i)^SHOW\s+TBLPROPERTIES\s+(?P<name>{_NAME})\s*$",
                      stmt)
         if m:

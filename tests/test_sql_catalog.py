@@ -641,3 +641,25 @@ def test_analyze_fraction_option(spark, cat, monkeypatch):
             "'analyzeFraction'='0.2') AS SELECT * FROM af_src")
     assert cat.sql("SELECT COUNT(*) AS n FROM af").collect()[0].n == 2000
     assert cat.sql("SELECT * FROM af").exceptAll(li).count() == 0
+
+
+def test_truncate_show_create_insert_by_name(spark, cat):
+    cat.sql("CREATE TABLE t3 (id INT, age STRING) USING qbeast "
+            "OPTIONS ('columnsToIndex'='id', cubeSize=100)")
+    # INSERT BY NAME: query column order differs from the table's
+    spark.sql("SELECT 'bn' AS age, 7 AS id").createOrReplaceTempView(
+        "bn_src")
+    cat.sql("INSERT INTO t3 BY NAME SELECT * FROM bn_src")
+    row = cat.sql("SELECT id, age FROM t3").collect()[0]
+    assert (row.id, row.age) == (7, "bn")
+    # SHOW CREATE TABLE round-trips into a runnable statement
+    ddl = cat.sql("SHOW CREATE TABLE t3").collect()[0].createtab_stmt
+    assert "USING qbeast" in ddl and "'columnsToIndex'='id'" in ddl
+    ddl2 = ddl.replace("CREATE TABLE t3", "CREATE TABLE t3b", 1)
+    cat.sql(ddl2)
+    assert [f.name for f in cat.sql("SELECT * FROM t3b").schema.fields] \
+        == ["id", "age"]
+    # TRUNCATE
+    out = cat.sql("TRUNCATE TABLE t3").collect()[0]
+    assert out.operation == "TRUNCATE"
+    assert cat.sql("SELECT COUNT(*) AS n FROM t3").collect()[0].n == 0
