@@ -42,7 +42,9 @@ def optimize_table(spark, path: str, fraction: float = 1.0,
                    revision_id: Optional[int] = None,
                    file_paths: Optional[Sequence[str]] = None,
                    columns_to_index: Optional[Sequence[str]] = None,
-                   cube_size: Optional[int] = None) -> Optional[int]:
+                   cube_size: Optional[int] = None,
+                   analyze_fraction: Optional[float] = None
+                   ) -> Optional[int]:
     """Rewrite under-filled / sampled-range / staging files with a fresh
     cube assignment. Selection mirrors the reference's three overloads:
 
@@ -50,6 +52,10 @@ def optimize_table(spark, path: str, fraction: float = 1.0,
       (IndexedTable.selectIndexedFilesToOptimize:428-437);
     - file_paths: explicit list;
     - staging (revision 0) files are always picked up and indexed.
+
+    ``analyze_fraction`` samples the first-revision domain sketch the
+    same way write_qbeast's knob does (writer.py) — only reached when a
+    staging-only table builds its first revision here.
     """
     from ..core.weight import weight_to_fraction
     from .reader import QbeastTable
@@ -108,7 +114,8 @@ def optimize_table(spark, path: str, fraction: float = 1.0,
                        cube_size or snap_default_cube_size(snap),
                        specs, transformations, column_types)
         prepared = with_index_columns(df, rev)
-        domains = estimate_cube_domains(prepared, rev, n)
+        domains = estimate_cube_domains(prepared, rev, n,
+                                        sample_fraction=analyze_fraction)
         weights = compute_cube_weights(domains, rev.desired_cube_size, rev.dims)
         counts = {k: float(v) for k, v in domains.items()}
     else:
