@@ -684,6 +684,11 @@ class QbeastSqlCatalog:
                 schema_json=qt.snapshot(refresh=True).schema_json,
                 data_change=False, operation="UNSET TBLPROPERTIES")
             return None
+        ma = re.match(r"(?i)^ADD\s+COLUMNS?\s*\(", rest)
+        if ma:
+            end = _balanced_paren(rest, ma.end() - 1)
+            self._qt(entry).add_columns(rest[ma.end():end - 1])
+            return None
         mr = re.match(rf"(?i)^RENAME\s+TO\s+(?P<to>{_NAME})\s*$", rest)
         if mr:
             new = _normalize_name(mr.group("to"))
@@ -759,10 +764,13 @@ class QbeastSqlCatalog:
                 else "overwrite")
         version = self._write_table(entry["location"], df,
                                     entry.get("options", {}), mode)
-        # affected_rows stays NULL: counting df would re-run the source
-        # query a third time (the indexed write already scans it twice)
+        # affected_rows comes from the stats job the write ran anyway —
+        # counting df here would re-run the source query a third time
+        from .writer import LAST_WRITE_ROWS
+
         return self._status_df(operation=f"INSERT {m.group('kind').upper()}",
-                               table=name, version=version, rows=None)
+                               table=name, version=version,
+                               rows=LAST_WRITE_ROWS)
 
     # -- DELETE / UPDATE / MERGE ------------------------------------------------
 

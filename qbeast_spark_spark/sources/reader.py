@@ -253,6 +253,34 @@ class QbeastTable:
         self._snapshot = None
         return version
 
+    def add_columns(self, ddl: str) -> int:
+        """ALTER TABLE ADD COLUMNS parity (Delta metadata-only schema
+        evolution): append new NULLABLE fields to the table schema in a
+        data_change=false commit. Existing files read the added columns
+        as NULL (reads apply the snapshot schema to the parquet scan);
+        time travel before this commit presents the old schema.
+        ``ddl`` is a Spark column list like ``"x INT, y STRING"``."""
+        from pyspark.sql import types as T
+
+        new_fields = T.StructType.fromDDL(ddl).fields
+        snap = self.snapshot(refresh=True)
+        if not snap.schema_json:
+            raise ValueError("table has no committed schema yet")
+        old = T.StructType.fromJson(json.loads(snap.schema_json))
+        existing = {f.name.lower() for f in old.fields}
+        dupes = [f.name for f in new_fields
+                 if f.name.lower() in existing]
+        if dupes:
+            raise ValueError(f"column(s) already exist: {dupes}")
+        merged = T.StructType(
+            old.fields + [T.StructField(f.name, f.dataType, True)
+                          for f in new_fields])
+        version = self.log.commit(
+            schema_json=merged.json(), data_change=False,
+            operation="ADD COLUMNS")
+        self._snapshot = None
+        return version
+
     def enable_change_data_feed(self) -> int:
         """Turn on the change data feed (sources/cdf.py): every later
         DML commit records its changed rows, and ``table_changes``

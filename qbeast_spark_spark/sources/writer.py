@@ -475,6 +475,12 @@ def write_qbeast(df, path: str,
 # a phase instead of showing up as one opaque number.
 LAST_WRITE_PHASES: Dict[str, float] = {}
 
+# Row count of the last write's input, measured by the stats job the
+# write runs anyway — callers that want an "affected rows" figure (the
+# SQL surface's INSERT status) read it here instead of paying a third
+# pass over the source query.
+LAST_WRITE_ROWS: Optional[int] = None
+
 
 def _write_qbeast_inner(df, path: str, columns_to_index,
                         cube_size: int, mode: str,
@@ -580,6 +586,8 @@ def _write_qbeast_inner(df, path: str, columns_to_index,
                                                 column_stats)
     LAST_WRITE_PHASES.clear()
     LAST_WRITE_PHASES["transform"] = time.perf_counter() - _t0
+    global LAST_WRITE_ROWS
+    LAST_WRITE_ROWS = int(n)
     if n == 0:
         return log.commit(add=[], remove=[], schema_json=df.schema.json(),
                           data_change=False, operation="WRITE",

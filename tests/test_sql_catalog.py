@@ -663,3 +663,24 @@ def test_truncate_show_create_insert_by_name(spark, cat):
     out = cat.sql("TRUNCATE TABLE t3").collect()[0]
     assert out.operation == "TRUNCATE"
     assert cat.sql("SELECT COUNT(*) AS n FROM t3").collect()[0].n == 0
+
+
+def test_add_columns_and_insert_rowcount(spark, cat):
+    cat.sql("CREATE TABLE ac (id INT) USING qbeast "
+            "OPTIONS ('columnsToIndex'='id', cubeSize=100)")
+    out = cat.sql("INSERT INTO ac VALUES (1), (2), (3)").collect()[0]
+    assert out.affected_rows == 3
+    cat.sql("ALTER TABLE ac ADD COLUMNS (tag STRING, score DOUBLE)")
+    # old rows read the new columns as NULL
+    rows = cat.sql("SELECT id, tag, score FROM ac").collect()
+    assert all(r.tag is None and r.score is None for r in rows)
+    # new inserts carry them
+    cat.sql("INSERT INTO ac VALUES (4, 'x', 1.5)")
+    got = cat.sql("SELECT tag FROM ac WHERE id = 4").collect()[0].tag
+    assert got == "x"
+    # time travel before the evolution presents the OLD schema
+    old_cols = [f.name for f in
+                cat.sql("SELECT * FROM ac VERSION AS OF 1").schema.fields]
+    assert old_cols == ["id"]
+    with pytest.raises(ValueError, match="already exist"):
+        cat.sql("ALTER TABLE ac ADD COLUMNS (id INT)")
