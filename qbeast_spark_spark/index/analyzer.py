@@ -135,6 +135,11 @@ def estimate_cube_domains(prepared_df, revision: Revision, num_elements: int,
 
     from ..functions.partitioning import spread
 
+    if sample_fraction is not None and not (0.0 < sample_fraction <= 1.0):
+        # a typo'd 10 ("ten percent") silently paying the full sketch is
+        # the exact failure this knob exists to prevent — reject loudly
+        raise ValueError(
+            f"sample_fraction must be in (0, 1], got {sample_fraction}")
     f = None
     if sample_fraction is not None and 0.0 < sample_fraction < 1.0:
         # keep at least ~100k expected sketch rows (or everything):

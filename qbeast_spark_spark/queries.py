@@ -93,9 +93,17 @@ def _relayout_lineitem(spark, sf_dir: str) -> str:
     from .sources.log import CommitLog
 
     key = os.path.abspath(sf_dir) + "#relayout"
-    if key in _QB_CACHE:        # set only after a COMPLETED build — no
-        return _QB_CACHE[key]   # per-call log re-parse in the bench path
     path = _cache_path(sf_dir, "lineitem_rt")
+    # the fast cache is set only after a COMPLETED build (no per-call
+    # log re-parse in the bench path), but it must still verify the
+    # directory SURVIVED: bench.py's qb_write loop rmtrees the whole
+    # tag dir after the warmup already built+cached this table, and a
+    # stale hit then exported an EMPTY delta log ("exists implies
+    # complete" broke the moment a second actor could delete the path)
+    if key in _QB_CACHE and os.path.isdir(os.path.join(path,
+                                                       "_qbeast_log")):
+        return _QB_CACHE[key]
+    _QB_CACHE.pop(key, None)
     # crash-safe cache gate: the log exists after write's FIRST commit,
     # so a process killed between write and the maintenance verbs would
     # otherwise cache a half-built table forever and this row would
@@ -166,8 +174,15 @@ def qb_roundtrip(spark, sf_dir):
     path = _relayout_lineitem(spark, sf_dir)
     # the Delta export happens once inside the locked build (the table
     # is immutable after its completion marker); re-export here only if
-    # a cache predating that change lacks the log entirely
+    # a cache predating that change lacks the log entirely — and never
+    # from a log-less path (that would manifest an empty delta log)
     if not os.path.isdir(os.path.join(path, "_delta_log")):
+        from .sources.log import CommitLog
+
+        if not CommitLog(path).exists():
+            raise RuntimeError(
+                f"relayout table at {path} has no qbeast log — "
+                "build did not complete")
         QbeastTable.for_path(spark, path).export_delta_log()
     return QbeastTable.for_delta(spark, path).to_df()
 

@@ -687,6 +687,10 @@ class QbeastSqlCatalog:
         ma = re.match(r"(?i)^ADD\s+COLUMNS?\s*\(", rest)
         if ma:
             end = _balanced_paren(rest, ma.end() - 1)
+            if rest[end:].strip():
+                raise ValueError(
+                    f"unexpected text after ADD COLUMNS list: "
+                    f"{rest[end:].strip()[:40]!r}")
             self._qt(entry).add_columns(rest[ma.end():end - 1])
             return None
         mr = re.match(rf"(?i)^RENAME\s+TO\s+(?P<to>{_NAME})\s*$", rest)
@@ -766,11 +770,12 @@ class QbeastSqlCatalog:
                                     entry.get("options", {}), mode)
         # affected_rows comes from the stats job the write ran anyway —
         # counting df here would re-run the source query a third time
-        from .writer import LAST_WRITE_ROWS
+        # (thread-local readout: concurrent inserts can't cross-report)
+        from .writer import last_write_rows
 
         return self._status_df(operation=f"INSERT {m.group('kind').upper()}",
                                table=name, version=version,
-                               rows=LAST_WRITE_ROWS)
+                               rows=last_write_rows())
 
     # -- DELETE / UPDATE / MERGE ------------------------------------------------
 
@@ -927,17 +932,21 @@ class QbeastSqlCatalog:
         m = re.match(rf"(?i)^TRUNCATE\s+TABLE\s+(?P<name>{_NAME})\s*$",
                      stmt)
         if not m:
-            raise ValueError("expected TRUNCATE TABLE <table>")
+            # 3-part names, PARTITION clauses, ... — not ours (and keep
+            # the None-for-DDL return contract)
+            self._delegate(stmt)
+            return None
         try:
             name = _normalize_name(m.group("name"))
         except ValueError:
             name = None
-        if name is None or name not in self.tables():
+        entries = self.tables()
+        if name is None or name not in entries:
             self._delegate(stmt)
             return None
         from .dml import delete_rows
 
-        out = delete_rows(self.spark, self.tables()[name]["location"],
+        out = delete_rows(self.spark, entries[name]["location"],
                           filters=None)
         return self._status_df(operation="TRUNCATE", table=name,
                                version=out.get("version"),
@@ -1019,6 +1028,18 @@ class QbeastSqlCatalog:
                 parts.append(f"LOCATION '{entry['location']}'")
             if entry.get("comment"):
                 parts.append(f"COMMENT '{entry['comment']}'")
+            # table properties live in the commit log — without them the
+            # "runnable" DDL would recreate the table minus its CHECK
+            # constraints (qbeast.constraint.* properties) and CDF flag.
+            # qbeast.lastRevisionID is engine bookkeeping (re-derived by
+            # every write) — seeding it on a fresh table would lie.
+            props = {k: v for k, v in qt.log.table_properties().items()
+                     if k != "qbeast.lastRevisionID"}
+            if props:
+                kv = ", ".join(
+                    f"'{k}'='{str(v).replace(chr(39), chr(39) * 2)}'"
+                    for k, v in sorted(props.items()))
+                parts.append(f"TBLPROPERTIES ({kv})")
             return self.spark.createDataFrame(
                 [("\n".join(parts),)], "createtab_stmt STRING")
         m = re.match(rf"(?i)^SHOW\s+TBLPROPERTIES\s+(?P<name>{_NAME})\s*$",

@@ -268,8 +268,15 @@ class QbeastTable:
             raise ValueError("table has no committed schema yet")
         old = T.StructType.fromJson(json.loads(snap.schema_json))
         existing = {f.name.lower() for f in old.fields}
-        dupes = [f.name for f in new_fields
-                 if f.name.lower() in existing]
+        seen = set()
+        dupes = []
+        for f in new_fields:
+            lc = f.name.lower()
+            # against the table AND against the new list itself —
+            # (x INT, X STRING) would persist an ambiguous schema
+            if lc in existing or lc in seen:
+                dupes.append(f.name)
+            seen.add(lc)
         if dupes:
             raise ValueError(f"column(s) already exist: {dupes}")
         merged = T.StructType(

@@ -475,11 +475,23 @@ def write_qbeast(df, path: str,
 # a phase instead of showing up as one opaque number.
 LAST_WRITE_PHASES: Dict[str, float] = {}
 
-# Row count of the last write's input, measured by the stats job the
-# write runs anyway — callers that want an "affected rows" figure (the
-# SQL surface's INSERT status) read it here instead of paying a third
-# pass over the source query.
-LAST_WRITE_ROWS: Optional[int] = None
+# Row count of the last write's INPUT batch, measured by the stats job
+# the write runs anyway — callers that want an "affected rows" figure
+# (the SQL surface's INSERT status) read it via last_write_rows()
+# instead of paying a third pass over the source query. Thread-local:
+# two threads writing through one session must not cross-report counts.
+# (An idempotent-txn skip still reports the batch's input rows — the
+# SQL surface does not pass txn ids.)
+import threading as _threading
+
+_WRITE_TL = _threading.local()
+LAST_WRITE_ROWS: Optional[int] = None  # single-thread convenience mirror
+
+
+def last_write_rows() -> Optional[int]:
+    """Input-row count of this THREAD's most recent write_qbeast call
+    (None if the thread has not written)."""
+    return getattr(_WRITE_TL, "rows", None)
 
 
 def _write_qbeast_inner(df, path: str, columns_to_index,
@@ -587,7 +599,7 @@ def _write_qbeast_inner(df, path: str, columns_to_index,
     LAST_WRITE_PHASES.clear()
     LAST_WRITE_PHASES["transform"] = time.perf_counter() - _t0
     global LAST_WRITE_ROWS
-    LAST_WRITE_ROWS = int(n)
+    LAST_WRITE_ROWS = _WRITE_TL.rows = int(n)
     if n == 0:
         return log.commit(add=[], remove=[], schema_json=df.schema.json(),
                           data_change=False, operation="WRITE",

@@ -684,3 +684,58 @@ def test_add_columns_and_insert_rowcount(spark, cat):
     assert old_cols == ["id"]
     with pytest.raises(ValueError, match="already exist"):
         cat.sql("ALTER TABLE ac ADD COLUMNS (id INT)")
+
+
+def test_review_fixes_fourth_pass(spark, cat):
+    # ADD COLUMNS: self-colliding list rejected before anything commits
+    cat.sql("CREATE TABLE r4 (id INT) USING qbeast "
+            "OPTIONS ('columnsToIndex'='id')")
+    with pytest.raises(ValueError, match="already exist"):
+        cat.sql("ALTER TABLE r4 ADD COLUMNS (x INT, X STRING)")
+    with pytest.raises(ValueError, match="unexpected text"):
+        cat.sql("ALTER TABLE r4 ADD COLUMNS (x INT) RENAME TO r5")
+    # TRUNCATE of a non-matching shape delegates instead of raising ours
+    try:
+        cat.sql("TRUNCATE TABLE spark_catalog.default.nope_x")
+    except Exception as e:
+        assert "expected TRUNCATE TABLE" not in str(e)
+    # analyze_fraction typo'd as a percentage raises loudly
+    from qbeast_spark_spark import write_qbeast
+
+    with pytest.raises(ValueError, match="sample_fraction"):
+        write_qbeast(spark.range(5).selectExpr("CAST(id AS INT) id"),
+                     str(cat.warehouse) + "/never", columns_to_index=["id"],
+                     analyze_fraction=10)
+
+
+def test_show_create_table_carries_properties(spark, cat):
+    cat.sql("CREATE TABLE pp (id INT) USING qbeast "
+            "OPTIONS ('columnsToIndex'='id')")
+    cat.sql("ALTER TABLE pp SET TBLPROPERTIES ('team'='data-eng')")
+    ddl = cat.sql("SHOW CREATE TABLE pp").collect()[0].createtab_stmt
+    assert "TBLPROPERTIES" in ddl and "'team'='data-eng'" in ddl
+    assert "lastRevisionID" not in ddl  # engine bookkeeping excluded
+    # the DDL is runnable and re-applies the property
+    cat.sql(ddl.replace("CREATE TABLE pp", "CREATE TABLE pp2", 1))
+    props = dict(_rows(cat.sql("SHOW TBLPROPERTIES pp2")))
+    assert props.get("team") == "data-eng"
+
+
+def test_concurrent_thread_inserts_report_own_counts(spark, cat):
+    import threading
+
+    cat.sql("CREATE TABLE tc1 (id INT) USING qbeast "
+            "OPTIONS ('columnsToIndex'='id')")
+    cat.sql("CREATE TABLE tc2 (id INT) USING qbeast "
+            "OPTIONS ('columnsToIndex'='id')")
+    results = {}
+
+    def ins(table, k):
+        vals = ", ".join(f"({i})" for i in range(k))
+        out = cat.sql(f"INSERT INTO {table} VALUES {vals}").collect()[0]
+        results[table] = out.affected_rows
+
+    t1 = threading.Thread(target=ins, args=("tc1", 3))
+    t2 = threading.Thread(target=ins, args=("tc2", 7))
+    t1.start(); t2.start(); t1.join(); t2.join()
+    assert results == {"tc1": 3, "tc2": 7}

@@ -85,7 +85,7 @@ print("WON" if won else "LOST")
 """
 
 
-def _run_workers(script, args_list, cwd, gate_dir, timeout=300):
+def _run_workers(script, args_list, gate_dir, timeout=300):
     src = script.replace("@@REPO@@", repr(REPO))
     procs = [subprocess.Popen(
         [sys.executable, "-c", src, *[str(a) for a in args]],
@@ -114,7 +114,7 @@ def test_metastore_mutations_never_lost(tmp_path):
     n_workers, n_each = 6, 25
     outs = _run_workers(_MUTATE_WORKER,
                         [(wh, w, n_each) for w in range(n_workers)],
-                        REPO, wh)
+                        wh)
     assert all(o == "OK" for o in outs)
     with open(os.path.join(wh, "_qbeast_catalog.json")) as fh:
         entries = json.load(fh)
@@ -129,7 +129,7 @@ def test_racing_creates_one_winner_inserts_all_land(tmp_path):
     n_workers = 3
     outs = _run_workers(_CREATE_WORKER,
                         [(wh, w) for w in range(n_workers)],
-                        REPO, wh, timeout=600)
+                        wh, timeout=600)
     assert outs.count("WON") == 1, outs
     assert outs.count("LOST") == n_workers - 1, outs
 
