@@ -188,6 +188,15 @@ def test_pruned_read_equals_plain_spark(spark, fuzz_setup):
             g_s = qt.sample(0.3, filters=q).agg(*chk).collect()[0]
             assert (g_s.n, g_s.h) == (w_s.n, w_s.h), \
                 f"[{name} seed={seed} case={i} SAMPLE] {q}"
+        if i % 10 == 0:
+            # prune_scan soundness (the SQL surface's WHERE lift): the
+            # residual-free pruned file list + the re-applied predicate
+            # must be exactly the filtered read — an over-pruned list
+            # would silently drop rows from qsql statements
+            g_p = (qt.prune_scan(q).where(F.expr(q))
+                   .agg(*chk).collect()[0])
+            assert (g_p.n, g_p.h) == (want.n, want.h), \
+                f"[{name} seed={seed} case={i} PRUNE_SCAN] {q}"
         # pruning-rate tally: measured through the same translation the
         # read used, without a second scan
         dnf = to_dnf_filters(q)
