@@ -94,16 +94,6 @@ def _relayout_lineitem(spark, sf_dir: str) -> str:
 
     key = os.path.abspath(sf_dir) + "#relayout"
     path = _cache_path(sf_dir, "lineitem_rt")
-    # the fast cache is set only after a COMPLETED build (no per-call
-    # log re-parse in the bench path), but it must still verify the
-    # directory SURVIVED: bench.py's qb_write loop rmtrees the whole
-    # tag dir after the warmup already built+cached this table, and a
-    # stale hit then exported an EMPTY delta log ("exists implies
-    # complete" broke the moment a second actor could delete the path)
-    if key in _QB_CACHE and os.path.isdir(os.path.join(path,
-                                                       "_qbeast_log")):
-        return _QB_CACHE[key]
-    _QB_CACHE.pop(key, None)
     # crash-safe cache gate: the log exists after write's FIRST commit,
     # so a process killed between write and the maintenance verbs would
     # otherwise cache a half-built table forever and this row would
@@ -128,6 +118,17 @@ def _relayout_lineitem(spark, sf_dir: str) -> str:
             # only possible on the unlocked fast probe; settle it by
             # taking the lock
             return False
+
+    # the in-process fast cache must still verify the COMPLETION MARKER
+    # on disk: bench's qb_write loop rmtrees the tag dir after the
+    # warmup cached this build, and a cross-process rebuild can be
+    # mid-flight (log exists, maintenance not yet run) — only the
+    # marker means complete. table_properties() is a cheap metadata
+    # read; the cache merely skips it... never at the cost of trusting
+    # a path a second actor may have deleted or half-rebuilt.
+    if key in _QB_CACHE and _done():
+        return _QB_CACHE[key]
+    _QB_CACHE.pop(key, None)
 
     if not _done():
         os.makedirs(os.path.dirname(path) or ".", exist_ok=True)

@@ -663,9 +663,16 @@ class QbeastSqlCatalog:
         entry = self.tables()[name]
         rest = m.group("rest").strip()
 
+        def _no_trailing(end):
+            if rest[end:].strip():
+                raise ValueError(
+                    f"unexpected text after the property list: "
+                    f"{rest[end:].strip()[:40]!r}")
+
         ms = re.match(r"(?i)^SET\s+TBLPROPERTIES\s*\(", rest)
         if ms:
             end = _balanced_paren(rest, ms.end() - 1)
+            _no_trailing(end)
             props = _parse_kv_list(rest[ms.end():end - 1])
             self._qt(entry).set_properties(props)
             return None
@@ -673,6 +680,7 @@ class QbeastSqlCatalog:
                       r"(IF\s+EXISTS\s*)?\(", rest)
         if mu:
             end = _balanced_paren(rest, mu.end() - 1)
+            _no_trailing(end)
             keys = [_unquote_lit(k)
                     for k in _split_top_level_commas(rest[mu.end():end - 1])]
             qt = self._qt(entry)
@@ -1036,9 +1044,11 @@ class QbeastSqlCatalog:
             props = {k: v for k, v in qt.log.table_properties().items()
                      if k != "qbeast.lastRevisionID"}
             if props:
-                kv = ", ".join(
-                    f"'{k}'='{str(v).replace(chr(39), chr(39) * 2)}'"
-                    for k, v in sorted(props.items()))
+                def q1(s):  # SQL single-quote escaping, keys AND values
+                    return str(s).replace("'", "''")
+
+                kv = ", ".join(f"'{q1(k)}'='{q1(v)}'"
+                               for k, v in sorted(props.items()))
                 parts.append(f"TBLPROPERTIES ({kv})")
             return self.spark.createDataFrame(
                 [("\n".join(parts),)], "createtab_stmt STRING")

@@ -60,6 +60,9 @@ def optimize_table(spark, path: str, fraction: float = 1.0,
     from ..core.weight import weight_to_fraction
     from .reader import QbeastTable
 
+    if analyze_fraction is not None and not (0.0 < analyze_fraction <= 1.0):
+        raise ValueError(
+            f"analyze_fraction must be in (0, 1], got {analyze_fraction}")
     log = CommitLog(path)
     snap = log.snapshot()
     if not snap.files:

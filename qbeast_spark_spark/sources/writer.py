@@ -448,13 +448,26 @@ def write_qbeast(df, path: str,
 
             columns_to_index = select_columns_to_index(df)
 
+    if analyze_fraction is not None and not (0.0 < analyze_fraction <= 1.0):
+        # fail BEFORE the stats pass: a typo'd 10 ("ten percent") must
+        # not pay the full transform job first at 100-TB scale (and an
+        # empty first batch must not accept the typo silently)
+        raise ValueError(
+            f"analyze_fraction must be in (0, 1], got {analyze_fraction}")
+
     # Bigger Arrow batches cut the per-batch Python/JVM round-trip overhead
     # of the two mapInArrow stages (~10% wall on the write path); restored
     # after the commit so we don't leak config into the caller's session.
-    _ARROW_BATCH_KEY = "spark.sql.execution.arrow.maxRecordsPerBatch"
+    # Depth-counted under a lock: with concurrent writes on one session
+    # (a supported shape — see last_write_rows), naive save/restore pairs
+    # interleave and leak the override permanently.
     _spark = df.sparkSession
-    _prev_batch = _spark.conf.get(_ARROW_BATCH_KEY, None)
-    _spark.conf.set(_ARROW_BATCH_KEY, "65536")
+    global _ARROW_DEPTH, _ARROW_PREV
+    with _ARROW_LOCK:
+        _ARROW_DEPTH += 1
+        if _ARROW_DEPTH == 1:
+            _ARROW_PREV = _spark.conf.get(_ARROW_BATCH_KEY, None)
+            _spark.conf.set(_ARROW_BATCH_KEY, "65536")
     try:
         return _write_qbeast_inner(df, path, columns_to_index, cube_size,
                                    mode, column_stats, pre_commit_hooks,
@@ -462,10 +475,13 @@ def write_qbeast(df, path: str,
                                    bloom_columns, bloom_bits, constraints,
                                    analyze_fraction)
     finally:
-        if _prev_batch is None:
-            _spark.conf.unset(_ARROW_BATCH_KEY)
-        else:
-            _spark.conf.set(_ARROW_BATCH_KEY, _prev_batch)
+        with _ARROW_LOCK:
+            _ARROW_DEPTH -= 1
+            if _ARROW_DEPTH == 0:
+                if _ARROW_PREV is None:
+                    _spark.conf.unset(_ARROW_BATCH_KEY)
+                else:
+                    _spark.conf.set(_ARROW_BATCH_KEY, _ARROW_PREV)
 
 
 # Wall-clock of the last write's phases (transform stats job / domain
@@ -480,17 +496,20 @@ LAST_WRITE_PHASES: Dict[str, float] = {}
 # (the SQL surface's INSERT status) read it via last_write_rows()
 # instead of paying a third pass over the source query. Thread-local:
 # two threads writing through one session must not cross-report counts.
-# (An idempotent-txn skip still reports the batch's input rows — the
-# SQL surface does not pass txn ids.)
+# An idempotent-txn skip reports 0 (the batch wrote nothing).
 import threading as _threading
 
 _WRITE_TL = _threading.local()
-LAST_WRITE_ROWS: Optional[int] = None  # single-thread convenience mirror
+
+_ARROW_BATCH_KEY = "spark.sql.execution.arrow.maxRecordsPerBatch"
+_ARROW_LOCK = _threading.Lock()
+_ARROW_DEPTH = 0
+_ARROW_PREV: Optional[str] = None
 
 
 def last_write_rows() -> Optional[int]:
-    """Input-row count of this THREAD's most recent write_qbeast call
-    (None if the thread has not written)."""
+    """Row count written by this THREAD's most recent write_qbeast call
+    (0 for an idempotent-txn skip; None if the thread has not written)."""
     return getattr(_WRITE_TL, "rows", None)
 
 
@@ -529,6 +548,7 @@ def _write_qbeast_inner(df, path: str, columns_to_index,
     snapshot = log.snapshot()
     if txn_app_id is not None and \
             snapshot.txns.get(txn_app_id, -1) >= int(txn_version):
+        _WRITE_TL.rows = 0             # skipped batch: nothing written
         return snapshot.version        # already committed: idempotent skip
     # CHECK constraints: the incoming batch must satisfy the table's
     # stored set plus any newly declared ones (one agg job; NULL passes,
@@ -598,8 +618,7 @@ def _write_qbeast_inner(df, path: str, columns_to_index,
                                                 column_stats)
     LAST_WRITE_PHASES.clear()
     LAST_WRITE_PHASES["transform"] = time.perf_counter() - _t0
-    global LAST_WRITE_ROWS
-    LAST_WRITE_ROWS = _WRITE_TL.rows = int(n)
+    _WRITE_TL.rows = int(n)
     if n == 0:
         return log.commit(add=[], remove=[], schema_json=df.schema.json(),
                           data_change=False, operation="WRITE",

@@ -739,3 +739,42 @@ def test_concurrent_thread_inserts_report_own_counts(spark, cat):
     t2 = threading.Thread(target=ins, args=("tc2", 7))
     t1.start(); t2.start(); t1.join(); t2.join()
     assert results == {"tc1": 3, "tc2": 7}
+
+
+def test_fifth_pass_regressions(spark, cat):
+    cat.sql("CREATE TABLE f5 (id INT) USING qbeast "
+            "OPTIONS ('columnsToIndex'='id')")
+    # trailing text after SET/UNSET TBLPROPERTIES raises (same guard
+    # as ADD COLUMNS)
+    with pytest.raises(ValueError, match="unexpected text"):
+        cat.sql("ALTER TABLE f5 SET TBLPROPERTIES ('a'='1') RENAME TO g")
+    with pytest.raises(ValueError, match="unexpected text"):
+        cat.sql("ALTER TABLE f5 UNSET TBLPROPERTIES ('a') junk")
+    # quoted-key properties round-trip through SHOW CREATE TABLE
+    cat.sql("ALTER TABLE f5 SET TBLPROPERTIES ('k''x'='v''y')")
+    ddl = cat.sql("SHOW CREATE TABLE f5").collect()[0].createtab_stmt
+    cat.sql(ddl.replace("CREATE TABLE f5", "CREATE TABLE f5b", 1))
+    props = dict(_rows(cat.sql("SHOW TBLPROPERTIES f5b")))
+    assert props.get("k'x") == "v'y"
+    # analyze_fraction typo fails BEFORE any job, even on an empty df
+    from qbeast_spark_spark import write_qbeast
+
+    with pytest.raises(ValueError, match="analyze_fraction"):
+        write_qbeast(spark.createDataFrame([], "id INT"),
+                     str(cat.warehouse) + "/nvr", columns_to_index=["id"],
+                     analyze_fraction=10)
+
+
+def test_txn_skip_reports_zero_rows(spark, tmp_path):
+    from qbeast_spark_spark import write_qbeast
+    from qbeast_spark_spark.sources.writer import last_write_rows
+
+    p = str(tmp_path / "t")
+    df = spark.range(5).selectExpr("CAST(id AS INT) AS id")
+    write_qbeast(df, p, columns_to_index=["id"],
+                 txn_app_id="a", txn_version=1)
+    assert last_write_rows() == 5
+    # replay of the same txn writes nothing and must say so
+    write_qbeast(df, p, columns_to_index=["id"],
+                 txn_app_id="a", txn_version=1)
+    assert last_write_rows() == 0
