@@ -702,7 +702,7 @@ def test_review_fixes_fourth_pass(spark, cat):
     # analyze_fraction typo'd as a percentage raises loudly
     from qbeast_spark_spark import write_qbeast
 
-    with pytest.raises(ValueError, match="sample_fraction"):
+    with pytest.raises(ValueError, match="fraction must be in"):
         write_qbeast(spark.range(5).selectExpr("CAST(id AS INT) id"),
                      str(cat.warehouse) + "/never", columns_to_index=["id"],
                      analyze_fraction=10)
