@@ -460,7 +460,12 @@ def main() -> None:
     except ValueError:
         sf_val = sf
     total = round(sum(timings.values()), 3)
-    print(json.dumps({
+    # compact separators (no spaces) keep the single JSON line as short
+    # as possible — BENCH_r07 was head-truncated by the driver's
+    # tail-bounded capture, losing the entries emitted first. Belt and
+    # braces: the full result is ALSO written to BENCH_LAST.json next to
+    # this script, so a truncated capture never loses the record.
+    out = json.dumps({
         "metric": "headline_queries_total",
         "value": total,
         "unit": "sec",
@@ -469,7 +474,14 @@ def main() -> None:
         "runs_per_query": n_runs,
         "sampling_demo": sampling,
         "sf": sf_val,
-    }))
+    }, separators=(",", ":"))
+    try:
+        with open(os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                               "BENCH_LAST.json"), "w") as fh:
+            fh.write(out + "\n")
+    except OSError:
+        pass  # read-only checkout: stdout is still the record
+    print(out)
 
 
 if __name__ == "__main__":

@@ -391,10 +391,23 @@ class ConditionalPutPublisher(CommitPublisher):
             except OSError:
                 raise e     # still unresolved: abort, never guess
         if self._get is not None:
+            # put reported a clean conflict — but that conflict may be
+            # the store's retried duplicate of OUR own write (the
+            # lost-reply shape above), so the content check is still
+            # what decides won/lost. If the disambiguating get fails,
+            # the outcome is UNKNOWN and the contract is the same as in
+            # the exception branch: raise, never guess — guessing
+            # "lost" here would re-publish the same payload at N+1 (a
+            # duplicate commit) whenever the conflict was our own.
             try:
                 return self._get(target) == body
-            except OSError:
-                pass
+            except FileNotFoundError:
+                # target absent => our put definitely did not land
+                # (commit files are never deleted): safely lost
+                return False
+            except OSError as e:
+                self.last_error = e
+                raise
         return False
 
 
@@ -838,6 +851,15 @@ class CommitLog:
                 f"{sorted(blocked)} this engine does not support")
         payload = {
             "timestamp": int(time.time() * 1000),
+            # per-writer nonce: makes the commit body globally unique, so
+            # a publisher's content-equality check (LinkPublisher st_nlink
+            # / ConditionalPutPublisher get()==body) is a reliable
+            # OWNERSHIP test — without it two writers racing byte-
+            # identical bodies (ms-granularity timestamp, sort_keys JSON,
+            # e.g. identical property-only commits) could both be told
+            # they won one version, silently collapsing one commit.
+            # Replay ignores unknown keys.
+            "writerNonce": uuid.uuid4().hex,
             "operation": operation,
             "dataChange": bool(data_change),
             "resetStats": bool(reset_stats),

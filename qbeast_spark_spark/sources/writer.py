@@ -460,14 +460,20 @@ def write_qbeast(df, path: str,
     # after the commit so we don't leak config into the caller's session.
     # Depth-counted under a lock: with concurrent writes on one session
     # (a supported shape — see last_write_rows), naive save/restore pairs
-    # interleave and leak the override permanently.
+    # interleave and leak the override permanently. The counter is keyed
+    # PER SparkSession (not process-global): with two sessions writing
+    # concurrently, a global depth would skip the override on the second
+    # session entirely and could restore session A's saved value into
+    # session B's conf. The entry is deleted at depth 0, so a recycled
+    # id() can never observe a stale record.
     _spark = df.sparkSession
-    global _ARROW_DEPTH, _ARROW_PREV
+    _key = id(_spark)
     with _ARROW_LOCK:
-        _ARROW_DEPTH += 1
-        if _ARROW_DEPTH == 1:
-            _ARROW_PREV = _spark.conf.get(_ARROW_BATCH_KEY, None)
+        depth, prev = _ARROW_STATE.get(_key, (0, None))
+        if depth == 0:
+            prev = _spark.conf.get(_ARROW_BATCH_KEY, None)
             _spark.conf.set(_ARROW_BATCH_KEY, "65536")
+        _ARROW_STATE[_key] = (depth + 1, prev)
     try:
         return _write_qbeast_inner(df, path, columns_to_index, cube_size,
                                    mode, column_stats, pre_commit_hooks,
@@ -476,12 +482,15 @@ def write_qbeast(df, path: str,
                                    analyze_fraction)
     finally:
         with _ARROW_LOCK:
-            _ARROW_DEPTH -= 1
-            if _ARROW_DEPTH == 0:
-                if _ARROW_PREV is None:
+            depth, prev = _ARROW_STATE[_key]
+            if depth == 1:
+                del _ARROW_STATE[_key]
+                if prev is None:
                     _spark.conf.unset(_ARROW_BATCH_KEY)
                 else:
-                    _spark.conf.set(_ARROW_BATCH_KEY, _ARROW_PREV)
+                    _spark.conf.set(_ARROW_BATCH_KEY, prev)
+            else:
+                _ARROW_STATE[_key] = (depth - 1, prev)
 
 
 # Wall-clock of the last write's phases (transform stats job / domain
@@ -503,8 +512,8 @@ _WRITE_TL = _threading.local()
 
 _ARROW_BATCH_KEY = "spark.sql.execution.arrow.maxRecordsPerBatch"
 _ARROW_LOCK = _threading.Lock()
-_ARROW_DEPTH = 0
-_ARROW_PREV: Optional[str] = None
+# id(SparkSession) -> (depth, saved previous value); see write_qbeast
+_ARROW_STATE: Dict[int, Tuple[int, Optional[str]]] = {}
 
 
 def last_write_rows() -> Optional[int]:

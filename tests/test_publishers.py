@@ -257,3 +257,53 @@ def test_link_publisher_still_default_and_checkpointing_works(tmp_path):
     snap = log.snapshot()
     assert "dup.parquet" not in snap.files
     assert len(snap.files) == 11
+
+
+def test_clean_conflict_with_failing_get_raises(tmp_path):
+    """put returns False CLEANLY (store reports conflict) but the
+    disambiguating get raises: the outcome is UNKNOWN — the conflict may
+    be the store's retried duplicate of OUR own write — so the publisher
+    must raise, never guess "lost" (guessing would re-publish the same
+    payload at N+1: a duplicate commit). Round-7 verdict #1."""
+    boom = OSError("get timed out")
+
+    def conflict_put(path, body):
+        return False
+
+    def failing_get(path):
+        raise boom
+
+    pub = ConditionalPutPublisher(conflict_put, get=failing_get)
+    with pytest.raises(OSError, match="get timed out"):
+        pub.publish(str(tmp_path / "x.json"), b"mine")
+    assert pub.last_error is boom
+
+    # a clean conflict whose get resolves 'absent' is still a safe loss
+    pub2 = ConditionalPutPublisher(conflict_put,
+                                   get=LocalConditionalPutPublisher._read)
+    assert pub2.publish(str(tmp_path / "gone.json"), b"mine") is False
+
+    # ... and one whose get returns OUR body is a win (lost-reply shape)
+    pub3 = ConditionalPutPublisher(conflict_put, get=lambda p: b"mine")
+    assert pub3.publish(str(tmp_path / "won.json"), b"mine") is True
+
+
+def test_commit_bodies_are_globally_unique(tmp_path):
+    """Two logically identical commits (same properties, ms-identical
+    timestamps possible) must still produce distinct bodies: the
+    writerNonce makes every publisher's content-equality check a
+    reliable OWNERSHIP test, so byte-identical racers can never both be
+    told they won one version."""
+    import json as _json
+
+    log = CommitLog(str(tmp_path))
+    log.commit(properties={"k": "v"}, data_change=False)
+    log.commit(properties={"k": "v"}, data_change=False)
+    bodies = []
+    for v in (0, 1):
+        with open(os.path.join(log.log_dir, f"{v:012d}.json")) as fh:
+            bodies.append(fh.read())
+    assert bodies[0] != bodies[1]
+    nonces = [_json.loads(b)["writerNonce"] for b in bodies]
+    assert nonces[0] != nonces[1]
+    assert all(len(n) == 32 for n in nonces)
