@@ -249,6 +249,51 @@ def _unquote_lit(tok: str) -> str:
     return tok
 
 
+# words that can follow a table reference but can never BE its alias
+_NOT_ALIAS = frozenset("""
+    as on using where group order having limit union except intersect
+    join inner left right full cross natural lateral semi anti pivot
+    unpivot window sort cluster distribute tablesample version timestamp
+    values select set when then else and or not in is between like
+""".split())
+
+
+def _alias_follows(text: str, pos: int) -> bool:
+    """True when a user table alias (optionally AS-prefixed) immediately
+    follows ``pos``. The view rewrites need this: replacing ``FROM t
+    VERSION AS OF 0`` with a synthesized view name silently breaks
+    name-qualified column refs (``SELECT t.col``) unless the view is
+    re-aliased back to the table name — but when a user alias DOES
+    follow, emitting ``view AS t`` would collide with it."""
+    m = re.match(rf"\s+(?:AS\s+)?(?P<a>{_IDENT})", text[pos:],
+                 re.IGNORECASE)
+    if not m:
+        return False
+    a = m.group("a")
+    return a.startswith("`") or a.lower() not in _NOT_ALIAS
+
+
+def _local_location(loc: str) -> str:
+    """Normalize a LOCATION to an absolute local path. ``file:`` URIs are
+    accepted and stripped; any OTHER scheme (s3://, gs://, abfss://, ...)
+    is rejected loudly — os.path.abspath would silently rewrite
+    ``s3://bucket/x`` into a bogus cwd-relative local path and create the
+    table somewhere unintended. This engine's metastore/commit log is
+    local-filesystem only (object stores need a ConditionalPutPublisher
+    wired by the caller, see sources/log.py)."""
+    m = re.match(r"^([A-Za-z][A-Za-z0-9+.\-]*)://", loc)
+    if m:
+        if m.group(1).lower() != "file":
+            raise ValueError(
+                f"unsupported LOCATION scheme {m.group(1)!r} in {loc!r}: "
+                "this catalog manages local-filesystem tables only "
+                "(file: or a plain path)")
+        loc = re.sub(r"^file://[^/]*", "", loc, flags=re.IGNORECASE)
+    elif loc.lower().startswith("file:"):
+        loc = loc[5:]
+    return os.path.abspath(loc)
+
+
 def _strip_alias_prefixes(expr: str, aliases: List[str],
                           replacement: str = "") -> str:
     """Rewrite ``alias.col`` -> ``<replacement>col`` for the given
@@ -428,7 +473,7 @@ class QbeastSqlCatalog:
         managed = location is None
         if managed:
             location = os.path.join(self.warehouse, name)
-        location = os.path.abspath(location)
+        location = _local_location(location)
 
         existing = self.tables().get(name)
         if existing is not None and not replace:
@@ -1024,18 +1069,23 @@ class QbeastSqlCatalog:
                 return self._delegate(stmt)
             entry = entries[name]
             qt = self._qt(entry)
+            def q1(s):  # SQL single-quote escaping — EVERY quoted value
+                # (options, location, comment, tblproperties): one
+                # embedded quote in any of them yields unrunnable DDL
+                return str(s).replace("'", "''")
+
             cols = ", ".join(f"{f.name} {f.dataType.simpleString().upper()}"
                              for f in qt.schema().fields)
             opts = entry.get("options") or {}
             parts = [f"CREATE TABLE {name} ({cols}) USING qbeast"]
             if opts:
-                kv = ", ".join(f"'{k}'='{v}'" for k, v in sorted(
+                kv = ", ".join(f"'{q1(k)}'='{q1(v)}'" for k, v in sorted(
                     opts.items()))
                 parts.append(f"OPTIONS ({kv})")
             if not entry.get("managed"):
-                parts.append(f"LOCATION '{entry['location']}'")
+                parts.append(f"LOCATION '{q1(entry['location'])}'")
             if entry.get("comment"):
-                parts.append(f"COMMENT '{entry['comment']}'")
+                parts.append(f"COMMENT '{q1(entry['comment'])}'")
             # table properties live in the commit log — without them the
             # "runnable" DDL would recreate the table minus its CHECK
             # constraints (qbeast.constraint.* properties) and CDF flag.
@@ -1044,9 +1094,6 @@ class QbeastSqlCatalog:
             props = {k: v for k, v in qt.log.table_properties().items()
                      if k != "qbeast.lastRevisionID"}
             if props:
-                def q1(s):  # SQL single-quote escaping, keys AND values
-                    return str(s).replace("'", "''")
-
                 kv = ", ".join(f"'{q1(k)}'='{q1(v)}'"
                                for k, v in sorted(props.items()))
                 parts.append(f"TBLPROPERTIES ({kv})")
@@ -1112,7 +1159,8 @@ class QbeastSqlCatalog:
         def outside_quotes(pos: int) -> bool:
             return not any(a <= pos < b for a, b in spans)
 
-        single_pred = self._single_table_predicate(stmt, entries)
+        single_pred = self._single_table_predicate(stmt, entries) \
+            or self._join_table_predicate(stmt, entries)
         out = stmt
         # longest names first so `orders_big` is never matched as `orders`
         for name in sorted(entries, key=len, reverse=True):
@@ -1142,7 +1190,10 @@ class QbeastSqlCatalog:
                             .createOrReplaceTempView(view)
                     created.append(view)
                     pieces.append(out[last:mm.start()])
-                    pieces.append(view)
+                    # no user alias after the clause -> re-alias the view
+                    # to the table name so `t.col` refs keep resolving
+                    pieces.append(view if _alias_follows(out, mm.end())
+                                  else f"{view} AS {name}")
                     last = mm.end()
                     continue
                 if mm.group("ts"):
@@ -1151,7 +1202,8 @@ class QbeastSqlCatalog:
                         .createOrReplaceTempView(view)
                     created.append(view)
                     pieces.append(out[last:mm.start()])
-                    pieces.append(view)
+                    pieces.append(view if _alias_follows(out, mm.end())
+                                  else f"{view} AS {name}")
                     last = mm.end()
                     continue
                 lift = single_pred.get(name)
@@ -1242,7 +1294,112 @@ class QbeastSqlCatalog:
             if other != name and re.search(
                     rf"(?i)(?<![\w.`]){re.escape(other)}(?![\w.`])", pred):
                 return {}
-        return {name: (pred, m.group("alias") is not None)}
+        alias = m.group("alias")
+        # qualified refs (`t.col` under alias t / `name.col` bare) would
+        # never match an index column in the DNF translation — strip the
+        # table's own qualifier so they prune like bare refs. The view
+        # is file-list only; the statement's WHERE keeps the ORIGINAL
+        # qualified text, so this rewrite affects pruning, not results.
+        qual = _unquote_ident(alias) if alias else name
+        pred = _strip_alias_prefixes(pred, [qual])
+        return {name: (pred, alias is not None)}
+
+    def _join_table_predicate(
+            self, stmt: str, entries) -> Dict[str, Tuple[str, bool]]:
+        """WHERE lift for single-SELECT statements with JOINs (r7 verdict
+        task 1). The reference prunes every plan shape through its file
+        index (core/src/main/scala/io/qbeast/spark/index/
+        DefaultFileIndex.scala:47-57, exercised by
+        QbeastFilterPushdownTest.scala:187-195); a statement-level shim
+        can attribute predicates soundly only for a restricted shape:
+
+        - ONE top-level SELECT (no set-op branches: with UNION/EXCEPT/
+          INTERSECT the top-level WHERE found may belong to another
+          branch);
+        - only inner/cross joins at the top level (LEFT/RIGHT/FULL/
+          SEMI/ANTI/NATURAL/LATERAL rejected: an outer join can
+          null-extend the qbeast side, so a WHERE conjunct like
+          ``t.col IS NULL`` can be satisfied by output rows that
+          correspond to NO stored row — pruning files would change
+          which probe rows null-extend);
+        - the qbeast table referenced EXACTLY ONCE, in table-reference
+          position (right after FROM/JOIN/',') at paren depth 0.
+
+        The WHOLE top-level WHERE (qualifiers of the qbeast table's
+        alias stripped) is handed to prune_scan: the DNF translator
+        drops conjuncts it cannot express and treats leaves on unknown
+        columns (the OTHER tables' aliases stay qualified, so they can
+        never collide with a real qbeast column) as unconstrained —
+        both only WIDEN the file list. A bare column reference equal to
+        a qbeast column name either resolves to the qbeast table
+        (pruning is sound) or the statement is ambiguous and fails
+        analysis before any result is produced."""
+        masked = _mask_quotes(stmt)
+        if not re.match(r"(?i)^\s*SELECT\b", masked):
+            return {}
+        if _find_top_level(stmt, r"\b(UNION|EXCEPT|INTERSECT|MINUS)\b"):
+            return {}
+        if _find_top_level(
+                stmt, r"\b(LEFT|RIGHT|FULL|NATURAL|LATERAL|SEMI|ANTI"
+                      r"|OUTER)\b"):
+            return {}
+        fm = _find_top_level(stmt, r"\bFROM\b")
+        wm = _find_top_level(stmt, r"\bWHERE\b")
+        if fm is None or wm is None or wm.start() < fm.end():
+            return {}
+        pred_full = stmt[wm.end():]
+        stop = _find_top_level(
+            pred_full, r"\b(GROUP|ORDER|HAVING|LIMIT"
+                       r"|WINDOW|SORT|CLUSTER|DISTRIBUTE)\b")
+        if stop:
+            pred_full = pred_full[:stop.start()]
+        pred_full = pred_full.strip()
+        # subqueries at ANY depth (IN (SELECT ...), EXISTS (...)) are not
+        # a shape the DNF translation understands — skip outright rather
+        # than relying on the tokenizer to degrade
+        if not pred_full or re.search(r"(?i)\bSELECT\b",
+                                      _mask_quotes(pred_full)):
+            return {}
+        out: Dict[str, Tuple[str, bool]] = {}
+        for name in entries:
+            occ = [om for om in re.finditer(
+                rf"(?i)(?<![\w.`'\"]){re.escape(name)}(?![\w.`])", masked)]
+            if len(occ) != 1:
+                continue
+            om = occ[0]
+            # must sit in the top-level FROM clause, at depth 0, right
+            # after FROM/JOIN/',' — anything else (a column ref, an
+            # alias that happens to equal a table name) is not a table
+            # reference this lift may rewrite
+            if not (fm.end() <= om.start() < wm.start()):
+                continue
+            if masked.count("(", 0, om.start()) \
+                    != masked.count(")", 0, om.start()):
+                continue
+            before = masked[:om.start()].rstrip()
+            if not (before.endswith(",")
+                    or re.search(r"(?i)\b(FROM|JOIN)$", before)):
+                continue
+            after = masked[om.end():]
+            # a trailing time-travel/TABLESAMPLE clause is handled by
+            # its own rewrite branch — never double-rewrite
+            if re.match(r"(?i)\s+(VERSION|TIMESTAMP)\s+AS\s+OF\b"
+                        r"|\s+TABLESAMPLE\b", after):
+                continue
+            am = re.match(rf"(?i)\s+(?:AS\s+)?(?P<a>{_IDENT})", after)
+            alias = None
+            if am:
+                tok = am.group("a")
+                if tok.startswith("`") or tok.lower() not in _NOT_ALIAS:
+                    alias = _unquote_ident(tok)
+            qual = alias if alias else name
+            pred = _strip_alias_prefixes(pred_full, [qual])
+            if any(other != name and re.search(
+                    rf"(?i)(?<![\w.`]){re.escape(other)}(?![\w.`])", pred)
+                    for other in entries):
+                continue
+            out[name] = (pred, alias is not None)
+        return out
 
     # -- helpers ---------------------------------------------------------------------
 

@@ -316,3 +316,81 @@ def test_pyds_where_lane_equals_plain_spark(spark, tmp_path_factory):
             pruned += 1
     assert parsed >= n_cases * 0.5, (parsed, n_cases)
     assert pruned >= parsed * 0.1, (pruned, parsed)
+
+
+def test_qsql_join_lift_lane_equals_plain_spark(spark, tmp_path_factory):
+    """r8: the random predicate grammar driven through the qsql JOIN
+    WHERE lift (catalog._join_table_predicate): the indexed table joined
+    to a plain dimension, the WHERE mixing qbeast-column conjuncts
+    (randomly alias-qualified — exercising the qualifier strip) with
+    dimension conjuncts. Soundness contract: the statement's result must
+    equal the plain-Spark join row for row; a tally (via the statement's
+    ACTUAL qbeast input files) asserts the lift really prunes on a
+    healthy share of translatable predicates."""
+    import re as _re
+
+    import qbeast_spark_spark as qss
+    from qbeast_spark_spark.sources.catalog import QbeastSqlCatalog
+    from qbeast_spark_spark.sources.predicates import to_dnf_filters
+    from qbeast_spark_spark.sources.reader import prune_files
+
+    base = _base_frame(spark)
+    wh = tmp_path_factory.mktemp("e2e_qsql_join")
+    path = str(wh / "qli")
+    qss.write(base, path,
+              columns_to_index=["l_orderkey", "l_extendedprice"],
+              cube_size=400)
+    qt = qss.QbeastTable.for_path(spark, path)
+    snap = qt.snapshot(refresh=True)
+    n_files = len(snap.files)
+    assert n_files > 1
+    cat = QbeastSqlCatalog(spark, str(wh / "warehouse"))
+    cat.sql(f"CREATE TABLE qli USING qbeast LOCATION '{path}'")
+    orders = load(spark, "orders")
+    orders.createOrReplaceTempView("odim")
+    joined = base.join(orders,
+                       base.l_orderkey == orders.o_orderkey)
+    cols = sorted(base.columns)
+    chk = _checksum_exprs(cols)
+    col_rx = _re.compile(r"\b(" + "|".join(sorted(cols, key=len,
+                                                  reverse=True)) + r")\b")
+    rng = random.Random(20260821)
+    n_cases = max(30, N_CASES // 10)
+    parsed = pruned = 0
+    for i in range(n_cases):
+        q = _tree(rng, 2)
+        # randomly alias-qualify the qbeast columns; the dim conjunct
+        # stays o.-qualified (an unknown column to the pruner: widens)
+        qualify = rng.random() < 0.6
+        q_sql = col_rx.sub(r"t.\1", q) if qualify else q
+        ck = rng.choice([0, 5, 50, 500])
+        stmt = (f"SELECT {', '.join('t.' + c for c in cols)} FROM qli t "
+                f"JOIN odim o ON t.l_orderkey = o.o_orderkey "
+                f"WHERE ({q_sql}) AND o.o_custkey >= {ck}")
+        got_df = cat.sql(stmt)
+        got = got_df.agg(*chk).collect()[0]
+        want = (joined.where(q).where(F.col("o_custkey") >= ck)
+                .agg(*chk).collect()[0])
+        assert (got.n, got.h) == (want.n, want.h), \
+            f"[qsql_join seed=20260821 case={i}] {stmt}"
+        qb_inputs = {os.path.basename(f) for f in got_df.inputFiles()
+                     if "/qli/" in f}
+        # the lift strips the alias, so the pruner sees bare columns
+        dnf = to_dnf_filters(f"({q}) AND o.o_custkey >= {ck}")
+        if dnf is None:
+            continue
+        parsed += 1
+        selected = set()
+        for conj in dnf:
+            selected.update(prune_files(snap, conj))
+        # the statement may legitimately read FEWER files than the
+        # recomputed candidate set (Catalyst folds contradictory
+        # predicates to an empty relation before listing files) but
+        # never one outside it; over-pruning that DROPS matching rows
+        # is caught by the row-equality assert above
+        assert qb_inputs <= {os.path.basename(p) for p in selected}, \
+            (sorted(qb_inputs - selected), stmt)
+        if len(qb_inputs) < n_files:
+            pruned += 1
+    assert parsed >= n_cases * 0.4, (parsed, n_cases)
+    assert pruned >= parsed * 0.1, (pruned, parsed)

@@ -778,3 +778,208 @@ def test_txn_skip_reports_zero_rows(spark, tmp_path):
     write_qbeast(df, p, columns_to_index=["id"],
                  txn_app_id="a", txn_version=1)
     assert last_write_rows() == 0
+
+
+# -- round-8 ADVICE fixes ------------------------------------------------------
+
+
+def test_time_travel_qualified_columns_without_alias(spark, cat):
+    """ADVICE r7 (medium): the tt/ts rewrites replaced the reference with
+    a synthesized view WITHOUT re-aliasing it to the table name, so valid
+    name-qualified refs (SELECT t.col FROM t VERSION AS OF 0) failed
+    analysis."""
+    cat.sql("CREATE TABLE t (id INT) USING qbeast "
+            "OPTIONS ('columnsToIndex'='id')")
+    cat.sql("INSERT INTO t VALUES (1)")
+    cat.sql("INSERT INTO t VALUES (2)")
+    got = cat.sql("SELECT t.id FROM t VERSION AS OF 1").collect()
+    assert [r.id for r in got] == [1]
+    # TABLESAMPLE spelled with a qualified projection resolves too
+    n = cat.sql("SELECT t.id FROM t TABLESAMPLE (100 PERCENT)").count()
+    assert n == 2
+    # ... while a user alias after the clause still wins
+    got = cat.sql("SELECT x.id FROM t VERSION AS OF 2 AS x "
+                  "ORDER BY x.id").collect()
+    assert [r.id for r in got] == [1, 2]
+
+
+def test_location_with_url_scheme_rejected(spark, cat, tmp_path):
+    """ADVICE r7: os.path.abspath('s3://bucket/x') silently rewrites the
+    URI into a bogus cwd-relative local path — reject loudly instead."""
+    with pytest.raises(ValueError, match="unsupported LOCATION scheme"):
+        cat.sql("CREATE TABLE s3t (id INT) USING qbeast "
+                "LOCATION 's3://bucket/x'")
+    assert "s3t" not in cat.tables()
+    # file: URIs are local and accepted
+    loc = tmp_path / "filet"
+    cat.sql(f"CREATE TABLE filet (id INT) USING qbeast "
+            f"OPTIONS ('columnsToIndex'='id') LOCATION 'file://{loc}'")
+    assert cat.tables()["filet"]["location"] == str(loc)
+
+
+def test_show_create_escapes_comment_and_option_values(spark, cat):
+    """ADVICE r7: SHOW CREATE TABLE escaped quotes in TBLPROPERTIES only;
+    a quote in COMMENT or OPTIONS yielded unrunnable DDL."""
+    cat.sql("CREATE TABLE esc (id INT) USING qbeast "
+            "OPTIONS ('columnsToIndex'='id') "
+            "COMMENT 'it''s quoted'")
+    ddl = cat.sql("SHOW CREATE TABLE esc").collect()[0].createtab_stmt
+    assert "COMMENT 'it''s quoted'" in ddl
+    # the emitted DDL must round-trip through the parser
+    cat.sql("DROP TABLE esc")
+    cat.sql(ddl)
+    assert "esc" in cat.tables()
+    assert cat.tables()["esc"]["comment"] == "it's quoted"
+
+
+# -- round-8: WHERE lift through JOINs -----------------------------------------
+
+
+@pytest.fixture()
+def join_cat(spark, cat):
+    """qli (qbeast, indexed on l_orderkey/l_extendedprice) + plain_orders
+    (ordinary temp view) — the 'join the indexed fact table to a
+    dimension' shape."""
+    li = load(spark, "lineitem")
+    li.createOrReplaceTempView("li_src")
+    cat.sql("CREATE TABLE qli USING qbeast OPTIONS "
+            "('columnsToIndex'='l_orderkey,l_extendedprice', cubeSize=500) "
+            "AS SELECT * FROM li_src")
+    load(spark, "orders").createOrReplaceTempView("plain_orders")
+    return cat
+
+
+def test_join_where_lift_prunes_files(spark, join_cat):
+    """r7 verdict task 1: a single-qbeast-table JOIN with a selective
+    WHERE on the indexed column must read strictly fewer files than the
+    full view (the reference prunes every plan shape through
+    DefaultFileIndex.scala:47-57)."""
+    cat = join_cat
+    li = load(spark, "lineitem")
+    orders = load(spark, "orders")
+    full = cat.sql(
+        "SELECT t.l_orderkey FROM qli t "
+        "JOIN plain_orders o ON t.l_orderkey = o.o_orderkey")
+    pruned = cat.sql(
+        "SELECT t.l_orderkey, o.o_custkey FROM qli t "
+        "JOIN plain_orders o ON t.l_orderkey = o.o_orderkey "
+        "WHERE t.l_orderkey >= 100 AND t.l_orderkey < 300")
+    assert len(pruned.inputFiles()) < len(full.inputFiles())
+    exp = (li.filter("l_orderkey >= 100 AND l_orderkey < 300")
+           .join(orders, li.l_orderkey == orders.o_orderkey).count())
+    assert pruned.count() == exp
+
+
+def test_join_where_lift_without_alias(spark, join_cat):
+    """Name-qualified refs with no user alias: the pruned view is
+    re-aliased back to the table name so ON/SELECT refs keep resolving."""
+    cat = join_cat
+    li = load(spark, "lineitem")
+    orders = load(spark, "orders")
+    full_n = len(cat.sql("SELECT * FROM qli").inputFiles())
+    pruned = cat.sql(
+        "SELECT qli.l_orderkey FROM qli "
+        "JOIN plain_orders ON qli.l_orderkey = plain_orders.o_orderkey "
+        "WHERE qli.l_orderkey < 200")
+    qli_files = [f for f in pruned.inputFiles() if "/qli/" in f]
+    assert 0 < len(qli_files) < full_n
+    exp = (li.filter("l_orderkey < 200")
+           .join(orders, li.l_orderkey == orders.o_orderkey).count())
+    assert pruned.count() == exp
+
+
+def test_join_where_lift_mixed_conjuncts(spark, join_cat):
+    """Conjuncts on the OTHER table's alias stay qualified -> unknown
+    columns -> never prune; conjuncts on the qbeast alias do. Results
+    must match the DataFrame plan exactly."""
+    cat = join_cat
+    li = load(spark, "lineitem")
+    orders = load(spark, "orders")
+    got = cat.sql(
+        "SELECT t.l_orderkey, t.l_quantity FROM qli t "
+        "JOIN plain_orders o ON t.l_orderkey = o.o_orderkey "
+        "WHERE t.l_orderkey < 300 AND o.o_custkey >= 10 "
+        "AND t.l_quantity > 5 ORDER BY t.l_orderkey, t.l_quantity")
+    exp = (li.join(orders, li.l_orderkey == orders.o_orderkey)
+           .filter("l_orderkey < 300 AND o_custkey >= 10 "
+                   "AND l_quantity > 5")
+           .select("l_orderkey", "l_quantity")
+           .orderBy("l_orderkey", "l_quantity"))
+    assert [tuple(r) for r in got.collect()] \
+        == [tuple(r) for r in exp.collect()]
+
+
+def test_outer_join_null_probe_is_never_lifted(spark, join_cat):
+    """Soundness guard: with qli on the nullable side of a LEFT JOIN and
+    an IS-NULL probe, pruning files would fabricate null-extended rows.
+    The shape must fall back to the full view AND return exact results."""
+    cat = join_cat
+    li = load(spark, "lineitem")
+    orders = load(spark, "orders")
+    assert cat._join_table_predicate(
+        "SELECT * FROM plain_orders o LEFT JOIN qli t "
+        "ON o.o_orderkey = t.l_orderkey WHERE t.l_orderkey IS NULL",
+        cat.tables()) == {}
+    got = cat.sql(
+        "SELECT COUNT(*) AS n FROM plain_orders o LEFT JOIN qli t "
+        "ON o.o_orderkey = t.l_orderkey "
+        "WHERE t.l_orderkey IS NULL").collect()[0].n
+    exp = (orders.join(li, orders.o_orderkey == li.l_orderkey, "left_anti")
+           .count())
+    assert got == exp
+
+
+def test_join_lift_shape_guards(spark, join_cat):
+    """The attributable-shape guards, pinned one by one."""
+    cat = join_cat
+    entries = cat.tables()
+    jp = cat._join_table_predicate
+    # self-join: two occurrences -> not attributable
+    assert jp("SELECT * FROM qli a JOIN qli b ON a.l_orderkey = "
+              "b.l_orderkey WHERE a.l_orderkey < 10", entries) == {}
+    # set-op branches -> the found WHERE may belong to another branch
+    assert jp("SELECT * FROM qli t JOIN plain_orders o ON t.l_orderkey "
+              "= o.o_orderkey WHERE t.l_orderkey < 10 "
+              "UNION ALL SELECT * FROM other", entries) == {}
+    # RIGHT JOIN -> rejected
+    assert jp("SELECT * FROM qli t RIGHT JOIN plain_orders o ON "
+              "t.l_orderkey = o.o_orderkey WHERE t.l_orderkey < 10",
+              entries) == {}
+    # subquery in the predicate -> rejected
+    assert jp("SELECT * FROM qli t JOIN plain_orders o ON t.l_orderkey "
+              "= o.o_orderkey WHERE t.l_orderkey IN "
+              "(SELECT o_orderkey FROM plain_orders)", entries) == {}
+    # alias in table position (not actually the qbeast table) -> skipped
+    assert jp("SELECT * FROM range(10) qli JOIN plain_orders o ON "
+              "qli.id = o.o_orderkey WHERE qli.id < 5", entries) == {}
+    # the happy inner-join shape IS attributed, alias-stripped
+    got = jp("SELECT * FROM qli t JOIN plain_orders o ON t.l_orderkey "
+             "= o.o_orderkey WHERE t.l_orderkey < 10 AND o.o_custkey > 2",
+             entries)
+    assert "qli" in got
+    pred, has_alias = got["qli"]
+    assert has_alias and "t.l_orderkey" not in pred \
+        and "l_orderkey < 10" in pred and "o.o_custkey > 2" in pred
+    # comma (cross) join with trailing name-qualified conjunct
+    got = jp("SELECT * FROM plain_orders, qli "
+             "WHERE qli.l_orderkey = plain_orders.o_orderkey "
+             "AND qli.l_orderkey < 10", entries)
+    assert got["qli"][1] is False \
+        and "qli.l_orderkey" not in got["qli"][0]
+
+
+def test_join_lift_string_literals_not_confused(spark, join_cat):
+    """A table name inside a string literal is not an occurrence; quoted
+    text inside the WHERE is never alias-stripped."""
+    cat = join_cat
+    got = cat.sql(
+        "SELECT t.l_orderkey, 'qli t.l_orderkey' AS lit FROM qli t "
+        "JOIN plain_orders o ON t.l_orderkey = o.o_orderkey "
+        "WHERE t.l_orderkey < 10 AND t.l_returnflag != 't.qli'")
+    rows = got.collect()
+    assert all(r.lit == "qli t.l_orderkey" for r in rows)
+    li = load(spark, "lineitem")
+    orders = load(spark, "orders")
+    exp = (li.join(orders, li.l_orderkey == orders.o_orderkey)
+           .filter("l_orderkey < 10 AND l_returnflag != 't.qli'").count())
+    assert len(rows) == exp
