@@ -41,6 +41,21 @@ DOMAIN_BUFFER_CAPACITY = 100_000  # config.scala:30-34
 # noise and the full sketch is cheap anyway, so the fraction is clamped
 _MIN_SKETCH_ROWS = 100_000
 
+# r8 (VERDICT r7 task 4): the sampled sketch auto-enables above this
+# many input rows — large ingest batches (streaming sinks, auto_maintain
+# re-indexing, bulk writes) get the 100-TB lever by DEFAULT instead of
+# opt-in. Below the threshold the exact pass is cheap; above it the
+# fraction targets _AUTO_SKETCH_TARGET_ROWS sampled rows (10x the
+# _MIN_SKETCH_ROWS noise floor — accuracy margin), floored at 1% so a
+# colossal batch never sketches more than ~1% of its bytes. Explicit
+# sample_fraction always wins; pass 1.0 to force the exact pass.
+_AUTO_SKETCH_MIN_ROWS = 4_000_000
+_AUTO_SKETCH_TARGET_ROWS = 1_000_000
+
+# fraction the last estimate_cube_domains call actually used (None =
+# exact pass) — observability for soaks/benches asserting the policy
+LAST_SKETCH_FRACTION: Optional[float] = None
+
 
 def with_index_columns(df, revision: Revision):
     """Append the weight (murmur3 seed-42 == F.hash, QbeastMurmur3Hash
@@ -140,6 +155,12 @@ def estimate_cube_domains(prepared_df, revision: Revision, num_elements: int,
         # the exact failure this knob exists to prevent — reject loudly
         raise ValueError(
             f"sample_fraction must be in (0, 1], got {sample_fraction}")
+    if sample_fraction is None and num_elements >= _AUTO_SKETCH_MIN_ROWS:
+        # default-on above the threshold (see _AUTO_SKETCH_MIN_ROWS):
+        # every caller — writer, optimize, streaming sinks — inherits
+        sample_fraction = max(
+            0.01, _AUTO_SKETCH_TARGET_ROWS / max(1, num_elements))
+    global LAST_SKETCH_FRACTION
     f = None
     if sample_fraction is not None and 0.0 < sample_fraction < 1.0:
         # keep at least ~100k expected sketch rows (or everything):
@@ -149,6 +170,7 @@ def estimate_cube_domains(prepared_df, revision: Revision, num_elements: int,
                 min(1.0, _MIN_SKETCH_ROWS / max(1, num_elements)))
         if f >= 1.0:
             f = None
+    LAST_SKETCH_FRACTION = f
 
     # spread the NARROW projection (weight + dims doubles) so the sketch
     # parallelizes even from a single input split; cheap relative to the

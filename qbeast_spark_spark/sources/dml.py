@@ -41,6 +41,13 @@ from .writer import _complete_file_map, _cube_str, _materialize, _parse_cube
 
 __all__ = ["delete_rows", "update_rows", "merge_rows"]
 
+# auto-mode DELETE policy: deletion vectors while the matched rows are
+# below this fraction of the matched files' live rows, full rewrite
+# above it (read-amplification guard — every surviving read of a heavily
+# masked file pays the bitmap anti-join for mostly-dead bytes). 0.5 is
+# deliberately coarse, mirroring Delta's DV-first default behavior.
+DV_DELETE_MAX_FRACTION = 0.5
+
 
 def _rel_path(qt, file_uri: str) -> str:
     """Scan-captured file URI -> table-relative path (snapshot key)."""
@@ -171,7 +178,7 @@ def _rewrite(qt, snap, matched: List[str], replacement,
 
 
 def delete_rows(spark, path: str, filters=None,
-                mode: str = "rewrite") -> dict:
+                mode: str = "auto") -> dict:
     """DELETE FROM <path> WHERE <filters>; see module docstring.
     ``filters`` speaks read()'s languages (tuple DNF, SQL string, Column);
     ``None`` truncates the table without touching any data file.
@@ -186,9 +193,12 @@ def delete_rows(spark, path: str, filters=None,
       100 TB shape: a selective delete touches O(matched files) bitmaps,
       not O(matched bytes) of parquet. Reads anti-join the bitmaps until
       ``optimize()`` rewrites the files and drops them.
-    - ``"auto"``: ``"dv"`` when the matched rows are a minority (<50%) of
-      the matched files' live rows (read-amplification guard), else
-      ``"rewrite"``.
+    - ``"auto"`` (default, r7 verdict task 3 — Delta's DV-first parity):
+      ``"dv"`` when the matched rows are a minority
+      (< ``DV_DELETE_MAX_FRACTION``) of the matched files' live rows
+      (read-amplification guard), else ``"rewrite"``. A selective delete
+      on 100 TB is metadata + O(matched files) bitmaps; a bulk delete
+      still compacts away its dead bytes immediately.
     """
     from pyspark.sql import functions as F
 
@@ -217,8 +227,8 @@ def delete_rows(spark, path: str, filters=None,
     matched = sorted(per_file)
     if mode == "auto":
         live = sum(snap.files[rel].live_rows for rel in matched)
-        mode = "dv" if sum(per_file.values()) < 0.5 * max(live, 1) \
-            else "rewrite"
+        mode = "dv" if sum(per_file.values()) \
+            < DV_DELETE_MAX_FRACTION * max(live, 1) else "rewrite"
     cdc = _cdc_of(qt, snap, [
         (qt._df_for_files(matched, snap=snap).where(residual), "delete")])
     if mode == "dv":

@@ -859,14 +859,15 @@ class QbeastTable:
 
     # -- DML ---------------------------------------------------------------
 
-    def delete(self, filters=None, mode: str = "rewrite") -> dict:
-        """DELETE FROM ... WHERE: rewrite only the files containing
-        matching rows; the table stays fully qbeast-readable (the
-        reference loses its index to DeltaTable.delete —
-        docs/Quickstart.md:409-427). ``filters=None`` truncates
-        (metadata-only). ``mode="dv"`` writes deletion vectors instead of
-        rewriting files and ``"auto"`` picks by matched fraction — see
-        dml.delete_rows. Returns {version, rows_deleted, files_rewritten}."""
+    def delete(self, filters=None, mode: str = "auto") -> dict:
+        """DELETE FROM ... WHERE over only the files containing matching
+        rows; the table stays fully qbeast-readable (the reference loses
+        its index to DeltaTable.delete — docs/Quickstart.md:409-427).
+        ``filters=None`` truncates (metadata-only). ``mode="auto"``
+        (default) writes deletion vectors for selective deletes and
+        rewrites files for bulk ones; ``"dv"``/``"rewrite"`` force a
+        strategy — see dml.delete_rows. Returns {version, rows_deleted,
+        files_rewritten}."""
         from .dml import delete_rows
 
         out = delete_rows(self.spark, self.path, filters, mode=mode)

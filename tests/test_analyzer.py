@@ -3,6 +3,7 @@ invariants of /root/reference/core/src/test/scala/io/qbeast/core/model/
 CubeDomainsBuilderTest.scala and DoublePassOTreeDataAnalyzerTest.scala."""
 
 import numpy as np
+import pytest
 
 from qbeast_spark_spark.core.weight import INT_MAX, INT_MIN, RANGE
 from qbeast_spark_spark.index.analyzer import (
@@ -220,3 +221,58 @@ class TestSampledAnalyze:
         sa = qa.snapshot()
         sb = qb.snapshot()
         assert sa.cube_weights == sb.cube_weights
+
+
+class TestAutoSketchPolicy:
+    """r8 (VERDICT r7 task 4): the sampled domain sketch auto-enables
+    above _AUTO_SKETCH_MIN_ROWS so large ingest batches get the 100-TB
+    lever by default; explicit fractions always win and 1.0 forces the
+    exact pass."""
+
+    def _write(self, spark, path, fraction=None):
+        import os
+
+        from qbeast_spark_spark import write_qbeast
+        from tests.conftest import TESTDATA
+
+        li = spark.read.parquet(os.path.join(TESTDATA, "lineitem.parquet"))
+        write_qbeast(li, path, columns_to_index=["l_orderkey"],
+                     cube_size=500, analyze_fraction=fraction)
+
+    def test_auto_enables_above_threshold(self, spark, tmp_path,
+                                          monkeypatch):
+        from qbeast_spark_spark.index import analyzer as A
+
+        monkeypatch.setattr(A, "_AUTO_SKETCH_MIN_ROWS", 1_000)
+        monkeypatch.setattr(A, "_AUTO_SKETCH_TARGET_ROWS", 3_000)
+        monkeypatch.setattr(A, "_MIN_SKETCH_ROWS", 500)
+        self._write(spark, str(tmp_path / "auto"))
+        # 6k rows, target 3k -> f == 0.5 (floored at 0.01)
+        assert A.LAST_SKETCH_FRACTION == pytest.approx(0.5)
+        # reads stay exact on the auto-sampled index
+        import qbeast_spark_spark as qss
+        from tests.conftest import load
+
+        li = load(spark, "lineitem")
+        qt = qss.QbeastTable.for_path(spark, str(tmp_path / "auto"))
+        assert qt.to_df().count() == li.count()
+        pred = "l_orderkey >= 200 AND l_orderkey < 900"
+        assert qt.read(pred).count() == li.filter(pred).count()
+
+    def test_below_threshold_stays_exact(self, spark, tmp_path):
+        from qbeast_spark_spark.index import analyzer as A
+
+        # production threshold is 4M rows; the 6k fixture is far below
+        self._write(spark, str(tmp_path / "exact"))
+        assert A.LAST_SKETCH_FRACTION is None
+
+    def test_explicit_fraction_wins(self, spark, tmp_path, monkeypatch):
+        from qbeast_spark_spark.index import analyzer as A
+
+        monkeypatch.setattr(A, "_AUTO_SKETCH_MIN_ROWS", 1_000)
+        monkeypatch.setattr(A, "_MIN_SKETCH_ROWS", 500)
+        self._write(spark, str(tmp_path / "explicit"), fraction=0.25)
+        assert A.LAST_SKETCH_FRACTION == pytest.approx(0.25)
+        # 1.0 = documented opt-out: exact pass even above the threshold
+        self._write(spark, str(tmp_path / "optout"), fraction=1.0)
+        assert A.LAST_SKETCH_FRACTION is None

@@ -354,3 +354,24 @@ def test_merge_prunes_pass1_with_source_key_box(spark, table):
                     when_not_matched_insert="all")
     assert out3["rows_inserted"] == fresh.count()
     assert qt.to_df().count() == before + out3["rows_inserted"]
+
+
+def test_delete_auto_policy_dv_below_threshold(spark, table):
+    """r7 verdict task 3 — DV-first DELETE: auto mode (the new default)
+    writes deletion vectors when matched rows are a minority of the
+    matched files' live rows, and still rewrites for bulk deletes."""
+    path, li = table
+    qt = qss.QbeastTable.for_path(spark, path)
+    # selective: l_orderkey < 40 is a tiny slice of the matched files
+    expect_gone = li.where("l_orderkey < 40").count()
+    out = qt.delete([("l_orderkey", "<", 40)])
+    assert out["rows_deleted"] == expect_gone
+    assert out["files_rewritten"] == 0 and out.get("files_dv", 0) >= 1
+    assert qt.to_df().count() == li.count() - expect_gone
+    # bulk: >50% of every matched file -> auto flips to rewrite
+    out2 = qt.delete([("l_orderkey", "<", 1200)])
+    assert out2["files_rewritten"] >= 1 and "files_dv" not in out2
+    got = qt.to_df()
+    keep = li.where("l_orderkey >= 1200")
+    assert got.exceptAll(keep).count() == 0
+    assert keep.exceptAll(got).count() == 0
