@@ -760,13 +760,22 @@ _EV_CACHE: Dict[str, str] = {}
 
 
 def _indexed_events(spark, sf_dir):
-    """Events OTree-indexed on (ts_us, user_id) — the hypertable pattern:
-    time is just another indexed dimension, so time-slice + user-slice
-    queries prune files multi-dimensionally with no special-cased
-    time-partitioning scheme."""
+    """Events OTree-indexed on (ts_us:quantiles, user_id) — the
+    hypertable pattern: time is just another indexed dimension, so
+    time-slice + user-slice queries prune files multi-dimensionally with
+    no special-cased time-partitioning scheme. The time axis uses the O4
+    quantile transformer (core/transform.py QuantilesTransformation;
+    reference utils/QbeastUtils.scala:58-148) over quantiles computed by
+    functions/selection.compute_quantiles — event timestamps are heavily
+    skewed toward the recent end, and a linear [min,max] mapping would
+    concentrate most rows in a sliver of the index space; the CDF
+    mapping equidistributes them (r7 verdict task 5: this is the driver
+    row exercising the quantile transform path, under qb_events_timeslice's
+    unchanged oracle)."""
     import os
     import shutil
 
+    from .functions.selection import compute_quantiles
     from .sources.log import CommitLog
     from .sources.writer import write_qbeast
 
@@ -778,8 +787,11 @@ def _indexed_events(spark, sf_dir):
         import pyarrow.parquet as pq
         n = pq.ParquetFile(
             os.path.join(sf_dir, "events.parquet")).metadata.num_rows
-        write_qbeast(ev, path, columns_to_index=["ts_us", "user_id"],
-                     cube_size=max(500, n // 32))
+        qs = compute_quantiles(ev, "ts_us", 32)
+        write_qbeast(ev, path,
+                     columns_to_index=["ts_us:quantiles", "user_id"],
+                     cube_size=max(500, n // 32),
+                     column_stats={"ts_us": {"quantiles": qs}})
     _EV_CACHE[key] = path
     return path
 
