@@ -52,8 +52,12 @@ _MIN_SKETCH_ROWS = 100_000
 _AUTO_SKETCH_MIN_ROWS = 4_000_000
 _AUTO_SKETCH_TARGET_ROWS = 1_000_000
 
-# fraction the last estimate_cube_domains call actually used (None =
-# exact pass) — observability for soaks/benches asserting the policy
+# fraction the last estimate_cube_domains call IN THIS PROCESS actually
+# used (None = exact pass) — diagnostic observability for soaks/benches
+# asserting the policy. Deliberately a plain global, not a thread-local:
+# streaming sinks run estimate in a worker thread while the assertion
+# reads from the driver thread. Concurrent writers interleave it —
+# don't build product logic on it.
 LAST_SKETCH_FRACTION: Optional[float] = None
 
 

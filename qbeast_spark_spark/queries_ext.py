@@ -780,7 +780,10 @@ def _indexed_events(spark, sf_dir):
     from .sources.writer import write_qbeast
 
     key = os.path.abspath(sf_dir)
-    path = _EV_CACHE.get(key) or _cache_path(sf_dir, "events")
+    # cache name versions the RECIPE ('_q' = quantile time axis, r8): a
+    # warm host's pre-r8 'events' dir would otherwise pass the
+    # exists-check and silently keep serving the old linear index
+    path = _EV_CACHE.get(key) or _cache_path(sf_dir, "events_q")
     if not CommitLog(path).exists():
         shutil.rmtree(path, ignore_errors=True)
         ev = _events(spark, sf_dir)

@@ -244,33 +244,119 @@ def _unquote_lit(tok: str) -> str:
     if len(tok) >= 2 and tok[0] == tok[-1] and tok[0] in ("'", '"', "`"):
         inner = tok[1:-1]
         if tok[0] == "'":
-            inner = inner.replace("''", "'")
+            # decode the two escapes this dialect EMITS (SHOW CREATE's
+            # q1): doubled quote and doubled backslash. Other \x pairs
+            # stay literal (the span scanner skips them; they were never
+            # decoded and changing that would reinterpret existing
+            # stored option values).
+            out, i, n = [], 0, len(inner)
+            while i < n:
+                two = inner[i:i + 2]
+                if two == "''":
+                    out.append("'")
+                    i += 2
+                elif two == "\\\\":
+                    out.append("\\")
+                    i += 2
+                else:
+                    out.append(inner[i])
+                    i += 1
+            return "".join(out)
         return inner
     return tok
 
 
 # words that can follow a table reference but can never BE its alias
+# (bare — an explicit ``AS word`` always reads as an alias). A bare
+# alias spelled exactly like one of these is ambiguous to a text shim
+# and reads as "no alias" — spell it with AS or backticks.
 _NOT_ALIAS = frozenset("""
     as on using where group order having limit union except intersect
-    join inner left right full cross natural lateral semi anti pivot
-    unpivot window sort cluster distribute tablesample version timestamp
-    values select set when then else and or not in is between like
+    minus join inner left right full cross natural lateral semi anti
+    pivot unpivot window sort cluster distribute tablesample version
+    timestamp values select set when then else and or not in is between
+    like
 """.split())
 
 
-def _alias_follows(text: str, pos: int) -> bool:
-    """True when a user table alias (optionally AS-prefixed) immediately
-    follows ``pos``. The view rewrites need this: replacing ``FROM t
-    VERSION AS OF 0`` with a synthesized view name silently breaks
-    name-qualified column refs (``SELECT t.col``) unless the view is
-    re-aliased back to the table name — but when a user alias DOES
-    follow, emitting ``view AS t`` would collide with it."""
-    m = re.match(rf"\s+(?:AS\s+)?(?P<a>{_IDENT})", text[pos:],
-                 re.IGNORECASE)
+def _alias_token(text: str, pos: int) -> Optional[str]:
+    """The user table alias immediately following ``pos``, or None.
+    ``AS word`` is always an alias (even a keyword-looking one); a bare
+    word is an alias only when it is not a clause keyword (_NOT_ALIAS).
+    ONE shared grammar for every rewrite site — the view rewrites need
+    this: replacing ``FROM t VERSION AS OF 0`` with a synthesized view
+    name silently breaks name-qualified column refs (``SELECT t.col``)
+    unless the view is re-aliased back to the table name, but when a
+    user alias DOES follow, emitting ``view AS t`` would collide."""
+    m = re.match(rf"\s+AS\s+(?P<a>{_IDENT})", text[pos:], re.IGNORECASE)
+    if m:
+        return m.group("a")
+    m = re.match(rf"\s+(?P<a>{_IDENT})", text[pos:], re.IGNORECASE)
     if not m:
-        return False
+        return None
     a = m.group("a")
-    return a.startswith("`") or a.lower() not in _NOT_ALIAS
+    if a.startswith("`") or a.lower() not in _NOT_ALIAS:
+        return a
+    return None
+
+
+def _alias_follows(text: str, pos: int) -> bool:
+    return _alias_token(text, pos) is not None
+
+
+def _prunable_conjuncts(pred: str) -> Optional[str]:
+    """The AND of ``pred``'s top-level conjuncts that the DNF translator
+    can actually parse, or None when none can. The predicate handed to
+    prune_scan is only ever a pruning HINT (the statement's own WHERE
+    applies the real predicate), so dropping conjuncts is always sound —
+    it can only WIDEN the file list. Without this, one untranslatable
+    conjunct (``t.k = o.k`` in a comma join, a function call) makes
+    to_dnf_filters reject the WHOLE text and the lift prunes nothing.
+    The AND split is BETWEEN-aware (the first top-level AND after a
+    BETWEEN belongs to it)."""
+    from .predicates import to_dnf_filters
+
+    masked = _mask_quotes(pred)
+    cuts = [0]
+    pending_between = 0
+    i, depth, n = 0, 0, len(masked)
+    while i < n:
+        c = masked[i]
+        if c == "(":
+            depth += 1
+        elif c == ")":
+            depth -= 1
+        elif depth == 0:
+            m = re.match(r"(?i)(BETWEEN|AND)\b", masked[i:])
+            if m and (i == 0 or not (masked[i - 1].isalnum()
+                                     or masked[i - 1] in "_`$")):
+                word = m.group(1).upper()
+                if word == "BETWEEN":
+                    pending_between += 1
+                elif pending_between:
+                    pending_between -= 1
+                else:
+                    cuts.append(i)
+                i += m.end()
+                continue
+        i += 1
+    cuts.append(len(pred))
+    parts = []
+    for a, b in zip(cuts, cuts[1:]):
+        seg = pred[a:b]
+        seg = re.sub(r"(?i)^\s*AND\b", "", seg).strip()
+        if seg:
+            parts.append(seg)
+    kept = []
+    for seg in parts:
+        try:
+            if to_dnf_filters(seg) is not None:
+                kept.append(seg)
+        except Exception:
+            continue
+    if not kept:
+        return None
+    return " AND ".join(f"({seg})" for seg in kept)
 
 
 def _local_location(loc: str) -> str:
@@ -288,6 +374,14 @@ def _local_location(loc: str) -> str:
                 f"unsupported LOCATION scheme {m.group(1)!r} in {loc!r}: "
                 "this catalog manages local-filesystem tables only "
                 "(file: or a plain path)")
+        auth = re.match(r"(?i)^file://([^/]*)", loc).group(1)
+        if auth not in ("", "localhost"):
+            # 'file://data/tables/t' (a relative path missing a slash)
+            # would otherwise silently lose its first segment — the
+            # same mislocation failure the scheme check exists to stop
+            raise ValueError(
+                f"file: LOCATION with a remote authority {auth!r} in "
+                f"{loc!r}: use file:///absolute/path or a plain path")
         loc = re.sub(r"^file://[^/]*", "", loc, flags=re.IGNORECASE)
     elif loc.lower().startswith("file:"):
         loc = loc[5:]
@@ -1069,10 +1163,13 @@ class QbeastSqlCatalog:
                 return self._delegate(stmt)
             entry = entries[name]
             qt = self._qt(entry)
-            def q1(s):  # SQL single-quote escaping — EVERY quoted value
-                # (options, location, comment, tblproperties): one
-                # embedded quote in any of them yields unrunnable DDL
-                return str(s).replace("'", "''")
+            def q1(s):  # SQL escaping — EVERY quoted value (options,
+                # location, comment, tblproperties): an embedded quote
+                # yields unrunnable DDL, and an unescaped backslash
+                # before the closing quote reads as an escape in both
+                # this dialect's scanner and Spark's parser. Decoded
+                # back by _unquote_lit (doubled quote / backslash).
+                return str(s).replace("\\", "\\\\").replace("'", "''")
 
             cols = ", ".join(f"{f.name} {f.dataType.simpleString().upper()}"
                              for f in qt.schema().fields)
@@ -1256,52 +1353,60 @@ class QbeastSqlCatalog:
         predicate would not belong to every occurrence, and rewriting
         only one of them is handled by occurrence, which a regex over
         raw text cannot attribute reliably — so those shapes fall back
-        to the full-table view."""
+        to the full-table view.
+
+        Structural matching runs on the quote-MASKED text (string
+        literals blanked, positions preserved) and slices tokens from
+        the original — a literal containing 'FROM x WHERE ...' must
+        never bind the regex (it used to slice the predicate into the
+        literal and crash on the unbalanced quote)."""
+        masked = _mask_quotes(stmt)
         m = re.match(
             rf"(?i)^SELECT\b.*?\bFROM\s+(?P<name>{_NAME})"
             rf"(?:\s+(?:AS\s+)?(?P<alias>{_IDENT}))?\s+WHERE\s+"
             rf"(?P<pred>.*)$",
-            stmt, re.DOTALL)
+            masked, re.DOTALL)
         if not m:
             return {}
         try:
-            name = _normalize_name(m.group("name"))
+            name = _normalize_name(stmt[m.start("name"):m.end("name")])
         except ValueError:
             return {}
         if name not in entries:
             return {}
         # exactly-once: count references outside quotes in the WHOLE
-        # statement (a second one means the pred is not global truth)
-        spans = _quote_spans(stmt)
-        occurrences = [
-            om for om in re.finditer(
-                rf"(?i)(?<![\w.`'\"]){re.escape(name)}(?![\w.`])", stmt)
-            if not any(a <= om.start() < b for a, b in spans)]
+        # statement (a second one means the pred is not global truth);
+        # masked text makes in-literal occurrences unmatchable
+        occurrences = list(re.finditer(
+            rf"(?i)(?<![\w.`'\"]){re.escape(name)}(?![\w.`])", masked))
         if len(occurrences) != 1:
             return {}
-        pred = m.group("pred")
+        pred = stmt[m.start("pred"):]
         stop = _find_top_level(
             pred, r"\b(GROUP|ORDER|HAVING|LIMIT|UNION|EXCEPT|INTERSECT"
-                  r"|WINDOW|SORT|CLUSTER|DISTRIBUTE)\b")
+                  r"|MINUS|WINDOW|SORT|CLUSTER|DISTRIBUTE)\b")
         if stop:
             pred = pred[:stop.start()]
         pred = pred.strip()
         # a subquery or another catalog table inside the predicate is
         # not a shape prune_scan's DNF translation understands — skip
-        if _find_top_level(pred, r"\bSELECT\b") or not pred:
+        if not pred or re.search(r"(?i)\bSELECT\b", _mask_quotes(pred)):
             return {}
         for other in entries:
             if other != name and re.search(
                     rf"(?i)(?<![\w.`]){re.escape(other)}(?![\w.`])", pred):
                 return {}
-        alias = m.group("alias")
+        alias = (stmt[m.start("alias"):m.end("alias")]
+                 if m.group("alias") else None)
         # qualified refs (`t.col` under alias t / `name.col` bare) would
         # never match an index column in the DNF translation — strip the
         # table's own qualifier so they prune like bare refs. The view
         # is file-list only; the statement's WHERE keeps the ORIGINAL
         # qualified text, so this rewrite affects pruning, not results.
         qual = _unquote_ident(alias) if alias else name
-        pred = _strip_alias_prefixes(pred, [qual])
+        pred = _prunable_conjuncts(_strip_alias_prefixes(pred, [qual]))
+        if pred is None:
+            return {}
         return {name: (pred, alias is not None)}
 
     def _join_table_predicate(
@@ -1386,17 +1491,16 @@ class QbeastSqlCatalog:
             if re.match(r"(?i)\s+(VERSION|TIMESTAMP)\s+AS\s+OF\b"
                         r"|\s+TABLESAMPLE\b", after):
                 continue
-            am = re.match(rf"(?i)\s+(?:AS\s+)?(?P<a>{_IDENT})", after)
-            alias = None
-            if am:
-                tok = am.group("a")
-                if tok.startswith("`") or tok.lower() not in _NOT_ALIAS:
-                    alias = _unquote_ident(tok)
+            tok = _alias_token(masked, om.end())
+            alias = _unquote_ident(tok) if tok else None
             qual = alias if alias else name
             pred = _strip_alias_prefixes(pred_full, [qual])
             if any(other != name and re.search(
                     rf"(?i)(?<![\w.`]){re.escape(other)}(?![\w.`])", pred)
                     for other in entries):
+                continue
+            pred = _prunable_conjuncts(pred)
+            if pred is None:
                 continue
             out[name] = (pred, alias is not None)
         return out

@@ -983,3 +983,74 @@ def test_join_lift_string_literals_not_confused(spark, join_cat):
     exp = (li.join(orders, li.l_orderkey == orders.o_orderkey)
            .filter("l_orderkey < 10 AND l_returnflag != 't.qli'").count())
     assert len(rows) == exp
+
+
+# -- round-8 /code-review regression pins ---------------------------------------
+
+
+def test_statement_shaped_string_literal_does_not_crash(spark, cat):
+    """A literal containing 'FROM <table> WHERE ...' used to bind the
+    single-table lift regex, slicing the predicate into the literal and
+    crashing on the unbalanced quote; structural matching now runs on
+    quote-masked text."""
+    cat.sql("CREATE TABLE t (id INT) USING qbeast "
+            "OPTIONS ('columnsToIndex'='id')")
+    cat.sql("INSERT INTO t VALUES (1), (2)")
+    rows = cat.sql("SELECT 'FROM t WHERE id < 5' AS lit, id FROM t "
+                   "WHERE id > 1").collect()
+    assert len(rows) == 1 and rows[0].lit == "FROM t WHERE id < 5" \
+        and rows[0].id == 2
+
+
+def test_keyword_alias_with_as_survives_rewrites(spark, cat):
+    """An explicit AS alias always reads as an alias, even spelled like
+    a clause keyword — the rewrite must NOT emit a second 'AS t'."""
+    cat.sql("CREATE TABLE t (id INT) USING qbeast "
+            "OPTIONS ('columnsToIndex'='id')")
+    cat.sql("INSERT INTO t VALUES (1)")
+    cat.sql("INSERT INTO t VALUES (2)")
+    got = cat.sql("SELECT `timestamp`.id FROM t VERSION AS OF 1 "
+                  "AS `timestamp`").collect()
+    assert [r.id for r in got] == [1]
+    # MINUS is a clause keyword, not an alias: both branches re-alias
+    got = cat.sql("SELECT t.id FROM t VERSION AS OF 2 "
+                  "MINUS SELECT t.id FROM t VERSION AS OF 1").collect()
+    assert [r.id for r in got] == [2]
+
+
+def test_file_location_with_remote_authority_rejected(spark, cat):
+    with pytest.raises(ValueError, match="remote authority"):
+        cat.sql("CREATE TABLE ft (id INT) USING qbeast "
+                "LOCATION 'file://data/tables/ft'")
+    assert "ft" not in cat.tables()
+
+
+def test_show_create_backslash_value_roundtrips(spark, cat):
+    cat.sql("CREATE TABLE bs (id INT) USING qbeast "
+            "OPTIONS ('columnsToIndex'='id') "
+            "COMMENT 'ends with \\\\'")
+    assert cat.tables()["bs"]["comment"] == "ends with \\"
+    ddl = cat.sql("SHOW CREATE TABLE bs").collect()[0].createtab_stmt
+    cat.sql("DROP TABLE bs")
+    cat.sql(ddl)
+    assert cat.tables()["bs"]["comment"] == "ends with \\"
+
+
+def test_comma_join_mixed_conjuncts_still_prune(spark, join_cat):
+    """One untranslatable conjunct (the join condition in a comma join)
+    must not disable pruning for the translatable ones — unparseable
+    top-level conjuncts are dropped from the pruning hint."""
+    cat = join_cat
+    full_n = len(cat.sql("SELECT * FROM qli").inputFiles())
+    df = cat.sql(
+        "SELECT qli.l_orderkey FROM plain_orders, qli "
+        "WHERE qli.l_orderkey = plain_orders.o_orderkey "
+        "AND qli.l_orderkey BETWEEN 100 AND 220 AND qli.l_quantity > 0")
+    qli_files = [f for f in df.inputFiles() if "/qli/" in f]
+    assert 0 < len(qli_files) < full_n
+    li = load(spark, "lineitem")
+    orders = load(spark, "orders")
+    exp = (li.join(orders, li.l_orderkey == orders.o_orderkey)
+           .filter("l_orderkey BETWEEN 100 AND 220 AND l_quantity > 0")
+           .count())
+    assert df.count() == exp
