@@ -786,6 +786,9 @@ def _indexed_events(spark, sf_dir):
     path = _EV_CACHE.get(key) or _cache_path(sf_dir, "events_q")
     if not CommitLog(path).exists():
         shutil.rmtree(path, ignore_errors=True)
+        # reclaim the pre-r8 recipe's cache dir (old linear index) —
+        # nothing reads it anymore and it is a full table copy
+        shutil.rmtree(_cache_path(sf_dir, "events"), ignore_errors=True)
         ev = _events(spark, sf_dir)
         import pyarrow.parquet as pq
         n = pq.ParquetFile(

@@ -141,6 +141,23 @@ def _mask_quotes(s: str) -> str:
     return "".join(out)
 
 
+def _name_occurrences(name: str, stmt: str) -> int:
+    """References to ``name`` in ``stmt`` — bare AND backtick-quoted —
+    outside STRING literals. The exactly-once soundness guards must
+    count ``FROM `t```: _mask_quotes blanks backtick interiors (they are
+    identifiers, not strings), which let a two-branch set-op statement
+    pass the count and one branch's WHERE prune the other's scan."""
+    out = list(stmt)
+    for a, b in _quote_spans(stmt):
+        if stmt[a] != "`":
+            for i in range(a + 1, b - 1):
+                out[i] = " "
+    smasked = "".join(out)
+    return len(re.findall(
+        rf"(?i)(?<![\w.`'\"])(?:{re.escape(name)}|`{re.escape(name)}`)"
+        rf"(?![\w.`])", smasked))
+
+
 def _quote_spans(s: str) -> List[Tuple[int, int]]:
     spans, i, n = [], 0, len(s)
     while i < n:
@@ -308,13 +325,31 @@ def _prunable_conjuncts(pred: str) -> Optional[str]:
     """The AND of ``pred``'s top-level conjuncts that the DNF translator
     can actually parse, or None when none can. The predicate handed to
     prune_scan is only ever a pruning HINT (the statement's own WHERE
-    applies the real predicate), so dropping conjuncts is always sound —
-    it can only WIDEN the file list. Without this, one untranslatable
-    conjunct (``t.k = o.k`` in a comma join, a function call) makes
-    to_dnf_filters reject the WHOLE text and the lift prunes nothing.
-    The AND split is BETWEEN-aware (the first top-level AND after a
-    BETWEEN belongs to it)."""
+    applies the real predicate), so DROPPING a top-level conjunct is
+    always sound — it can only WIDEN the file list. Without this, one
+    untranslatable conjunct (``t.k = o.k`` in a comma join, a function
+    call) makes to_dnf_filters reject the WHOLE text and the lift
+    prunes nothing.
+
+    Splitting is precedence- and shape-guarded (r8 second review pass —
+    both guards verified against executed failure inputs):
+
+    - a top-level OR means the ROOT of the expression is the OR (AND
+      binds tighter), so the text is not a conjunction and splitting at
+      ANDs would hand prune_scan a NARROWER predicate than the real one
+      (files silently dropped). Whole-text-or-nothing in that case.
+    - unbalanced parens mean the caller's regex sliced past the
+      predicate's clause (e.g. into an enclosing subquery); salvaging
+      conjuncts from spill text is unsound — bail to None (no lift).
+    - the first top-level AND after a BETWEEN belongs to the BETWEEN.
+    """
     from .predicates import to_dnf_filters
+
+    def parses(text: str) -> bool:
+        try:
+            return to_dnf_filters(text) is not None
+        except Exception:
+            return False
 
     masked = _mask_quotes(pred)
     cuts = [0]
@@ -326,11 +361,16 @@ def _prunable_conjuncts(pred: str) -> Optional[str]:
             depth += 1
         elif c == ")":
             depth -= 1
+            if depth < 0:
+                return None     # sliced past the clause: never salvage
         elif depth == 0:
-            m = re.match(r"(?i)(BETWEEN|AND)\b", masked[i:])
+            m = re.match(r"(?i)(BETWEEN|AND|OR)\b", masked[i:])
             if m and (i == 0 or not (masked[i - 1].isalnum()
                                      or masked[i - 1] in "_`$")):
                 word = m.group(1).upper()
+                if word == "OR":
+                    # root is an OR: all-or-nothing
+                    return pred if parses(pred) else None
                 if word == "BETWEEN":
                     pending_between += 1
                 elif pending_between:
@@ -340,6 +380,8 @@ def _prunable_conjuncts(pred: str) -> Optional[str]:
                 i += m.end()
                 continue
         i += 1
+    if depth != 0:
+        return None
     cuts.append(len(pred))
     parts = []
     for a, b in zip(cuts, cuts[1:]):
@@ -347,13 +389,7 @@ def _prunable_conjuncts(pred: str) -> Optional[str]:
         seg = re.sub(r"(?i)^\s*AND\b", "", seg).strip()
         if seg:
             parts.append(seg)
-    kept = []
-    for seg in parts:
-        try:
-            if to_dnf_filters(seg) is not None:
-                kept.append(seg)
-        except Exception:
-            continue
+    kept = [seg for seg in parts if parses(seg)]
     if not kept:
         return None
     return " AND ".join(f"({seg})" for seg in kept)
@@ -375,7 +411,7 @@ def _local_location(loc: str) -> str:
                 "this catalog manages local-filesystem tables only "
                 "(file: or a plain path)")
         auth = re.match(r"(?i)^file://([^/]*)", loc).group(1)
-        if auth not in ("", "localhost"):
+        if auth.lower() not in ("", "localhost"):
             # 'file://data/tables/t' (a relative path missing a slash)
             # would otherwise silently lose its first segment — the
             # same mislocation failure the scheme check exists to stop
@@ -1374,12 +1410,10 @@ class QbeastSqlCatalog:
             return {}
         if name not in entries:
             return {}
-        # exactly-once: count references outside quotes in the WHOLE
-        # statement (a second one means the pred is not global truth);
-        # masked text makes in-literal occurrences unmatchable
-        occurrences = list(re.finditer(
-            rf"(?i)(?<![\w.`'\"]){re.escape(name)}(?![\w.`])", masked))
-        if len(occurrences) != 1:
+        # exactly-once: count references outside STRING literals in the
+        # WHOLE statement (a second one — bare or backticked — means the
+        # pred is not global truth)
+        if _name_occurrences(name, stmt) != 1:
             return {}
         pred = stmt[m.start("pred"):]
         stop = _find_top_level(
@@ -1467,6 +1501,10 @@ class QbeastSqlCatalog:
             return {}
         out: Dict[str, Tuple[str, bool]] = {}
         for name in entries:
+            # exactly-once must see backticked references too (they are
+            # not rewritable, so a backticked twin disables the lift)
+            if _name_occurrences(name, stmt) != 1:
+                continue
             occ = [om for om in re.finditer(
                 rf"(?i)(?<![\w.`'\"]){re.escape(name)}(?![\w.`])", masked)]
             if len(occ) != 1:
@@ -1491,7 +1529,9 @@ class QbeastSqlCatalog:
             if re.match(r"(?i)\s+(VERSION|TIMESTAMP)\s+AS\s+OF\b"
                         r"|\s+TABLESAMPLE\b", after):
                 continue
-            tok = _alias_token(masked, om.end())
+            # alias from the ORIGINAL text: the masked copy blanks
+            # backtick interiors, which would no-op the qualifier strip
+            tok = _alias_token(stmt, om.end())
             alias = _unquote_ident(tok) if tok else None
             qual = alias if alias else name
             pred = _strip_alias_prefixes(pred_full, [qual])

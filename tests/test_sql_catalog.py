@@ -1054,3 +1054,71 @@ def test_comma_join_mixed_conjuncts_still_prune(spark, join_cat):
            .filter("l_orderkey BETWEEN 100 AND 220 AND l_quantity > 0")
            .count())
     assert df.count() == exp
+
+
+def test_or_precedence_never_narrows_the_pruning_hint(spark, cat):
+    """Second review pass, most severe: splitting 'a OR b AND c' at the
+    AND handed prune_scan '(a OR b) AND (c)' — NARROWER than the real
+    predicate (files with a-only rows silently dropped). A top-level OR
+    now makes the hint whole-text-or-nothing."""
+    from qbeast_spark_spark.sources.catalog import _prunable_conjuncts
+
+    got = _prunable_conjuncts("a = 1 OR b = 2 AND c = 3")
+    assert got is None or got.strip() == "a = 1 OR b = 2 AND c = 3"
+    # end-to-end: rows satisfying only the OR's left arm must survive
+    li = load(spark, "lineitem")
+    li.createOrReplaceTempView("li_src2")
+    cat.sql("CREATE TABLE qor USING qbeast OPTIONS "
+            "('columnsToIndex'='l_orderkey', cubeSize=400) "
+            "AS SELECT * FROM li_src2")
+    got_n = cat.sql(
+        "SELECT * FROM qor WHERE l_orderkey < 50 "
+        "OR l_orderkey >= 1400 AND l_quantity > 10").count()
+    exp_n = li.filter("l_orderkey < 50 "
+                      "OR l_orderkey >= 1400 AND l_quantity > 10").count()
+    assert got_n == exp_n
+
+
+def test_unbalanced_pred_slice_never_lifts(spark, cat):
+    """Predicate text that sliced past its clause (unbalanced parens)
+    must never be salvaged into a pruning hint."""
+    from qbeast_spark_spark.sources.catalog import _prunable_conjuncts
+
+    assert _prunable_conjuncts("x < 3 AND y = 2 OR z = 1) s WHERE w = 4") \
+        is None
+    assert _prunable_conjuncts("x < 3 AND (y = 2") is None
+    # the statement shape that produced such a slice stays correct
+    cat.sql("CREATE TABLE ub (x INT, y INT, z INT, w INT) USING qbeast "
+            "OPTIONS ('columnsToIndex'='x')")
+    cat.sql("INSERT INTO ub VALUES (1, 2, 0, 4), (9, 9, 1, 4)")
+    got = cat.sql("SELECT * FROM (SELECT * FROM ub WHERE x < 3 AND y = 2 "
+                  "OR z = 1) s WHERE w = 4").count()
+    assert got == 2
+
+
+def test_backticked_twin_reference_disables_lift(spark, cat):
+    """A backticked second reference is invisible to the bare-name
+    rewriter, so the exactly-once guard must count it: one set-op
+    branch's WHERE must never prune the other branch's scan."""
+    cat.sql("CREATE TABLE bt (x INT, y INT) USING qbeast "
+            "OPTIONS ('columnsToIndex'='x')")
+    cat.sql("INSERT INTO bt VALUES (1, 0), (100, 1)")
+    cat.sql("SELECT * FROM bt")    # mounts the bare view
+    got = cat.sql("SELECT x FROM `bt` WHERE y = 1 "
+                  "UNION ALL SELECT x FROM bt WHERE x < 3")
+    assert sorted(r.x for r in got.collect()) == [1, 100]
+
+
+def test_backticked_join_alias_still_prunes(spark, join_cat):
+    """The join lift reads the alias from the original text, so a
+    backtick-quoted alias strips its qualifier and prunes."""
+    cat = join_cat
+    full_n = len(cat.sql("SELECT * FROM qli").inputFiles())
+    df = cat.sql("SELECT `a`.l_orderkey FROM qli `a` JOIN plain_orders o "
+                 "ON `a`.l_orderkey = o.o_orderkey WHERE a.l_orderkey < 200")
+    qli_files = [f for f in df.inputFiles() if "/qli/" in f]
+    assert 0 < len(qli_files) < full_n
+    li = load(spark, "lineitem")
+    orders = load(spark, "orders")
+    assert df.count() == li.filter("l_orderkey < 200").join(
+        orders, li.l_orderkey == orders.o_orderkey).count()
