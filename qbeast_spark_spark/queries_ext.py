@@ -784,11 +784,12 @@ def _indexed_events(spark, sf_dir):
     # warm host's pre-r8 'events' dir would otherwise pass the
     # exists-check and silently keep serving the old linear index
     path = _EV_CACHE.get(key) or _cache_path(sf_dir, "events_q")
+    # reclaim the pre-r8 recipe's cache dir (old linear index)
+    # unconditionally — nothing reads it anymore and it is a full
+    # table copy
+    shutil.rmtree(_cache_path(sf_dir, "events"), ignore_errors=True)
     if not CommitLog(path).exists():
         shutil.rmtree(path, ignore_errors=True)
-        # reclaim the pre-r8 recipe's cache dir (old linear index) —
-        # nothing reads it anymore and it is a full table copy
-        shutil.rmtree(_cache_path(sf_dir, "events"), ignore_errors=True)
         ev = _events(spark, sf_dir)
         import pyarrow.parquet as pq
         n = pq.ParquetFile(

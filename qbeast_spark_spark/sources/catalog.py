@@ -128,34 +128,41 @@ def _skip_quoted(s: str, i: int) -> int:
     raise ValueError(f"unterminated {q} quote in statement")
 
 
-def _mask_quotes(s: str) -> str:
+def _mask_quotes(s: str, keep_backticks: bool = False) -> str:
     """Copy of ``s`` with the CONTENTS of every quoted region replaced
     by spaces (same length, delimiters kept), so position-preserving
     regex passes can match keywords without being fooled by literal
     text — slices taken at the matched positions still index into the
-    ORIGINAL string."""
+    ORIGINAL string. ``keep_backticks=True`` blanks only STRING
+    literals (' and ") — backticked regions are identifiers, which
+    occurrence counting must still see."""
     out = list(s)
     for a, b in _quote_spans(s):
+        if keep_backticks and s[a] == "`":
+            continue
         for i in range(a + 1, b - 1):
             out[i] = " "
     return "".join(out)
 
 
-def _name_occurrences(name: str, stmt: str) -> int:
+def _name_occurrences(name: str, stmt: str,
+                      smasked: Optional[str] = None) -> int:
     """References to ``name`` in ``stmt`` — bare AND backtick-quoted —
     outside STRING literals. The exactly-once soundness guards must
     count ``FROM `t```: _mask_quotes blanks backtick interiors (they are
     identifiers, not strings), which let a two-branch set-op statement
-    pass the count and one branch's WHERE prune the other's scan."""
-    out = list(stmt)
-    for a, b in _quote_spans(stmt):
-        if stmt[a] != "`":
-            for i in range(a + 1, b - 1):
-                out[i] = " "
-    smasked = "".join(out)
+    pass the count and one branch's WHERE prune the other's scan.
+    The backticked alternative carries NO word-char lookbehind: Spark
+    lexes ``FROM`t``` (no whitespace) as a reference too, and an
+    over-count only disables a lift (safe) while an under-count prunes
+    a branch it must not. ``smasked`` lets loop callers hoist the
+    string-only masking."""
+    if smasked is None:
+        smasked = _mask_quotes(stmt, keep_backticks=True)
+    n = re.escape(name)
     return len(re.findall(
-        rf"(?i)(?<![\w.`'\"])(?:{re.escape(name)}|`{re.escape(name)}`)"
-        rf"(?![\w.`])", smasked))
+        rf"(?i)(?:(?<![\w.`'\"]){n}(?![\w.`])|(?<!`)`{n}`(?!`))",
+        smasked))
 
 
 def _quote_spans(s: str) -> List[Tuple[int, int]]:
@@ -429,11 +436,35 @@ def _strip_alias_prefixes(expr: str, aliases: List[str],
     """Rewrite ``alias.col`` -> ``<replacement>col`` for the given
     aliases (used to translate MERGE clause expressions into the
     dml.merge_rows dialect). Quote-aware: text inside string literals
-    and backticks is never rewritten."""
+    is never rewritten; a BACKTICK-quoted qualifier (```alias`.col``)
+    is a real reference and IS stripped (r8 third review pass — the
+    fully-backticked join-lift spelling pruned nothing otherwise)."""
     aliases = [a for a in aliases if a]
     if not aliases:
         return expr
+    lowered = {a.lower() for a in aliases}
     spans = _quote_spans(expr)
+    # pass 1: drop backtick-quoted qualifier spans (`alias` + ws + '.').
+    # _quote_spans only reports code-level spans (a backtick inside a
+    # string literal is part of THAT span), so this never edits literals.
+    drop: List[Tuple[int, int]] = []
+    for a, b in spans:
+        if expr[a] != "`" or expr[a + 1:b - 1].lower() not in lowered:
+            continue
+        m = re.match(r"\s*\.", expr[b:])
+        if m and not (a > 0 and (expr[a - 1].isalnum()
+                                 or expr[a - 1] in "._`")):
+            drop.append((a, b + m.end()))
+    if drop:
+        out = []
+        last = 0
+        for a, b in drop:
+            out.append(expr[last:a])
+            out.append(replacement)
+            last = b
+        out.append(expr[last:])
+        expr = "".join(out)
+        spans = _quote_spans(expr)
     out = []
     last = 0
     for a, b in spans + [(len(expr), len(expr))]:
@@ -1500,14 +1531,15 @@ class QbeastSqlCatalog:
                                       _mask_quotes(pred_full)):
             return {}
         out: Dict[str, Tuple[str, bool]] = {}
+        smasked = _mask_quotes(stmt, keep_backticks=True)
         for name in entries:
-            # exactly-once must see backticked references too (they are
-            # not rewritable, so a backticked twin disables the lift)
-            if _name_occurrences(name, stmt) != 1:
-                continue
             occ = [om for om in re.finditer(
                 rf"(?i)(?<![\w.`'\"]){re.escape(name)}(?![\w.`])", masked)]
             if len(occ) != 1:
+                continue
+            # exactly-once must see backticked references too (they are
+            # not rewritable, so a backticked twin disables the lift)
+            if _name_occurrences(name, stmt, smasked) != 1:
                 continue
             om = occ[0]
             # must sit in the top-level FROM clause, at depth 0, right

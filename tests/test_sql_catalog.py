@@ -1122,3 +1122,43 @@ def test_backticked_join_alias_still_prunes(spark, join_cat):
     orders = load(spark, "orders")
     assert df.count() == li.filter("l_orderkey < 200").join(
         orders, li.l_orderkey == orders.o_orderkey).count()
+
+
+def test_nospace_backtick_twin_disables_lift(spark, cat):
+    """Third review pass: Spark lexes FROM`bt` (no whitespace) as a
+    reference too — the occurrence count must see it, or one set-op
+    branch's WHERE prunes the other's scan."""
+    from qbeast_spark_spark.sources.catalog import _name_occurrences
+
+    assert _name_occurrences(
+        "bt", "SELECT x FROM`bt` WHERE y = 1 "
+              "UNION ALL SELECT x FROM bt WHERE x < 3") == 2
+    cat.sql("CREATE TABLE bt2 (x INT, y INT) USING qbeast "
+            "OPTIONS ('columnsToIndex'='x')")
+    cat.sql("INSERT INTO bt2 VALUES (1, 0), (100, 1)")
+    cat.sql("SELECT * FROM bt2")    # mounts the bare view
+    got = cat.sql("SELECT x FROM`bt2` WHERE y = 1 "
+                  "UNION ALL SELECT x FROM bt2 WHERE x < 3")
+    assert sorted(r.x for r in got.collect()) == [1, 100]
+
+
+def test_fully_backticked_join_spelling_prunes(spark, join_cat):
+    """`a`.col qualifiers are identifiers, not literals: the strip
+    rewrites them too, so the consistent backticked spelling prunes."""
+    from qbeast_spark_spark.sources.catalog import _strip_alias_prefixes
+
+    assert _strip_alias_prefixes("`a`.l_orderkey < 200", ["a"]) \
+        == "l_orderkey < 200"
+    # string literals containing the same shape stay untouched
+    assert _strip_alias_prefixes("x = '`a`.y'", ["a"]) == "x = '`a`.y'"
+    cat = join_cat
+    full_n = len(cat.sql("SELECT * FROM qli").inputFiles())
+    df = cat.sql(
+        "SELECT `a`.l_orderkey FROM qli `a` JOIN plain_orders o "
+        "ON `a`.l_orderkey = o.o_orderkey WHERE `a`.l_orderkey < 200")
+    qli_files = [f for f in df.inputFiles() if "/qli/" in f]
+    assert 0 < len(qli_files) < full_n
+    li = load(spark, "lineitem")
+    orders = load(spark, "orders")
+    assert df.count() == li.filter("l_orderkey < 200").join(
+        orders, li.l_orderkey == orders.o_orderkey).count()
