@@ -398,21 +398,52 @@ def positions_df(spark, entries: List[Tuple[str, DVDescriptor]],
     return desc_df.repartition(n).mapInPandas(_expand, out_schema)
 
 
+# with_dv_filter small-snapshot fast path: while the TOTAL deleted
+# positions fit under this bound (known from descriptor cardinalities,
+# no decode needed), the masks are decoded on the driver and applied as
+# a literal map filter — pure JVM expression, no join, no Python decode
+# stage. Measured at sf0.1 (r8): a DV-masked full read dropped 1.0 s ->
+# 0.31 s, exactly the clean-table cost; the overhead had been fixed
+# per-job (worker spinup + exchange), which every DML verb re-paid.
+# Above the bound the distributed anti-join keeps billions of positions
+# off the driver (the 100 TB path).
+_SMALL_DV_MAX_POSITIONS = 16_384
+
+
 def with_dv_filter(df, spark, entries: List[Tuple[str, DVDescriptor]],
                    table_path: str):
-    """Anti-join ``df`` (a parquet scan) against its deleted positions.
+    """Mask ``df`` (a parquet scan) by its deleted positions.
 
-    Scale shape: the scan gains two generated metadata columns (no extra
-    I/O); the anti-join keys on (file_path, row_index). AQE broadcasts
-    the position side while total cardinality is small (the common case
-    — optimize() purges DVs continuously) and falls back to a shuffled
-    hash join for pathological snapshots; either way no O(rows) data
-    moves through Python."""
+    Scale shape: the scan gains two generated metadata columns (no
+    extra I/O). Small snapshots (<= _SMALL_DV_MAX_POSITIONS total, the
+    common case — optimize() purges DVs continuously) filter through a
+    driver-decoded literal map (file_path -> sorted position array,
+    whole-stage-codegen'd array_contains; rows of unmasked files pay a
+    NULL lookup only). Larger snapshots anti-join on (file_path,
+    row_index) with the decode running on executors — no O(rows) data
+    ever moves through Python either way."""
     from pyspark.sql import functions as F
 
     if not entries:
         return df
     cols = df.columns
+    cards = [d.cardinality for _, d in entries]
+    if all(c is not None for c in cards) \
+            and sum(cards) <= _SMALL_DV_MAX_POSITIONS:
+        map_args = []
+        for abs_file, desc in entries:
+            if desc.storage_type == "i":
+                data = z85_decode(desc.path_or_inline)
+            else:
+                data = read_dv_file(dv_abs_path(table_path, desc),
+                                    desc.offset, desc.size_in_bytes)
+            pos = roaring_array_decode(data)
+            map_args.append(F.lit(_file_uri(abs_file)))
+            map_args.append(F.array([F.lit(int(x)) for x in pos]))
+        dead = F.create_map(*map_args)[F.col("_metadata.file_path")]
+        return df.where(~F.coalesce(
+            F.array_contains(dead, F.col("_metadata.row_index")),
+            F.lit(False))).select(*cols)
     pos = positions_df(spark, entries, table_path)
     return (df.withColumn("__fp", F.col("_metadata.file_path"))
               .withColumn("__ri", F.col("_metadata.row_index"))

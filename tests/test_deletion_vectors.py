@@ -261,3 +261,36 @@ def test_export_then_import_roundtrip_with_dvs(spark, dv_table, lineitem):
     assert qt2.to_df().count() == exp.count()
     assert qt2.read([("l_orderkey", "<", 600)]).count() == \
         lineitem.where("l_orderkey >= 300 and l_orderkey < 600").count()
+
+
+def test_small_dv_fast_path_equals_distributed(spark, tmp_path, monkeypatch):
+    """r8: small DV snapshots filter through a driver-decoded literal
+    map (no join, no Python decode stage). Both paths must return the
+    exact same rows; the threshold routes between them."""
+    import qbeast_spark_spark as qss
+    from qbeast_spark_spark.sources import deletion_vectors as DVm
+    from conftest import load
+
+    li = load(spark, "lineitem")
+    p = str(tmp_path / "t")
+    qss.write(li, p, columns_to_index=["l_orderkey", "l_extendedprice"],
+              cube_size=500)
+    qt = qss.QbeastTable.for_path(spark, p)
+    qt.delete([("l_orderkey", "<", 300)], mode="dv")
+    qt.delete([("l_extendedprice", ">", 90000.0)], mode="dv")
+    expect = li.filter("l_orderkey >= 300 AND l_extendedprice <= 90000.0")
+
+    fast = qt.to_df()          # cardinalities are tiny -> fast path
+    assert fast.count() == expect.count()
+    assert fast.exceptAll(expect).count() == 0
+    assert expect.exceptAll(fast).count() == 0
+    # sampling + range read compose with the map filter
+    pred = [("l_orderkey", ">=", 500), ("l_orderkey", "<", 900)]
+    assert qt.read(pred).count() == expect.filter(
+        "l_orderkey >= 500 AND l_orderkey < 900").count()
+
+    monkeypatch.setattr(DVm, "_SMALL_DV_MAX_POSITIONS", 0)
+    qt2 = qss.QbeastTable.for_path(spark, p)
+    slow = qt2.to_df()         # forced distributed anti-join
+    assert slow.count() == expect.count()
+    assert slow.exceptAll(expect).count() == 0
