@@ -430,21 +430,31 @@ def with_dv_filter(df, spark, entries: List[Tuple[str, DVDescriptor]],
     cards = [d.cardinality for _, d in entries]
     if all(c is not None for c in cards) \
             and sum(cards) <= _SMALL_DV_MAX_POSITIONS:
-        map_args = []
+        # decode on the DRIVER (cardinality is known without decoding,
+        # so the bound is enforced up front) and ship the positions as
+        # an Arrow-built broadcast side — same anti-join structure as
+        # the large path, minus its per-execution Python decode stage.
+        # NOT a literal-map filter: array_contains costs O(per-file
+        # cardinality) PER ROW, which measured 2x slower than this join
+        # inside MERGE/matview plans once files carry thousands of
+        # masked positions.
+        import pandas as pd
+
+        frames = []
         for abs_file, desc in entries:
             if desc.storage_type == "i":
                 data = z85_decode(desc.path_or_inline)
             else:
                 data = read_dv_file(dv_abs_path(table_path, desc),
                                     desc.offset, desc.size_in_bytes)
-            pos = roaring_array_decode(data)
-            map_args.append(F.lit(_file_uri(abs_file)))
-            map_args.append(F.array([F.lit(int(x)) for x in pos]))
-        dead = F.create_map(*map_args)[F.col("_metadata.file_path")]
-        return df.where(~F.coalesce(
-            F.array_contains(dead, F.col("_metadata.row_index")),
-            F.lit(False))).select(*cols)
-    pos = positions_df(spark, entries, table_path)
+            p = roaring_array_decode(data)
+            frames.append(pd.DataFrame({
+                "file_path": np.repeat(_file_uri(abs_file), len(p)),
+                "row_index": p.astype("int64")}))
+        pos = F.broadcast(spark.createDataFrame(
+            pd.concat(frames, ignore_index=True)))
+    else:
+        pos = positions_df(spark, entries, table_path)
     return (df.withColumn("__fp", F.col("_metadata.file_path"))
               .withColumn("__ri", F.col("_metadata.row_index"))
               .join(pos, on=[F.col("__fp") == pos.file_path,
