@@ -400,59 +400,50 @@ def positions_df(spark, entries: List[Tuple[str, DVDescriptor]],
 
 # with_dv_filter small-snapshot fast path: while the TOTAL deleted
 # positions fit under this bound (known from descriptor cardinalities,
-# no decode needed), the masks are decoded on the driver and applied as
-# a literal map filter — pure JVM expression, no join, no Python decode
-# stage. Measured at sf0.1 (r8): a DV-masked full read dropped 1.0 s ->
-# 0.31 s, exactly the clean-table cost; the overhead had been fixed
-# per-job (worker spinup + exchange), which every DML verb re-paid.
-# Above the bound the distributed anti-join keeps billions of positions
-# off the driver (the 100 TB path).
+# no decode needed), the masks are decoded on the DRIVER and shipped as
+# an explicitly-broadcast join side — same anti-join as the large path,
+# minus its per-execution Python decode stage (worker spinup +
+# exchange), which every DML verb re-paid. A/B on the real qb_dml flow:
+# 7.7 s vs 10.9 s. (A literal-map array_contains filter was tried first
+# and measured 2x SLOWER inside MERGE/matview plans — it costs
+# O(per-file cardinality) per row.) Above the bound the distributed
+# anti-join keeps billions of positions off the driver (the 100 TB
+# path).
 _SMALL_DV_MAX_POSITIONS = 16_384
 
 
 def with_dv_filter(df, spark, entries: List[Tuple[str, DVDescriptor]],
                    table_path: str):
-    """Mask ``df`` (a parquet scan) by its deleted positions.
+    """Anti-join ``df`` (a parquet scan) against its deleted positions.
 
     Scale shape: the scan gains two generated metadata columns (no
-    extra I/O). Small snapshots (<= _SMALL_DV_MAX_POSITIONS total, the
-    common case — optimize() purges DVs continuously) filter through a
-    driver-decoded literal map (file_path -> sorted position array,
-    whole-stage-codegen'd array_contains; rows of unmasked files pay a
-    NULL lookup only). Larger snapshots anti-join on (file_path,
-    row_index) with the decode running on executors — no O(rows) data
-    ever moves through Python either way."""
+    extra I/O); the anti-join keys on (file_path, row_index). Small
+    snapshots (<= _SMALL_DV_MAX_POSITIONS total, the common case —
+    optimize() purges DVs continuously) decode on the driver and
+    broadcast the position side; larger snapshots decode on executors
+    (positions_df). No O(rows) data ever moves through Python either
+    way."""
     from pyspark.sql import functions as F
 
     if not entries:
         return df
     cols = df.columns
-    cards = [d.cardinality for _, d in entries]
-    if all(c is not None for c in cards) \
-            and sum(cards) <= _SMALL_DV_MAX_POSITIONS:
-        # decode on the DRIVER (cardinality is known without decoding,
-        # so the bound is enforced up front) and ship the positions as
-        # an Arrow-built broadcast side — same anti-join structure as
-        # the large path, minus its per-execution Python decode stage.
-        # NOT a literal-map filter: array_contains costs O(per-file
-        # cardinality) PER ROW, which measured 2x slower than this join
-        # inside MERGE/matview plans once files carry thousands of
-        # masked positions.
+    if sum(d.cardinality for _, d in entries) <= _SMALL_DV_MAX_POSITIONS:
         import pandas as pd
 
         frames = []
         for abs_file, desc in entries:
-            if desc.storage_type == "i":
-                data = z85_decode(desc.path_or_inline)
-            else:
-                data = read_dv_file(dv_abs_path(table_path, desc),
-                                    desc.offset, desc.size_in_bytes)
-            p = roaring_array_decode(data)
+            p = descriptor_positions(table_path, desc)
             frames.append(pd.DataFrame({
                 "file_path": np.repeat(_file_uri(abs_file), len(p)),
                 "row_index": p.astype("int64")}))
+        # explicit schema: an all-empty position set (cardinality-0
+        # descriptors on an imported table) must not crash inference
+        pdf = pd.concat(frames, ignore_index=True) if frames else \
+            pd.DataFrame({"file_path": pd.Series(dtype="str"),
+                          "row_index": pd.Series(dtype="int64")})
         pos = F.broadcast(spark.createDataFrame(
-            pd.concat(frames, ignore_index=True)))
+            pdf, schema="file_path string, row_index long"))
     else:
         pos = positions_df(spark, entries, table_path)
     return (df.withColumn("__fp", F.col("_metadata.file_path"))

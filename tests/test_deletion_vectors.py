@@ -264,9 +264,10 @@ def test_export_then_import_roundtrip_with_dvs(spark, dv_table, lineitem):
 
 
 def test_small_dv_fast_path_equals_distributed(spark, tmp_path, monkeypatch):
-    """r8: small DV snapshots filter through a driver-decoded literal
-    map (no join, no Python decode stage). Both paths must return the
-    exact same rows; the threshold routes between them."""
+    """r8: small DV snapshots anti-join against a DRIVER-decoded,
+    explicitly-broadcast position side (no per-execution Python decode
+    stage). Both paths must return the exact same rows; the threshold
+    routes between them."""
     import qbeast_spark_spark as qss
     from qbeast_spark_spark.sources import deletion_vectors as DVm
     from conftest import load
@@ -284,7 +285,7 @@ def test_small_dv_fast_path_equals_distributed(spark, tmp_path, monkeypatch):
     assert fast.count() == expect.count()
     assert fast.exceptAll(expect).count() == 0
     assert expect.exceptAll(fast).count() == 0
-    # sampling + range read compose with the map filter
+    # sampling + range read compose with the broadcast mask
     pred = [("l_orderkey", ">=", 500), ("l_orderkey", "<", 900)]
     assert qt.read(pred).count() == expect.filter(
         "l_orderkey >= 500 AND l_orderkey < 900").count()
@@ -294,3 +295,34 @@ def test_small_dv_fast_path_equals_distributed(spark, tmp_path, monkeypatch):
     slow = qt2.to_df()         # forced distributed anti-join
     assert slow.count() == expect.count()
     assert slow.exceptAll(expect).count() == 0
+
+
+def test_zero_cardinality_descriptors_fast_path(spark, tmp_path):
+    """All-empty position sets (cardinality-0 descriptors, e.g. from an
+    imported table) must route through the fast path without crashing
+    schema inference and leave every row visible."""
+    import pandas as pd
+    from pyspark.sql import functions as F
+
+    import qbeast_spark_spark as qss
+    from qbeast_spark_spark.sources.deletion_vectors import (
+        DVDescriptor, roaring_array_encode, with_dv_filter,
+        write_dv_file, z85_encode)
+    import numpy as np
+    import uuid
+
+    df = spark.range(10).toDF("id")
+    p = str(tmp_path / "plain")
+    df.write.parquet(p)
+    base = spark.read.parquet(p)
+    fp = base.inputFiles()[0]
+    import urllib.parse
+    abs_file = urllib.parse.unquote(urllib.parse.urlparse(fp).path)
+    data = roaring_array_encode(np.empty(0, dtype="int64"))
+    uid = uuid.uuid4()
+    name = f"deletion_vector_{uid}.bin"
+    off, size = write_dv_file(str(tmp_path / "plain" / name), data)
+    desc = DVDescriptor("u", z85_encode(uid.bytes), off, size, 0)
+    out = with_dv_filter(base, spark, [(abs_file, desc)],
+                         str(tmp_path / "plain"))
+    assert out.count() == 10
