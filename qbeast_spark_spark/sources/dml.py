@@ -100,13 +100,11 @@ def _rewrite(qt, snap, matched: List[str], replacement,
     written as staging (revision 0) files inside the SAME commit —
     readable immediately, indexed by the next optimize()."""
     from ..core.revision import STAGING_REVISION_ID, Revision
-    from ..index.analyzer import compute_rollup_from_counts
     import time as _time
 
     log: CommitLog = qt.log
     rev = snap.latest_revision()
     selected = [snap.files[rel] for rel in matched]
-    bloom_cols = sorted({c for f in selected for c in (f.blooms or {})})
     extra_add: List = []
     extra_revs: Dict = {}
     if staged is not None:
@@ -141,6 +139,34 @@ def _rewrite(qt, snap, matched: List[str], replacement,
                           read_version=snap.version,
                           read_files=read_files or matched)
 
+    add, weights_payload = _indexed_adds(qt, snap, rev, replacement,
+                                         selected)
+    return log.commit(
+        add=add + extra_add,
+        remove=matched,
+        revisions={rev.revision_id: rev, **extra_revs},
+        cube_weights={rev.revision_id: weights_payload},
+        schema_json=snap.schema_json or replacement.schema.json(),
+        data_change=True,
+        operation=operation,
+        cdc=cdc,
+        read_version=snap.version,
+        read_files=read_files or matched,
+    )
+
+
+def _indexed_adds(qt, snap, rev, replacement, selected,
+                  scale: float = 1.0):
+    """Index ``replacement`` rows through the EXISTING cube weights of
+    ``rev`` and write them as new data files (no commit). Returns
+    ``(add_entries, cube_weights_payload)``. ``selected`` (the matched
+    files' entries) sizes the rollup from their stored block counts;
+    ``scale`` shrinks those counts when the replacement holds only a
+    fraction of the files' rows (the merge-on-read append path, where
+    only the changed rows are written)."""
+    from ..index.analyzer import compute_rollup_from_counts
+
+    bloom_cols = sorted({c for f in selected for c in (f.blooms or {})})
     prepared = with_index_columns(replacement, rev)
     weights = {
         _parse_cube(c): w
@@ -153,7 +179,7 @@ def _rewrite(qt, snap, matched: List[str], replacement,
         for b in f.blocks:
             key = (_parse_cube(b.cube)
                    if f.revision_id != 0 else (0, 0))
-            counts[key] = counts.get(key, 0.0) + b.count
+            counts[key] = counts.get(key, 0.0) + b.count * scale
     for key in weights:
         counts.setdefault(key, 0.0)
     rollup = compute_rollup_from_counts(counts, rev.dims,
@@ -162,19 +188,26 @@ def _rewrite(qt, snap, matched: List[str], replacement,
     num_files = max(1, len(set(rollup.values())))
     add = _materialize(prepared, rev, weights, file_map, num_files, qt.path,
                        bloom_cols=tuple(bloom_cols))
-    return log.commit(
-        add=add + extra_add,
-        remove=matched,
-        revisions={rev.revision_id: rev, **extra_revs},
-        cube_weights={rev.revision_id: {
-            _cube_str(d, p): int(w) for (d, p), w in weights.items()}},
-        schema_json=snap.schema_json or replacement.schema.json(),
-        data_change=True,
-        operation=operation,
-        cdc=cdc,
-        read_version=snap.version,
-        read_files=read_files or matched,
-    )
+    payload = {_cube_str(d, p): int(w) for (d, p), w in weights.items()}
+    return add, payload
+
+
+def _raw_positions(qt, matched: List[str]):
+    """Raw parquet scan of the matched files (existing deletion vectors
+    NOT applied) carrying ``__fp`` (file URI) and ``__ri`` (row position)
+    alongside the data columns — the position source for DV mask builds.
+    Already-masked rows that re-match a predicate are harmless: their
+    positions are unioned into a bitmap that already holds them."""
+    from pyspark.sql import functions as F
+
+    schema = qt.schema()
+    paths = [os.path.join(qt.path, rel) for rel in matched]
+    reader = qt.spark.read
+    if schema is not None:
+        reader = reader.schema(schema)
+    return (reader.parquet(*paths)
+            .withColumn("__fp", F.col("_metadata.file_path"))
+            .withColumn("__ri", F.col("_metadata.row_index")))
 
 
 def delete_rows(spark, path: str, filters=None,
@@ -255,25 +288,42 @@ def _delete_with_dvs(qt, snap, matched: List[str], residual,
     collects only O(#matched files) descriptor rows."""
     from pyspark.sql import functions as F
 
+    hits = (_raw_positions(qt, matched).where(residual)
+            .select(F.col("__fp").alias("fp"),
+                    F.col("__ri").alias("ri")))
+    add, total_new = _dv_mask_adds(qt, snap, matched, hits)
+    version = qt.log.commit(add=add, remove=[],
+                            schema_json=snap.schema_json,
+                            data_change=True, operation="DELETE",
+                            cdc=cdc,
+                            read_version=snap.version,
+                            read_files=matched,
+                            protocol=_DV_PROTOCOL)
+    # superseded bitmaps are dead the moment the commit lands (their file
+    # entry now points at the new sidecar) — unlike data files they are
+    # never referenced by older READ paths we support mutating, but time
+    # travel still wants them, so defer actual deletion to vacuum()
+    return {"version": version, "rows_deleted": int(total_new),
+            "files_rewritten": 0, "files_dv": len(add)}
+
+
+_DV_PROTOCOL = {"readerFeatures": ["deletionVectors"],
+                "writerFeatures": ["deletionVectors"]}
+
+
+def _dv_mask_adds(qt, snap, matched: List[str], hits):
+    """Union the ``hits`` (columns ``fp`` = file URI, ``ri`` = row
+    position) into each matched file's deletion vector and return
+    ``(re-add FileEntry list, newly masked row count)`` — no commit.
+    Raw-scan hit sources may re-surface already-masked positions; the
+    per-file union makes those no-ops and the new-mask count exact."""
     from .deletion_vectors import (DVDescriptor, _ensure_shipped,
-                                   descriptor_positions, dv_abs_path,
+                                   descriptor_positions,
                                    roaring_array_encode, write_dv_file,
                                    z85_encode)
 
     _ensure_shipped()
-    spark = qt.spark
     table_path = os.path.abspath(qt.path)
-    # raw scan (existing DVs NOT applied): new positions are diffed
-    # against the old bitmap inside the kernel, so already-deleted rows
-    # neither recount nor disappear from the union
-    schema = qt.schema()
-    paths = [os.path.join(qt.path, rel) for rel in matched]
-    reader = spark.read
-    if schema is not None:
-        reader = reader.schema(schema)
-    hits = (reader.parquet(*paths).where(residual)
-            .select(F.col("_metadata.file_path").alias("fp"),
-                    F.col("_metadata.row_index").alias("ri")))
     old_dv = {}     # file URI -> existing descriptor json
     uri_to_rel = {}
     for rel in matched:
@@ -327,34 +377,83 @@ def _delete_with_dvs(qt, snap, matched: List[str], residual,
             "cardinality": int(r["cardinality"])})
         add.append(f)
         total_new += int(r["new_deletes"])
-    version = qt.log.commit(add=add, remove=[],
-                            schema_json=snap.schema_json,
-                            data_change=True, operation="DELETE",
-                            cdc=cdc,
-                            read_version=snap.version,
-                            read_files=matched,
-                            protocol={
-                                "readerFeatures": ["deletionVectors"],
-                                "writerFeatures": ["deletionVectors"]})
-    # superseded bitmaps are dead the moment the commit lands (their file
-    # entry now points at the new sidecar) — unlike data files they are
-    # never referenced by older READ paths we support mutating, but time
-    # travel still wants them, so defer actual deletion to vacuum()
-    return {"version": version, "rows_deleted": int(total_new),
-            "files_rewritten": 0, "files_dv": len(add)}
+    return add, total_new
+
+
+def _mor_commit(qt, snap, matched: List[str], hits, post, operation: str,
+                cdc=None, staged=None, read_files=None,
+                scale: float = 1.0) -> int:
+    """Merge-on-read commit (Delta's DV-backed UPDATE/MERGE shape): mask
+    the matched rows of ``matched`` files via deletion vectors and append
+    only the replacement rows ``post`` as new indexed files — one atomic
+    version, NO data-file rewrite. Write amplification drops from
+    O(matched files' bytes) to O(changed rows); readers anti-join the
+    bitmaps until ``optimize()`` compacts them away. ``staged`` rows (out
+    of the revision space) land in the staging lane of the SAME commit."""
+    from ..core.revision import STAGING_REVISION_ID, Revision
+    import time as _time
+
+    dv_adds, _ = _dv_mask_adds(qt, snap, matched, hits)
+    rev = snap.latest_revision()
+    add: List = list(dv_adds)
+    revisions: Dict = {}
+    cube_weights = None
+    if rev is not None:
+        revisions[rev.revision_id] = rev
+        if post is not None:
+            selected = [snap.files[rel] for rel in matched]
+            new_adds, payload = _indexed_adds(qt, snap, rev, post,
+                                              selected, scale=scale)
+            add += new_adds
+            cube_weights = {rev.revision_id: payload}
+    elif post is not None:
+        # staging-only table: replacement rows stay staging files
+        staged = post if staged is None else staged.unionByName(post)
+    if staged is not None:
+        from .optimize import _write_staging_files
+
+        add += _write_staging_files(staged, qt.path)
+        revisions[STAGING_REVISION_ID] = Revision(
+            STAGING_REVISION_ID, int(_time.time() * 1000),
+            5_000_000, [], [], [])
+    return qt.log.commit(
+        add=add, remove=[],
+        revisions=revisions or None,
+        cube_weights=cube_weights,
+        schema_json=snap.schema_json,
+        data_change=True, operation=operation, cdc=cdc,
+        read_version=snap.version,
+        read_files=read_files or matched,
+        protocol=_DV_PROTOCOL)
 
 
 def update_rows(spark, path: str, assignments: Dict[str, Any],
-                filters=None) -> dict:
+                filters=None, mode: str = "auto") -> dict:
     """UPDATE <path> SET <assignments> WHERE <filters>; see module
     docstring. ``assignments`` maps column name -> SQL expression string
     or Column; expressions are cast back to the column's declared type
-    (Delta UPDATE's implicit-cast semantics)."""
+    (Delta UPDATE's implicit-cast semantics).
+
+    ``mode`` picks the physical strategy (Delta's DV-backed UPDATE):
+
+    - ``"rewrite"``: rewrite every matched file with the assignments
+      applied (the pre-r8 behavior).
+    - ``"dv"``: merge-on-read — mask the matched rows with deletion
+      vectors and append ONLY the post-image rows as new indexed files.
+      Write amplification drops from O(matched files' bytes) to
+      O(changed rows); at 100 TB a selective UPDATE stops rewriting
+      multi-GB files to change a handful of rows.
+    - ``"auto"`` (default): ``"dv"`` while the matched rows are a
+      minority (< ``DV_DELETE_MAX_FRACTION``) of the matched files'
+      live rows, else ``"rewrite"`` (the same read-amplification guard
+      as DELETE)."""
     from pyspark.sql import Column
     from pyspark.sql import functions as F
 
     from .reader import QbeastTable
 
+    if mode not in ("rewrite", "dv", "auto"):
+        raise ValueError(f"unknown update mode {mode!r}")
     if not assignments:
         raise ValueError("update needs at least one column assignment")
     qt = QbeastTable(spark, path)
@@ -377,6 +476,11 @@ def update_rows(spark, path: str, assignments: Dict[str, Any],
         return {"version": None, "rows_updated": 0, "files_rewritten": 0,
                 "files_scanned": len(candidates)}
     matched = sorted(per_file)
+    n_upd = int(sum(per_file.values()))
+    live = sum(snap.files[rel].live_rows for rel in matched)
+    if mode == "auto":
+        mode = "dv" if n_upd < DV_DELETE_MAX_FRACTION * max(live, 1) \
+            else "rewrite"
     df = qt._df_for_files(matched)
     pred = (F.coalesce(residual, F.lit(False))
             if residual is not None else F.lit(True))
@@ -393,24 +497,37 @@ def update_rows(spark, path: str, assignments: Dict[str, Any],
         # CDF post-image: the assignment applied unconditionally to the
         # PRE rows (evaluating pred against df would see updated values)
         post = post.withColumn(cname, e)
-    _check_revision_space(qt, snap, df, set(assignments))
+    # DV mode only ever writes the post rows — checking them (vs the full
+    # rewrite frame) is equivalent: unchanged rows are in space already
+    _check_revision_space(qt, snap, post if mode == "dv" else df,
+                          set(assignments))
     from .constraints import constraints_of, validate_constraints
 
-    validate_constraints(df, constraints_of(snap.properties),
+    validate_constraints(post if mode == "dv" else df,
+                         constraints_of(snap.properties),
                          context="UPDATE")
     cdc = _cdc_of(qt, snap, [(pre, "update_preimage"),
                              (post, "update_postimage")])
+    if mode == "dv":
+        hits = (_raw_positions(qt, matched).where(pred)
+                .select(F.col("__fp").alias("fp"),
+                        F.col("__ri").alias("ri")))
+        version = _mor_commit(qt, snap, matched, hits, post, "UPDATE",
+                              cdc=cdc, scale=n_upd / max(live, 1))
+        return {"version": version, "rows_updated": n_upd,
+                "files_rewritten": 0, "files_dv": len(matched),
+                "files_scanned": len(candidates)}
     version = _rewrite(qt, snap, matched, df, operation="UPDATE",
                        cdc=cdc)
     return {"version": version,
-            "rows_updated": int(sum(per_file.values())),
+            "rows_updated": n_upd,
             "files_rewritten": len(matched),
             "files_scanned": len(candidates)}
 
 
 def merge_rows(spark, path: str, source, on,
                when_matched_update=None, when_matched_delete: bool = False,
-               when_not_matched_insert=None) -> dict:
+               when_not_matched_insert=None, mode: str = "auto") -> dict:
     """MERGE INTO <path> USING <source> ON <equi keys> — the upsert verb
     the reference hands to the DeltaTable API at the cost of its index;
     here the table stays fully qbeast-readable (module docstring).
@@ -431,12 +548,22 @@ def merge_rows(spark, path: str, source, on,
     single equi-join with the source, not-matched source rows appended
     through the existing cube weights — and commits adds + removes in
     ONE atomic log version. A target row matching more than one source
-    row raises (Delta's multiple-source-match error)."""
+    row raises (Delta's multiple-source-match error).
+
+    ``mode`` picks the matched-file strategy (Delta's DV-backed MERGE):
+    ``"rewrite"`` replaces the matched files outright; ``"dv"`` masks
+    the matched rows with deletion vectors and appends only the changed
+    rows (merge-on-read — O(changed rows) written, not O(matched
+    files' bytes)); ``"auto"`` (default) picks ``"dv"`` while matched
+    rows are a minority (< ``DV_DELETE_MAX_FRACTION``) of the matched
+    files' live rows."""
     from pyspark.sql import Column
     from pyspark.sql import functions as F
 
     from .reader import QbeastTable
 
+    if mode not in ("rewrite", "dv", "auto"):
+        raise ValueError(f"unknown merge mode {mode!r}")
     keys = [on] if isinstance(on, str) else list(on)
     if not keys:
         raise ValueError("merge needs at least one key column in `on`")
@@ -531,6 +658,14 @@ def merge_rows(spark, path: str, source, on,
         for r in rows:
             per_file[_rel_path(qt, r["_f"])] = int(r["__n"])
     matched = sorted(per_file)
+    n_matched = int(sum(per_file.values()))
+    live = sum(snap.files[rel].live_rows for rel in matched)
+    if mode == "auto":
+        mode = "dv" if matched and \
+            n_matched < DV_DELETE_MAX_FRACTION * max(live, 1) \
+            else "rewrite"
+    elif mode == "dv" and not matched:
+        mode = "rewrite"        # nothing to mask: plain append path
 
     # not-matched source rows -> insert set (bounded by the source size)
     inserts = None
@@ -568,14 +703,18 @@ def merge_rows(spark, path: str, source, on,
         inserts = _to_target_schema(anti, exprs).persist()
         n_ins = inserts.count()
 
-    # pass 2: new contents of the matched files
+    # pass 2: new contents of the matched files (rewrite mode) / the
+    # changed rows only (dv mode — the full-contents frame is never
+    # planned, matched files survive behind their bitmaps)
     updated = None
+    post = None                 # dv mode: post-image of changed rows
     cdc_frames = []             # (changed-rows frame, _change_type)
     if matched:
         cur = qt._df_for_files(matched)
         if when_matched_delete:
-            updated = cur.join(source.select(*keys).distinct(),
-                               keys, "left_anti")
+            if mode != "dv":
+                updated = cur.join(source.select(*keys).distinct(),
+                                   keys, "left_anti")
             cdc_frames.append(
                 (cur.join(source.select(*keys).distinct(), keys,
                           "left_semi"), "delete"))
@@ -609,28 +748,31 @@ def merge_rows(spark, path: str, source, on,
                 base = F.col(c)
                 exprs[c] = base if e is None else F.when(hit, e) \
                     .otherwise(base)
-            updated = _to_target_schema(joined, exprs)
+            post = _to_target_schema(joined.where(hit), exprs)
+            if mode != "dv":
+                updated = _to_target_schema(joined, exprs)
             cdc_frames.append((joined.where(hit).select(*tcols),
                                "update_preimage"))
-            cdc_frames.append((_to_target_schema(joined.where(hit),
-                                                 exprs),
-                               "update_postimage"))
+            cdc_frames.append((post, "update_postimage"))
 
-    if updated is None and n_ins == 0:
+    if not matched and n_ins == 0:
         if inserts is not None:
             inserts.unpersist()
         return {"version": None, "files_rewritten": 0, "rows_inserted": 0,
                 "rows_updated": 0, "rows_deleted": 0,
                 "files_scanned": int(n_scanned)}
 
-    if updated is not None and when_matched_update is not None:
+    changed = post if mode == "dv" else updated
+    if matched and when_matched_update is not None:
         assigned = set(tcols) - set(keys) if when_matched_update == "all" \
             else set(when_matched_update)
-        _check_revision_space(qt, snap, updated, assigned)
+        # dv mode checks the post rows only — the ones it writes;
+        # unchanged rows are in space already
+        _check_revision_space(qt, snap, changed, assigned)
     # inserts that fit the revision space index through the existing cube
     # weights; out-of-space inserts go to the staging lane (revision 0)
     # inside the same commit — readable now, indexed by the next optimize()
-    replacement, staged = updated, None
+    replacement, staged = changed, None
     if inserts is not None and n_ins:
         rev = snap.latest_revision()
         if rev is not None and _space_violation(
@@ -646,8 +788,8 @@ def merge_rows(spark, path: str, source, on,
     # delete-only rewrites just drop rows
     checks = constraints_of(snap.properties)
     if checks:
-        if when_matched_update is not None and updated is not None:
-            validate_constraints(updated, checks, context="MERGE update")
+        if when_matched_update is not None and changed is not None:
+            validate_constraints(changed, checks, context="MERGE update")
         if inserts is not None and n_ins:
             validate_constraints(inserts, checks, context="MERGE insert")
     # MERGE commits mix rewritten and inserted rows in their add files,
@@ -655,13 +797,27 @@ def merge_rows(spark, path: str, source, on,
     if inserts is not None and n_ins:
         cdc_frames.append((inserts, "insert"))
     cdc = _cdc_of(qt, snap, cdc_frames)
-    version = _rewrite(qt, snap, matched, replacement, staged=staged,
-                       read_files=list(snap.files.keys()),
-                       operation="MERGE", cdc=cdc)
+    if mode == "dv":
+        # matched rows are masked where they sit (raw positions —
+        # already-masked re-hits are union no-ops); replacement carries
+        # only the changed rows + in-space inserts
+        skeys = source.select(*keys).distinct()
+        hits = (_raw_positions(qt, matched).join(skeys, keys, "left_semi")
+                .select(F.col("__fp").alias("fp"),
+                        F.col("__ri").alias("ri")))
+        version = _mor_commit(qt, snap, matched, hits, replacement,
+                              "MERGE", cdc=cdc, staged=staged,
+                              read_files=list(snap.files.keys()),
+                              scale=n_matched / max(live, 1))
+    else:
+        version = _rewrite(qt, snap, matched, replacement, staged=staged,
+                           read_files=list(snap.files.keys()),
+                           operation="MERGE", cdc=cdc)
     if inserts is not None:
         inserts.unpersist()
-    n_matched = int(sum(per_file.values()))
-    return {"version": version, "files_rewritten": len(matched),
+    return {"version": version,
+            "files_rewritten": 0 if mode == "dv" else len(matched),
+            **({"files_dv": len(matched)} if mode == "dv" else {}),
             "rows_inserted": int(n_ins),
             "inserts_staged": staged is not None,
             "rows_updated": n_matched if when_matched_update is not None

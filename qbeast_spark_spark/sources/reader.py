@@ -874,24 +874,33 @@ class QbeastTable:
         self._snapshot = None
         return out
 
-    def update(self, assignments: dict, filters=None) -> dict:
+    def update(self, assignments: dict, filters=None,
+               mode: str = "auto") -> dict:
         """UPDATE ... SET ... WHERE: ``assignments`` maps column -> SQL
-        expression string or Column. Only files containing matching rows
-        are rewritten. Returns {version, rows_updated, files_rewritten}."""
+        expression string or Column. ``mode="auto"`` (default) masks the
+        matched rows with deletion vectors and appends only the
+        post-image rows when they are a minority of the matched files'
+        live rows (merge-on-read), else rewrites the matched files;
+        ``"dv"``/``"rewrite"`` force a strategy — see dml.update_rows.
+        Returns {version, rows_updated, files_rewritten}."""
         from .dml import update_rows
 
-        out = update_rows(self.spark, self.path, assignments, filters)
+        out = update_rows(self.spark, self.path, assignments, filters,
+                          mode=mode)
         self._snapshot = None
         return out
 
     def merge(self, source, on, when_matched_update=None,
               when_matched_delete: bool = False,
-              when_not_matched_insert=None) -> dict:
+              when_not_matched_insert=None, mode: str = "auto") -> dict:
         """MERGE INTO (upsert): equi-key merge of ``source`` into this
         table — matched rows updated (``"all"`` or {col: expr}, source
         columns visible as ``__src_<name>``) or deleted, not-matched
-        source rows inserted through the existing cube weights. Only
-        files containing a matched key are rewritten; one atomic commit.
+        source rows inserted through the existing cube weights. One
+        atomic commit. ``mode="auto"`` (default) masks matched rows with
+        deletion vectors and appends only the changed rows when they are
+        a minority of the matched files' live rows (merge-on-read), else
+        rewrites the matched files — see dml.merge_rows.
         Returns {version, files_rewritten, rows_inserted, rows_updated,
         rows_deleted}."""
         from .dml import merge_rows
@@ -899,7 +908,8 @@ class QbeastTable:
         out = merge_rows(self.spark, self.path, source, on,
                          when_matched_update=when_matched_update,
                          when_matched_delete=when_matched_delete,
-                         when_not_matched_insert=when_not_matched_insert)
+                         when_not_matched_insert=when_not_matched_insert,
+                         mode=mode)
         self._snapshot = None
         return out
 

@@ -375,3 +375,124 @@ def test_delete_auto_policy_dv_below_threshold(spark, table):
     keep = li.where("l_orderkey >= 1200")
     assert got.exceptAll(keep).count() == 0
     assert keep.exceptAll(got).count() == 0
+
+
+def test_update_auto_policy_dv_below_threshold(spark, table):
+    """r8 — merge-on-read UPDATE: auto mode masks the matched rows with
+    deletion vectors and appends only the post-image rows when they are
+    a minority of the matched files' live rows; a bulk update still
+    rewrites. Final contents must equal the rewrite-mode result."""
+    path, li = table
+    qt = qss.QbeastTable.for_path(spark, path)
+    expect = li.where("l_orderkey < 60").count()
+    out = qt.update({"l_quantity": "l_quantity + 7"},
+                    [("l_orderkey", "<", 60)])
+    assert out["rows_updated"] == expect
+    assert out["files_rewritten"] == 0 and out.get("files_dv", 0) >= 1
+    got = qt.to_df()
+    assert got.count() == li.count()
+    bumped = got.where("l_orderkey < 60").agg(
+        F.sum("l_quantity").alias("s")).first()["s"]
+    base = li.where("l_orderkey < 60").agg(
+        F.sum("l_quantity").alias("s")).first()["s"]
+    assert float(bumped) == pytest.approx(float(base) + 7 * expect)
+    # untouched rows identical
+    assert got.where("l_orderkey >= 60").exceptAll(
+        li.where("l_orderkey >= 60")).count() == 0
+    # bulk: no filter -> every live row matches -> rewrite
+    out2 = qt.update({"l_quantity": "l_quantity"}, None)
+    assert out2["files_rewritten"] >= 1 and "files_dv" not in out2
+
+
+def test_update_dv_and_rewrite_modes_agree(spark, tmp_table):
+    """Forced dv vs forced rewrite UPDATE produce identical tables."""
+    df = spark.createDataFrame([(i, float(i), "x") for i in range(200)],
+                               ["k", "v", "s"])
+    paths = [tmp_table + "_a", tmp_table + "_b"]
+    for p in paths:
+        qss.write(df, p, columns_to_index=["k"], cube_size=50)
+    qa = qss.QbeastTable.for_path(spark, paths[0])
+    qb = qss.QbeastTable.for_path(spark, paths[1])
+    oa = qa.update({"v": "v * 2"}, [("k", "<", 30)], mode="dv")
+    ob = qb.update({"v": "v * 2"}, [("k", "<", 30)], mode="rewrite")
+    assert oa["rows_updated"] == ob["rows_updated"] == 30
+    assert oa["files_rewritten"] == 0 and oa["files_dv"] >= 1
+    assert ob["files_rewritten"] >= 1 and "files_dv" not in ob
+    a, b = qa.to_df(), qb.to_df()
+    assert a.exceptAll(b).count() == 0 and b.exceptAll(a).count() == 0
+    # pruned reads see the moved values through the DV-masked layout
+    assert qa.read([("k", "<", 30)]).agg(
+        F.sum("v").alias("s")).first()["s"] == sum(2.0 * i
+                                                   for i in range(30))
+
+
+def test_merge_matched_update_dv_mode(spark, table):
+    """Merge-on-read MERGE: a selective matched update masks + appends
+    instead of rewriting, with inserts landing in the same commit."""
+    path, li = table
+    qt = qss.QbeastTable.for_path(spark, path)
+    total = li.count()
+    src = (li.where("l_orderkey BETWEEN 300 AND 360")
+           .select("l_orderkey").distinct())
+    n_upd = li.where("l_orderkey BETWEEN 300 AND 360").count()
+    out = qt.merge(src, on="l_orderkey",
+                   when_matched_update={"l_returnflag": "'Z'"})
+    assert out["rows_updated"] == n_upd
+    assert out["files_rewritten"] == 0 and out.get("files_dv", 0) >= 1
+    got = qt.to_df()
+    assert got.count() == total
+    assert got.where("l_orderkey BETWEEN 300 AND 360 "
+                     "AND l_returnflag <> 'Z'").count() == 0
+    assert got.where("l_returnflag = 'Z'").count() == n_upd
+    # optimize() rewrites masked files, purges the DVs, keeps contents
+    qss.optimize_table(spark, path)
+    snap = qt.snapshot(refresh=True)
+    assert all(not f.dv for f in snap.files.values())
+    got2 = qt.to_df()
+    assert got2.count() == total
+    assert got2.where("l_returnflag = 'Z'").count() == n_upd
+
+
+def test_merge_matched_delete_dv_mode(spark, tmp_table):
+    """Matched-delete MERGE under forced dv: masks only, no appends,
+    plus not-matched inserts in the same atomic commit."""
+    df = spark.createDataFrame([(i, float(i)) for i in range(100)],
+                               ["k", "v"])
+    qss.write(df, tmp_table, columns_to_index=["k"], cube_size=25)
+    qt = qss.QbeastTable.for_path(spark, tmp_table)
+    src = spark.createDataFrame([(k, -1.0) for k in (3, 5, 7, 64)],
+                                ["k", "v"])
+    out = qt.merge(src, on="k", when_matched_delete=True,
+                   when_not_matched_insert=None, mode="dv")
+    assert out["rows_deleted"] == 4 and out["files_rewritten"] == 0
+    assert out["files_dv"] >= 1
+    left = {r["k"] for r in qt.to_df().collect()}
+    assert left == set(range(100)) - {3, 5, 7, 64}
+
+
+def test_update_dv_cdf_images(spark, tmp_table):
+    """CDF pre/post images are identical whether the UPDATE masked or
+    rewrote (the frames are computed before the physical strategy)."""
+    df = spark.createDataFrame([(i, float(i)) for i in range(100)],
+                               ["k", "v"])
+    qss.write(df, tmp_table, columns_to_index=["k"], cube_size=25)
+    qt = qss.QbeastTable.for_path(spark, tmp_table)
+    qt.enable_change_data_feed()
+    out = qt.update({"v": "v + 0.5"}, [("k", "<", 10)], mode="dv")
+    assert out["files_dv"] >= 1
+    ch = qt.table_changes(out["version"], out["version"])
+    pre = ch.where("_change_type = 'update_preimage'")
+    post = ch.where("_change_type = 'update_postimage'")
+    assert pre.count() == 10 and post.count() == 10
+    assert float(post.agg(F.sum("v").alias("s")).first()["s"]) == \
+        pytest.approx(sum(range(10)) + 5.0)
+
+
+def test_update_dv_outside_revision_space_raises(spark, table):
+    """The revision-space guard holds in dv mode (it checks the post
+    rows — the only rows the mode writes)."""
+    path, _li = table
+    qt = qss.QbeastTable.for_path(spark, path)
+    with pytest.raises(ValueError, match="outside the revision space"):
+        qt.update({"l_extendedprice": "l_extendedprice + 1e9"},
+                  [("l_orderkey", "<", 100)], mode="dv")
