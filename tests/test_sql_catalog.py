@@ -968,6 +968,81 @@ def test_join_lift_shape_guards(spark, join_cat):
         and "qli.l_orderkey" not in got["qli"][0]
 
 
+@pytest.fixture()
+def two_qb_cat(spark, join_cat):
+    """join_cat plus a SECOND qbeast table (qord, indexed on
+    o_orderkey) — the multi-qbeast-table join shape."""
+    load(spark, "orders").createOrReplaceTempView("ord_src")
+    join_cat.sql("CREATE TABLE qord USING qbeast OPTIONS "
+                 "('columnsToIndex'='o_orderkey', cubeSize=100) "
+                 "AS SELECT * FROM ord_src")
+    return join_cat
+
+
+def test_multi_qbeast_join_lift_prunes_both_sides(spark, two_qb_cat):
+    """r8 (VERDICT r7 'missing #2'): TWO qbeast tables in one JOIN, each
+    referenced once with its own alias — each side gets its own pruned
+    view from its own alias-qualified conjuncts."""
+    cat = two_qb_cat
+    li, orders = load(spark, "lineitem"), load(spark, "orders")
+    full = cat.sql("SELECT t.l_orderkey FROM qli t "
+                   "JOIN qord o ON t.l_orderkey = o.o_orderkey")
+    qli_full = len([f for f in full.inputFiles() if "/qli/" in f])
+    qord_full = len([f for f in full.inputFiles() if "/qord/" in f])
+    pruned = cat.sql(
+        "SELECT t.l_orderkey, o.o_custkey FROM qli t "
+        "JOIN qord o ON t.l_orderkey = o.o_orderkey "
+        "WHERE t.l_orderkey < 200 AND o.o_orderkey < 300")
+    qli_p = len([f for f in pruned.inputFiles() if "/qli/" in f])
+    qord_p = len([f for f in pruned.inputFiles() if "/qord/" in f])
+    assert 0 < qli_p < qli_full
+    assert 0 < qord_p < qord_full
+    exp = (li.filter("l_orderkey < 200")
+           .join(orders.filter("o_orderkey < 300"),
+                 li.l_orderkey == orders.o_orderkey).count())
+    assert pruned.count() == exp
+
+
+def test_multi_qbeast_join_lift_name_qualified(spark, two_qb_cat):
+    """Name-qualified (no user alias) multi-qbeast join: conjuncts
+    qualified by the OTHER table's name stay dotted (never bind a real
+    column) while each table's own conjuncts prune its files."""
+    cat = two_qb_cat
+    li, orders = load(spark, "lineitem"), load(spark, "orders")
+    got = cat._join_table_predicate(
+        "SELECT * FROM qli JOIN qord ON qli.l_orderkey = qord.o_orderkey "
+        "WHERE qli.l_orderkey < 150 AND qord.o_orderkey < 250",
+        cat.tables())
+    assert set(got) == {"qli", "qord"}
+    assert "l_orderkey < 150" in got["qli"][0] \
+        and "qord.o_orderkey" in got["qli"][0]
+    assert "o_orderkey < 250" in got["qord"][0] \
+        and "qli.l_orderkey" in got["qord"][0]
+    pruned = cat.sql(
+        "SELECT qli.l_orderkey FROM qli "
+        "JOIN qord ON qli.l_orderkey = qord.o_orderkey "
+        "WHERE qli.l_orderkey < 150 AND qord.o_orderkey < 250")
+    exp = (li.filter("l_orderkey < 150")
+           .join(orders.filter("o_orderkey < 250"),
+                 li.l_orderkey == orders.o_orderkey).count())
+    assert pruned.count() == exp
+
+
+def test_multi_qbeast_join_or_predicate_never_narrows(spark, two_qb_cat):
+    """A top-level OR across the two tables' columns constrains neither
+    side alone — each side's unknown-column disjunct must degrade that
+    side to the full file list, keeping results exact."""
+    cat = two_qb_cat
+    li, orders = load(spark, "lineitem"), load(spark, "orders")
+    got = cat.sql(
+        "SELECT t.l_orderkey FROM qli t "
+        "JOIN qord o ON t.l_orderkey = o.o_orderkey "
+        "WHERE t.l_orderkey < 50 OR o.o_totalprice > 100000")
+    exp = (li.join(orders, li.l_orderkey == orders.o_orderkey)
+           .filter("l_orderkey < 50 OR o_totalprice > 100000").count())
+    assert got.count() == exp
+
+
 def test_join_lift_string_literals_not_confused(spark, join_cat):
     """A table name inside a string literal is not an occurrence; quoted
     text inside the WHERE is never alias-stripped."""
