@@ -1453,14 +1453,14 @@ class QbeastSqlCatalog:
         if stop:
             pred = pred[:stop.start()]
         pred = pred.strip()
-        # a subquery or another catalog table inside the predicate is
-        # not a shape prune_scan's DNF translation understands — skip
+        # a subquery inside the predicate is not a shape prune_scan's
+        # DNF translation understands — skip. (Another catalog table's
+        # NAME appearing is harmless: as a qualifier it stays dotted
+        # and dotted tokens never bind a real column; as a bare token
+        # it is an unknown column — both only widen. Same argument as
+        # the r8 per-occurrence join lift.)
         if not pred or re.search(r"(?i)\bSELECT\b", _mask_quotes(pred)):
             return {}
-        for other in entries:
-            if other != name and re.search(
-                    rf"(?i)(?<![\w.`]){re.escape(other)}(?![\w.`])", pred):
-                return {}
         alias = (stmt[m.start("alias"):m.end("alias")]
                  if m.group("alias") else None)
         # qualified refs (`t.col` under alias t / `name.col` bare) would

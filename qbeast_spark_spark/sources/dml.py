@@ -210,6 +210,33 @@ def _raw_positions(qt, matched: List[str]):
             .withColumn("__ri", F.col("_metadata.row_index")))
 
 
+def _hit_positions(df):
+    """``__fp``/``__ri`` carrier (a filtered/joined _raw_positions scan)
+    -> the (fp, ri) frame ``_dv_mask_adds`` consumes."""
+    from pyspark.sql import functions as F
+
+    return df.select(F.col("__fp").alias("fp"),
+                     F.col("__ri").alias("ri"))
+
+
+def _pred_deterministic(qt, snap, residual) -> bool:
+    """Catalyst's own verdict on whether the residual predicate is
+    deterministic. DV-mode UPDATE evaluates the predicate in TWO jobs
+    (the mask scan and the post-image write); a nondeterministic
+    predicate would mask one sample of rows and append another — rows
+    silently lost or duplicated — so it must never reach dv mode
+    (Delta rejects nondeterministic DML conditions outright).
+    Unresolvable shapes count as nondeterministic (conservative)."""
+    if residual is None:
+        return True
+    try:
+        plan = (qt._df_for_files([], snap=snap).where(residual)
+                ._jdf.queryExecution().analyzed())
+        return bool(plan.condition().deterministic())
+    except Exception:
+        return False
+
+
 def delete_rows(spark, path: str, filters=None,
                 mode: str = "auto") -> dict:
     """DELETE FROM <path> WHERE <filters>; see module docstring.
@@ -288,9 +315,7 @@ def _delete_with_dvs(qt, snap, matched: List[str], residual,
     collects only O(#matched files) descriptor rows."""
     from pyspark.sql import functions as F
 
-    hits = (_raw_positions(qt, matched).where(residual)
-            .select(F.col("__fp").alias("fp"),
-                    F.col("__ri").alias("ri")))
+    hits = _hit_positions(_raw_positions(qt, matched).where(residual))
     add, total_new = _dv_mask_adds(qt, snap, matched, hits)
     version = qt.log.commit(add=add, remove=[],
                             schema_json=snap.schema_json,
@@ -480,7 +505,13 @@ def update_rows(spark, path: str, assignments: Dict[str, Any],
     live = sum(snap.files[rel].live_rows for rel in matched)
     if mode == "auto":
         mode = "dv" if n_upd < DV_DELETE_MAX_FRACTION * max(live, 1) \
-            else "rewrite"
+            and _pred_deterministic(qt, snap, residual) else "rewrite"
+    elif mode == "dv" and not _pred_deterministic(qt, snap, residual):
+        raise ValueError(
+            "dv update requires a deterministic predicate: the mask "
+            "scan and the post-image write evaluate it independently, "
+            "so a nondeterministic one would lose or duplicate rows — "
+            "use mode='rewrite'")
     df = qt._df_for_files(matched)
     pred = (F.coalesce(residual, F.lit(False))
             if residual is not None else F.lit(True))
@@ -509,9 +540,7 @@ def update_rows(spark, path: str, assignments: Dict[str, Any],
     cdc = _cdc_of(qt, snap, [(pre, "update_preimage"),
                              (post, "update_postimage")])
     if mode == "dv":
-        hits = (_raw_positions(qt, matched).where(pred)
-                .select(F.col("__fp").alias("fp"),
-                        F.col("__ri").alias("ri")))
+        hits = _hit_positions(_raw_positions(qt, matched).where(pred))
         version = _mor_commit(qt, snap, matched, hits, post, "UPDATE",
                               cdc=cdc, scale=n_upd / max(live, 1))
         return {"version": version, "rows_updated": n_upd,
@@ -709,19 +738,34 @@ def merge_rows(spark, path: str, source, on,
     updated = None
     post = None                 # dv mode: post-image of changed rows
     cdc_frames = []             # (changed-rows frame, _change_type)
+    skeys = None                # distinct source keys, shared by joins
+    pins = []                   # persisted frames to release at the end
     if matched:
         cur = qt._df_for_files(matched)
         if when_matched_delete:
+            skeys = source.select(*keys).distinct()
+            if mode == "dv":
+                # dv evaluates the source key set in separate jobs (the
+                # mask scan vs the cdc semi-join); pin it so a
+                # nondeterministic source cannot mask one key sample
+                # and record another (Delta materializes its MERGE
+                # source for the same reason)
+                skeys = skeys.persist()
+                pins.append(skeys)
             if mode != "dv":
-                updated = cur.join(source.select(*keys).distinct(),
-                                   keys, "left_anti")
+                updated = cur.join(skeys, keys, "left_anti")
             cdc_frames.append(
-                (cur.join(source.select(*keys).distinct(), keys,
-                          "left_semi"), "delete"))
+                (cur.join(skeys, keys, "left_semi"), "delete"))
         else:
             src = source.select(
                 *keys, *[F.col(c).alias(f"__src_{c}")
                          for c in source.columns if c not in keys])
+            if mode == "dv":
+                # pin the projected source: the mask scan's key set and
+                # the post-image join must see the SAME source rows
+                src = src.persist()
+                pins.append(src)
+                skeys = src.select(*keys).distinct()
             joined = cur.join(
                 src.withColumn("__src__m", F.lit(True)), keys, "left")
             hit = F.col("__src__m").isNotNull()
@@ -800,11 +844,11 @@ def merge_rows(spark, path: str, source, on,
     if mode == "dv":
         # matched rows are masked where they sit (raw positions —
         # already-masked re-hits are union no-ops); replacement carries
-        # only the changed rows + in-space inserts
-        skeys = source.select(*keys).distinct()
-        hits = (_raw_positions(qt, matched).join(skeys, keys, "left_semi")
-                .select(F.col("__fp").alias("fp"),
-                        F.col("__ri").alias("ri")))
+        # only the changed rows + in-space inserts. skeys comes from
+        # the PINNED source built in pass 2, so the mask scan and the
+        # post-image join agree on the matched key set.
+        hits = _hit_positions(
+            _raw_positions(qt, matched).join(skeys, keys, "left_semi"))
         version = _mor_commit(qt, snap, matched, hits, replacement,
                               "MERGE", cdc=cdc, staged=staged,
                               read_files=list(snap.files.keys()),
@@ -815,6 +859,8 @@ def merge_rows(spark, path: str, source, on,
                            operation="MERGE", cdc=cdc)
     if inserts is not None:
         inserts.unpersist()
+    for p in pins:
+        p.unpersist()
     return {"version": version,
             "files_rewritten": 0 if mode == "dv" else len(matched),
             **({"files_dv": len(matched)} if mode == "dv" else {}),

@@ -460,14 +460,28 @@ def test_merge_matched_delete_dv_mode(spark, tmp_table):
                                ["k", "v"])
     qss.write(df, tmp_table, columns_to_index=["k"], cube_size=25)
     qt = qss.QbeastTable.for_path(spark, tmp_table)
-    src = spark.createDataFrame([(k, -1.0) for k in (3, 5, 7, 64)],
+    src = spark.createDataFrame([(k, -1.0) for k in (3, 5, 7, 64, 42)],
                                 ["k", "v"])
-    out = qt.merge(src, on="k", when_matched_delete=True,
+    out = qt.merge(src.where("k <> 42"), on="k",
+                   when_matched_delete=True,
                    when_not_matched_insert=None, mode="dv")
     assert out["rows_deleted"] == 4 and out["files_rewritten"] == 0
     assert out["files_dv"] >= 1
     left = {r["k"] for r in qt.to_df().collect()}
     assert left == set(range(100)) - {3, 5, 7, 64}
+    # delete + not-matched insert in ONE dv commit: 8/9 match (masked),
+    # 200 is new and must land as an appended row in the same version
+    src2 = spark.createDataFrame([(8, -1.0), (9, -1.0), (200, 7.5)],
+                                 ["k", "v"])
+    out2 = qt.merge(src2, on="k", when_matched_delete=True,
+                    when_not_matched_insert="all", mode="dv")
+    assert out2["rows_deleted"] == 2 and out2["rows_inserted"] == 1
+    assert out2["files_rewritten"] == 0 and out2["files_dv"] >= 1
+    got = {r["k"]: r["v"] for r in qt.to_df().collect()}
+    assert 8 not in got and 9 not in got
+    # k=200 is outside the [0,99] revision space -> staged lane, still
+    # readable in the same committed version
+    assert got[200] == 7.5 and out2["inserts_staged"]
 
 
 def test_update_dv_cdf_images(spark, tmp_table):
@@ -496,3 +510,23 @@ def test_update_dv_outside_revision_space_raises(spark, table):
     with pytest.raises(ValueError, match="outside the revision space"):
         qt.update({"l_extendedprice": "l_extendedprice + 1e9"},
                   [("l_orderkey", "<", 100)], mode="dv")
+
+
+def test_update_nondeterministic_predicate_never_reaches_dv(spark,
+                                                            tmp_table):
+    """r8 review: dv mode evaluates the predicate in two jobs (mask
+    scan + post-image write) — a nondeterministic one would lose or
+    duplicate rows. Forced dv raises; auto falls back to rewrite and
+    preserves the row count."""
+    df = spark.createDataFrame([(i, float(i)) for i in range(500)],
+                               ["k", "v"])
+    qss.write(df, tmp_table, columns_to_index=["k"], cube_size=100)
+    qt = qss.QbeastTable.for_path(spark, tmp_table)
+    with pytest.raises(ValueError, match="deterministic"):
+        qt.update({"v": "0.0"}, "rand() < 0.05", mode="dv")
+    out = qt.update({"v": "-1.0"}, "rand() < 0.05")   # auto
+    assert "files_dv" not in out
+    # rewrite preserves the row COUNT even though the pred re-samples
+    # per evaluation (the exact updated set is inherently random)
+    assert qt.to_df().count() == 500
+    assert qt.to_df().where("v = -1.0").count() > 0
