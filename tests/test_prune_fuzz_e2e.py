@@ -394,3 +394,94 @@ def test_qsql_join_lift_lane_equals_plain_spark(spark, tmp_path_factory):
             pruned += 1
     assert parsed >= n_cases * 0.4, (parsed, n_cases)
     assert pruned >= parsed * 0.1, (pruned, parsed)
+
+
+def test_qsql_multi_table_lift_lane_equals_plain_spark(spark,
+                                                      tmp_path_factory):
+    """r8 (per-occurrence attribution): TWO qbeast tables in one JOIN,
+    random predicate trees on the fact side + random range conjuncts on
+    the dimension side, randomly alias- or name-qualified. Contract:
+    row-for-row equality with the plain-Spark join, each table's actual
+    input files a subset of ITS recomputed candidate set, and a tally
+    that both sides really prune."""
+    import re as _re
+
+    import qbeast_spark_spark as qss
+    from qbeast_spark_spark.sources.catalog import QbeastSqlCatalog
+    from qbeast_spark_spark.sources.predicates import to_dnf_filters
+    from qbeast_spark_spark.sources.reader import prune_files
+
+    base = _base_frame(spark)
+    wh = tmp_path_factory.mktemp("e2e_qsql_multi")
+    li_path, ord_path = str(wh / "fli"), str(wh / "ford")
+    qss.write(base, li_path,
+              columns_to_index=["l_orderkey", "l_extendedprice"],
+              cube_size=400)
+    orders = load(spark, "orders").select(
+        "o_orderkey", "o_custkey", "o_totalprice")
+    qss.write(orders, ord_path, columns_to_index=["o_orderkey"],
+              cube_size=150)
+    snap_li = qss.QbeastTable.for_path(spark, li_path).snapshot()
+    snap_ord = qss.QbeastTable.for_path(spark, ord_path).snapshot()
+    nf_li, nf_ord = len(snap_li.files), len(snap_ord.files)
+    assert nf_li > 1 and nf_ord > 1
+    cat = QbeastSqlCatalog(spark, str(wh / "warehouse"))
+    cat.sql(f"CREATE TABLE fli USING qbeast LOCATION '{li_path}'")
+    cat.sql(f"CREATE TABLE ford USING qbeast LOCATION '{ord_path}'")
+    joined = base.join(orders, base.l_orderkey == orders.o_orderkey)
+    cols = sorted(base.columns)
+    chk = _checksum_exprs(cols)
+    col_rx = _re.compile(r"\b(" + "|".join(sorted(cols, key=len,
+                                                  reverse=True)) + r")\b")
+    rng = random.Random(20260822)
+    n_cases = max(30, N_CASES // 10)
+    parsed = pruned_li = pruned_ord = 0
+    for i in range(n_cases):
+        q = _tree(rng, 2)
+        olo = rng.choice([0, 100, 1000, 3000])
+        ohi = olo + rng.choice([200, 1500, 60000])
+        oq = f"o_orderkey >= {olo} AND o_orderkey < {ohi}"
+        if rng.random() < 0.5:       # user aliases
+            frm = ("FROM fli a JOIN ford b ON "
+                   "a.l_orderkey = b.o_orderkey")
+            qa, qb_ = col_rx.sub(r"a.\1", q), \
+                _re.sub(r"\bo_orderkey\b", "b.o_orderkey", oq)
+            sel = ", ".join("a." + c for c in cols)
+        else:                        # name-qualified, no aliases
+            frm = ("FROM fli JOIN ford ON "
+                   "fli.l_orderkey = ford.o_orderkey")
+            qa, qb_ = col_rx.sub(r"fli.\1", q), \
+                _re.sub(r"\bo_orderkey\b", "ford.o_orderkey", oq)
+            sel = ", ".join("fli." + c for c in cols)
+        stmt = f"SELECT {sel} {frm} WHERE ({qa}) AND {qb_}"
+        got_df = cat.sql(stmt)
+        got = got_df.agg(*chk).collect()[0]
+        want = (joined.where(q).where(oq).agg(*chk).collect()[0])
+        assert (got.n, got.h) == (want.n, want.h), \
+            f"[qsql_multi seed=20260822 case={i}] {stmt}"
+        in_li = {os.path.basename(f) for f in got_df.inputFiles()
+                 if "/fli/" in f}
+        in_ord = {os.path.basename(f) for f in got_df.inputFiles()
+                  if "/ford/" in f}
+        dnf_ord = to_dnf_filters(oq)
+        cand_ord = set()
+        for conj in dnf_ord:
+            cand_ord.update(prune_files(snap_ord, conj))
+        assert in_ord <= {os.path.basename(p) for p in cand_ord}, \
+            (sorted(in_ord), stmt)
+        if len(in_ord) < nf_ord:
+            pruned_ord += 1
+        dnf_li = to_dnf_filters(q)
+        if dnf_li is None:
+            continue
+        parsed += 1
+        cand_li = set()
+        for conj in dnf_li:
+            cand_li.update(prune_files(snap_li, conj))
+        assert in_li <= {os.path.basename(p) for p in cand_li}, \
+            (sorted(in_li), stmt)
+        if len(in_li) < nf_li:
+            pruned_li += 1
+    assert parsed >= n_cases * 0.4, (parsed, n_cases)
+    assert pruned_li >= parsed * 0.1, (pruned_li, parsed)
+    assert pruned_ord >= n_cases * 0.3, (pruned_ord, n_cases)
