@@ -91,7 +91,8 @@ def _cdc_of(qt, snap, frames) -> Optional[List[Dict[str, Any]]]:
 def _rewrite(qt, snap, matched: List[str], replacement,
              staged=None, operation: str = "WRITE",
              cdc: Optional[List[Dict[str, Any]]] = None,
-             read_files: Optional[List[str]] = None) -> int:
+             read_files: Optional[List[str]] = None,
+             txn: Optional[Dict[str, Any]] = None) -> int:
     """Write ``replacement`` (the new contents of ``matched`` files)
     through the index pipeline against the existing cube weights, and
     commit adds + removes in one version. Mirrors optimize_table's
@@ -120,7 +121,7 @@ def _rewrite(qt, snap, matched: List[str], replacement,
                 schema_json=snap.schema_json or staged.schema.json(),
                 data_change=True, operation=operation, cdc=cdc,
                 read_version=snap.version,
-                read_files=read_files or matched)
+                read_files=read_files or matched, txn=txn)
 
     if rev is None:
         # staging-only table: replacement rows stay staging files
@@ -137,7 +138,7 @@ def _rewrite(qt, snap, matched: List[str], replacement,
                           or replacement.schema.json(),
                           data_change=True, cdc=cdc,
                           read_version=snap.version,
-                          read_files=read_files or matched)
+                          read_files=read_files or matched, txn=txn)
 
     add, weights_payload = _indexed_adds(qt, snap, rev, replacement,
                                          selected)
@@ -152,6 +153,7 @@ def _rewrite(qt, snap, matched: List[str], replacement,
         cdc=cdc,
         read_version=snap.version,
         read_files=read_files or matched,
+        txn=txn,
     )
 
 
@@ -407,7 +409,8 @@ def _dv_mask_adds(qt, snap, matched: List[str], hits):
 
 def _mor_commit(qt, snap, matched: List[str], hits, post, operation: str,
                 cdc=None, staged=None, read_files=None,
-                scale: float = 1.0) -> int:
+                scale: float = 1.0,
+                txn: Optional[Dict[str, Any]] = None) -> int:
     """Merge-on-read commit (Delta's DV-backed UPDATE/MERGE shape): mask
     the matched rows of ``matched`` files via deletion vectors and append
     only the replacement rows ``post`` as new indexed files — one atomic
@@ -449,6 +452,7 @@ def _mor_commit(qt, snap, matched: List[str], hits, post, operation: str,
         data_change=True, operation=operation, cdc=cdc,
         read_version=snap.version,
         read_files=read_files or matched,
+        txn=txn,
         protocol=_DV_PROTOCOL)
 
 
@@ -556,7 +560,9 @@ def update_rows(spark, path: str, assignments: Dict[str, Any],
 
 def merge_rows(spark, path: str, source, on,
                when_matched_update=None, when_matched_delete: bool = False,
-               when_not_matched_insert=None, mode: str = "auto") -> dict:
+               when_not_matched_insert=None, mode: str = "auto",
+               txn_app_id: Optional[str] = None,
+               txn_version: Optional[int] = None) -> dict:
     """MERGE INTO <path> USING <source> ON <equi keys> — the upsert verb
     the reference hands to the DeltaTable API at the cost of its index;
     here the table stays fully qbeast-readable (module docstring).
@@ -585,7 +591,13 @@ def merge_rows(spark, path: str, source, on,
     rows (merge-on-read — O(changed rows) written, not O(matched
     files' bytes)); ``"auto"`` (default) picks ``"dv"`` while matched
     rows are a minority (< ``DV_DELETE_MAX_FRACTION``) of the matched
-    files' live rows."""
+    files' live rows.
+
+    ``txn_app_id``/``txn_version`` make the merge IDEMPOTENT exactly
+    like write_qbeast's streaming epochs: a merge replayed with an
+    (appId, version) at or below the table's recorded high-water mark
+    is skipped before any work (and race-free again inside the commit),
+    the foundation of the streaming upsert sink."""
     from pyspark.sql import Column
     from pyspark.sql import functions as F
 
@@ -593,6 +605,8 @@ def merge_rows(spark, path: str, source, on,
 
     if mode not in ("rewrite", "dv", "auto"):
         raise ValueError(f"unknown merge mode {mode!r}")
+    if (txn_app_id is None) != (txn_version is None):
+        raise ValueError("txn_app_id and txn_version must be set together")
     keys = [on] if isinstance(on, str) else list(on)
     if not keys:
         raise ValueError("merge needs at least one key column in `on`")
@@ -608,6 +622,15 @@ def merge_rows(spark, path: str, source, on,
 
     qt = QbeastTable(spark, path)
     snap = qt.snapshot(refresh=True)
+    if txn_app_id is not None and \
+            snap.txns.get(txn_app_id, -1) >= int(txn_version):
+        # replayed epoch: already committed — idempotent skip before any
+        # job runs (the commit itself re-checks race-free AS OF listing)
+        return {"version": snap.version, "skipped_txn": True,
+                "files_rewritten": 0, "rows_inserted": 0,
+                "rows_updated": 0, "rows_deleted": 0, "files_scanned": 0}
+    txn = ({"appId": txn_app_id, "version": int(txn_version)}
+           if txn_app_id is not None else None)
     schema = qt.schema()
     tcols = [f.name for f in schema.fields] if schema \
         else list(source.columns)
@@ -852,11 +875,11 @@ def merge_rows(spark, path: str, source, on,
         version = _mor_commit(qt, snap, matched, hits, replacement,
                               "MERGE", cdc=cdc, staged=staged,
                               read_files=list(snap.files.keys()),
-                              scale=n_matched / max(live, 1))
+                              scale=n_matched / max(live, 1), txn=txn)
     else:
         version = _rewrite(qt, snap, matched, replacement, staged=staged,
                            read_files=list(snap.files.keys()),
-                           operation="MERGE", cdc=cdc)
+                           operation="MERGE", cdc=cdc, txn=txn)
     if inserts is not None:
         inserts.unpersist()
     for p in pins:

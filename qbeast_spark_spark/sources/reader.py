@@ -892,7 +892,9 @@ class QbeastTable:
 
     def merge(self, source, on, when_matched_update=None,
               when_matched_delete: bool = False,
-              when_not_matched_insert=None, mode: str = "auto") -> dict:
+              when_not_matched_insert=None, mode: str = "auto",
+              txn_app_id: Optional[str] = None,
+              txn_version: Optional[int] = None) -> dict:
         """MERGE INTO (upsert): equi-key merge of ``source`` into this
         table — matched rows updated (``"all"`` or {col: expr}, source
         columns visible as ``__src_<name>``) or deleted, not-matched
@@ -909,7 +911,8 @@ class QbeastTable:
                          when_matched_update=when_matched_update,
                          when_matched_delete=when_matched_delete,
                          when_not_matched_insert=when_not_matched_insert,
-                         mode=mode)
+                         mode=mode, txn_app_id=txn_app_id,
+                         txn_version=txn_version)
         self._snapshot = None
         return out
 

@@ -7,6 +7,9 @@ the idiomatic bridges:
   commit per micro-batch, EXACTLY-ONCE: each batch commits with the
   query name as txn app id and the batch id as txn version, so a batch
   replayed after a failure is recognized in the log and skipped;
+- ``stream_upsert_qbeast`` (r8): the CDC twin — one idempotent MERGE
+  per micro-batch (last-row-per-key collapse, optional op-column
+  deletes), riding the merge-on-read DML so each batch costs O(batch);
 - ``windowed_aggregate``: watermarked tumbling/sliding window aggregation;
 - ``session_aggregate``: dynamic-gap session windows (F.session_window),
   the streaming twin of queries.q_sessionize;
@@ -27,7 +30,8 @@ from typing import List, Optional, Sequence
 
 from pyspark.errors import AnalysisException
 
-__all__ = ["stream_write_qbeast", "stream_dedup_ingest",
+__all__ = ["stream_write_qbeast", "stream_upsert_qbeast",
+           "stream_dedup_ingest",
            "compact_sig_store",
            "windowed_aggregate", "session_aggregate",
            "stream_dedup", "stateful_running_totals", "stream_stream_join"]
@@ -66,6 +70,111 @@ def stream_write_qbeast(stream_df, path: str,
             mk = dict(maintain_kwargs or {})
             mk.setdefault("columns_to_index", columns_to_index)
             auto_maintain(batch_df.sparkSession, path, **mk)
+
+    writer = (stream_df.writeStream.foreachBatch(sink)
+              .queryName(query_name)
+              .outputMode("update"))
+    if checkpoint:
+        writer = writer.option("checkpointLocation", checkpoint)
+    if trigger_available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
+def stream_upsert_qbeast(stream_df, path: str, on,
+                         columns_to_index: Sequence[str],
+                         cube_size: int = 100_000,
+                         checkpoint: Optional[str] = None,
+                         trigger_available_now: bool = False,
+                         query_name: str = "qbeast-stream-upsert",
+                         order_col: Optional[str] = None,
+                         op_col: Optional[str] = None,
+                         delete_value: str = "delete",
+                         mode: str = "auto",
+                         maintain_every: Optional[int] = None,
+                         maintain_kwargs: Optional[dict] = None,
+                         **write_kwargs):
+    """CDC-style streaming UPSERT sink: readStream -> foreachBatch ->
+    one idempotent MERGE per micro-batch. The r8 merge-on-read DML makes
+    this scale-sane — a selective upsert batch masks its matched rows
+    with deletion vectors and appends only the changed rows, so the
+    per-batch cost is O(batch), never O(matched files' bytes).
+
+    Semantics per batch (Delta's foreachBatch-upsert recipe):
+
+    - the batch is collapsed to ONE row per key: the LAST row by
+      ``order_col`` (a CDC sequence/timestamp column — recommended) or
+      an arbitrary-but-single row via dropDuplicates when absent;
+    - ``op_col``: when given, rows whose ``op_col`` equals
+      ``delete_value`` (case-insensitive) delete their keys (matched
+      rows removed, unmatched ignored), the rest upsert. The delete
+      MERGE and the upsert MERGE are separate commits with separate txn
+      app ids (``<query_name>#del`` / ``<query_name>``), each
+      idempotent, so a replay after a crash between them re-skips the
+      finished half and completes the other;
+    - exactly-once: every merge commits with (query_name, batch_id) as
+      its transaction identity — the same epoch protocol as
+      stream_write_qbeast, enforced race-free inside the commit;
+    - a first batch against a missing/empty table creates it with
+      ``write_qbeast`` (same txn identity);
+    - keys never update (merge refuses key assignments by design);
+      upsert rows outside the revision space land in the staging lane
+      and are folded in by the next maintenance pass.
+
+    ``op_col`` and ``order_col`` are consumed (dropped from the stored
+    rows). Returns the StreamingQuery."""
+    from pyspark.sql import functions as F
+
+    from ..sources.log import CommitLog
+    from ..sources.reader import QbeastTable
+    from ..sources.writer import write_qbeast
+
+    keys = [on] if isinstance(on, str) else list(on)
+
+    def _one_row_per_key(df):
+        if order_col is not None:
+            from pyspark.sql import Window
+
+            w = Window.partitionBy(*keys).orderBy(F.col(order_col).desc())
+            df = (df.withColumn("__rn", F.row_number().over(w))
+                  .where("__rn = 1").drop("__rn"))
+        else:
+            df = df.dropDuplicates(keys)
+        return df.drop(*[c for c in (order_col,) if c])
+
+    def sink(batch_df, batch_id: int):
+        if batch_df.isEmpty():
+            return
+        spark = batch_df.sparkSession
+        batch = _one_row_per_key(batch_df)
+        deletes = None
+        if op_col is not None:
+            is_del = F.lower(F.col(op_col)) == delete_value.lower()
+            deletes = batch.where(is_del).select(*keys)
+            batch = batch.where(~is_del).drop(op_col)
+        has_upserts = not batch.isEmpty()
+        if not CommitLog(path).exists():
+            if not has_upserts:
+                return      # delete-only batch against no table: no-op
+            write_qbeast(batch, path, columns_to_index=columns_to_index,
+                         cube_size=cube_size, mode="append",
+                         txn_app_id=query_name, txn_version=batch_id,
+                         **write_kwargs)
+        elif has_upserts:
+            qt = QbeastTable.for_path(spark, path)
+            qt.merge(batch, on=keys, when_matched_update="all",
+                     when_not_matched_insert="all", mode=mode,
+                     txn_app_id=query_name, txn_version=batch_id)
+        if deletes is not None and not deletes.isEmpty():
+            QbeastTable.for_path(spark, path).merge(
+                deletes, on=keys, when_matched_delete=True, mode=mode,
+                txn_app_id=f"{query_name}#del", txn_version=batch_id)
+        if maintain_every and (batch_id + 1) % maintain_every == 0:
+            from ..sources.maintenance import auto_maintain
+
+            mk = dict(maintain_kwargs or {})
+            mk.setdefault("columns_to_index", columns_to_index)
+            auto_maintain(spark, path, **mk)
 
     writer = (stream_df.writeStream.foreachBatch(sink)
               .queryName(query_name)

@@ -610,3 +610,59 @@ def test_stream_ingest_auto_sketch_engages(spark, tmp_path, monkeypatch):
     assert qt.to_df().exceptAll(expect).count() == 0
     got = qt.read("value >= 50.0").count()
     assert got == expect.filter("value >= 50.0").count()
+
+
+def test_stream_upsert_cdc_sink(spark, tmp_path):
+    """r8: CDC-style streaming upsert — last-row-per-key collapse by the
+    sequence column, op-column deletes, idempotent (query, batch) MERGE
+    epochs, out-of-space inserts through the staging lane."""
+    from qbeast_spark_spark.streaming.ingest import stream_upsert_qbeast
+
+    src = str(tmp_path / "cdc_src")
+    table = str(tmp_path / "cdc_table")
+    ckpt = str(tmp_path / "cdc_ckpt")
+    schema = T.StructType([
+        T.StructField("k", T.LongType()),
+        T.StructField("v", T.DoubleType()),
+        T.StructField("seq", T.LongType()),
+        T.StructField("op", T.StringType()),
+    ])
+    b1 = [(k, float(k), 1, "upsert") for k in range(50)]
+    b2 = ([(k, 1000.0 + k, 2, "upsert") for k in range(10)]      # updates
+          + [(k, float(k), 2, "upsert") for k in range(50, 60)]  # inserts
+          + [(k, 0.0, 2, "DELETE") for k in range(40, 45)]       # deletes
+          + [(5, -1.0, 3, "upsert")])       # same-batch second change
+    spark.createDataFrame(b1, schema).coalesce(1) \
+        .write.mode("append").parquet(src)
+    spark.createDataFrame(b2, schema).coalesce(1) \
+        .write.mode("append").parquet(src)
+    stream = spark.readStream.schema(schema).option(
+        "maxFilesPerTrigger", 1).parquet(src)
+    q = stream_upsert_qbeast(stream, table, on="k",
+                             columns_to_index=["k"], cube_size=25,
+                             checkpoint=ckpt, trigger_available_now=True,
+                             order_col="seq", op_col="op")
+    q.awaitTermination(120)
+
+    # replay the CDC in Python: batch files arrive in write order
+    state = {k: float(k) for k in range(50)}
+    state.update({k: 1000.0 + k for k in range(10)})
+    state.update({k: float(k) for k in range(50, 60)})
+    for k in range(40, 45):
+        state.pop(k)
+    state[5] = -1.0                         # seq=3 beats seq=2
+    qt = qss.QbeastTable.for_path(spark, table)
+    got = {r["k"]: r["v"] for r in qt.to_df().collect()}
+    assert got == state
+    assert set(qt.to_df().columns) == {"k", "v"}    # seq/op consumed
+    # exactly-once: the epochs are on record, and a replayed merge with
+    # the same (app, version) is skipped before any work
+    snap = qt.snapshot(refresh=True)
+    assert snap.txns.get("qbeast-stream-upsert", -1) >= 1
+    assert snap.txns.get("qbeast-stream-upsert#del", -1) >= 1
+    replay = spark.createDataFrame([(0, 123.0)], ["k", "v"])
+    out = qt.merge(replay, on="k", when_matched_update="all",
+                   when_not_matched_insert="all",
+                   txn_app_id="qbeast-stream-upsert", txn_version=1)
+    assert out.get("skipped_txn") is True
+    assert {r["k"]: r["v"] for r in qt.to_df().collect()} == state
