@@ -1324,7 +1324,8 @@ class QbeastSqlCatalog:
             return not any(a <= pos < b for a, b in spans)
 
         single_pred = self._single_table_predicate(stmt, entries) \
-            or self._join_table_predicate(stmt, entries)
+            or self._join_table_predicate(stmt, entries) \
+            or self._cte_table_predicate(stmt, entries)
         out = stmt
         # longest names first so `orders_big` is never matched as `orders`
         for name in sorted(entries, key=len, reverse=True):
@@ -1586,6 +1587,48 @@ class QbeastSqlCatalog:
             if pred is None:
                 continue
             out[name] = (pred, alias is not None)
+        return out
+
+    def _cte_table_predicate(
+            self, stmt: str, entries) -> Dict[str, Tuple[str, bool]]:
+        """WHERE lift inside WITH (CTE) statements (r8). Each CTE body is
+        a self-contained SELECT, so the single-table / join lift logic
+        applies to the BODY text verbatim: a body's WHERE belongs to the
+        one table occurrence inside that body. The exactly-once rule is
+        enforced twice — by the body-level lift AND over the WHOLE
+        statement (a second reference anywhere, including the main query
+        or another CTE, disables that table's lift, because
+        _register_referenced rewrites by occurrence). Recursive CTEs are
+        skipped outright (a self-referencing body's predicate is not
+        global truth across iterations)."""
+        masked = _mask_quotes(stmt)
+        m = re.match(r"(?i)^\s*WITH\s+", masked)
+        if not m or re.match(r"(?i)^\s*WITH\s+RECURSIVE\b", masked):
+            return {}
+        out: Dict[str, Tuple[str, bool]] = {}
+        i = m.end()
+        while True:
+            hm = re.match(
+                rf"(?:\s*)(?:{_IDENT})(?:\s*\([^)]*\))?\s+AS\s*\(",
+                masked[i:], re.IGNORECASE)
+            if not hm:
+                break
+            start = i + hm.end() - 1        # the '('
+            try:
+                end = _balanced_paren(stmt, start)
+            except ValueError:
+                return {}
+            # strip: the single-table lift regex anchors at ^SELECT
+            body = stmt[start + 1:end - 1].strip()
+            lifts = self._single_table_predicate(body, entries) \
+                or self._join_table_predicate(body, entries)
+            for name, v in lifts.items():
+                if _name_occurrences(name, stmt) == 1:
+                    out[name] = v
+            nxt = re.match(r"\s*,", masked[end:])
+            if not nxt:
+                break
+            i = end + nxt.end()
         return out
 
     # -- helpers ---------------------------------------------------------------------

@@ -1237,3 +1237,63 @@ def test_fully_backticked_join_spelling_prunes(spark, join_cat):
     orders = load(spark, "orders")
     assert df.count() == li.filter("l_orderkey < 200").join(
         orders, li.l_orderkey == orders.o_orderkey).count()
+
+
+def test_cte_where_lift_prunes_files(spark, two_qb_cat):
+    """r8: the WHERE lift reaches into CTE bodies — each CTE is a
+    self-contained SELECT, so a qbeast table referenced exactly once in
+    one body gets a pruned view from that body's WHERE."""
+    cat = two_qb_cat
+    li, orders = load(spark, "lineitem"), load(spark, "orders")
+    full = cat.sql("SELECT * FROM qli")
+    full_n = len(full.inputFiles())
+    got = cat.sql(
+        "WITH small AS (SELECT l_orderkey, l_quantity FROM qli t "
+        "WHERE t.l_orderkey < 200) "
+        "SELECT s.l_orderkey, s.l_quantity, o.o_custkey FROM small s "
+        "JOIN plain_orders o ON s.l_orderkey = o.o_orderkey")
+    qli_files = [f for f in got.inputFiles() if "/qli/" in f]
+    assert 0 < len(qli_files) < full_n
+    exp = (li.filter("l_orderkey < 200")
+           .join(orders, li.l_orderkey == orders.o_orderkey).count())
+    assert got.count() == exp
+    # two CTEs, each with its own qbeast table -> both prune
+    got2 = cat.sql(
+        "WITH a AS (SELECT l_orderkey FROM qli WHERE qli.l_orderkey < 150), "
+        "b AS (SELECT o_orderkey FROM qord WHERE o_orderkey < 250) "
+        "SELECT a.l_orderkey FROM a JOIN b ON a.l_orderkey = b.o_orderkey")
+    in_li = [f for f in got2.inputFiles() if "/qli/" in f]
+    in_ord = [f for f in got2.inputFiles() if "/qord/" in f]
+    assert 0 < len(in_li) < full_n
+    assert 0 < len(in_ord) < len(cat.sql("SELECT * FROM qord").inputFiles())
+    exp2 = (li.filter("l_orderkey < 150")
+            .join(orders.filter("o_orderkey < 250"),
+                  li.l_orderkey == orders.o_orderkey).count())
+    assert got2.count() == exp2
+
+
+def test_cte_lift_guards(spark, two_qb_cat):
+    """CTE lift soundness guards: a second reference anywhere disables
+    the lift; the MAIN query's WHERE is never attributed to a CTE body;
+    recursive CTEs are skipped."""
+    cat = two_qb_cat
+    entries = cat.tables()
+    cp = cat._cte_table_predicate
+    # second reference in the main query -> no lift
+    assert cp("WITH a AS (SELECT * FROM qli WHERE l_orderkey < 5) "
+              "SELECT * FROM a UNION ALL SELECT * FROM qli", entries) == {}
+    # the main query's WHERE belongs to the CTE OUTPUT, not the table
+    assert cp("WITH a AS (SELECT * FROM qli) "
+              "SELECT * FROM a WHERE l_orderkey < 5", entries) == {}
+    # happy shape: body WHERE attributed, alias flag carried
+    got = cp("WITH a AS (SELECT * FROM qli t WHERE t.l_orderkey < 5) "
+             "SELECT * FROM a", entries)
+    assert "qli" in got and got["qli"][1] is True \
+        and "l_orderkey < 5" in got["qli"][0]
+    # results stay exact when the main query adds its own WHERE
+    li = load(spark, "lineitem")
+    got_df = cat.sql(
+        "WITH a AS (SELECT * FROM qli WHERE l_orderkey < 500) "
+        "SELECT * FROM a WHERE l_quantity > 10")
+    assert got_df.count() == li.filter(
+        "l_orderkey < 500 AND l_quantity > 10").count()
