@@ -1606,6 +1606,7 @@ class QbeastSqlCatalog:
         if not m or re.match(r"(?i)^\s*WITH\s+RECURSIVE\b", masked):
             return {}
         out: Dict[str, Tuple[str, bool]] = {}
+        smasked = _mask_quotes(stmt, keep_backticks=True)
         i = m.end()
         while True:
             hm = re.match(
@@ -1623,7 +1624,7 @@ class QbeastSqlCatalog:
             lifts = self._single_table_predicate(body, entries) \
                 or self._join_table_predicate(body, entries)
             for name, v in lifts.items():
-                if _name_occurrences(name, stmt) == 1:
+                if _name_occurrences(name, stmt, smasked) == 1:
                     out[name] = v
             nxt = re.match(r"\s*,", masked[end:])
             if not nxt:

@@ -825,7 +825,19 @@ def merge_rows(spark, path: str, source, on,
     if not matched and n_ins == 0:
         if inserts is not None:
             inserts.unpersist()
-        return {"version": None, "files_rewritten": 0, "rows_inserted": 0,
+        version = None
+        if txn is not None:
+            # a no-op merge must still advance the txn high-water mark
+            # (Delta parity: the txn action rides an otherwise empty
+            # commit) — streaming epochs that matched nothing would
+            # otherwise stay unrecorded, and after a checkpoint loss an
+            # old epoch could re-execute against newer state
+            version = qt.log.commit(
+                add=[], remove=[], schema_json=snap.schema_json,
+                data_change=False, operation="MERGE", txn=txn,
+                read_version=snap.version)
+        return {"version": version, "files_rewritten": 0,
+                "rows_inserted": 0,
                 "rows_updated": 0, "rows_deleted": 0,
                 "files_scanned": int(n_scanned)}
 

@@ -64,13 +64,27 @@ def stream_write_qbeast(stream_df, path: str,
                          cube_size=cube_size, mode="append",
                          txn_app_id=query_name, txn_version=batch_id,
                          **write_kwargs)
-        if maintain_every and (batch_id + 1) % maintain_every == 0:
-            from ..sources.maintenance import auto_maintain
+        _maybe_maintain(batch_df.sparkSession, path, batch_id,
+                        maintain_every, maintain_kwargs, columns_to_index)
 
-            mk = dict(maintain_kwargs or {})
-            mk.setdefault("columns_to_index", columns_to_index)
-            auto_maintain(batch_df.sparkSession, path, **mk)
+    return _start_foreach_sink(stream_df, sink, query_name, checkpoint,
+                               trigger_available_now)
 
+
+def _maybe_maintain(spark, path, batch_id, maintain_every,
+                    maintain_kwargs, columns_to_index):
+    """auto_maintain after every Nth batch — shared by all sinks."""
+    if maintain_every and (batch_id + 1) % maintain_every == 0:
+        from ..sources.maintenance import auto_maintain
+
+        mk = dict(maintain_kwargs or {})
+        mk.setdefault("columns_to_index", columns_to_index)
+        auto_maintain(spark, path, **mk)
+
+
+def _start_foreach_sink(stream_df, sink, query_name,
+                        checkpoint, trigger_available_now):
+    """Shared writeStream.foreachBatch boilerplate for the sinks."""
     writer = (stream_df.writeStream.foreachBatch(sink)
               .queryName(query_name)
               .outputMode("update"))
@@ -106,17 +120,22 @@ def stream_upsert_qbeast(stream_df, path: str, on,
       ``order_col`` (a CDC sequence/timestamp column — recommended) or
       an arbitrary-but-single row via dropDuplicates when absent;
     - ``op_col``: when given, rows whose ``op_col`` equals
-      ``delete_value`` (case-insensitive) delete their keys (matched
-      rows removed, unmatched ignored), the rest upsert. The delete
-      MERGE and the upsert MERGE are separate commits with separate txn
-      app ids (``<query_name>#del`` / ``<query_name>``), each
-      idempotent, so a replay after a crash between them re-skips the
-      finished half and completes the other;
+      ``delete_value`` (case-insensitive; NULL op means upsert) delete
+      their keys (matched rows removed, unmatched ignored), the rest
+      upsert. The delete MERGE and the upsert MERGE are separate
+      commits with separate txn app ids (``<query_name>#del`` /
+      ``<query_name>``), each idempotent, so a replay after a crash
+      between them re-skips the finished half and completes the other;
     - exactly-once: every merge commits with (query_name, batch_id) as
       its transaction identity — the same epoch protocol as
-      stream_write_qbeast, enforced race-free inside the commit;
+      stream_write_qbeast, enforced race-free inside the commit. The
+      identity is only meaningful while batch ids are durable, so a
+      CHECKPOINT IS REQUIRED (without one, a restarted query's batch
+      ids restart at 0 and real batches would be skipped as replays);
     - a first batch against a missing/empty table creates it with
-      ``write_qbeast`` (same txn identity);
+      ``write_qbeast`` (same txn identity); ``**write_kwargs``
+      (bloom_columns, constraints, ...) apply to that CREATING write
+      only — later batches go through MERGE, which takes none of them;
     - keys never update (merge refuses key assignments by design);
       upsert rows outside the revision space land in the staging lane
       and are folded in by the next maintenance pass.
@@ -129,6 +148,12 @@ def stream_upsert_qbeast(stream_df, path: str, on,
     from ..sources.reader import QbeastTable
     from ..sources.writer import write_qbeast
 
+    if not checkpoint:
+        raise ValueError(
+            "stream_upsert_qbeast requires a checkpoint: the exactly-"
+            "once merge epochs key on durable batch ids — without a "
+            "checkpoint a restart resets them to 0 and new batches "
+            "would be skipped as replays")
     keys = [on] if isinstance(on, str) else list(on)
 
     def _one_row_per_key(df):
@@ -137,10 +162,10 @@ def stream_upsert_qbeast(stream_df, path: str, on,
 
             w = Window.partitionBy(*keys).orderBy(F.col(order_col).desc())
             df = (df.withColumn("__rn", F.row_number().over(w))
-                  .where("__rn = 1").drop("__rn"))
+                  .where("__rn = 1").drop("__rn", order_col))
         else:
             df = df.dropDuplicates(keys)
-        return df.drop(*[c for c in (order_col,) if c])
+        return df
 
     def sink(batch_df, batch_id: int):
         if batch_df.isEmpty():
@@ -149,7 +174,9 @@ def stream_upsert_qbeast(stream_df, path: str, on,
         batch = _one_row_per_key(batch_df)
         deletes = None
         if op_col is not None:
-            is_del = F.lower(F.col(op_col)) == delete_value.lower()
+            # eqNullSafe: a NULL op is an upsert, never silently dropped
+            is_del = F.lower(F.col(op_col)).eqNullSafe(
+                delete_value.lower())
             deletes = batch.where(is_del).select(*keys)
             batch = batch.where(~is_del).drop(op_col)
         has_upserts = not batch.isEmpty()
@@ -169,21 +196,11 @@ def stream_upsert_qbeast(stream_df, path: str, on,
             QbeastTable.for_path(spark, path).merge(
                 deletes, on=keys, when_matched_delete=True, mode=mode,
                 txn_app_id=f"{query_name}#del", txn_version=batch_id)
-        if maintain_every and (batch_id + 1) % maintain_every == 0:
-            from ..sources.maintenance import auto_maintain
+        _maybe_maintain(spark, path, batch_id, maintain_every,
+                        maintain_kwargs, columns_to_index)
 
-            mk = dict(maintain_kwargs or {})
-            mk.setdefault("columns_to_index", columns_to_index)
-            auto_maintain(spark, path, **mk)
-
-    writer = (stream_df.writeStream.foreachBatch(sink)
-              .queryName(query_name)
-              .outputMode("update"))
-    if checkpoint:
-        writer = writer.option("checkpointLocation", checkpoint)
-    if trigger_available_now:
-        writer = writer.trigger(availableNow=True)
-    return writer.start()
+    return _start_foreach_sink(stream_df, sink, query_name, checkpoint,
+                               trigger_available_now)
 
 
 def stream_dedup_ingest(stream_df, path: str, sig_path: str,
@@ -367,14 +384,8 @@ def stream_dedup_ingest(stream_df, path: str, sig_path: str,
             compact_sig_store(spark, sig_path, id_col=id_col,
                               exclude=own_dir_val)
 
-    writer = (stream_df.writeStream.foreachBatch(sink)
-              .queryName(query_name)
-              .outputMode("update"))
-    if checkpoint:
-        writer = writer.option("checkpointLocation", checkpoint)
-    if trigger_available_now:
-        writer = writer.trigger(availableNow=True)
-    return writer.start()
+    return _start_foreach_sink(stream_df, sink, query_name, checkpoint,
+                               trigger_available_now)
 
 
 def _safe_store_name(query_name: str) -> str:

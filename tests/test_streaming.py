@@ -666,3 +666,45 @@ def test_stream_upsert_cdc_sink(spark, tmp_path):
                    txn_app_id="qbeast-stream-upsert", txn_version=1)
     assert out.get("skipped_txn") is True
     assert {r["k"]: r["v"] for r in qt.to_df().collect()} == state
+
+
+def test_stream_upsert_sink_guards(spark, tmp_path):
+    """r8 review pins: a NULL op means upsert (never silently dropped);
+    the sink refuses to run without a checkpoint; a no-op merge still
+    advances its txn high-water mark."""
+    from qbeast_spark_spark.streaming.ingest import stream_upsert_qbeast
+
+    schema = T.StructType([
+        T.StructField("k", T.LongType()),
+        T.StructField("v", T.DoubleType()),
+        T.StructField("op", T.StringType()),
+    ])
+    src = str(tmp_path / "src")
+    spark.createDataFrame(
+        [(1, 1.0, None), (2, 2.0, "upsert"), (3, 3.0, "DELETE")],
+        schema).coalesce(1).write.mode("append").parquet(src)
+    with pytest.raises(ValueError, match="checkpoint"):
+        stream_upsert_qbeast(
+            spark.readStream.schema(schema).parquet(src),
+            str(tmp_path / "t"), on="k", columns_to_index=["k"])
+    q = stream_upsert_qbeast(
+        spark.readStream.schema(schema).parquet(src),
+        str(tmp_path / "t"), on="k", columns_to_index=["k"],
+        cube_size=10, checkpoint=str(tmp_path / "ck"),
+        trigger_available_now=True, op_col="op")
+    q.awaitTermination(120)
+    qt = qss.QbeastTable.for_path(spark, str(tmp_path / "t"))
+    got = {r["k"]: r["v"] for r in qt.to_df().collect()}
+    assert got == {1: 1.0, 2: 2.0}     # NULL op upserted; 3 deleted pre-create = no-op
+    # no-op merge with a txn identity records it in an empty commit
+    miss = spark.createDataFrame([(99, 0.0)], ["k", "v"])
+    out = qt.merge(miss, on="k", when_matched_delete=True,
+                   txn_app_id="noop-app", txn_version=7)
+    assert out["version"] is not None
+    snap = qt.snapshot(refresh=True)
+    assert snap.txns.get("noop-app") == 7
+    assert {r["k"] for r in qt.to_df().collect()} == {1, 2}
+    # and the recorded epoch now skips a replay
+    out2 = qt.merge(miss, on="k", when_matched_delete=True,
+                    txn_app_id="noop-app", txn_version=7)
+    assert out2.get("skipped_txn") is True
