@@ -408,8 +408,13 @@ def positions_df(spark, entries: List[Tuple[str, DVDescriptor]],
 # and measured 2x SLOWER inside MERGE/matview plans — it costs
 # O(per-file cardinality) per row.) Above the bound the distributed
 # anti-join keeps billions of positions off the driver (the 100 TB
-# path).
-_SMALL_DV_MAX_POSITIONS = 16_384
+# path). Bound rationale (r8 second session): 256k positions decode in
+# <100 ms and broadcast as a ~15 MB frame — trivially driver-safe —
+# while the r8 merge-on-read verbs routinely leave 50k+ masked
+# positions between optimize() runs; the old 16k cap silently demoted
+# every post-UPDATE read to the slow lane (measured: the whole qb_dml
+# A/B gap above).
+_SMALL_DV_MAX_POSITIONS = 262_144
 
 
 def with_dv_filter(df, spark, entries: List[Tuple[str, DVDescriptor]],

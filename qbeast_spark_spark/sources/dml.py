@@ -48,6 +48,17 @@ __all__ = ["delete_rows", "update_rows", "merge_rows"]
 # deliberately coarse, mirroring Delta's DV-first default behavior.
 DV_DELETE_MAX_FRACTION = 0.5
 
+# auto-mode UPDATE/MERGE policy: stricter than DELETE (r8 second
+# session, soak-measured). A DELETE's deletion vector replaces the
+# whole verb; an UPDATE/MERGE masks AND appends post-image rows, and
+# every later read of the masked files pays the bitmap anti-join for
+# the dead fraction — at the 0.5 boundary the sf10 soak showed the
+# masked-read tax exceeding the rewrite saving (qb_dml 119 s -> 150 s
+# with the borderline update in dv mode). 0.25 keeps dv for the
+# clearly-selective shapes (the ones whose rewrite cost is pure waste)
+# and rewrites the rest.
+DV_UPDATE_MAX_FRACTION = 0.25
+
 
 def _rel_path(qt, file_uri: str) -> str:
     """Scan-captured file URI -> table-relative path (snapshot key)."""
@@ -473,9 +484,10 @@ def update_rows(spark, path: str, assignments: Dict[str, Any],
       O(changed rows); at 100 TB a selective UPDATE stops rewriting
       multi-GB files to change a handful of rows.
     - ``"auto"`` (default): ``"dv"`` while the matched rows are a
-      minority (< ``DV_DELETE_MAX_FRACTION``) of the matched files'
-      live rows, else ``"rewrite"`` (the same read-amplification guard
-      as DELETE)."""
+      small minority (< ``DV_UPDATE_MAX_FRACTION``) of the matched
+      files' live rows, else ``"rewrite"``. The bar is stricter than
+      DELETE's: an update's masked fraction taxes every later read AND
+      still pays the post-image append."""
     from pyspark.sql import Column
     from pyspark.sql import functions as F
 
@@ -508,7 +520,7 @@ def update_rows(spark, path: str, assignments: Dict[str, Any],
     n_upd = int(sum(per_file.values()))
     live = sum(snap.files[rel].live_rows for rel in matched)
     if mode == "auto":
-        mode = "dv" if n_upd < DV_DELETE_MAX_FRACTION * max(live, 1) \
+        mode = "dv" if n_upd < DV_UPDATE_MAX_FRACTION * max(live, 1) \
             and _pred_deterministic(qt, snap, residual) else "rewrite"
     elif mode == "dv" and not _pred_deterministic(qt, snap, residual):
         raise ValueError(
@@ -590,8 +602,9 @@ def merge_rows(spark, path: str, source, on,
     the matched rows with deletion vectors and appends only the changed
     rows (merge-on-read — O(changed rows) written, not O(matched
     files' bytes)); ``"auto"`` (default) picks ``"dv"`` while matched
-    rows are a minority (< ``DV_DELETE_MAX_FRACTION``) of the matched
-    files' live rows.
+    rows are a small minority (< ``DV_UPDATE_MAX_FRACTION``, stricter
+    than DELETE's bar — the masked fraction taxes every later read) of
+    the matched files' live rows.
 
     ``txn_app_id``/``txn_version`` make the merge IDEMPOTENT exactly
     like write_qbeast's streaming epochs: a merge replayed with an
@@ -714,7 +727,7 @@ def merge_rows(spark, path: str, source, on,
     live = sum(snap.files[rel].live_rows for rel in matched)
     if mode == "auto":
         mode = "dv" if matched and \
-            n_matched < DV_DELETE_MAX_FRACTION * max(live, 1) \
+            n_matched < DV_UPDATE_MAX_FRACTION * max(live, 1) \
             else "rewrite"
     elif mode == "dv" and not matched:
         mode = "rewrite"        # nothing to mask: plain append path
