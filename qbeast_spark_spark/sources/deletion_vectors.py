@@ -409,12 +409,59 @@ def positions_df(spark, entries: List[Tuple[str, DVDescriptor]],
 # O(per-file cardinality) per row.) Above the bound the distributed
 # anti-join keeps billions of positions off the driver (the 100 TB
 # path). Bound rationale (r8 second session): 256k positions decode in
-# <100 ms and broadcast as a ~15 MB frame — trivially driver-safe —
-# while the r8 merge-on-read verbs routinely leave 50k+ masked
-# positions between optimize() runs; the old 16k cap silently demoted
-# every post-UPDATE read to the slow lane (measured: the whole qb_dml
-# A/B gap above).
+# <100 ms and the worst-case frame — each row repeating a full file
+# URI string, ~120-200 bytes/row — is 30-60 MB, still comfortably
+# driver-safe on any real driver; the r8 merge-on-read verbs
+# routinely leave 50k+ masked positions between optimize() runs, and
+# the old 16k cap silently demoted every post-UPDATE read to the slow
+# lane (measured: the whole qb_dml A/B gap above). The decoded
+# broadcast frame is CACHED per exact descriptor set (below), so the
+# several _df_for_files calls one DML verb or matview refresh issues
+# pay the driver decode once, not per plan.
 _SMALL_DV_MAX_POSITIONS = 262_144
+
+# (session id, table path, frozen descriptor set) -> broadcast-ready
+# position DataFrame. Tiny bounded LRU: entries die as soon as any DV
+# changes (the descriptor uuids change), so staleness is impossible —
+# the key IS the content identity.
+_SMALL_DV_CACHE: "OrderedDict" = None  # type: ignore[assignment]
+_SMALL_DV_CACHE_MAX = 8
+
+
+def _small_dv_frame(spark, entries, table_path: str):
+    """Driver-decoded (file_path, row_index) frame for a small
+    descriptor set, cached per exact content identity."""
+    import pandas as pd
+    from collections import OrderedDict
+    from pyspark.sql import functions as F
+
+    global _SMALL_DV_CACHE
+    if _SMALL_DV_CACHE is None:
+        _SMALL_DV_CACHE = OrderedDict()
+    key = (id(spark), os.path.abspath(table_path), tuple(sorted(
+        (abs_file, d.path_or_inline, d.offset, d.size_in_bytes)
+        for abs_file, d in entries)))
+    hit = _SMALL_DV_CACHE.get(key)
+    if hit is not None:
+        _SMALL_DV_CACHE.move_to_end(key)
+        return hit
+    frames = []
+    for abs_file, desc in entries:
+        p = descriptor_positions(table_path, desc)
+        frames.append(pd.DataFrame({
+            "file_path": np.repeat(_file_uri(abs_file), len(p)),
+            "row_index": p.astype("int64")}))
+    # explicit schema: an all-empty position set (cardinality-0
+    # descriptors on an imported table) must not crash inference
+    pdf = pd.concat(frames, ignore_index=True) if frames else \
+        pd.DataFrame({"file_path": pd.Series(dtype="str"),
+                      "row_index": pd.Series(dtype="int64")})
+    pos = F.broadcast(spark.createDataFrame(
+        pdf, schema="file_path string, row_index long"))
+    _SMALL_DV_CACHE[key] = pos
+    while len(_SMALL_DV_CACHE) > _SMALL_DV_CACHE_MAX:
+        _SMALL_DV_CACHE.popitem(last=False)
+    return pos
 
 
 def with_dv_filter(df, spark, entries: List[Tuple[str, DVDescriptor]],
@@ -434,21 +481,7 @@ def with_dv_filter(df, spark, entries: List[Tuple[str, DVDescriptor]],
         return df
     cols = df.columns
     if sum(d.cardinality for _, d in entries) <= _SMALL_DV_MAX_POSITIONS:
-        import pandas as pd
-
-        frames = []
-        for abs_file, desc in entries:
-            p = descriptor_positions(table_path, desc)
-            frames.append(pd.DataFrame({
-                "file_path": np.repeat(_file_uri(abs_file), len(p)),
-                "row_index": p.astype("int64")}))
-        # explicit schema: an all-empty position set (cardinality-0
-        # descriptors on an imported table) must not crash inference
-        pdf = pd.concat(frames, ignore_index=True) if frames else \
-            pd.DataFrame({"file_path": pd.Series(dtype="str"),
-                          "row_index": pd.Series(dtype="int64")})
-        pos = F.broadcast(spark.createDataFrame(
-            pdf, schema="file_path string, row_index long"))
+        pos = _small_dv_frame(spark, entries, table_path)
     else:
         pos = positions_df(spark, entries, table_path)
     return (df.withColumn("__fp", F.col("_metadata.file_path"))

@@ -48,15 +48,18 @@ __all__ = ["delete_rows", "update_rows", "merge_rows"]
 # deliberately coarse, mirroring Delta's DV-first default behavior.
 DV_DELETE_MAX_FRACTION = 0.5
 
-# auto-mode UPDATE/MERGE policy: stricter than DELETE (r8 second
-# session, soak-measured). A DELETE's deletion vector replaces the
-# whole verb; an UPDATE/MERGE masks AND appends post-image rows, and
-# every later read of the masked files pays the bitmap anti-join for
-# the dead fraction — at the 0.5 boundary the sf10 soak showed the
-# masked-read tax exceeding the rewrite saving (qb_dml 119 s -> 150 s
-# with the borderline update in dv mode). 0.25 keeps dv for the
-# clearly-selective shapes (the ones whose rewrite cost is pure waste)
-# and rewrites the rest.
+# auto-mode UPDATE / matched-update-MERGE policy: stricter than
+# DELETE (r8 second session). An update masks AND appends post-image
+# rows, and the masked fraction taxes every later read; the isolated
+# sf10 soak measured the 0.5 boundary as NEUTRAL (mask-tax ≈ rewrite
+# saving — same ~150 s qb_dml on both policies), while at sf0.1 the
+# borderline-dv update also dragged later reads through the DV lane.
+# With no measured win anywhere near the boundary and clear wins on
+# the selective shapes (sf10 A/Bs in SCALE.md: merge 1.7×, update
+# parity-warm/2.4×-cold), 0.25 reserves dv for the shapes where the
+# rewrite cost is demonstrably waste. Matched-DELETE merges append
+# nothing — they are deletes by another verb — and use
+# DV_DELETE_MAX_FRACTION like DELETE itself.
 DV_UPDATE_MAX_FRACTION = 0.25
 
 
@@ -726,8 +729,11 @@ def merge_rows(spark, path: str, source, on,
     n_matched = int(sum(per_file.values()))
     live = sum(snap.files[rel].live_rows for rel in matched)
     if mode == "auto":
-        mode = "dv" if matched and \
-            n_matched < DV_UPDATE_MAX_FRACTION * max(live, 1) \
+        # a matched-delete merge is a DELETE in merge clothing (mask
+        # only, no post-image append) -> DELETE's laxer bar applies
+        bar = DV_DELETE_MAX_FRACTION if when_matched_delete \
+            else DV_UPDATE_MAX_FRACTION
+        mode = "dv" if matched and n_matched < bar * max(live, 1) \
             else "rewrite"
     elif mode == "dv" and not matched:
         mode = "rewrite"        # nothing to mask: plain append path

@@ -530,3 +530,26 @@ def test_update_nondeterministic_predicate_never_reaches_dv(spark,
     # per evaluation (the exact updated set is inherently random)
     assert qt.to_df().count() == 500
     assert qt.to_df().where("v = -1.0").count() > 0
+
+
+def test_merge_auto_threshold_split_by_clause(spark, tmp_table):
+    """r8 review: a matched-DELETE merge is a delete (mask only) and
+    uses DELETE's 0.5 bar; a matched-UPDATE merge masks AND appends and
+    uses the stricter 0.25 bar — at a ~0.3 matched fraction the two
+    clauses pick different physical modes."""
+    df = spark.createDataFrame([(i, float(i)) for i in range(100)],
+                               ["k", "v"])
+    paths = [tmp_table + "_d", tmp_table + "_u"]
+    for p in paths:
+        qss.write(df, p, columns_to_index=["k"], cube_size=500)
+    # one file of 100 rows -> matched fraction is exactly n/100
+    src = spark.createDataFrame([(k,) for k in range(30)], ["k"])
+    qd = qss.QbeastTable.for_path(spark, paths[0])
+    out_d = qd.merge(src, on="k", when_matched_delete=True)
+    assert out_d["files_rewritten"] == 0 and out_d.get("files_dv", 0) >= 1
+    assert qd.to_df().count() == 70
+    qu = qss.QbeastTable.for_path(spark, paths[1])
+    out_u = qu.merge(src.withColumn("v", F.lit(-1.0)), on="k",
+                     when_matched_update="all")
+    assert out_u["files_rewritten"] >= 1 and "files_dv" not in out_u
+    assert qu.to_df().where("v = -1.0").count() == 30
