@@ -254,7 +254,9 @@ def _pred_deterministic(qt, snap, residual) -> bool:
 
 
 def delete_rows(spark, path: str, filters=None,
-                mode: str = "auto") -> dict:
+                mode: str = "auto",
+                txn_app_id: Optional[str] = None,
+                txn_version: Optional[int] = None) -> dict:
     """DELETE FROM <path> WHERE <filters>; see module docstring.
     ``filters`` speaks read()'s languages (tuple DNF, SQL string, Column);
     ``None`` truncates the table without touching any data file.
@@ -282,23 +284,48 @@ def delete_rows(spark, path: str, filters=None,
 
     if mode not in ("rewrite", "dv", "auto"):
         raise ValueError(f"unknown delete mode {mode!r}")
+    if (txn_app_id is None) != (txn_version is None):
+        raise ValueError("txn_app_id and txn_version must be set together")
     qt = QbeastTable(spark, path)
     snap = qt.snapshot(refresh=True)
-    if not snap.files:
-        return {"version": None, "rows_deleted": 0, "files_rewritten": 0,
+    if txn_app_id is not None and \
+            snap.txns.get(txn_app_id, -1) >= int(txn_version):
+        return {"version": snap.version, "skipped_txn": True,
+                "rows_deleted": 0, "files_rewritten": 0,
                 "files_scanned": 0}
+    txn = ({"appId": txn_app_id, "version": int(txn_version)}
+           if txn_app_id is not None else None)
+    if not snap.files:
+        version = None
+        if txn is not None:
+            version = qt.log.commit(
+                add=[], remove=[], schema_json=snap.schema_json,
+                data_change=False, operation="DELETE", txn=txn,
+                read_version=snap.version)
+        return {"version": version, "rows_deleted": 0,
+                "files_rewritten": 0, "files_scanned": 0}
     candidates, residual = qt._candidates_and_residual(filters, snap)
     if residual is None:
         rows = sum(f.live_rows for f in snap.files.values())
         version = qt.log.commit(add=[], remove=list(snap.files.keys()),
                                 schema_json=snap.schema_json,
                                 data_change=True, operation="DELETE",
+                                txn=txn,
                                 read_version=snap.version)
         return {"version": version, "rows_deleted": int(rows),
                 "files_rewritten": 0, "files_scanned": 0}
     per_file = _match_counts(qt, candidates, residual)
     if not per_file:
-        return {"version": None, "rows_deleted": 0, "files_rewritten": 0,
+        version = None
+        if txn is not None:
+            # a no-op verb with a txn identity still advances the
+            # epoch high-water mark (same contract as merge)
+            version = qt.log.commit(
+                add=[], remove=[], schema_json=snap.schema_json,
+                data_change=False, operation="DELETE", txn=txn,
+                read_version=snap.version)
+        return {"version": version, "rows_deleted": 0,
+                "files_rewritten": 0,
                 "files_scanned": len(candidates)}
     matched = sorted(per_file)
     if mode == "auto":
@@ -308,13 +335,14 @@ def delete_rows(spark, path: str, filters=None,
     cdc = _cdc_of(qt, snap, [
         (qt._df_for_files(matched, snap=snap).where(residual), "delete")])
     if mode == "dv":
-        out = _delete_with_dvs(qt, snap, matched, residual, cdc=cdc)
+        out = _delete_with_dvs(qt, snap, matched, residual, cdc=cdc,
+                               txn=txn)
         out["files_scanned"] = len(candidates)
         return out
     survivors = qt._df_for_files(matched, snap=snap).where(
         ~F.coalesce(residual, F.lit(False)))
     version = _rewrite(qt, snap, matched, survivors, operation="DELETE",
-                       cdc=cdc)
+                       cdc=cdc, txn=txn)
     return {"version": version,
             "rows_deleted": int(sum(per_file.values())),
             "files_rewritten": len(matched),
@@ -322,7 +350,7 @@ def delete_rows(spark, path: str, filters=None,
 
 
 def _delete_with_dvs(qt, snap, matched: List[str], residual,
-                     cdc=None) -> dict:
+                     cdc=None, txn=None) -> dict:
     """Metadata-only delete: per matched file, union the newly matched
     row positions into its deletion vector and commit re-adds carrying
     the new descriptors. Position sets never touch the driver — each
@@ -336,7 +364,7 @@ def _delete_with_dvs(qt, snap, matched: List[str], residual,
     version = qt.log.commit(add=add, remove=[],
                             schema_json=snap.schema_json,
                             data_change=True, operation="DELETE",
-                            cdc=cdc,
+                            cdc=cdc, txn=txn,
                             read_version=snap.version,
                             read_files=matched,
                             protocol=_DV_PROTOCOL)
@@ -471,7 +499,9 @@ def _mor_commit(qt, snap, matched: List[str], hits, post, operation: str,
 
 
 def update_rows(spark, path: str, assignments: Dict[str, Any],
-                filters=None, mode: str = "auto") -> dict:
+                filters=None, mode: str = "auto",
+                txn_app_id: Optional[str] = None,
+                txn_version: Optional[int] = None) -> dict:
     """UPDATE <path> SET <assignments> WHERE <filters>; see module
     docstring. ``assignments`` maps column name -> SQL expression string
     or Column; expressions are cast back to the column's declared type
@@ -500,11 +530,26 @@ def update_rows(spark, path: str, assignments: Dict[str, Any],
         raise ValueError(f"unknown update mode {mode!r}")
     if not assignments:
         raise ValueError("update needs at least one column assignment")
+    if (txn_app_id is None) != (txn_version is None):
+        raise ValueError("txn_app_id and txn_version must be set together")
     qt = QbeastTable(spark, path)
     snap = qt.snapshot(refresh=True)
-    if not snap.files:
-        return {"version": None, "rows_updated": 0, "files_rewritten": 0,
+    if txn_app_id is not None and \
+            snap.txns.get(txn_app_id, -1) >= int(txn_version):
+        return {"version": snap.version, "skipped_txn": True,
+                "rows_updated": 0, "files_rewritten": 0,
                 "files_scanned": 0}
+    txn = ({"appId": txn_app_id, "version": int(txn_version)}
+           if txn_app_id is not None else None)
+    if not snap.files:
+        version = None
+        if txn is not None:
+            version = qt.log.commit(
+                add=[], remove=[], schema_json=snap.schema_json,
+                data_change=False, operation="UPDATE", txn=txn,
+                read_version=snap.version)
+        return {"version": version, "rows_updated": 0,
+                "files_rewritten": 0, "files_scanned": 0}
     schema = qt.schema()
     by_name = {f.name: f for f in schema.fields} if schema else {}
     for c in assignments:
@@ -517,7 +562,14 @@ def update_rows(spark, path: str, assignments: Dict[str, Any],
     else:
         per_file = _match_counts(qt, candidates, residual)
     if not per_file:
-        return {"version": None, "rows_updated": 0, "files_rewritten": 0,
+        version = None
+        if txn is not None:
+            version = qt.log.commit(
+                add=[], remove=[], schema_json=snap.schema_json,
+                data_change=False, operation="UPDATE", txn=txn,
+                read_version=snap.version)
+        return {"version": version, "rows_updated": 0,
+                "files_rewritten": 0,
                 "files_scanned": len(candidates)}
     matched = sorted(per_file)
     n_upd = int(sum(per_file.values()))
@@ -561,12 +613,13 @@ def update_rows(spark, path: str, assignments: Dict[str, Any],
     if mode == "dv":
         hits = _hit_positions(_raw_positions(qt, matched).where(pred))
         version = _mor_commit(qt, snap, matched, hits, post, "UPDATE",
-                              cdc=cdc, scale=n_upd / max(live, 1))
+                              cdc=cdc, scale=n_upd / max(live, 1),
+                              txn=txn)
         return {"version": version, "rows_updated": n_upd,
                 "files_rewritten": 0, "files_dv": len(matched),
                 "files_scanned": len(candidates)}
     version = _rewrite(qt, snap, matched, df, operation="UPDATE",
-                       cdc=cdc)
+                       cdc=cdc, txn=txn)
     return {"version": version,
             "rows_updated": n_upd,
             "files_rewritten": len(matched),

@@ -859,7 +859,9 @@ class QbeastTable:
 
     # -- DML ---------------------------------------------------------------
 
-    def delete(self, filters=None, mode: str = "auto") -> dict:
+    def delete(self, filters=None, mode: str = "auto",
+               txn_app_id: Optional[str] = None,
+               txn_version: Optional[int] = None) -> dict:
         """DELETE FROM ... WHERE over only the files containing matching
         rows; the table stays fully qbeast-readable (the reference loses
         its index to DeltaTable.delete — docs/Quickstart.md:409-427).
@@ -870,12 +872,15 @@ class QbeastTable:
         files_rewritten}."""
         from .dml import delete_rows
 
-        out = delete_rows(self.spark, self.path, filters, mode=mode)
+        out = delete_rows(self.spark, self.path, filters, mode=mode,
+                          txn_app_id=txn_app_id, txn_version=txn_version)
         self._snapshot = None
         return out
 
     def update(self, assignments: dict, filters=None,
-               mode: str = "auto") -> dict:
+               mode: str = "auto",
+               txn_app_id: Optional[str] = None,
+               txn_version: Optional[int] = None) -> dict:
         """UPDATE ... SET ... WHERE: ``assignments`` maps column -> SQL
         expression string or Column. ``mode="auto"`` (default) masks the
         matched rows with deletion vectors and appends only the
@@ -886,7 +891,8 @@ class QbeastTable:
         from .dml import update_rows
 
         out = update_rows(self.spark, self.path, assignments, filters,
-                          mode=mode)
+                          mode=mode, txn_app_id=txn_app_id,
+                          txn_version=txn_version)
         self._snapshot = None
         return out
 

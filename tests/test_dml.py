@@ -553,3 +553,29 @@ def test_merge_auto_threshold_split_by_clause(spark, tmp_table):
                      when_matched_update="all")
     assert out_u["files_rewritten"] >= 1 and "files_dv" not in out_u
     assert qu.to_df().where("v = -1.0").count() == 30
+
+
+def test_delete_update_txn_epochs(spark, tmp_table):
+    """r8: every DML verb speaks the (appId, version) epoch protocol —
+    replays skip, no-op epochs still advance the high-water mark."""
+    df = spark.createDataFrame([(i, float(i)) for i in range(50)],
+                               ["k", "v"])
+    qss.write(df, tmp_table, columns_to_index=["k"], cube_size=100)
+    qt = qss.QbeastTable.for_path(spark, tmp_table)
+    out = qt.delete([("k", "<", 5)], txn_app_id="job", txn_version=1)
+    assert out["rows_deleted"] == 5
+    replay = qt.delete([("k", "<", 20)], txn_app_id="job", txn_version=1)
+    assert replay.get("skipped_txn") is True
+    assert qt.to_df().count() == 45       # the replayed epoch did nothing
+    out2 = qt.update({"v": "v + 1"}, [("k", ">=", 40)],
+                     txn_app_id="job", txn_version=2)
+    assert out2["rows_updated"] == 10
+    r2 = qt.update({"v": "v + 1"}, [("k", ">=", 40)],
+                   txn_app_id="job", txn_version=2)
+    assert r2.get("skipped_txn") is True
+    assert qt.to_df().agg(F.sum("v").alias("s")).first()["s"] == \
+        sum(range(5, 50)) + 10
+    # no-op epoch advances the mark
+    out3 = qt.delete([("k", "<", -1)], txn_app_id="job", txn_version=5)
+    assert out3["version"] is not None
+    assert qt.snapshot(refresh=True).txns.get("job") == 5
