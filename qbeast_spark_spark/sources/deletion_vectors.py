@@ -420,31 +420,52 @@ def positions_df(spark, entries: List[Tuple[str, DVDescriptor]],
 # pay the driver decode once, not per plan.
 _SMALL_DV_MAX_POSITIONS = 262_144
 
-# (session id, table path, frozen descriptor set) -> broadcast-ready
-# position DataFrame. Tiny bounded LRU: entries die as soon as any DV
-# changes (the descriptor uuids change), so staleness is impossible —
-# the key IS the content identity.
+# (session id, table path, frozen descriptor set) -> (broadcast-ready
+# position DataFrame, decoded position count, weakref to the session).
+# Tiny bounded LRU: entries die as soon as any DV changes (the
+# descriptor uuids change), so staleness is impossible — the key IS the
+# content identity. Bounded by TOTAL decoded positions (not entry
+# count): eight worst-case 262k-position frames would otherwise pin
+# ~0.5 GB of driver-side local relations for the process lifetime.
+# Entries whose SparkSession has stopped are evicted on the next call
+# (the cached DataFrame would otherwise keep the dead session alive).
 _SMALL_DV_CACHE: "OrderedDict" = None  # type: ignore[assignment]
-_SMALL_DV_CACHE_MAX = 8
+_SMALL_DV_CACHE_MAX_ENTRIES = 32
+_SMALL_DV_CACHE_MAX_TOTAL_POSITIONS = 1_048_576
+
+
+def _session_stopped(sess) -> bool:
+    """True when the session's SparkContext is gone or stopped."""
+    try:
+        sc = getattr(sess, "_sc", None) or sess.sparkContext
+        return sc is None or getattr(sc, "_jsc", None) is None
+    except Exception:
+        return True
 
 
 def _small_dv_frame(spark, entries, table_path: str):
     """Driver-decoded (file_path, row_index) frame for a small
     descriptor set, cached per exact content identity."""
     import pandas as pd
+    import weakref
     from collections import OrderedDict
     from pyspark.sql import functions as F
 
     global _SMALL_DV_CACHE
     if _SMALL_DV_CACHE is None:
         _SMALL_DV_CACHE = OrderedDict()
+    # evict dead entries first: their session is stopped (or collected),
+    # so the cached frame is unusable and only pins JVM-side memory
+    for k in [k for k, (_pos, _n, wr) in _SMALL_DV_CACHE.items()
+              if (s := wr()) is None or _session_stopped(s)]:
+        del _SMALL_DV_CACHE[k]
     key = (id(spark), os.path.abspath(table_path), tuple(sorted(
         (abs_file, d.path_or_inline, d.offset, d.size_in_bytes)
         for abs_file, d in entries)))
     hit = _SMALL_DV_CACHE.get(key)
     if hit is not None:
         _SMALL_DV_CACHE.move_to_end(key)
-        return hit
+        return hit[0]
     frames = []
     for abs_file, desc in entries:
         p = descriptor_positions(table_path, desc)
@@ -458,8 +479,15 @@ def _small_dv_frame(spark, entries, table_path: str):
                       "row_index": pd.Series(dtype="int64")})
     pos = F.broadcast(spark.createDataFrame(
         pdf, schema="file_path string, row_index long"))
-    _SMALL_DV_CACHE[key] = pos
-    while len(_SMALL_DV_CACHE) > _SMALL_DV_CACHE_MAX:
+    try:
+        wr = weakref.ref(spark)
+    except TypeError:       # session type not weakref-able: no caching
+        return pos
+    _SMALL_DV_CACHE[key] = (pos, len(pdf), wr)
+    while len(_SMALL_DV_CACHE) > 1 and (
+            len(_SMALL_DV_CACHE) > _SMALL_DV_CACHE_MAX_ENTRIES
+            or sum(n for (_p, n, _w) in _SMALL_DV_CACHE.values())
+            > _SMALL_DV_CACHE_MAX_TOTAL_POSITIONS):
         _SMALL_DV_CACHE.popitem(last=False)
     return pos
 

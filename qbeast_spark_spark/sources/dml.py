@@ -331,7 +331,15 @@ def delete_rows(spark, path: str, filters=None,
     if mode == "auto":
         live = sum(snap.files[rel].live_rows for rel in matched)
         mode = "dv" if sum(per_file.values()) \
-            < DV_DELETE_MAX_FRACTION * max(live, 1) else "rewrite"
+            < DV_DELETE_MAX_FRACTION * max(live, 1) \
+            and _pred_deterministic(qt, snap, residual) else "rewrite"
+    elif mode == "dv" and not _pred_deterministic(qt, snap, residual):
+        raise ValueError(
+            "dv delete requires a deterministic predicate: the match "
+            "count, the mask scan, and the CDC frame evaluate it "
+            "independently, so a nondeterministic one would mask a "
+            "different sample of rows than it reports — use "
+            "mode='rewrite'")
     cdc = _cdc_of(qt, snap, [
         (qt._df_for_files(matched, snap=snap).where(residual), "delete")])
     if mode == "dv":
@@ -722,6 +730,18 @@ def merge_rows(spark, path: str, source, on,
             cols.append(e.alias(c))
         return df.select(*cols)
 
+    # Pin the source ONCE, before pass 1: file discovery (the key box
+    # and the per-file match counts below), the dv mask scan, and the
+    # post-image/insert joins each trigger their own jobs over it, and a
+    # nondeterministic source (rand()-filtered, a shuffling subquery, a
+    # re-read of mutating files) would give each pass a different row
+    # sample — matched files undiscovered, masks disagreeing with the
+    # recorded keys. Delta materializes its MERGE source for the same
+    # reason before finding touched files.
+    pins = []                   # persisted frames to release at the end
+    source = source.persist()
+    pins.append(source)
+
     # pass 1: which files contain a matched row (column-pruned key scan).
     # Candidate files are first pruned with the source's per-key
     # [min, max] bounding box (ONE tiny agg job over the source): an
@@ -834,19 +854,12 @@ def merge_rows(spark, path: str, source, on,
     post = None                 # dv mode: post-image of changed rows
     cdc_frames = []             # (changed-rows frame, _change_type)
     skeys = None                # distinct source keys, shared by joins
-    pins = []                   # persisted frames to release at the end
     if matched:
         cur = qt._df_for_files(matched)
         if when_matched_delete:
+            # source is pinned above, so the mask scan's key set and the
+            # cdc semi-join see the same rows without re-pinning here
             skeys = source.select(*keys).distinct()
-            if mode == "dv":
-                # dv evaluates the source key set in separate jobs (the
-                # mask scan vs the cdc semi-join); pin it so a
-                # nondeterministic source cannot mask one key sample
-                # and record another (Delta materializes its MERGE
-                # source for the same reason)
-                skeys = skeys.persist()
-                pins.append(skeys)
             if mode != "dv":
                 updated = cur.join(skeys, keys, "left_anti")
             cdc_frames.append(
@@ -856,10 +869,8 @@ def merge_rows(spark, path: str, source, on,
                 *keys, *[F.col(c).alias(f"__src_{c}")
                          for c in source.columns if c not in keys])
             if mode == "dv":
-                # pin the projected source: the mask scan's key set and
-                # the post-image join must see the SAME source rows
-                src = src.persist()
-                pins.append(src)
+                # projections of the pinned source: the mask scan's key
+                # set and the post-image join see the SAME source rows
                 skeys = src.select(*keys).distinct()
             joined = cur.join(
                 src.withColumn("__src__m", F.lit(True)), keys, "left")
@@ -897,6 +908,8 @@ def merge_rows(spark, path: str, source, on,
     if not matched and n_ins == 0:
         if inserts is not None:
             inserts.unpersist()
+        for p in pins:
+            p.unpersist()
         version = None
         if txn is not None:
             # a no-op merge must still advance the txn high-water mark
@@ -951,9 +964,9 @@ def merge_rows(spark, path: str, source, on,
     if mode == "dv":
         # matched rows are masked where they sit (raw positions —
         # already-masked re-hits are union no-ops); replacement carries
-        # only the changed rows + in-space inserts. skeys comes from
-        # the PINNED source built in pass 2, so the mask scan and the
-        # post-image join agree on the matched key set.
+        # only the changed rows + in-space inserts. skeys derives from
+        # the source PINNED before pass 1, so file discovery, the mask
+        # scan, and the post-image join agree on the matched key set.
         hits = _hit_positions(
             _raw_positions(qt, matched).join(skeys, keys, "left_semi"))
         version = _mor_commit(qt, snap, matched, hits, replacement,

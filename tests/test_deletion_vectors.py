@@ -326,3 +326,60 @@ def test_zero_cardinality_descriptors_fast_path(spark, tmp_path):
     out = with_dv_filter(base, spark, [(abs_file, desc)],
                          str(tmp_path / "plain"))
     assert out.count() == 10
+
+
+def test_small_dv_cache_bounded_by_positions(spark, tmp_path):
+    """r9 advice: the driver-side decoded-position cache is bounded by
+    TOTAL decoded positions, not entry count, and drops oldest entries
+    once the budget is exceeded."""
+    import numpy as np
+
+    from qbeast_spark_spark.sources import deletion_vectors as dvm
+
+    # reset, then insert synthetic entries through the real path
+    dvm._SMALL_DV_CACHE = None
+    table = str(tmp_path / "t")
+    os.makedirs(table, exist_ok=True)
+    per_entry = 200_000
+    for i in range(4):
+        # each entry masks a distinct position range -> distinct payload
+        pos = np.arange(i, i + per_entry, dtype=np.int64)
+        data = dvm.roaring_array_encode(pos)
+        sidecar = os.path.join(table, f"dv{i}.bin")
+        off, size = dvm.write_dv_file(sidecar, data)
+        desc = dvm.DVDescriptor("p", sidecar, off, size, per_entry)
+        dvm._small_dv_frame(spark, [(f"{table}/f{i}.parquet", desc)],
+                            table)
+    total = sum(n for (_p, n, _w) in dvm._SMALL_DV_CACHE.values())
+    assert total <= dvm._SMALL_DV_CACHE_MAX_TOTAL_POSITIONS
+    assert 1 <= len(dvm._SMALL_DV_CACHE) <= 5
+    dvm._SMALL_DV_CACHE = None
+
+
+def test_small_dv_cache_evicts_stopped_sessions(spark, tmp_path):
+    """Entries keyed to a stopped (or collected) session are purged on
+    the next call rather than pinning the dead session forever."""
+    import weakref
+    from collections import OrderedDict
+
+    import pandas as pd
+    from pyspark.sql import functions as F
+
+    from qbeast_spark_spark.sources import deletion_vectors as dvm
+
+    dvm._SMALL_DV_CACHE = OrderedDict()
+
+    class _DeadSession:            # quacks stopped: _sc is None
+        _sc = None
+
+    dead = _DeadSession()
+    pdf = pd.DataFrame({"file_path": pd.Series(dtype="str"),
+                        "row_index": pd.Series(dtype="int64")})
+    frame = F.broadcast(spark.createDataFrame(
+        pdf, schema="file_path string, row_index long"))
+    dvm._SMALL_DV_CACHE[("dead-key",)] = (frame, 0, weakref.ref(dead))
+    table = str(tmp_path / "t2")
+    os.makedirs(table, exist_ok=True)
+    dvm._small_dv_frame(spark, [], table)   # triggers the sweep
+    assert ("dead-key",) not in dvm._SMALL_DV_CACHE
+    dvm._SMALL_DV_CACHE = None

@@ -579,3 +579,57 @@ def test_delete_update_txn_epochs(spark, tmp_table):
     out3 = qt.delete([("k", "<", -1)], txn_app_id="job", txn_version=5)
     assert out3["version"] is not None
     assert qt.snapshot(refresh=True).txns.get("job") == 5
+
+
+def test_delete_nondeterministic_predicate_never_reaches_dv(spark,
+                                                            tmp_table):
+    """r9 advice: DELETE's dv lane evaluates the predicate in three
+    jobs (match counts, mask scan, CDC frame) — a nondeterministic one
+    would mask a different sample than it reports. Forced dv raises;
+    auto falls back to rewrite and preserves the survivor count."""
+    df = spark.createDataFrame([(i, float(i)) for i in range(500)],
+                               ["k", "v"])
+    qss.write(df, tmp_table, columns_to_index=["k"], cube_size=100)
+    qt = qss.QbeastTable.for_path(spark, tmp_table)
+    with pytest.raises(ValueError, match="deterministic"):
+        qt.delete("rand() < 0.05", mode="dv")
+    out = qt.delete("rand() < 0.05")      # auto -> rewrite
+    assert "files_dv" not in out and out["files_rewritten"] >= 1
+    # rewrite re-samples the pred per evaluation (exact deleted set is
+    # inherently random) but never loses files or duplicates rows
+    assert out["rows_deleted"] > 0
+    assert 0 < qt.to_df().count() < 500
+
+
+def test_merge_pins_nondeterministic_source(spark, tmp_table):
+    """r9 advice: MERGE pass 1 (file discovery) and pass 2 (mask /
+    post-image) must see the SAME source rows. With an unpinned
+    rand()-filtered source each pass would re-sample; pinned, the
+    merged table is exactly consistent with the reported counts."""
+    df = spark.createDataFrame([(i, float(i), "keep")
+                                for i in range(2000)], ["k", "v", "tag"])
+    qss.write(df, tmp_table, columns_to_index=["k"], cube_size=200)
+    qt = qss.QbeastTable.for_path(spark, tmp_table)
+    # nondeterministic source: ~3% of keys, re-sampled per evaluation
+    # if not pinned (16 partitions so a re-run reshuffles the sample)
+    src = (spark.range(0, 2000, 1, 16)
+           .withColumnRenamed("id", "k")
+           .where("rand() < 0.03")
+           .withColumn("v", F.lit(-1.0))
+           .withColumn("tag", F.lit("hit")))
+    out = qt.merge(src, on="k", when_matched_update="all",
+                   when_not_matched_insert=None)
+    got = qt.to_df().where("tag = 'hit'").count()
+    assert got == out["rows_updated"]
+    assert qt.to_df().count() == 2000     # no rows lost or duplicated
+    # same invariant through the dv lane on a fresh sampled source
+    src2 = (spark.range(0, 2000, 1, 16)
+            .withColumnRenamed("id", "k")
+            .where("rand() < 0.02")
+            .withColumn("v", F.lit(-2.0))
+            .withColumn("tag", F.lit("hit2")))
+    out2 = qt.merge(src2, on="k", when_matched_update="all",
+                    when_not_matched_insert=None, mode="dv")
+    assert qt.to_df().where("tag = 'hit2'").count() == \
+        out2["rows_updated"]
+    assert qt.to_df().count() == 2000
