@@ -46,7 +46,7 @@ import os
 import time
 import uuid
 from dataclasses import dataclass, field
-from typing import Any, Dict, List, Optional
+from typing import Any, Dict, List, Optional, Tuple
 
 from ..core.revision import Revision
 
@@ -67,6 +67,81 @@ class ConcurrentModificationError(RuntimeError):
 
 LOG_DIR = "_qbeast_log"
 CHECKPOINT_INTERVAL = 10
+# auto checkpoint-format bar: at/above this many live files the
+# checkpoint goes columnar (format 2, sources/metadata.py) — measured
+# crossover in tools/metadata_soak.py; override per table with the
+# qbeast.checkpoint.format property ("json" | "parquet" | "auto")
+PARQUET_CHECKPOINT_MIN_FILES = 10_000
+
+
+def _write_cube_state_parquet(cube_weights: Dict[int, Dict[str, int]],
+                              cube_domains: Dict[int, Dict[str, float]],
+                              path: str) -> None:
+    """(revision, cube) -> weight/domain rows; O(#cubes) once per
+    checkpoint instead of O(#cubes) JSON on every snapshot seed."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    rids, cubes, weights, domains = [], [], [], []
+    for rid in sorted(set(cube_weights) | set(cube_domains)):
+        w = cube_weights.get(rid, {})
+        d = cube_domains.get(rid, {})
+        if len(w) >= len(d):        # common case: same cube universe
+            first, second, f_dst, s_dst = w, d, weights, domains
+        else:
+            first, second, f_dst, s_dst = d, w, domains, weights
+        for cube, v in first.items():
+            rids.append(rid)
+            cubes.append(cube)
+            f_dst.append(v)
+            s_dst.append(second.get(cube))
+        extra = [c for c in second if c not in first]
+        for cube in extra:
+            rids.append(rid)
+            cubes.append(cube)
+            f_dst.append(None)
+            s_dst.append(second[cube])
+    table = pa.table([
+        pa.array(rids, type=pa.int64()),
+        pa.array(cubes, type=pa.string()),
+        pa.array(weights, type=pa.int64()),
+        pa.array(domains, type=pa.float64()),
+    ], names=["revision_id", "cube", "weight", "domain"])
+    tmp = path + ".tmp"
+    pq.write_table(table, tmp, compression="snappy")
+    os.replace(tmp, path)
+
+
+def _read_cube_state_parquet(path: str):
+    import numpy as np
+    import pyarrow.parquet as pq
+
+    t = pq.read_table(path)
+    rids = t["revision_id"].to_numpy(zero_copy_only=False)
+    cubes = np.asarray(t["cube"].combine_chunks()
+                       .to_numpy(zero_copy_only=False))
+    w_arr = t["weight"].combine_chunks()
+    d_arr = t["domain"].combine_chunks()
+    w_null = w_arr.is_null().to_numpy(zero_copy_only=False)
+    d_null = d_arr.is_null().to_numpy(zero_copy_only=False)
+    weights = w_arr.fill_null(0).to_numpy(zero_copy_only=False)
+    domains = d_arr.fill_null(0.0).to_numpy(zero_copy_only=False)
+    cube_weights: Dict[int, Dict[str, int]] = {}
+    cube_domains: Dict[int, Dict[str, float]] = {}
+    # per-revision dict(zip(...)) over contiguous masks — tables have
+    # few revisions, so this stays two zips per revision, not an
+    # O(#cubes) Python branch loop
+    for rid in np.unique(rids):
+        m = rids == rid
+        wm = m & ~w_null
+        if wm.any():
+            cube_weights[int(rid)] = dict(
+                zip(cubes[wm].tolist(), weights[wm].tolist()))
+        dm = m & ~d_null
+        if dm.any():
+            cube_domains[int(rid)] = dict(
+                zip(cubes[dm].tolist(), domains[dm].tolist()))
+    return cube_weights, cube_domains
 
 
 @dataclass
@@ -568,45 +643,108 @@ class CommitLog:
 
     # -- checkpointing ----------------------------------------------------
 
-    def _last_checkpoint_version(self) -> Optional[int]:
+    def _last_checkpoint_info(self) -> Optional[Tuple[int, int]]:
+        """(version, format) of the newest usable checkpoint, or None.
+        Format 1 = single JSON (files inline); format 2 = parquet file
+        table + small ``.checkpoint.meta.json`` (sources/metadata.py).
+        A format-2 table read by a PRE-format-2 engine degrades safely:
+        its ``_last_checkpoint_version`` finds no ``.checkpoint.json``
+        and replays the full JSON log — slow but correct."""
         lc = os.path.join(self.log_dir, "_last_checkpoint")
         if not os.path.exists(lc):
             return None
         try:
             with open(lc) as fh:
-                v = int(json.load(fh)["version"])
+                o = json.load(fh)
+            v, fmt = int(o["version"]), int(o.get("format", 1))
         except (ValueError, KeyError, json.JSONDecodeError, OSError):
             return None
-        ckpt = os.path.join(self.log_dir, f"{v:012d}.checkpoint.json")
-        return v if os.path.exists(ckpt) else None
+        if fmt == 2 and os.path.exists(os.path.join(
+                self.log_dir, f"{v:012d}.checkpoint.meta.json")) \
+                and os.path.exists(os.path.join(
+                    self.log_dir, f"{v:012d}.checkpoint.parquet")):
+            return v, 2
+        if os.path.exists(os.path.join(
+                self.log_dir, f"{v:012d}.checkpoint.json")):
+            return v, 1
+        return None
+
+    def _last_checkpoint_version(self) -> Optional[int]:
+        info = self._last_checkpoint_info()
+        return info[0] if info is not None else None
+
+    def _checkpoint_format_for(self, snap: Snapshot) -> int:
+        """The feature gate: table property ``qbeast.checkpoint.format``
+        = ``json`` | ``parquet`` | ``auto`` (default). Auto picks the
+        columnar format once the file count clears
+        ``PARQUET_CHECKPOINT_MIN_FILES`` — below it the single JSON
+        stays trivially greppable and costs nothing."""
+        fmt = (snap.properties or {}).get("qbeast.checkpoint.format",
+                                          "auto")
+        if fmt == "json":
+            return 1
+        if fmt == "parquet":
+            return 2
+        return 2 if len(snap.files) >= PARQUET_CHECKPOINT_MIN_FILES else 1
 
     def _write_checkpoint(self, snap: Snapshot) -> None:
         """Materialize ``snap`` (derived state — safe to lose) at its
-        version; atomic via tmp+rename, last-writer-wins on the pointer."""
-        state = {
+        version; atomic via tmp+rename per artifact, last-writer-wins on
+        the pointer. Format 2 writes the O(#files) file table and the
+        O(#cubes) weight/domain state as PARQUET (columnar, one driver
+        core parses no JSON), keeping only the tiny remainder in
+        ``.checkpoint.meta.json``."""
+        small = {
             "version": snap.version,
-            "files": [f.to_json() for f in snap.files.values()],
             "revisions": {str(k): r.to_json()
                           for k, r in snap.revisions.items()},
-            "cubeWeights": {str(k): v for k, v in snap.cube_weights.items()},
-            "cubeDomains": {str(k): v for k, v in snap.cube_domains.items()},
             "schema": snap.schema_json,
             "properties": snap.properties,
             "txns": snap.txns,
             "protocol": snap.protocol,
         }
-        target = os.path.join(self.log_dir,
-                              f"{snap.version:012d}.checkpoint.json")
-        tmp = target + ".tmp"
-        with open(tmp, "w") as fh:
-            json.dump(state, fh, sort_keys=True)
-        os.replace(tmp, target)
+        fmt = self._checkpoint_format_for(snap)
+        base = os.path.join(self.log_dir, f"{snap.version:012d}")
+        if fmt == 2:
+            from .metadata import FileKernel, LazyFiles
+
+            kernel = snap.files.kernel \
+                if isinstance(snap.files, LazyFiles) else None
+            if kernel is not None:
+                kernel.to_parquet(base + ".checkpoint.parquet")
+            else:
+                FileKernel.parquet_from_files(
+                    snap.files, base + ".checkpoint.parquet")
+            _write_cube_state_parquet(snap.cube_weights,
+                                      snap.cube_domains,
+                                      base + ".checkpoint.state.parquet")
+            small["checkpointFormat"] = 2
+            small["numFiles"] = len(snap.files)
+            tmp = base + ".checkpoint.meta.json.tmp"
+            with open(tmp, "w") as fh:
+                json.dump(small, fh, sort_keys=True)
+            os.replace(tmp, base + ".checkpoint.meta.json")
+        else:
+            state = dict(small)
+            state["files"] = [f.to_json() for f in snap.files.values()]
+            state["cubeWeights"] = {str(k): v for k, v
+                                    in snap.cube_weights.items()}
+            state["cubeDomains"] = {str(k): v for k, v
+                                    in snap.cube_domains.items()}
+            tmp = base + ".checkpoint.json.tmp"
+            with open(tmp, "w") as fh:
+                json.dump(state, fh, sort_keys=True)
+            os.replace(tmp, base + ".checkpoint.json")
         lc_tmp = os.path.join(self.log_dir, "_last_checkpoint.tmp")
         with open(lc_tmp, "w") as fh:
-            json.dump({"version": snap.version}, fh)
+            json.dump({"version": snap.version, "format": fmt}, fh)
         os.replace(lc_tmp, os.path.join(self.log_dir, "_last_checkpoint"))
 
     def _seed_from_checkpoint(self, version: int) -> Snapshot:
+        meta = os.path.join(self.log_dir,
+                            f"{version:012d}.checkpoint.meta.json")
+        if os.path.exists(meta):
+            return self._seed_from_parquet_checkpoint(version, meta)
         with open(os.path.join(self.log_dir,
                                f"{version:012d}.checkpoint.json")) as fh:
             state = json.load(fh)
@@ -626,6 +764,42 @@ class CommitLog:
         snap.txns = {k: int(v) for k, v in state.get("txns", {}).items()}
         return snap
 
+    def _seed_from_parquet_checkpoint(self, version: int,
+                                      meta_path: str) -> Snapshot:
+        """Format-2 seed: file state stays COLUMNAR (FileKernel behind a
+        LazyFiles facade — no per-file objects until a write path needs
+        them); weights/domains load from the state parquet."""
+        from .metadata import FileKernel, LazyFiles
+
+        with open(meta_path) as fh:
+            state = json.load(fh)
+        snap = Snapshot(self.table_path, version=state["version"])
+        base = os.path.join(self.log_dir, f"{version:012d}")
+        snap.files = LazyFiles(
+            FileKernel.from_parquet(base + ".checkpoint.parquet"))
+        w, d = _read_cube_state_parquet(base + ".checkpoint.state.parquet")
+        snap.cube_weights, snap.cube_domains = w, d
+        snap.revisions = {int(k): Revision.from_json(r)
+                          for k, r in state.get("revisions", {}).items()}
+        snap.schema_json = state.get("schema")
+        snap.properties = dict(state.get("properties", {}))
+        snap.protocol = dict(state.get("protocol", {}) or {})
+        snap.txns = {k: int(v) for k, v in state.get("txns", {}).items()}
+        return snap
+
+    def _checkpoint_small(self, version: int) -> Dict[str, Any]:
+        """The checkpoint's NON-file state (revisions/schema/properties/
+        txns/protocol) for either format. Format 2 reads only the tiny
+        meta JSON; format 1 pays the full parse (legacy)."""
+        meta = os.path.join(self.log_dir,
+                            f"{version:012d}.checkpoint.meta.json")
+        if os.path.exists(meta):
+            with open(meta) as fh:
+                return json.load(fh)
+        with open(os.path.join(self.log_dir,
+                               f"{version:012d}.checkpoint.json")) as fh:
+            return json.load(fh)
+
     def table_properties(self) -> Dict[str, str]:
         """Current table properties WITHOUT materializing file state —
         the checkpoint/commits are parsed but no IndexFile objects are
@@ -636,9 +810,8 @@ class CommitLog:
         ckpt = self._last_checkpoint_version()
         props: Dict[str, str] = {}
         if ckpt is not None:
-            with open(os.path.join(self.log_dir,
-                                   f"{ckpt:012d}.checkpoint.json")) as fh:
-                props.update(json.load(fh).get("properties", {}))
+            props.update(self._checkpoint_small(ckpt)
+                         .get("properties", {}))
             versions = [v for v in versions if v > ckpt]
         for v in versions:
             with open(os.path.join(self.log_dir, f"{v:012d}.json")) as fh:
@@ -665,9 +838,7 @@ class CommitLog:
                                     | set(p.get(key) or []))
 
         if ckpt is not None:
-            with open(os.path.join(self.log_dir,
-                                   f"{ckpt:012d}.checkpoint.json")) as fh:
-                merge(json.load(fh).get("protocol"))
+            merge(self._checkpoint_small(ckpt).get("protocol"))
             versions = [v for v in versions if v > ckpt]
         for v in versions:
             with open(os.path.join(self.log_dir, f"{v:012d}.json")) as fh:

@@ -711,6 +711,21 @@ class QbeastTable:
         snap = snap or self.snapshot(refresh=True)
         w_to = fraction_to_weight(fraction)
         w_from = fraction_to_weight(lower_bound)
+        kernel = getattr(snap.files, "kernel", None)
+        if kernel is not None:
+            # columnar snapshot: one vectorized pass over the block
+            # weight arrays + the small object tail
+            bmask = kernel.alive[kernel.b_file] \
+                & (kernel.b_minw < w_to) & (kernel.b_maxw >= w_from)
+            selected = [kernel.paths[i]
+                        for i in np.unique(kernel.b_file[bmask])]
+            tfiles, _tr, tb_file, _td, _tp, tb_minw, tb_maxw = \
+                kernel.tail_arrays()
+            if len(tfiles):
+                tmask = (tb_minw < w_to) & (tb_maxw >= w_from)
+                selected += [tfiles[i].path
+                             for i in np.unique(tb_file[tmask])]
+            return selected
         selected = []
         for rel, f in snap.files.items():
             for b in f.blocks:
@@ -1158,7 +1173,14 @@ def prune_files(snap: Snapshot,
     query space of the filters (QuerySpace.intersectsWith:81-97), then
     apply per-file column-stats / Bloom skipping. Module-level (needs no
     SparkSession) so the Python Data Source planner (sources/pyds.py)
-    prunes with the exact same logic as QbeastTable."""
+    prunes with the exact same logic as QbeastTable.
+
+    A format-2 (parquet-checkpoint) snapshot keeps its file state
+    columnar; the kernel path below computes the same keep set fully
+    vectorized — no per-file Python objects at 10^5-10^6 files."""
+    kernel = getattr(snap.files, "kernel", None)
+    if kernel is not None:
+        return _prune_kernel(kernel, snap, filters)
     by_rev: Dict[int, List[Tuple[str, str]]] = {}
     for rel, f in snap.files.items():
         by_rev.setdefault(f.revision_id, []).extend(
@@ -1194,6 +1216,175 @@ def prune_files(snap: Snapshot,
     return sorted(p for p in keep
                   if not _stats_exclude(snap.files[p], filters)
                   and not blooms_exclude(snap.files[p].blooms, filters))
+
+
+def _kernel_stats_cmp_ok(kind: str, val) -> bool:
+    """Whether a filter literal is comparable against a stats column of
+    ``kind`` with EXACTLY the scalar path's semantics: incomparable
+    types never prune (the scalar path catches TypeError per file), and
+    int/float cross-kind comparisons beyond float64's exact integer
+    range are refused (the scalar path compares exact Python ints; the
+    vectorized path would round through float64 and could wrongly
+    prune)."""
+    if isinstance(val, bool):
+        return kind in ("i", "f")
+    if isinstance(val, int):
+        return kind == "i" or (kind == "f" and abs(val) <= 2 ** 52)
+    if isinstance(val, float):
+        return kind == "f" or (kind == "i" and abs(val) <= 2 ** 52)
+    if isinstance(val, str):
+        return kind == "s"
+    return False
+
+
+def _kernel_clause_viol(kind, mns, mxs, present, op, val):
+    """Vectorized single-clause violation mask over the base stats
+    arrays (True = the file's [min,max] range PROVES no row matches),
+    or None when the clause cannot prune. Mirrors _stats_exclude."""
+    if op in ("=", "=="):
+        if not _kernel_stats_cmp_ok(kind, val):
+            return None
+        if kind == "s":
+            v = np.zeros(len(mns), dtype=bool)
+            idx = np.flatnonzero(present)
+            v[idx] = [(val < mns[i]) or (val > mxs[i]) for i in idx]
+            return v
+        return present & ((val < mns) | (val > mxs))
+    if op in (">", ">=", "<", "<="):
+        if not _kernel_stats_cmp_ok(kind, val):
+            return None
+        if kind == "s":
+            v = np.zeros(len(mns), dtype=bool)
+            idx = np.flatnonzero(present)
+            if op == ">":
+                v[idx] = [mxs[i] <= val for i in idx]
+            elif op == ">=":
+                v[idx] = [mxs[i] < val for i in idx]
+            elif op == "<":
+                v[idx] = [mns[i] >= val for i in idx]
+            else:
+                v[idx] = [mns[i] > val for i in idx]
+            return v
+        if op == ">":
+            return present & (mxs <= val)
+        if op == ">=":
+            return present & (mxs < val)
+        if op == "<":
+            return present & (mns >= val)
+        return present & (mns > val)
+    if op == "in":
+        try:
+            vals = list(val)
+        except TypeError:
+            return None
+        if not all(_kernel_stats_cmp_ok(kind, v) for v in vals):
+            # scalar path: any incomparable member raises TypeError and
+            # the whole clause is skipped
+            return None
+        # an empty IN list matches nothing -> every file with recorded
+        # stats for the column is excluded (scalar all([]) semantics)
+        viol = present.copy()
+        for v in vals:
+            sub = _kernel_clause_viol(kind, mns, mxs, present, "=", v)
+            viol &= sub
+        return viol
+    return None
+
+
+def _prune_kernel(kernel, snap: Snapshot,
+                  filters: Sequence[FilterTuple]) -> List[str]:
+    """prune_files over a FileKernel: cube intersection vectorized on
+    the pre-parsed (depth, path) block arrays, stats skipping vectorized
+    per filter clause, Bloom checks only on the survivors, and the small
+    post-checkpoint object tail handled by the per-file scalar path."""
+    alive = kernel.alive
+    n = len(kernel.paths)
+    keep_mask = np.zeros(n, dtype=bool)
+    space_by_rev: Dict[int, object] = {}
+    for rid in np.unique(kernel.revision_ids[alive]):
+        rid = int(rid)
+        fmask = alive & (kernel.revision_ids == rid)
+        # object-path parity: only files with >= 1 block participate
+        # (a zero-block entry never lands in its by_rev `entries`)
+        blocked = np.unique(kernel.b_file[fmask[kernel.b_file]])
+        rev = snap.revisions.get(rid)
+        if rev is None or rev.is_staging:
+            keep_mask[blocked] = True       # cannot prune staging
+            space_by_rev[rid] = None
+            continue
+        space = _query_space(rev, filters)
+        space_by_rev[rid] = (rev, space)
+        if space is None:           # no indexed-column predicate
+            keep_mask[blocked] = True
+            continue
+        lo, hi = space
+        bmask = fmask[kernel.b_file]
+        frm, to = cube_ranges(kernel.b_depth[bmask],
+                              kernel.b_path[bmask], rev.dims)
+        inter = np.ones(int(bmask.sum()), dtype=bool)
+        for i in range(rev.dims):
+            inter &= (frm[:, i] <= hi[i]) & (to[:, i] >= lo[i])
+        keep_mask[np.unique(kernel.b_file[bmask][inter])] = True
+    # vectorized Delta-style stats skipping (same semantics as
+    # _stats_exclude; kind None = mixed/unsupported, never prunes)
+    excl = np.zeros(n, dtype=bool)
+    for t in filters:
+        col, op, val = t[0], t[1], (t[2] if len(t) > 2 else None)
+        ent = kernel.stats.get(col)
+        if ent is None:
+            continue
+        kind, mns, mxs, present = ent
+        if kind is None:
+            continue
+        v = _kernel_clause_viol(kind, mns, mxs, present, op, val)
+        if v is not None:
+            excl |= v
+    keep_mask &= ~excl
+    out = []
+    for i in np.flatnonzero(keep_mask):
+        p = kernel.paths[i]
+        bj = kernel.blooms_json[i]
+        if bj and blooms_exclude(json.loads(bj), filters):
+            continue
+        out.append(p)
+    # post-checkpoint tail: the files added since the last checkpoint,
+    # vectorized over the kernel's cached tail arrays (one cube_ranges
+    # call per revision — a per-file loop here measured as THE prune
+    # bottleneck at soak scale). Zero-block files never survive
+    # (object-path parity: they have no by_rev entries).
+    tfiles, trevs, tb_file, tb_depth, tb_path, _tmin, _tmax = \
+        kernel.tail_arrays()
+    if len(tfiles):
+        tkeep = np.zeros(len(tfiles), dtype=bool)
+        for rid in np.unique(trevs):
+            rid = int(rid)
+            fmask = trevs == rid
+            bmask = fmask[tb_file]
+            blocked = np.unique(tb_file[bmask])
+            rev_space = space_by_rev.get(rid, ...)
+            if rev_space is ...:
+                rev = snap.revisions.get(rid)
+                rev_space = None if (rev is None or rev.is_staging) \
+                    else (rev, _query_space(rev, filters))
+                space_by_rev[rid] = rev_space
+            if rev_space is None or rev_space[1] is None:
+                tkeep[blocked] = True
+                continue
+            rev, space = rev_space
+            lo, hi = space
+            frm, to = cube_ranges(tb_depth[bmask], tb_path[bmask],
+                                  rev.dims)
+            inter = np.ones(int(bmask.sum()), dtype=bool)
+            for i in range(rev.dims):
+                inter &= (frm[:, i] <= hi[i]) & (to[:, i] >= lo[i])
+            tkeep[np.unique(tb_file[bmask][inter])] = True
+        for i in np.flatnonzero(tkeep):
+            f = tfiles[i]
+            if _stats_exclude(f, filters) \
+                    or blooms_exclude(f.blooms, filters):
+                continue
+            out.append(f.path)
+    return sorted(out)
 
 
 def _timestamp_to_ms(ts) -> int:

@@ -1,0 +1,214 @@
+"""Format-2 (columnar) checkpoints + the FileKernel/LazyFiles metadata
+plane (sources/metadata.py) — the 100-TB-file-count path.
+
+The reference never materializes per-file objects on one core at high
+file counts (Delta parquet checkpoints + Spark-side replay,
+delta/src/main/scala/io/qbeast/spark/delta/DeltaQbeastSnapshot.scala:
+45-297); these tests pin that this engine's parquet checkpoint yields
+snapshots IDENTICAL to the JSON path — same files, same prune sets,
+same reads — while keeping the file state columnar until a write path
+genuinely needs objects."""
+
+import json
+import os
+import random
+
+import pytest
+from pyspark.sql import functions as F
+
+import qbeast_spark_spark as qss
+from conftest import load
+from qbeast_spark_spark.sources.log import CommitLog
+from qbeast_spark_spark.sources.metadata import FileKernel, LazyFiles
+from qbeast_spark_spark.sources.reader import prune_files
+
+
+def _build_fmt2_table(spark, path, n_commits=11):
+    """Real indexed table whose log ends in a format-2 checkpoint:
+    write n_commits appends with the parquet checkpoint format forced,
+    crossing the CHECKPOINT_INTERVAL=10 boundary."""
+    li = load(spark, "lineitem").limit(3000)
+    qss.write(li, path, columns_to_index=["l_orderkey", "l_extendedprice"],
+              cube_size=500)
+    qt = qss.QbeastTable.for_path(spark, path)
+    qt.set_properties({"qbeast.checkpoint.format": "parquet"})
+    chunk = li.limit(200)
+    for _ in range(n_commits - 2):
+        qss.write(chunk, path, columns_to_index=["l_orderkey",
+                                                 "l_extendedprice"],
+                  cube_size=500)
+    return qt, li
+
+
+def test_format2_checkpoint_real_table(spark, tmp_table):
+    qt, li = _build_fmt2_table(spark, tmp_table)
+    log_dir = os.path.join(tmp_table, "_qbeast_log")
+    metas = [p for p in os.listdir(log_dir)
+             if p.endswith(".checkpoint.meta.json")]
+    assert metas, "no format-2 checkpoint written"
+    v = metas[-1].split(".")[0]
+    assert os.path.exists(os.path.join(log_dir, v + ".checkpoint.parquet"))
+    assert os.path.exists(
+        os.path.join(log_dir, v + ".checkpoint.state.parquet"))
+    # the pointer names format 2 and the legacy single-JSON is absent at
+    # this version (so a legacy engine falls back to full replay)
+    with open(os.path.join(log_dir, "_last_checkpoint")) as fh:
+        assert json.load(fh)["format"] == 2
+    assert not os.path.exists(os.path.join(log_dir, v + ".checkpoint.json"))
+    # snapshot is kernel-backed and reads are exact
+    snap = qt.snapshot(refresh=True)
+    assert getattr(snap.files, "kernel", None) is not None
+    expect = 3000 + 200 * 9
+    assert qt.to_df().count() == expect
+    got = qt.read([("l_orderkey", "<", 500)]).count()
+    want = (li.where("l_orderkey < 500").count()
+            + 9 * li.limit(200).where("l_orderkey < 500").count())
+    assert got == want
+
+
+def test_format2_snapshot_equals_full_replay(spark, tmp_table):
+    """A format-2 seeded snapshot must equal the no-checkpoint full JSON
+    replay — the exact state a legacy (pre-format-2) engine would build,
+    since it cannot see the parquet checkpoint at all."""
+    qt, _li = _build_fmt2_table(spark, tmp_table)
+    log = CommitLog(tmp_table)
+    seeded = log.snapshot()
+    assert getattr(seeded.files, "kernel", None) is not None
+    # legacy view: no usable checkpoint -> replay every commit JSON
+    os.remove(os.path.join(tmp_table, "_qbeast_log", "_last_checkpoint"))
+    legacy = CommitLog(tmp_table).snapshot()
+    assert getattr(legacy.files, "kernel", None) is None
+    assert sorted(seeded.files.keys()) == sorted(legacy.files.keys())
+    a = {p: f.to_json() for p, f in seeded.files.items()}
+    b = {p: f.to_json() for p, f in legacy.files.items()}
+    assert a == b
+    assert seeded.cube_weights == legacy.cube_weights
+    assert seeded.cube_domains == legacy.cube_domains
+    assert seeded.txns == legacy.txns
+    assert seeded.version == legacy.version
+
+
+def test_kernel_prune_equals_object_path(spark, tmp_table):
+    """prune_files over the kernel == prune_files over materialized
+    IndexFiles, across filter shapes (ranges, =, in, strings on
+    non-indexed columns, unknown columns)."""
+    qt, _li = _build_fmt2_table(spark, tmp_table)
+    log = CommitLog(tmp_table)
+    kernel_snap = log.snapshot()
+    assert getattr(kernel_snap.files, "kernel", None) is not None
+    object_snap = log.snapshot()
+    object_snap.files = dict(
+        (p, f) for p, f in object_snap.files.items())  # materialize
+    rng = random.Random(7)
+    cases = [
+        [("l_orderkey", ">=", 100), ("l_orderkey", "<", 900)],
+        [("l_extendedprice", ">", 30000.0)],
+        [("l_orderkey", "=", 1)],
+        [("l_orderkey", "in", [1, 2, 3])],
+        [("l_returnflag", "=", "A")],          # string stats column
+        [("l_returnflag", "in", ["N"])],
+        [("l_shipdate", ">", "1995-01-01")],   # non-indexed, maybe-stat
+        [("no_such_col", ">", 5)],
+        [("l_orderkey", "in", [])],            # empty IN excludes all
+        [("l_orderkey", ">", "zzz")],          # cross-type: never prunes
+    ]
+    for _ in range(30):
+        lo = rng.randint(0, 5000)
+        cases.append([("l_orderkey", ">=", lo),
+                      ("l_orderkey", "<=", lo + rng.randint(0, 2000)),
+                      ("l_extendedprice", ">=",
+                       float(rng.randint(0, 60000)))])
+    for filt in cases:
+        a = prune_files(kernel_snap, filt)
+        b = prune_files(object_snap, filt)
+        assert a == b, (filt, len(a), len(b))
+
+
+def test_kernel_sample_files_equal(spark, tmp_table):
+    qt, _li = _build_fmt2_table(spark, tmp_table)
+    snap = qt.snapshot(refresh=True)
+    assert getattr(snap.files, "kernel", None) is not None
+    for f in (0.01, 0.1, 0.5, 1.0):
+        kern = set(qt.sample_files(f, snap=snap))
+        # object path: same snapshot, materialized
+        mat = CommitLog(tmp_table).snapshot()
+        mat.files = {p: x for p, x in mat.files.items()}
+        obj = set(qt.sample_files(f, snap=mat))
+        assert kern == obj
+
+
+def test_lazy_files_contract(spark, tmp_table):
+    """Single-key ops, membership, len, and key iteration never
+    materialize; values()/items() do — and every op stays correct in
+    both regimes."""
+    qt, _li = _build_fmt2_table(spark, tmp_table)
+    snap = CommitLog(tmp_table).snapshot()
+    lf = snap.files
+    assert isinstance(lf, LazyFiles)
+    n = len(lf)
+    keys = list(lf.keys())
+    assert len(keys) == n and len(set(keys)) == n
+    k0 = keys[0]
+    assert k0 in lf
+    f0 = lf[k0]
+    assert f0.path == k0 and f0.rows > 0
+    assert lf.get("nope") is None and "nope" not in lf
+    with pytest.raises(KeyError):
+        lf["nope"]
+    # kernel-side mutation: overwrite + delete without materializing
+    popped = lf.pop(k0)
+    assert popped.path == k0 and k0 not in lf and len(lf) == n - 1
+    lf[k0] = popped
+    assert k0 in lf and len(lf) == n
+    assert lf.kernel is not None, "still columnar after key ops"
+    # whole-collection read materializes, identically
+    items = dict(lf.items())
+    assert lf.kernel is None
+    assert len(items) == n and items[k0].to_json() == popped.to_json()
+
+
+def test_format2_dml_and_optimize_roundtrip(spark, tmp_table):
+    """Write paths (DELETE, optimize) work on kernel-backed snapshots —
+    they materialize where needed and the next checkpoint round-trips
+    through the columnar writer."""
+    qt, _li = _build_fmt2_table(spark, tmp_table)
+    before = qt.to_df().count()
+    out = qt.delete([("l_orderkey", "<", 100)])
+    assert qt.to_df().count() == before - out["rows_deleted"]
+    qt.optimize()
+    snap = qt.snapshot(refresh=True)
+    assert qt.to_df().count() == before - out["rows_deleted"]
+    # keep appending to force the NEXT checkpoint from a mutated kernel
+    li = load(spark, "lineitem").limit(100)
+    for _ in range(12):
+        qss.write(li, tmp_table,
+                  columns_to_index=["l_orderkey", "l_extendedprice"],
+                  cube_size=500)
+    log_dir = os.path.join(tmp_table, "_qbeast_log")
+    metas = sorted(p for p in os.listdir(log_dir)
+                   if p.endswith(".checkpoint.meta.json"))
+    assert len(metas) >= 2, "no second format-2 checkpoint"
+    # seeded state still equals a full legacy replay
+    seeded = CommitLog(tmp_table).snapshot()
+    os.remove(os.path.join(log_dir, "_last_checkpoint"))
+    legacy = CommitLog(tmp_table).snapshot()
+    a = {p: f.to_json() for p, f in seeded.files.items()}
+    b = {p: f.to_json() for p, f in legacy.files.items()}
+    assert a == b
+
+
+def test_auto_threshold_keeps_small_tables_json(spark, tmp_table):
+    """Default (auto) format: small tables keep the single-JSON
+    checkpoint — no parquet artifacts appear."""
+    li = load(spark, "lineitem").limit(500)
+    qss.write(li, tmp_table, columns_to_index=["l_orderkey"],
+              cube_size=200)
+    for _ in range(11):
+        qss.write(li.limit(50), tmp_table,
+                  columns_to_index=["l_orderkey"], cube_size=200)
+    log_dir = os.path.join(tmp_table, "_qbeast_log")
+    names = os.listdir(log_dir)
+    assert any(p.endswith(".checkpoint.json") for p in names)
+    assert not any(p.endswith(".checkpoint.meta.json") for p in names)
+    with open(os.path.join(log_dir, "_last_checkpoint")) as fh:
+        assert json.load(fh)["format"] == 1
