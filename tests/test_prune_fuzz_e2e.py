@@ -485,3 +485,76 @@ def test_qsql_multi_table_lift_lane_equals_plain_spark(spark,
     assert parsed >= n_cases * 0.4, (parsed, n_cases)
     assert pruned_li >= parsed * 0.1, (pruned_li, parsed)
     assert pruned_ord >= n_cases * 0.3, (pruned_ord, n_cases)
+
+
+def test_qsql_left_join_lift_lane_equals_plain_spark(spark,
+                                                     tmp_path_factory):
+    """r9: the random predicate grammar driven through the LEFT-JOIN
+    WHERE lift — the indexed table on the PRESERVED side, randomly
+    chained with a further inner join. Soundness contract identical to
+    the r8 inner-join lane: row-checksum equality with the plain-Spark
+    left join, qbeast input files a subset of the recomputed candidate
+    set, and a healthy pruned share."""
+    import re as _re
+
+    import qbeast_spark_spark as qss
+    from qbeast_spark_spark.sources.catalog import QbeastSqlCatalog
+    from qbeast_spark_spark.sources.predicates import to_dnf_filters
+    from qbeast_spark_spark.sources.reader import prune_files
+
+    base = _base_frame(spark)
+    wh = tmp_path_factory.mktemp("e2e_qsql_ljoin")
+    path = str(wh / "qli")
+    qss.write(base, path,
+              columns_to_index=["l_orderkey", "l_extendedprice"],
+              cube_size=400)
+    qt = qss.QbeastTable.for_path(spark, path)
+    snap = qt.snapshot(refresh=True)
+    n_files = len(snap.files)
+    assert n_files > 1
+    cat = QbeastSqlCatalog(spark, str(wh / "warehouse"))
+    cat.sql(f"CREATE TABLE qli USING qbeast LOCATION '{path}'")
+    orders = load(spark, "orders")
+    orders.createOrReplaceTempView("odim")
+    cols = sorted(base.columns)
+    chk = _checksum_exprs(cols)
+    col_rx = _re.compile(r"\b(" + "|".join(sorted(cols, key=len,
+                                                  reverse=True)) + r")\b")
+    rng = random.Random(20260916)
+    n_cases = max(30, N_CASES // 10)
+    parsed = pruned = 0
+    for i in range(n_cases):
+        q = _tree(rng, 2)
+        q_sql = col_rx.sub(r"t.\1", q) if rng.random() < 0.6 else q
+        chain = rng.random() < 0.5
+        stmt = (f"SELECT {', '.join('t.' + c for c in cols)} FROM qli t "
+                f"LEFT JOIN odim o ON t.l_orderkey = o.o_orderkey ")
+        twin = base.join(orders, base.l_orderkey == orders.o_orderkey,
+                         "left")
+        if chain:
+            # a further INNER join after the LEFT: t stays preserved
+            stmt += ("JOIN odim p ON t.l_orderkey = p.o_orderkey ")
+            twin = twin.join(
+                orders.select(F.col("o_orderkey").alias("p_ok")),
+                F.col("l_orderkey") == F.col("p_ok"))
+        stmt += f"WHERE ({q_sql})"
+        got_df = cat.sql(stmt)
+        got = got_df.agg(*chk).collect()[0]
+        want = twin.where(q).agg(*chk).collect()[0]
+        assert (got.n, got.h) == (want.n, want.h), \
+            f"[qsql_ljoin seed=20260916 case={i}] {stmt}"
+        qb_inputs = {os.path.basename(f) for f in got_df.inputFiles()
+                     if "/qli/" in f}
+        dnf = to_dnf_filters(q)
+        if dnf is None:
+            continue
+        parsed += 1
+        selected = set()
+        for conj in dnf:
+            selected.update(prune_files(snap, conj))
+        assert qb_inputs <= {os.path.basename(p) for p in selected}, \
+            (sorted(qb_inputs - selected), stmt)
+        if len(qb_inputs) < n_files:
+            pruned += 1
+    assert parsed >= n_cases * 0.4, (parsed, n_cases)
+    assert pruned >= parsed * 0.1, (pruned, parsed)

@@ -1297,3 +1297,84 @@ def test_cte_lift_guards(spark, two_qb_cat):
         "SELECT * FROM a WHERE l_quantity > 10")
     assert got_df.count() == li.filter(
         "l_orderkey < 500 AND l_quantity > 10").count()
+
+
+def test_left_join_preserved_side_lifts(spark, join_cat):
+    """r9 (VERDICT r8 next #3): with the qbeast table on the PRESERVED
+    (left) side of a LEFT JOIN its rows are never null-extended, so its
+    WHERE conjuncts prune soundly — files shrink, results exact."""
+    cat = join_cat
+    li = load(spark, "lineitem")
+    orders = load(spark, "orders")
+    got = cat._join_table_predicate(
+        "SELECT * FROM qli t LEFT JOIN plain_orders o "
+        "ON t.l_orderkey = o.o_orderkey WHERE t.l_orderkey < 200",
+        cat.tables())
+    assert "qli" in got and "l_orderkey < 200" in got["qli"][0]
+    full = cat.sql(
+        "SELECT t.l_orderkey FROM qli t LEFT JOIN plain_orders o "
+        "ON t.l_orderkey = o.o_orderkey")
+    pruned = cat.sql(
+        "SELECT t.l_orderkey, o.o_custkey FROM qli t "
+        "LEFT JOIN plain_orders o ON t.l_orderkey = o.o_orderkey "
+        "WHERE t.l_orderkey < 200")
+    qli_full = len([f for f in full.inputFiles() if "/qli/" in f])
+    qli_p = len([f for f in pruned.inputFiles() if "/qli/" in f])
+    assert 0 < qli_p < qli_full
+    exp = (li.filter("l_orderkey < 200")
+           .join(orders, li.l_orderkey == orders.o_orderkey, "left")
+           .count())
+    assert pruned.count() == exp
+
+
+def test_left_join_chain_positions(spark, join_cat):
+    """Chain shapes: only the occurrence DIRECTLY after a LEFT JOIN is
+    null-extendable. qli lifts when it leads the chain or is
+    inner-joined after a LEFT; never when it follows the LEFT itself."""
+    cat = join_cat
+    jp = cat._join_table_predicate
+    entries = cat.tables()
+    # qli leads, LEFT JOIN then INNER JOIN follow -> preserved, lifts
+    got = jp("SELECT * FROM qli t LEFT JOIN plain_orders o ON "
+             "t.l_orderkey = o.o_orderkey JOIN plain_orders p ON "
+             "t.l_orderkey = p.o_orderkey WHERE t.l_orderkey < 50",
+             entries)
+    assert "qli" in got
+    # qli inner-joined AFTER a left join -> still preserved, lifts
+    got = jp("SELECT * FROM plain_orders o LEFT JOIN plain_orders p ON "
+             "o.o_orderkey = p.o_orderkey JOIN qli t ON "
+             "t.l_orderkey = o.o_orderkey WHERE t.l_orderkey < 50",
+             entries)
+    assert "qli" in got
+    # qli DIRECTLY after LEFT JOIN -> null-extendable, no lift
+    assert jp("SELECT * FROM plain_orders o LEFT JOIN qli t ON "
+              "o.o_orderkey = t.l_orderkey WHERE t.l_orderkey < 50",
+              entries) == {}
+    assert jp("SELECT * FROM plain_orders o LEFT OUTER JOIN qli t ON "
+              "o.o_orderkey = t.l_orderkey WHERE t.l_orderkey < 50",
+              entries) == {}
+    # RIGHT/FULL still rejected outright (they extend the LEFT side)
+    assert jp("SELECT * FROM qli t RIGHT JOIN plain_orders o ON "
+              "t.l_orderkey = o.o_orderkey WHERE t.l_orderkey < 50",
+              entries) == {}
+    assert jp("SELECT * FROM qli t FULL OUTER JOIN plain_orders o ON "
+              "t.l_orderkey = o.o_orderkey WHERE t.l_orderkey < 50",
+              entries) == {}
+
+
+def test_left_join_nullable_side_results_exact(spark, join_cat):
+    """The no-lift fallback on the nullable side stays EXACT, including
+    the IS-NULL probe that motivates the guard, and a preserved-side
+    lift does not disturb which probe rows null-extend."""
+    cat = join_cat
+    li = load(spark, "lineitem")
+    orders = load(spark, "orders")
+    got = cat.sql(
+        "SELECT COUNT(*) AS n FROM qli t LEFT JOIN plain_orders o "
+        "ON t.l_orderkey = o.o_orderkey "
+        "WHERE t.l_orderkey < 300 AND o.o_orderkey IS NULL"
+    ).collect()[0].n
+    exp = (li.filter("l_orderkey < 300")
+           .join(orders, li.l_orderkey == orders.o_orderkey, "left_anti")
+           .count())
+    assert got == exp
