@@ -158,9 +158,60 @@ def _relayout_lineitem(spark, sf_dir: str) -> str:
     return path
 
 
+_AUTO_SEL_DONE: Dict[str, bool] = {}
+
+
+def _auto_selection_gate(spark, sf_dir: str) -> None:
+    """O3 (auto column selection) exercised inside qb_roundtrip's setup
+    (VERDICT r8 next #4 — the last §2.1 operator with no driver-row
+    coverage). An exact cross-sf pin would be WRONG: the selection is
+    data-dependent (least-correlated ranking legitimately differs
+    between sf0.001/0.01/0.1 — measured), so the gate asserts the
+    contract instead: determinism, a real ``columns_to_index=None``
+    write whose committed revision equals the recomputed selection
+    (SparkColumnsToIndexSelector.scala:33-161 parity path in
+    functions/selection.py + sources/writer.py), and pruned-read
+    exactness through the auto-chosen index. Any selector regression
+    raises here and fails the whole qb_roundtrip row. Runs on the small
+    ``supplier`` table — negligible at every sf."""
+    from pyspark.sql import functions as F
+
+    from . import write_qbeast
+    from .functions.selection import select_columns_to_index
+    from .sources.log import CommitLog
+    from .sources.reader import QbeastTable
+
+    key = os.path.abspath(sf_dir)
+    if _AUTO_SEL_DONE.get(key):
+        return
+    sup = _t(spark, sf_dir, "supplier")
+    sel = select_columns_to_index(sup)
+    if select_columns_to_index(sup) != sel:
+        raise AssertionError(f"auto selection not deterministic: {sel}")
+    if not (0 < len(sel) <= 3 and set(sel) <= set(sup.columns)):
+        raise AssertionError(f"auto selection out of contract: {sel}")
+    path = _cache_path(sf_dir, "supplier_auto")
+    log = CommitLog(path)
+    if not log.exists():
+        write_qbeast(sup, path, columns_to_index=None, cube_size=1000)
+    qt = QbeastTable.for_path(spark, path)
+    rev = qt.snapshot(refresh=True).latest_revision()
+    if sorted(rev.column_names) != sorted(sel):
+        raise AssertionError(
+            f"columns_to_index=None indexed {rev.column_names}, "
+            f"selector says {sel}")
+    # pruned-read exactness through the auto-chosen index
+    got = qt.read([("s_suppkey", "<=", 50)]).count()
+    want = sup.where(F.col("s_suppkey") <= 50).count()
+    if got != want:
+        raise AssertionError(f"auto-indexed read {got} != {want}")
+    _AUTO_SEL_DONE[key] = True
+
+
 def qb_roundtrip(spark, sf_dir):
-    """W1-W7 + O1/O2 re-layout + R4 + qbeast-Delta interop under ONE
-    strict hash check (VERDICT r6 Next #7): indexed write, then
+    """W1-W7 + O1/O2 re-layout + O3 (auto column selection, gated in
+    setup — see _auto_selection_gate) + R4 + qbeast-Delta interop under
+    ONE strict hash check (VERDICT r6 Next #7): indexed write, then
     optimize (re-layout through existing cube weights) and compact
     (bin-pack) rewrite the physical files, then the read goes through
     the REFERENCE on-disk format — the snapshot is exported as a
@@ -172,6 +223,7 @@ def qb_roundtrip(spark, sf_dir):
     rewrites and the format roundtrip are lossless."""
     from .sources.reader import QbeastTable
 
+    _auto_selection_gate(spark, sf_dir)
     path = _relayout_lineitem(spark, sf_dir)
     # the Delta export happens once inside the locked build (the table
     # is immutable after its completion marker); re-export here only if
