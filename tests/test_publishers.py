@@ -307,3 +307,243 @@ def test_commit_bodies_are_globally_unique(tmp_path):
     nonces = [_json.loads(b)["writerNonce"] for b in bodies]
     assert nonces[0] != nonces[1]
     assert all(len(n) == 32 for n in nonces)
+
+
+# -- HTTP object-store contract twin (r9, VERDICT r8 next #5) -------------
+#
+# condsim proves the protocol given an abstract conditional-put; this
+# stub pins the HEADER-LEVEL contract the docstrings promise — a real
+# S3 `If-None-Match: *` PUT answering 412 on conflict / 200 on create,
+# the GCS `x-goog-if-generation-match: 0` equivalent, GET for the
+# own-detection content check — and drives the REAL commit path over
+# HTTP, including the lost-reply and unresolved-outcome branches.
+
+
+class _HttpObjectStore:
+    """In-process HTTP server speaking the conditional-PUT subset of the
+    S3/GCS APIs over an in-memory dict. ``fail_mode`` injects faults:
+    'lost_reply' stores the body but answers 500 (timeout after the
+    write landed); 'get_500' makes GET fail (outcome unresolvable)."""
+
+    def __init__(self):
+        import http.server
+        import threading as _th
+
+        store = self.objects = {}
+        outer = self
+
+        class H(http.server.BaseHTTPRequestHandler):
+            def log_message(self, *a):        # quiet
+                pass
+
+            def do_PUT(self):
+                n = int(self.headers.get("Content-Length", 0))
+                body = self.rfile.read(n)
+                cond = (self.headers.get("If-None-Match") == "*"
+                        or self.headers.get(
+                            "x-goog-if-generation-match") == "0")
+                if not cond:
+                    self.send_response(400)   # unconditional PUT refused
+                    self.end_headers()
+                    return
+                if self.path in store:
+                    self.send_response(412)   # S3 PreconditionFailed
+                    self.end_headers()
+                    return
+                store[self.path] = body
+                if outer.fail_mode == "lost_reply":
+                    outer.fail_mode = None    # one-shot
+                    self.send_response(500)   # reply lost AFTER landing
+                    self.end_headers()
+                    return
+                self.send_response(200)
+                self.end_headers()
+
+            def do_GET(self):
+                if outer.fail_mode == "get_500":
+                    self.send_response(500)
+                    self.end_headers()
+                    return
+                if self.path not in store:
+                    self.send_response(404)
+                    self.end_headers()
+                    return
+                body = store[self.path]
+                self.send_response(200)
+                self.send_header("Content-Length", str(len(body)))
+                self.end_headers()
+                self.wfile.write(body)
+
+        self.fail_mode = None
+        self.httpd = http.server.ThreadingHTTPServer(("127.0.0.1", 0), H)
+        self.port = self.httpd.server_address[1]
+        _th.Thread(target=self.httpd.serve_forever, daemon=True).start()
+
+    def close(self):
+        self.httpd.shutdown()
+
+    # -- publisher callables (what a real S3/GCS adapter would be) -----
+    def _url(self, path: str) -> str:
+        from urllib.parse import quote
+
+        return f"http://127.0.0.1:{self.port}/{quote(path, safe='')}"
+
+    def put(self, path: str, body: bytes, header="If-None-Match") -> bool:
+        import urllib.error
+        import urllib.request
+
+        hdr = {"If-None-Match": "*"} if header == "If-None-Match" \
+            else {"x-goog-if-generation-match": "0"}
+        req = urllib.request.Request(self._url(path), data=body,
+                                     method="PUT", headers=hdr)
+        try:
+            with urllib.request.urlopen(req):
+                return True
+        except urllib.error.HTTPError as e:
+            if e.code == 412:
+                return False              # clean conflict
+            raise OSError(f"PUT {e.code}")   # outcome unknown
+        except urllib.error.URLError as e:
+            raise OSError(str(e))
+
+    def get(self, path: str) -> bytes:
+        import urllib.error
+        import urllib.request
+
+        try:
+            with urllib.request.urlopen(self._url(path)) as r:
+                return r.read()
+        except urllib.error.HTTPError as e:
+            if e.code == 404:
+                raise FileNotFoundError(path)
+            raise OSError(f"GET {e.code}")
+        except urllib.error.URLError as e:
+            raise OSError(str(e))
+
+    # a local-mirroring factory: the HTTP store arbitrates the race,
+    # the winner mirrors the body to the local path CommitLog lists.
+    # Mirroring happens on ANY won outcome — including a win resolved
+    # through the get() own-detection path (lost reply), where the raw
+    # put callable raised and could not mirror itself.
+    def factory(self):
+        outer = self
+
+        class _P(ConditionalPutPublisher):
+            def __init__(self, _log_dir):
+                super().__init__(lambda p, b: outer.put(p, b),
+                                 lambda p: outer.get(p))
+
+            def publish(self, target, body):
+                won = super().publish(target, body)
+                if won:
+                    tmp = target + ".httpmirror"
+                    with open(tmp, "wb") as fh:
+                        fh.write(body)
+                    os.replace(tmp, target)
+                return won
+
+        return _P
+
+
+@pytest.fixture()
+def http_store():
+    s = _HttpObjectStore()
+    yield s
+    s.close()
+
+
+def test_http_condput_header_contract(http_store):
+    """First conditional PUT creates (200), the second answers 412, GET
+    returns the stored body byte-exact — for BOTH the S3 and the GCS
+    header spellings. An unconditional PUT is refused outright."""
+    s = http_store
+    assert s.put("k1", b"v1") is True
+    assert s.put("k1", b"other") is False          # If-None-Match: *
+    assert s.get("k1") == b"v1"
+    assert s.put("k2", b"v2", header="gcs") is True
+    assert s.put("k2", b"x", header="gcs") is False
+    with pytest.raises(FileNotFoundError):
+        s.get("absent")
+
+
+def test_http_condput_commit_log_e2e(tmp_path, http_store):
+    """The real commit path over the HTTP contract: sequential commits
+    land, an in-process race loses no commit and produces no duplicate
+    versions, and the log replays cleanly."""
+    log = CommitLog(str(tmp_path), publisher_factory=http_store.factory())
+    v0 = log.commit(add=[_f("a.parquet")], operation="WRITE")
+    v1 = log.commit(add=[_f("b.parquet")], operation="WRITE")
+    assert (v0, v1) == (0, 1)
+    errs, versions = [], []
+
+    def race(i):
+        try:
+            lg = CommitLog(str(tmp_path),
+                           publisher_factory=http_store.factory())
+            versions.append(lg.commit(add=[_f(f"r{i}.parquet")]))
+        except Exception as e:           # pragma: no cover
+            errs.append(e)
+
+    ts = [threading.Thread(target=race, args=(i,)) for i in range(6)]
+    for t in ts:
+        t.start()
+    for t in ts:
+        t.join()
+    assert not errs and sorted(versions) == [2, 3, 4, 5, 6, 7]
+    snap = CommitLog(str(tmp_path)).snapshot()
+    assert len(snap.files) == 8
+    # the HTTP store holds exactly one object per version, none torn
+    assert len(http_store.objects) == 8
+
+
+def test_http_condput_lost_reply_own_detection(tmp_path, http_store):
+    """Timeout AFTER the PUT landed server-side (500 reply, object
+    stored): the publisher must resolve the unknown outcome via GET
+    content equality and claim the version — no duplicate commit at
+    N+1, no raise."""
+    log = CommitLog(str(tmp_path), publisher_factory=http_store.factory())
+    log.commit(add=[_f("a.parquet")])
+    http_store.fail_mode = "lost_reply"
+    v = log.commit(add=[_f("b.parquet")])
+    assert v == 1
+    assert CommitLog(str(tmp_path)).snapshot().version == 1
+    assert len(http_store.objects) == 2
+
+
+def test_http_condput_unresolved_outcome_raises(tmp_path, http_store):
+    """PUT outcome unknown AND the disambiguating GET also fails: the
+    publisher must raise (never guess) — a guessed 'lost' could publish
+    a duplicate version."""
+    log = CommitLog(str(tmp_path), publisher_factory=http_store.factory())
+    log.commit(add=[_f("a.parquet")])
+    http_store.fail_mode = "lost_reply"
+    orig_get = http_store.get
+
+    def bad_get(path):
+        raise OSError("GET 500")
+
+    http_store.get = bad_get
+    try:
+        with pytest.raises((OSError, RuntimeError)):
+            log.commit(add=[_f("b.parquet")], max_retries=1)
+    finally:
+        http_store.get = orig_get
+
+
+def test_http_condput_retried_put_clean_conflict_is_own(tmp_path,
+                                                        http_store):
+    """The store-level retry shape: our body already landed (a previous
+    attempt), the next PUT reports a CLEAN 412 — content equality must
+    still decide 'won', not re-publish at N+1."""
+    import uuid as _u
+
+    target = str(tmp_path / "000000000000.json")
+    body = json.dumps({"writerNonce": _u.uuid4().hex}).encode()
+    http_store.put(target, body)         # previous attempt landed
+    pub = ConditionalPutPublisher(
+        lambda p, b: http_store.put(p, b), http_store.get)
+    assert pub.publish(target, body) is True       # own object
+    other = json.dumps({"writerNonce": _u.uuid4().hex}).encode()
+    pub2 = ConditionalPutPublisher(
+        lambda p, b: http_store.put(p, b), http_store.get)
+    assert pub2.publish(target, other) is False    # a real conflict
