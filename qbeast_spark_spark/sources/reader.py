@@ -525,6 +525,38 @@ class QbeastTable:
                     except OSError:
                         continue
                     victims.append(os.path.join(rel_log, name))
+            # SUPERSEDED checkpoints (any format) age out on the same
+            # clock: each is O(#files) bytes — at 10^5-10^6 files a
+            # checkpoint every 10 commits would leak gigabytes of
+            # derived state. Only versions BELOW the current pointer
+            # target are eligible; deleting one never loses data (the
+            # commit JSONs are kept, so time travel before it replays
+            # the full log — slower, still exact).
+            last_ckpt = getattr(self.log, "_last_checkpoint_version",
+                                lambda: None)()
+            if last_ckpt is not None:
+                ckpt_suffixes = (".checkpoint.json",
+                                 ".checkpoint.meta.json",
+                                 ".checkpoint.parquet",
+                                 ".checkpoint.state.parquet")
+                for name in os.listdir(log_dir):
+                    suf = next((s for s in ckpt_suffixes
+                                if name.endswith(s)), None)
+                    if suf is None:
+                        continue
+                    try:
+                        v = int(name[:-len(suf)])
+                    except ValueError:
+                        continue
+                    if v >= last_ckpt:
+                        continue
+                    try:
+                        if os.path.getmtime(os.path.join(
+                                log_dir, name)) > cutoff:
+                            continue
+                    except OSError:
+                        continue
+                    victims.append(os.path.join(rel_log, name))
         if not dry_run:
             import shutil as _shutil
 

@@ -212,3 +212,29 @@ def test_auto_threshold_keeps_small_tables_json(spark, tmp_table):
     assert not any(p.endswith(".checkpoint.meta.json") for p in names)
     with open(os.path.join(log_dir, "_last_checkpoint")) as fh:
         assert json.load(fh)["format"] == 1
+
+
+def test_vacuum_ages_out_superseded_checkpoints(spark, tmp_table):
+    """Superseded checkpoints (both formats) are O(#files) derived
+    state and must age out with vacuum; the pointer target survives,
+    and pre-checkpoint time travel still replays exactly."""
+    qt, _li = _build_fmt2_table(spark, tmp_table, n_commits=22)
+    log_dir = os.path.join(tmp_table, "_qbeast_log")
+    cpts = sorted(p for p in os.listdir(log_dir) if ".checkpoint." in p)
+    assert len({p.split(".")[0] for p in cpts}) >= 2, cpts
+    last = max(int(p.split(".")[0]) for p in cpts)
+    # age everything past retention, then vacuum with zero retention
+    victims = qt.vacuum(dry_run=True, retention_hours=0.0)
+    old_ckpts = [v for v in victims if ".checkpoint." in v]
+    assert old_ckpts, "no superseded checkpoint selected"
+    assert all(int(os.path.basename(v).split(".")[0]) < last
+               for v in old_ckpts)
+    before = qt.snapshot(refresh=True)
+    qt.vacuum(retention_hours=0.0)
+    remaining = [p for p in os.listdir(log_dir) if ".checkpoint." in p]
+    assert {int(p.split(".")[0]) for p in remaining} == {last}
+    # current snapshot unchanged; pre-checkpoint time travel replays
+    after = CommitLog(tmp_table).snapshot()
+    assert sorted(after.files.keys()) == sorted(before.files.keys())
+    tt = CommitLog(tmp_table).snapshot(at_version=5)
+    assert tt.version == 5 and len(tt.files) > 0
