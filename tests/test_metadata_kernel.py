@@ -238,3 +238,46 @@ def test_vacuum_ages_out_superseded_checkpoints(spark, tmp_table):
     assert sorted(after.files.keys()) == sorted(before.files.keys())
     tt = CommitLog(tmp_table).snapshot(at_version=5)
     assert tt.version == 5 and len(tt.files) > 0
+
+
+def test_format2_concurrent_appends_consistent(spark, tmp_table):
+    """Racing appends on a format-2 table across checkpoint boundaries:
+    every commit lands exactly once, the checkpoint pointer stays
+    usable (last-writer-wins is safe — checkpoints are derived state),
+    and the final snapshot equals a full JSON replay."""
+    import threading
+
+    li = load(spark, "lineitem").limit(1000)
+    qss.write(li, tmp_table,
+              columns_to_index=["l_orderkey", "l_extendedprice"],
+              cube_size=500)
+    qt = qss.QbeastTable.for_path(spark, tmp_table)
+    qt.set_properties({"qbeast.checkpoint.format": "parquet"})
+    chunk = li.limit(100)
+    errs = []
+
+    def appender(i):
+        try:
+            for _ in range(6):
+                qss.write(chunk, tmp_table,
+                          columns_to_index=["l_orderkey",
+                                            "l_extendedprice"],
+                          cube_size=500)
+        except Exception as e:      # pragma: no cover
+            errs.append((i, e))
+
+    ts = [threading.Thread(target=appender, args=(i,)) for i in range(3)]
+    for t in ts:
+        t.start()
+    for t in ts:
+        t.join()
+    assert not errs, errs
+    assert qt.to_df().count() == 1000 + 18 * 100
+    log_dir = os.path.join(tmp_table, "_qbeast_log")
+    assert any(p.endswith(".checkpoint.meta.json")
+               for p in os.listdir(log_dir))
+    seeded = CommitLog(tmp_table).snapshot()
+    os.remove(os.path.join(log_dir, "_last_checkpoint"))
+    legacy = CommitLog(tmp_table).snapshot()
+    assert {p: f.to_json() for p, f in seeded.files.items()} \
+        == {p: f.to_json() for p, f in legacy.files.items()}
