@@ -197,6 +197,15 @@ def _auto_selection_gate(spark, sf_dir: str) -> None:
     qt = QbeastTable.for_path(spark, path)
     rev = qt.snapshot(refresh=True).latest_revision()
     if sorted(rev.column_names) != sorted(sel):
+        # the cached table may predate a LEGITIMATE selector change
+        # (the /tmp cache survives harness versions — r9 review);
+        # rebuild once through the auto path, then the comparison is
+        # selector-vs-its-own-write and a mismatch is a real break
+        shutil.rmtree(path, ignore_errors=True)
+        write_qbeast(sup, path, columns_to_index=None, cube_size=1000)
+        qt = QbeastTable.for_path(spark, path)
+        rev = qt.snapshot(refresh=True).latest_revision()
+    if sorted(rev.column_names) != sorted(sel):
         raise AssertionError(
             f"columns_to_index=None indexed {rev.column_names}, "
             f"selector says {sel}")

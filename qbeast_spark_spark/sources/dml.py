@@ -235,14 +235,18 @@ def _hit_positions(df):
                      F.col("__ri").alias("ri"))
 
 
-def _pred_deterministic(qt, snap, residual) -> bool:
+def _pred_determinism(qt, snap, residual) -> Optional[bool]:
     """Catalyst's own verdict on whether the residual predicate is
-    deterministic. DV-mode UPDATE evaluates the predicate in TWO jobs
-    (the mask scan and the post-image write); a nondeterministic
-    predicate would mask one sample of rows and append another — rows
-    silently lost or duplicated — so it must never reach dv mode
-    (Delta rejects nondeterministic DML conditions outright).
-    Unresolvable shapes count as nondeterministic (conservative)."""
+    deterministic: True / False / None (= could not be analyzed).
+    Every DML strategy evaluates the predicate in more than one job
+    (match counts, mask scan or survivors rewrite, the CDC frame), so
+    a nondeterministic one makes the reported counts, the change feed,
+    and the committed data describe DIFFERENT row samples — Delta
+    rejects nondeterministic DML conditions outright, and (r9 review)
+    so do these verbs when Catalyst PROVES nondeterminism. Unresolvable
+    shapes return None: callers fall back to the rewrite strategy
+    (conservative) rather than refusing a predicate that may well be
+    deterministic."""
     if residual is None:
         return True
     try:
@@ -250,7 +254,28 @@ def _pred_deterministic(qt, snap, residual) -> bool:
                 ._jdf.queryExecution().analyzed())
         return bool(plan.condition().deterministic())
     except Exception:
-        return False
+        return None
+
+
+def _pred_deterministic(qt, snap, residual) -> bool:
+    """dv-gate form of ``_pred_determinism``: unknown counts as
+    nondeterministic (the dv lanes must never run an unprovable
+    predicate twice)."""
+    return _pred_determinism(qt, snap, residual) is True
+
+
+def _reject_nondeterministic(qt, snap, residual, verb: str) -> None:
+    """Raise when Catalyst proves the predicate nondeterministic —
+    regardless of physical mode (rewrite evaluates it independently in
+    the match count, the survivors scan, and the CDC frame too)."""
+    if _pred_determinism(qt, snap, residual) is False:
+        raise ValueError(
+            f"{verb} requires a deterministic predicate: the match "
+            "count, the data rewrite/mask, and the change-data-feed "
+            "frame each re-evaluate it, so a nondeterministic one "
+            "(e.g. rand()) would commit a different row sample than "
+            "it reports — materialize the target keys first and "
+            f"{verb.lower()} by key instead")
 
 
 def delete_rows(spark, path: str, filters=None,
@@ -305,8 +330,11 @@ def delete_rows(spark, path: str, filters=None,
         return {"version": version, "rows_deleted": 0,
                 "files_rewritten": 0, "files_scanned": 0}
     candidates, residual = qt._candidates_and_residual(filters, snap)
+    _reject_nondeterministic(qt, snap, residual, "DELETE")
     if residual is None:
-        rows = sum(f.live_rows for f in snap.files.values())
+        kernel = getattr(snap.files, "kernel", None)
+        rows = kernel.live_rows_sum() if kernel is not None \
+            else sum(f.live_rows for f in snap.files.values())
         version = qt.log.commit(add=[], remove=list(snap.files.keys()),
                                 schema_json=snap.schema_json,
                                 data_change=True, operation="DELETE",
@@ -565,6 +593,7 @@ def update_rows(spark, path: str, assignments: Dict[str, Any],
             raise ValueError(f"unknown column {c!r} "
                              f"(table has {sorted(by_name)})")
     candidates, residual = qt._candidates_and_residual(filters, snap)
+    _reject_nondeterministic(qt, snap, residual, "UPDATE")
     if residual is None:
         per_file = {rel: snap.files[rel].live_rows for rel in candidates}
     else:
@@ -738,260 +767,263 @@ def merge_rows(spark, path: str, source, on,
     # sample — matched files undiscovered, masks disagreeing with the
     # recorded keys. Delta materializes its MERGE source for the same
     # reason before finding touched files.
-    pins = []                   # persisted frames to release at the end
+    # Every frame pinned below (the source, the insert set) is released
+    # in the finally: merge raises on multiple-source-match, unknown
+    # columns, constraint and revision-space violations AFTER pinning,
+    # and a leaked persist pins executor storage for the session
+    # lifetime (r9 review) — a retrying streaming upsert sink would
+    # accumulate them until eviction pressure or OOM.
+    pins = []                   # persisted frames, released in finally
     source = source.persist()
     pins.append(source)
+    try:
 
-    # pass 1: which files contain a matched row (column-pruned key scan).
-    # Candidate files are first pruned with the source's per-key
-    # [min, max] bounding box (ONE tiny agg job over the source): an
-    # equi-match must lie inside every key's range, so the same
-    # OTree/stats pruning read() uses skips files outside the box before
-    # any target scan. A source spanning the full key domain degrades to
-    # the all-files scan; an empty (or all-null-key) source skips pass 1
-    # outright. At 100 TB this turns MERGE's find-touched-files pass
-    # from O(table) into O(files overlapping the source's key range).
-    per_file: Dict[str, int] = {}
-    box: Optional[list] = []        # [] = no pruning possible; None = no
-    box_cands = None                # non-null source keys (no matches)
-    if snap.files:
-        import datetime as _dt
+        # pass 1: which files contain a matched row (column-pruned key scan).
+        # Candidate files are first pruned with the source's per-key
+        # [min, max] bounding box (ONE tiny agg job over the source): an
+        # equi-match must lie inside every key's range, so the same
+        # OTree/stats pruning read() uses skips files outside the box before
+        # any target scan. A source spanning the full key domain degrades to
+        # the all-files scan; an empty (or all-null-key) source skips pass 1
+        # outright. At 100 TB this turns MERGE's find-touched-files pass
+        # from O(table) into O(files overlapping the source's key range).
+        per_file: Dict[str, int] = {}
+        box: Optional[list] = []        # [] = no pruning possible; None = no
+        box_cands = None                # non-null source keys (no matches)
+        if snap.files:
+            import datetime as _dt
 
-        aggs = []
-        for k in keys:
-            aggs += [F.min(k).alias(f"__lo_{k}"),
-                     F.max(k).alias(f"__hi_{k}")]
-        b = source.agg(*aggs).collect()[0]
-        for k in keys:
-            lo, hi = b[f"__lo_{k}"], b[f"__hi_{k}"]
-            if lo is None:          # no non-null key values: no matches
-                box = None
-                break
-            if (isinstance(lo, (int, float, str, _dt.date, _dt.datetime))
-                    and not isinstance(lo, bool)):
-                box += [(k, ">=", lo), (k, "<=", hi)]
-        if box is not None:
-            box_cands = qt._candidates_and_residual(box or None, snap)
-    n_scanned = 0
-    if has_matched and snap.files and box_cands is not None and \
-            box_cands[0]:
-        candidates, residual = box_cands
-        n_scanned = len(candidates)
-        # ONE job yields both the per-file match counts and Delta's
-        # multiple-source-match guard: the target key scan inner-joins
-        # the key-GROUPED source (unique per key, so target row
-        # multiplicity is preserved — counts equal the former semi-join)
-        # while carrying each key's source row count; any matched key
-        # with >1 source rows raises before anything is planned further.
-        srcg = source.groupBy(*keys).agg(
-            F.count(F.lit(1)).alias("__src_n"))
-        sel = qt._df_for_files(candidates, file_col="_f")
-        if residual is not None:
-            sel = sel.where(residual)
-        rows = (sel.select("_f", *keys).join(srcg, keys, "inner")
-                .groupBy("_f")
-                .agg(F.count(F.lit(1)).alias("__n"),
-                     F.max("__src_n").alias("__mx")).collect())
-        if any(r["__mx"] > 1 for r in rows):
-            raise ValueError(
-                "merge source has multiple rows for a matched key; "
-                "aggregate the source to one row per key first")
-        for r in rows:
-            per_file[_rel_path(qt, r["_f"])] = int(r["__n"])
-    matched = sorted(per_file)
-    n_matched = int(sum(per_file.values()))
-    live = sum(snap.files[rel].live_rows for rel in matched)
-    if mode == "auto":
-        # a matched-delete merge is a DELETE in merge clothing (mask
-        # only, no post-image append) -> DELETE's laxer bar applies
-        bar = DV_DELETE_MAX_FRACTION if when_matched_delete \
-            else DV_UPDATE_MAX_FRACTION
-        mode = "dv" if matched and n_matched < bar * max(live, 1) \
-            else "rewrite"
-    elif mode == "dv" and not matched:
-        mode = "rewrite"        # nothing to mask: plain append path
-
-    # not-matched source rows -> insert set (bounded by the source size)
-    inserts = None
-    n_ins = 0
-    if when_not_matched_insert is not None:
-        anti = source
-        if snap.files and box_cands is not None:
-            # the anti-join's right side only needs target keys inside
-            # the source's key box: keys outside it cannot equal any
-            # source key, so the box-pruned file list (shared with
-            # pass 1) replaces the full-table scan
-            cand, resid = box_cands
-            n_scanned = max(n_scanned, len(cand))
-            tgt = qt._df_for_files(cand, snap=snap)
-            if resid is not None:
-                tgt = tgt.where(resid)
-            anti = source.join(tgt.select(*keys).distinct(),
-                               keys, "left_anti")
-        if when_not_matched_insert == "all":
-            lacking = [c for c in tcols if c not in source.columns]
-            if lacking:
-                raise ValueError(
-                    f"insert='all' needs every target column in the "
-                    f"source; missing {lacking}")
-            exprs = {c: F.col(c) for c in tcols}
-        else:
-            exprs = {}
-            for c, e in when_not_matched_insert.items():
-                if by_name and c not in by_name:
-                    raise ValueError(f"unknown target column {c!r}")
-                e = F.expr(e) if isinstance(e, str) else e
-                exprs[c] = e if isinstance(e, Column) else F.lit(e)
+            aggs = []
             for k in keys:
-                exprs.setdefault(k, F.col(k))
-        inserts = _to_target_schema(anti, exprs).persist()
-        n_ins = inserts.count()
+                aggs += [F.min(k).alias(f"__lo_{k}"),
+                         F.max(k).alias(f"__hi_{k}")]
+            b = source.agg(*aggs).collect()[0]
+            for k in keys:
+                lo, hi = b[f"__lo_{k}"], b[f"__hi_{k}"]
+                if lo is None:          # no non-null key values: no matches
+                    box = None
+                    break
+                if (isinstance(lo, (int, float, str, _dt.date, _dt.datetime))
+                        and not isinstance(lo, bool)):
+                    box += [(k, ">=", lo), (k, "<=", hi)]
+            if box is not None:
+                box_cands = qt._candidates_and_residual(box or None, snap)
+        n_scanned = 0
+        if has_matched and snap.files and box_cands is not None and \
+                box_cands[0]:
+            candidates, residual = box_cands
+            n_scanned = len(candidates)
+            # ONE job yields both the per-file match counts and Delta's
+            # multiple-source-match guard: the target key scan inner-joins
+            # the key-GROUPED source (unique per key, so target row
+            # multiplicity is preserved — counts equal the former semi-join)
+            # while carrying each key's source row count; any matched key
+            # with >1 source rows raises before anything is planned further.
+            srcg = source.groupBy(*keys).agg(
+                F.count(F.lit(1)).alias("__src_n"))
+            sel = qt._df_for_files(candidates, file_col="_f")
+            if residual is not None:
+                sel = sel.where(residual)
+            rows = (sel.select("_f", *keys).join(srcg, keys, "inner")
+                    .groupBy("_f")
+                    .agg(F.count(F.lit(1)).alias("__n"),
+                         F.max("__src_n").alias("__mx")).collect())
+            if any(r["__mx"] > 1 for r in rows):
+                raise ValueError(
+                    "merge source has multiple rows for a matched key; "
+                    "aggregate the source to one row per key first")
+            for r in rows:
+                per_file[_rel_path(qt, r["_f"])] = int(r["__n"])
+        matched = sorted(per_file)
+        n_matched = int(sum(per_file.values()))
+        live = sum(snap.files[rel].live_rows for rel in matched)
+        if mode == "auto":
+            # a matched-delete merge is a DELETE in merge clothing (mask
+            # only, no post-image append) -> DELETE's laxer bar applies
+            bar = DV_DELETE_MAX_FRACTION if when_matched_delete \
+                else DV_UPDATE_MAX_FRACTION
+            mode = "dv" if matched and n_matched < bar * max(live, 1) \
+                else "rewrite"
+        elif mode == "dv" and not matched:
+            mode = "rewrite"        # nothing to mask: plain append path
 
-    # pass 2: new contents of the matched files (rewrite mode) / the
-    # changed rows only (dv mode — the full-contents frame is never
-    # planned, matched files survive behind their bitmaps)
-    updated = None
-    post = None                 # dv mode: post-image of changed rows
-    cdc_frames = []             # (changed-rows frame, _change_type)
-    skeys = None                # distinct source keys, shared by joins
-    if matched:
-        cur = qt._df_for_files(matched)
-        if when_matched_delete:
-            # source is pinned above, so the mask scan's key set and the
-            # cdc semi-join see the same rows without re-pinning here
-            skeys = source.select(*keys).distinct()
-            if mode != "dv":
-                updated = cur.join(skeys, keys, "left_anti")
-            cdc_frames.append(
-                (cur.join(skeys, keys, "left_semi"), "delete"))
-        else:
-            src = source.select(
-                *keys, *[F.col(c).alias(f"__src_{c}")
-                         for c in source.columns if c not in keys])
-            if mode == "dv":
-                # projections of the pinned source: the mask scan's key
-                # set and the post-image join see the SAME source rows
-                skeys = src.select(*keys).distinct()
-            joined = cur.join(
-                src.withColumn("__src__m", F.lit(True)), keys, "left")
-            hit = F.col("__src__m").isNotNull()
-            if when_matched_update == "all":
+        # not-matched source rows -> insert set (bounded by the source size)
+        inserts = None
+        n_ins = 0
+        if when_not_matched_insert is not None:
+            anti = source
+            if snap.files and box_cands is not None:
+                # the anti-join's right side only needs target keys inside
+                # the source's key box: keys outside it cannot equal any
+                # source key, so the box-pruned file list (shared with
+                # pass 1) replaces the full-table scan
+                cand, resid = box_cands
+                n_scanned = max(n_scanned, len(cand))
+                tgt = qt._df_for_files(cand, snap=snap)
+                if resid is not None:
+                    tgt = tgt.where(resid)
+                anti = source.join(tgt.select(*keys).distinct(),
+                                   keys, "left_anti")
+            if when_not_matched_insert == "all":
                 lacking = [c for c in tcols if c not in source.columns]
                 if lacking:
                     raise ValueError(
-                        f"update='all' needs every target column in the "
+                        f"insert='all' needs every target column in the "
                         f"source; missing {lacking}")
-                assignments = {c: F.col(f"__src_{c}")
-                               for c in tcols if c not in keys}
+                exprs = {c: F.col(c) for c in tcols}
             else:
-                assignments = {}
-                for c, e in when_matched_update.items():
+                exprs = {}
+                for c, e in when_not_matched_insert.items():
                     if by_name and c not in by_name:
                         raise ValueError(f"unknown target column {c!r}")
-                    if c in keys:
-                        raise ValueError(f"merge may not update key {c!r}")
                     e = F.expr(e) if isinstance(e, str) else e
-                    assignments[c] = e if isinstance(e, Column) else F.lit(e)
-            exprs = {}
-            for c in tcols:
-                e = assignments.get(c)
-                base = F.col(c)
-                exprs[c] = base if e is None else F.when(hit, e) \
-                    .otherwise(base)
-            post = _to_target_schema(joined.where(hit), exprs)
-            if mode != "dv":
-                updated = _to_target_schema(joined, exprs)
-            cdc_frames.append((joined.where(hit).select(*tcols),
-                               "update_preimage"))
-            cdc_frames.append((post, "update_postimage"))
+                    exprs[c] = e if isinstance(e, Column) else F.lit(e)
+                for k in keys:
+                    exprs.setdefault(k, F.col(k))
+            inserts = _to_target_schema(anti, exprs).persist()
+            pins.append(inserts)
+            n_ins = inserts.count()
 
-    if not matched and n_ins == 0:
-        if inserts is not None:
-            inserts.unpersist()
+        # pass 2: new contents of the matched files (rewrite mode) / the
+        # changed rows only (dv mode — the full-contents frame is never
+        # planned, matched files survive behind their bitmaps)
+        updated = None
+        post = None                 # dv mode: post-image of changed rows
+        cdc_frames = []             # (changed-rows frame, _change_type)
+        skeys = None                # distinct source keys, shared by joins
+        if matched:
+            cur = qt._df_for_files(matched)
+            if when_matched_delete:
+                # source is pinned above, so the mask scan's key set and the
+                # cdc semi-join see the same rows without re-pinning here
+                skeys = source.select(*keys).distinct()
+                if mode != "dv":
+                    updated = cur.join(skeys, keys, "left_anti")
+                cdc_frames.append(
+                    (cur.join(skeys, keys, "left_semi"), "delete"))
+            else:
+                src = source.select(
+                    *keys, *[F.col(c).alias(f"__src_{c}")
+                             for c in source.columns if c not in keys])
+                if mode == "dv":
+                    # projections of the pinned source: the mask scan's key
+                    # set and the post-image join see the SAME source rows
+                    skeys = src.select(*keys).distinct()
+                joined = cur.join(
+                    src.withColumn("__src__m", F.lit(True)), keys, "left")
+                hit = F.col("__src__m").isNotNull()
+                if when_matched_update == "all":
+                    lacking = [c for c in tcols if c not in source.columns]
+                    if lacking:
+                        raise ValueError(
+                            f"update='all' needs every target column in the "
+                            f"source; missing {lacking}")
+                    assignments = {c: F.col(f"__src_{c}")
+                                   for c in tcols if c not in keys}
+                else:
+                    assignments = {}
+                    for c, e in when_matched_update.items():
+                        if by_name and c not in by_name:
+                            raise ValueError(f"unknown target column {c!r}")
+                        if c in keys:
+                            raise ValueError(f"merge may not update key {c!r}")
+                        e = F.expr(e) if isinstance(e, str) else e
+                        assignments[c] = e if isinstance(e, Column) else F.lit(e)
+                exprs = {}
+                for c in tcols:
+                    e = assignments.get(c)
+                    base = F.col(c)
+                    exprs[c] = base if e is None else F.when(hit, e) \
+                        .otherwise(base)
+                post = _to_target_schema(joined.where(hit), exprs)
+                if mode != "dv":
+                    updated = _to_target_schema(joined, exprs)
+                cdc_frames.append((joined.where(hit).select(*tcols),
+                                   "update_preimage"))
+                cdc_frames.append((post, "update_postimage"))
+
+        if not matched and n_ins == 0:
+            version = None
+            if txn is not None:
+                # a no-op merge must still advance the txn high-water mark
+                # (Delta parity: the txn action rides an otherwise empty
+                # commit) — streaming epochs that matched nothing would
+                # otherwise stay unrecorded, and after a checkpoint loss an
+                # old epoch could re-execute against newer state
+                version = qt.log.commit(
+                    add=[], remove=[], schema_json=snap.schema_json,
+                    data_change=False, operation="MERGE", txn=txn,
+                    read_version=snap.version)
+            return {"version": version, "files_rewritten": 0,
+                    "rows_inserted": 0,
+                    "rows_updated": 0, "rows_deleted": 0,
+                    "files_scanned": int(n_scanned)}
+
+        changed = post if mode == "dv" else updated
+        if matched and when_matched_update is not None:
+            assigned = set(tcols) - set(keys) if when_matched_update == "all" \
+                else set(when_matched_update)
+            # dv mode checks the post rows only — the ones it writes;
+            # unchanged rows are in space already
+            _check_revision_space(qt, snap, changed, assigned)
+        # inserts that fit the revision space index through the existing cube
+        # weights; out-of-space inserts go to the staging lane (revision 0)
+        # inside the same commit — readable now, indexed by the next optimize()
+        replacement, staged = changed, None
+        if inserts is not None and n_ins:
+            rev = snap.latest_revision()
+            if rev is not None and _space_violation(
+                    rev, inserts, set(rev.column_names)) is not None:
+                staged = inserts
+            else:
+                replacement = inserts if replacement is None \
+                    else replacement.unionByName(inserts)
+        from .constraints import constraints_of, validate_constraints
+
+        # only the frames carrying NEW values need checking: updated rows
+        # (when an update clause ran) and inserted rows (staged or in-space);
+        # delete-only rewrites just drop rows
+        checks = constraints_of(snap.properties)
+        if checks:
+            if when_matched_update is not None and changed is not None:
+                validate_constraints(changed, checks, context="MERGE update")
+            if inserts is not None and n_ins:
+                validate_constraints(inserts, checks, context="MERGE insert")
+        # MERGE commits mix rewritten and inserted rows in their add files,
+        # so inserts must be recorded explicitly too (Delta does the same)
+        if inserts is not None and n_ins:
+            cdc_frames.append((inserts, "insert"))
+        cdc = _cdc_of(qt, snap, cdc_frames)
+        if mode == "dv":
+            # matched rows are masked where they sit (raw positions —
+            # already-masked re-hits are union no-ops); replacement carries
+            # only the changed rows + in-space inserts. skeys derives from
+            # the source PINNED before pass 1, so file discovery, the mask
+            # scan, and the post-image join agree on the matched key set.
+            hits = _hit_positions(
+                _raw_positions(qt, matched).join(skeys, keys, "left_semi"))
+            version = _mor_commit(qt, snap, matched, hits, replacement,
+                                  "MERGE", cdc=cdc, staged=staged,
+                                  read_files=list(snap.files.keys()),
+                                  scale=n_matched / max(live, 1), txn=txn)
+        else:
+            version = _rewrite(qt, snap, matched, replacement, staged=staged,
+                               read_files=list(snap.files.keys()),
+                               operation="MERGE", cdc=cdc, txn=txn)
+        return {"version": version,
+                "files_rewritten": 0 if mode == "dv" else len(matched),
+                **({"files_dv": len(matched)} if mode == "dv" else {}),
+                "rows_inserted": int(n_ins),
+                "inserts_staged": staged is not None,
+                "rows_updated": n_matched if when_matched_update is not None
+                else 0,
+                "rows_deleted": n_matched if when_matched_delete else 0,
+                # pass-1 observability: how many files the source-key
+                # bounding box let the match scan read (vs len(snap.files))
+                "files_scanned": int(n_scanned)}
+    finally:
         for p in pins:
             p.unpersist()
-        version = None
-        if txn is not None:
-            # a no-op merge must still advance the txn high-water mark
-            # (Delta parity: the txn action rides an otherwise empty
-            # commit) — streaming epochs that matched nothing would
-            # otherwise stay unrecorded, and after a checkpoint loss an
-            # old epoch could re-execute against newer state
-            version = qt.log.commit(
-                add=[], remove=[], schema_json=snap.schema_json,
-                data_change=False, operation="MERGE", txn=txn,
-                read_version=snap.version)
-        return {"version": version, "files_rewritten": 0,
-                "rows_inserted": 0,
-                "rows_updated": 0, "rows_deleted": 0,
-                "files_scanned": int(n_scanned)}
-
-    changed = post if mode == "dv" else updated
-    if matched and when_matched_update is not None:
-        assigned = set(tcols) - set(keys) if when_matched_update == "all" \
-            else set(when_matched_update)
-        # dv mode checks the post rows only — the ones it writes;
-        # unchanged rows are in space already
-        _check_revision_space(qt, snap, changed, assigned)
-    # inserts that fit the revision space index through the existing cube
-    # weights; out-of-space inserts go to the staging lane (revision 0)
-    # inside the same commit — readable now, indexed by the next optimize()
-    replacement, staged = changed, None
-    if inserts is not None and n_ins:
-        rev = snap.latest_revision()
-        if rev is not None and _space_violation(
-                rev, inserts, set(rev.column_names)) is not None:
-            staged = inserts
-        else:
-            replacement = inserts if replacement is None \
-                else replacement.unionByName(inserts)
-    from .constraints import constraints_of, validate_constraints
-
-    # only the frames carrying NEW values need checking: updated rows
-    # (when an update clause ran) and inserted rows (staged or in-space);
-    # delete-only rewrites just drop rows
-    checks = constraints_of(snap.properties)
-    if checks:
-        if when_matched_update is not None and changed is not None:
-            validate_constraints(changed, checks, context="MERGE update")
-        if inserts is not None and n_ins:
-            validate_constraints(inserts, checks, context="MERGE insert")
-    # MERGE commits mix rewritten and inserted rows in their add files,
-    # so inserts must be recorded explicitly too (Delta does the same)
-    if inserts is not None and n_ins:
-        cdc_frames.append((inserts, "insert"))
-    cdc = _cdc_of(qt, snap, cdc_frames)
-    if mode == "dv":
-        # matched rows are masked where they sit (raw positions —
-        # already-masked re-hits are union no-ops); replacement carries
-        # only the changed rows + in-space inserts. skeys derives from
-        # the source PINNED before pass 1, so file discovery, the mask
-        # scan, and the post-image join agree on the matched key set.
-        hits = _hit_positions(
-            _raw_positions(qt, matched).join(skeys, keys, "left_semi"))
-        version = _mor_commit(qt, snap, matched, hits, replacement,
-                              "MERGE", cdc=cdc, staged=staged,
-                              read_files=list(snap.files.keys()),
-                              scale=n_matched / max(live, 1), txn=txn)
-    else:
-        version = _rewrite(qt, snap, matched, replacement, staged=staged,
-                           read_files=list(snap.files.keys()),
-                           operation="MERGE", cdc=cdc, txn=txn)
-    if inserts is not None:
-        inserts.unpersist()
-    for p in pins:
-        p.unpersist()
-    return {"version": version,
-            "files_rewritten": 0 if mode == "dv" else len(matched),
-            **({"files_dv": len(matched)} if mode == "dv" else {}),
-            "rows_inserted": int(n_ins),
-            "inserts_staged": staged is not None,
-            "rows_updated": n_matched if when_matched_update is not None
-            else 0,
-            "rows_deleted": n_matched if when_matched_delete else 0,
-            # pass-1 observability: how many files the source-key
-            # bounding box let the match scan read (vs len(snap.files))
-            "files_scanned": int(n_scanned)}
 
 
 def _space_violation(rev, df, cols: set):

@@ -659,10 +659,12 @@ class CommitLog:
             v, fmt = int(o["version"]), int(o.get("format", 1))
         except (ValueError, KeyError, json.JSONDecodeError, OSError):
             return None
-        if fmt == 2 and os.path.exists(os.path.join(
-                self.log_dir, f"{v:012d}.checkpoint.meta.json")) \
-                and os.path.exists(os.path.join(
-                    self.log_dir, f"{v:012d}.checkpoint.parquet")):
+        if fmt == 2 and all(os.path.exists(os.path.join(
+                self.log_dir, f"{v:012d}.checkpoint{suffix}"))
+                for suffix in (".meta.json", ".parquet",
+                               ".state.parquet")):
+            # all three artifacts or none: a partially synced log dir
+            # must fall back to the always-correct full JSON replay
             return v, 2
         if os.path.exists(os.path.join(
                 self.log_dir, f"{v:012d}.checkpoint.json")):
@@ -886,8 +888,15 @@ class CommitLog:
                 snap.cube_weights = {}
                 snap.cube_domains = {}
                 snap.revisions = {}
+            # discard (kernel-aware) never materializes the removed
+            # file's IndexFile — a big remove commit after a format-2
+            # seed stays O(#removed) mask flips, not object builds
+            _discard = getattr(snap.files, "discard", None)
             for p in commit.get("remove", []):
-                snap.files.pop(p, None)
+                if _discard is not None:
+                    _discard(p)
+                else:
+                    snap.files.pop(p, None)
             for fo in commit.get("add", []):
                 f = IndexFile.from_json(fo)
                 snap.files[f.path] = f

@@ -201,8 +201,16 @@ class FileKernel:
     # -- bulk accessors (reader-side vectorized pruning) -------------------
 
     def live_rows_sum(self) -> int:
+        """Total logical rows (physical minus DV-masked) — the truncate
+        path's count, object-free."""
         base = int((self.rows[self.alive] - self.dv_card[self.alive]).sum())
         return base + sum(f.live_rows for f in self.tail.values())
+
+    def rows_sum(self) -> int:
+        """Total physical rows — the tolerance-sampling sizer's count,
+        object-free."""
+        return int(self.rows[self.alive].sum()) \
+            + sum(f.rows for f in self.tail.values())
 
     # -- parquet io --------------------------------------------------------
 
@@ -246,7 +254,15 @@ class FileKernel:
             col = name[len(_STATS_MIN) + 1:]
             mn_a = t[name].combine_chunks()
             mx_a = t[_STATS_MAX + "." + col].combine_chunks()
-            present = ~mn_a.is_null().to_numpy(zero_copy_only=False)
+            # presence requires BOTH bounds (a pair with one side
+            # dropped by _coerce_stat must never prune), and — for
+            # floats — both NaN-free: the scalar path's comparisons
+            # against NaN are all False (never excludes), while a
+            # vectorized NaN smuggled through fill-values would prune
+            # files that still hold matching rows (r9 review finding,
+            # reproduced: [1, NaN] range read back as [1, 0.0])
+            present = (~mn_a.is_null().to_numpy(zero_copy_only=False)
+                       & ~mx_a.is_null().to_numpy(zero_copy_only=False))
             typ = mn_a.type
             if pat.is_integer(typ):
                 # fill_null keeps int64 exact (a float64 round trip
@@ -258,10 +274,13 @@ class FileKernel:
                     zero_copy_only=False).astype(np.int64)
             elif pat.is_floating(typ):
                 kind = "f"
-                mns = np.nan_to_num(mn_a.to_numpy(zero_copy_only=False)
-                                    .astype(np.float64))
-                mxs = np.nan_to_num(mx_a.to_numpy(zero_copy_only=False)
-                                    .astype(np.float64))
+                mns = mn_a.to_numpy(zero_copy_only=False) \
+                    .astype(np.float64)
+                mxs = mx_a.to_numpy(zero_copy_only=False) \
+                    .astype(np.float64)
+                present &= ~np.isnan(mns) & ~np.isnan(mxs)
+                mns = np.nan_to_num(mns)
+                mxs = np.nan_to_num(mxs)
             elif pat.is_string(typ) or pat.is_large_string(typ):
                 kind = "s"
                 mns = mn_a.to_numpy(zero_copy_only=False)
@@ -567,6 +586,16 @@ class LazyFiles(dict):
             raise KeyError(p)
         k.remove(p)
         return f
+
+    def discard(self, p) -> None:
+        """Remove ``p`` if present WITHOUT materializing its IndexFile —
+        log replay removes 10^5-10^6 files on a big DELETE/optimize
+        commit and discards pop()'s return value anyway (r9 review)."""
+        k = self._kernel
+        if k is None:
+            super().pop(p, None)
+        else:
+            k.remove(p)
 
     def update(self, *args, **kw):
         self._materialize()

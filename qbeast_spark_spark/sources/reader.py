@@ -516,8 +516,15 @@ class QbeastTable:
                 # file a slow writer may still open reintroduces the
                 # split-lock double-publish race the flock exists to
                 # prevent.
+                # checkpoint staging tmps (".checkpoint*.tmp",
+                # "_last_checkpoint.tmp") are crash orphans too — at
+                # high file counts each is O(#files) bytes, so they
+                # must age out like every other staging residue
                 if ((name.startswith(".commit-") and name.endswith(".tmp"))
-                        or ".json.put" in name):
+                        or ".json.put" in name
+                        or (name.endswith(".tmp")
+                            and (".checkpoint" in name
+                                 or name == "_last_checkpoint.tmp"))):
                     try:
                         if os.path.getmtime(os.path.join(
                                 log_dir, name)) > tmp_cutoff:
@@ -685,7 +692,9 @@ class QbeastTable:
         if not (0.0 < precision):
             raise ValueError("precision must be > 0")
         snap = self.snapshot(refresh=True)
-        total_rows = sum(f.rows for f in snap.files.values())
+        kernel = getattr(snap.files, "kernel", None)
+        total_rows = kernel.rows_sum() if kernel is not None \
+            else sum(f.rows for f in snap.files.values())
         if total_rows == 0:
             return self.to_df(), 1.0
         pilot = (self.sample(min(max(pilot_fraction, 2000.0 / total_rows),

@@ -512,24 +512,20 @@ def test_update_dv_outside_revision_space_raises(spark, table):
                   [("l_orderkey", "<", 100)], mode="dv")
 
 
-def test_update_nondeterministic_predicate_never_reaches_dv(spark,
-                                                            tmp_table):
-    """r8 review: dv mode evaluates the predicate in two jobs (mask
-    scan + post-image write) — a nondeterministic one would lose or
-    duplicate rows. Forced dv raises; auto falls back to rewrite and
-    preserves the row count."""
+def test_update_nondeterministic_predicate_rejected(spark, tmp_table):
+    """r8/r9: EVERY update strategy evaluates the predicate in multiple
+    jobs (match counts, mask or rewrite, CDC), so a Catalyst-proven
+    nondeterministic predicate is rejected in ALL modes (Delta parity —
+    the r8 auto-fallback-to-rewrite still committed a different sample
+    than it reported)."""
     df = spark.createDataFrame([(i, float(i)) for i in range(500)],
                                ["k", "v"])
     qss.write(df, tmp_table, columns_to_index=["k"], cube_size=100)
     qt = qss.QbeastTable.for_path(spark, tmp_table)
-    with pytest.raises(ValueError, match="deterministic"):
-        qt.update({"v": "0.0"}, "rand() < 0.05", mode="dv")
-    out = qt.update({"v": "-1.0"}, "rand() < 0.05")   # auto
-    assert "files_dv" not in out
-    # rewrite preserves the row COUNT even though the pred re-samples
-    # per evaluation (the exact updated set is inherently random)
-    assert qt.to_df().count() == 500
-    assert qt.to_df().where("v = -1.0").count() > 0
+    for mode in ("dv", "rewrite", "auto"):
+        with pytest.raises(ValueError, match="deterministic"):
+            qt.update({"v": "0.0"}, "rand() < 0.05", mode=mode)
+    assert qt.to_df().count() == 500      # nothing committed
 
 
 def test_merge_auto_threshold_split_by_clause(spark, tmp_table):
@@ -581,24 +577,21 @@ def test_delete_update_txn_epochs(spark, tmp_table):
     assert qt.snapshot(refresh=True).txns.get("job") == 5
 
 
-def test_delete_nondeterministic_predicate_never_reaches_dv(spark,
-                                                            tmp_table):
-    """r9 advice: DELETE's dv lane evaluates the predicate in three
-    jobs (match counts, mask scan, CDC frame) — a nondeterministic one
-    would mask a different sample than it reports. Forced dv raises;
-    auto falls back to rewrite and preserves the survivor count."""
+def test_delete_nondeterministic_predicate_rejected(spark, tmp_table):
+    """r9: DELETE evaluates the predicate in three independent jobs
+    (match counts, mask or survivors scan, CDC frame) in EVERY mode, so
+    a Catalyst-proven nondeterministic predicate is rejected outright
+    (Delta parity); deterministic predicates keep working."""
     df = spark.createDataFrame([(i, float(i)) for i in range(500)],
                                ["k", "v"])
     qss.write(df, tmp_table, columns_to_index=["k"], cube_size=100)
     qt = qss.QbeastTable.for_path(spark, tmp_table)
-    with pytest.raises(ValueError, match="deterministic"):
-        qt.delete("rand() < 0.05", mode="dv")
-    out = qt.delete("rand() < 0.05")      # auto -> rewrite
-    assert "files_dv" not in out and out["files_rewritten"] >= 1
-    # rewrite re-samples the pred per evaluation (exact deleted set is
-    # inherently random) but never loses files or duplicates rows
-    assert out["rows_deleted"] > 0
-    assert 0 < qt.to_df().count() < 500
+    for mode in ("dv", "rewrite", "auto"):
+        with pytest.raises(ValueError, match="deterministic"):
+            qt.delete("rand() < 0.05", mode=mode)
+    assert qt.to_df().count() == 500      # nothing committed
+    out = qt.delete([("k", "<", 10)])     # deterministic still works
+    assert out["rows_deleted"] == 10 and qt.to_df().count() == 490
 
 
 def test_merge_pins_nondeterministic_source(spark, tmp_table):
@@ -633,3 +626,20 @@ def test_merge_pins_nondeterministic_source(spark, tmp_table):
     assert qt.to_df().where("tag = 'hit2'").count() == \
         out2["rows_updated"]
     assert qt.to_df().count() == 2000
+
+
+def test_merge_releases_pins_on_error(spark, tmp_table):
+    """r9 review: a merge that raises AFTER pinning its source (e.g.
+    the multiple-source-match guard) must unpersist everything — a
+    retrying caller would otherwise accumulate pinned storage."""
+    df = spark.createDataFrame([(i, float(i)) for i in range(200)],
+                               ["k", "v"])
+    qss.write(df, tmp_table, columns_to_index=["k"], cube_size=100)
+    qt = qss.QbeastTable.for_path(spark, tmp_table)
+    jsc = spark.sparkContext._jsc.sc()
+    base = jsc.getPersistentRDDs().size()
+    dup = spark.createDataFrame([(1, 1.0), (1, 2.0)], ["k", "v"])
+    for _ in range(3):
+        with pytest.raises(ValueError, match="multiple rows"):
+            qt.merge(dup, on="k", when_matched_update="all")
+    assert jsc.getPersistentRDDs().size() == base

@@ -281,3 +281,98 @@ def test_format2_concurrent_appends_consistent(spark, tmp_table):
     legacy = CommitLog(tmp_table).snapshot()
     assert {p: f.to_json() for p, f in seeded.files.items()} \
         == {p: f.to_json() for p, f in legacy.files.items()}
+
+
+def test_kernel_nan_and_half_null_stats_never_prune(spark, tmp_path):
+    """r9 review (confirmed): float NaN bounds and half-null stat pairs
+    must read back as ABSENT stats (never prune) — the scalar path's
+    NaN comparisons are all False, and a NaN smuggled through a fill
+    value as 0.0 would prune files that hold matching rows."""
+    import numpy as np
+
+    from qbeast_spark_spark.core.revision import ColumnToIndex, Revision
+    from qbeast_spark_spark.core.transform import LinearTransformation
+    from qbeast_spark_spark.sources.log import Block, IndexFile, Snapshot
+    from qbeast_spark_spark.sources.metadata import (FileKernel, LazyFiles,
+                                                     _files_arrow_table)
+    import pyarrow.parquet as pq
+
+    files = {
+        "a.parquet": IndexFile("a.parquet", 1, 10, 1,
+                               [Block("0:0", 0, 2 ** 30, 10)],
+                               {"x": [1.0, float("nan")],
+                                "y": [5, 9]}),
+        "b.parquet": IndexFile("b.parquet", 1, 10, 1,
+                               [Block("0:0", 0, 2 ** 30, 10)],
+                               {"x": [2.0, 3.0], "y": [None, 4]}),
+    }
+    fp = str(tmp_path / "files.parquet")
+    t = _files_arrow_table(files, None)
+    pq.write_table(t, fp)
+    k = FileKernel.from_parquet(fp)
+    kind, mns, mxs, present = k.stats["x"]
+    assert kind == "f" and not present[0] and present[1]
+    kind_y, _m, _x, present_y = k.stats["y"]
+    assert not present_y[1], "half-null pair must be absent"
+    snap = Snapshot(str(tmp_path))
+    snap.files = LazyFiles(k)
+    snap.revisions = {1: Revision(1, 0, 100, [ColumnToIndex("z", "")],
+                                  [LinearTransformation(0.0, 1.0)],
+                                  ["double"])}
+    # '=' probe far outside the NaN file's [1.0, NaN->0.0] corrupted
+    # range: with the fix the file has NO x stats and must survive
+    kept = prune_files(snap, [("x", "=", 5.0)])
+    assert "a.parquet" in kept
+    # b's y=[None,4]: half pair, must survive a y probe as well
+    kept2 = prune_files(snap, [("y", ">", 100)])
+    assert "b.parquet" in kept2
+    # the materialized objects also drop the unusable pairs
+    assert "x" not in (k.get("a.parquet").column_stats or {})
+    assert "y" not in (k.get("b.parquet").column_stats or {})
+
+
+def test_format2_partial_sync_falls_back_to_replay(spark, tmp_table):
+    """r9 review: a log dir missing ANY of the three format-2 artifacts
+    (partial rsync/object-store lag) must fall back to full JSON
+    replay, not crash in the seed."""
+    qt, _li = _build_fmt2_table(spark, tmp_table)
+    log_dir = os.path.join(tmp_table, "_qbeast_log")
+    state = [p for p in os.listdir(log_dir)
+             if p.endswith(".checkpoint.state.parquet")]
+    assert state
+    os.remove(os.path.join(log_dir, state[-1]))
+    log = CommitLog(tmp_table)
+    assert log._last_checkpoint_version() is None
+    snap = log.snapshot()          # full replay, no crash
+    assert getattr(snap.files, "kernel", None) is None
+    assert len(snap.files) > 0
+    assert qt.to_df().count() == 3000 + 200 * 9
+
+
+def test_replay_discard_never_materializes(spark, tmp_table):
+    """r9 review: replaying a remove commit on a kernel snapshot flips
+    tombstone bits — it must not build (then discard) IndexFiles."""
+    qt, _li = _build_fmt2_table(spark, tmp_table)
+    qt.delete([("l_orderkey", "<", 1500)])       # a remove-heavy commit
+    snap = CommitLog(tmp_table).snapshot()
+    k = getattr(snap.files, "kernel", None)
+    assert k is not None, "kernel must survive replaying removes"
+    assert not k._singles, "replay materialized removed files"
+
+
+def test_vacuum_cleans_checkpoint_tmps(spark, tmp_table):
+    """Crash-orphaned checkpoint staging tmps (O(#files) bytes each)
+    age out with the other staging residue."""
+    qt, _li = _build_fmt2_table(spark, tmp_table)
+    log_dir = os.path.join(tmp_table, "_qbeast_log")
+    for name in ("000000000099.checkpoint.parquet.tmp",
+                 "000000000099.checkpoint.meta.json.tmp",
+                 "_last_checkpoint.tmp"):
+        with open(os.path.join(log_dir, name), "wb") as fh:
+            fh.write(b"orphan")
+        os.utime(os.path.join(log_dir, name), (0, 0))   # ancient
+    victims = qt.vacuum(dry_run=True, retention_hours=0.0)
+    got = {os.path.basename(v) for v in victims}
+    assert {"000000000099.checkpoint.parquet.tmp",
+            "000000000099.checkpoint.meta.json.tmp",
+            "_last_checkpoint.tmp"} <= got
