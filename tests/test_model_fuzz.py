@@ -27,8 +27,16 @@ def _assert_equal(spark, qt, model: pd.DataFrame, step: str):
     assert g == w, f"{step}: content diverged"
 
 
-@pytest.mark.parametrize("seed", [0xC0FFEE, 7, 20260813, 1010])
-def test_random_op_sequences_match_model(spark, tmp_table, seed):
+@pytest.mark.parametrize("seed,ckpt_fmt", [
+    (0xC0FFEE, "auto"), (7, "auto"), (20260813, "auto"), (1010, "auto"),
+    # r9: the same harness with format-2 (parquet) checkpoints FORCED,
+    # so every verb in the sequence runs against kernel-backed
+    # snapshots (LazyFiles mutation, columnar checkpoint round-trips,
+    # DV + restore + optimize interactions with the tombstone/tail
+    # state) — the interaction shake-out for sources/metadata.py
+    (0xC0FFEE, "parquet"), (31337, "parquet")])
+def test_random_op_sequences_match_model(spark, tmp_table, seed,
+                                         ckpt_fmt):
     import qbeast_spark_spark as qss
 
     li = load(spark, "lineitem").limit(4000)
@@ -44,6 +52,8 @@ def test_random_op_sequences_match_model(spark, tmp_table, seed):
               cube_size=400)
     model = init.copy()
     qt = qss.QbeastTable.for_path(spark, tmp_table)
+    if ckpt_fmt != "auto":
+        qt.set_properties({"qbeast.checkpoint.format": ckpt_fmt})
     versions = {qt.snapshot().version: model.copy()}
     appended = 0
 
