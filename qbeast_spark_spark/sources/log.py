@@ -775,12 +775,27 @@ class CommitLog:
 
         with open(meta_path) as fh:
             state = json.load(fh)
+        from .metadata import LazyCubeState
+
         snap = Snapshot(self.table_path, version=state["version"])
         base = os.path.join(self.log_dir, f"{version:012d}")
         snap.files = LazyFiles(
             FileKernel.from_parquet(base + ".checkpoint.parquet"))
-        w, d = _read_cube_state_parquet(base + ".checkpoint.state.parquet")
-        snap.cube_weights, snap.cube_domains = w, d
+        # weights/domains stay lazy: the O(#cubes) dict build is the
+        # dominant residual seed cost at 10^6 cubes and only WRITE
+        # paths read them; post-checkpoint replay merges go to the
+        # overlay (associative min/sum). One shared cell so the two
+        # views parse the state parquet once.
+        state_path = base + ".checkpoint.state.parquet"
+        cell: Dict[str, Any] = {}
+
+        def _load():
+            if "v" not in cell:
+                cell["v"] = _read_cube_state_parquet(state_path)
+            return cell["v"]
+
+        snap.cube_weights = LazyCubeState(lambda: _load()[0], "min")
+        snap.cube_domains = LazyCubeState(lambda: _load()[1], "sum")
         snap.revisions = {int(k): Revision.from_json(r)
                           for k, r in state.get("revisions", {}).items()}
         snap.schema_json = state.get("schema")
@@ -902,11 +917,21 @@ class CommitLog:
                 snap.files[f.path] = f
             for rid_s, robj in commit.get("revisions", {}).items():
                 snap.revisions[int(rid_s)] = Revision.from_json(robj)
+            # lazy (format-2) state takes replay merges as overlays
+            # without loading the base; plain dicts merge in place
+            mp_w = getattr(snap.cube_weights, "merge_pending", None)
             for rid_s, weights in commit.get("cubeWeights", {}).items():
+                if mp_w is not None:
+                    mp_w(int(rid_s), weights)
+                    continue
                 dst = snap.cube_weights.setdefault(int(rid_s), {})
                 for cube, w in weights.items():
                     dst[cube] = min(dst.get(cube, w), w)
+            mp_d = getattr(snap.cube_domains, "merge_pending", None)
             for rid_s, doms in commit.get("cubeDomains", {}).items():
+                if mp_d is not None:
+                    mp_d(int(rid_s), doms)
+                    continue
                 dst_d = snap.cube_domains.setdefault(int(rid_s), {})
                 for cube, d in doms.items():
                     dst_d[cube] = dst_d.get(cube, 0.0) + d

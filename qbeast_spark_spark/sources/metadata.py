@@ -486,6 +486,137 @@ def _files_arrow_table(files, align_schema=None):
     return pa.table(arrays, names=names)
 
 
+class LazyCubeState(dict):
+    """Lazy ``Snapshot.cube_weights`` / ``cube_domains`` for format-2
+    seeds: the per-cube dicts (O(#cubes) Python dict build — the
+    dominant remaining seed cost at 10^6 cubes) load from the state
+    parquet only when a WRITE path actually reads them. Post-checkpoint
+    replay merges land in per-revision OVERLAYS without loading — both
+    merge ops are associative (weights: min, domains: sum), so
+    materialization applies the overlay onto the loaded base and gets
+    exactly the eager result.
+
+    ``kind`` is "min" (weights) or "sum" (domains)."""
+
+    def __init__(self, loader, kind: str):
+        super().__init__()
+        self._loader = loader       # () -> Dict[int, Dict[str, num]]
+        self._kind = kind
+        self._overlay: Dict[int, Dict] = {}
+
+    def merge_pending(self, rid: int, items: Dict) -> None:
+        """Replay-side merge of one commit's per-cube payload — never
+        loads the base."""
+        if self._loader is None:
+            dst = super().setdefault(rid, {})
+            if self._kind == "min":
+                for cube, w in items.items():
+                    dst[cube] = min(dst.get(cube, w), w)
+            else:
+                for cube, d in items.items():
+                    dst[cube] = dst.get(cube, 0.0) + d
+            return
+        dst = self._overlay.setdefault(rid, {})
+        if self._kind == "min":
+            for cube, w in items.items():
+                dst[cube] = min(dst.get(cube, w), w)
+        else:
+            for cube, d in items.items():
+                dst[cube] = dst.get(cube, 0.0) + d
+
+    def reset(self) -> None:
+        """resetStats replay: drop base AND overlay (the overwrite
+        commit starts per-revision state from scratch)."""
+        self._loader = None
+        self._overlay = {}
+        super().clear()
+
+    def _materialize(self) -> None:
+        loader = self._loader
+        if loader is None:
+            return
+        self._loader = None
+        base = loader()
+        for rid, items in self._overlay.items():
+            dst = base.setdefault(rid, {})
+            if self._kind == "min":
+                for cube, w in items.items():
+                    dst[cube] = min(dst.get(cube, w), w)
+            else:
+                for cube, d in items.items():
+                    dst[cube] = dst.get(cube, 0.0) + d
+        self._overlay = {}
+        super().update(base)
+
+    # every read/write materializes (write paths want the real dicts)
+    def __len__(self):
+        self._materialize()
+        return super().__len__()
+
+    def __bool__(self):
+        # cheap liveness probe: any base or pending state counts
+        if self._loader is not None:
+            return True if self._overlay else len(self) > 0
+        return super().__len__() > 0
+
+    def __iter__(self):
+        self._materialize()
+        return super().__iter__()
+
+    def __contains__(self, k):
+        self._materialize()
+        return super().__contains__(k)
+
+    def __getitem__(self, k):
+        self._materialize()
+        return super().__getitem__(k)
+
+    def get(self, k, default=None):
+        self._materialize()
+        return super().get(k, default)
+
+    def keys(self):
+        self._materialize()
+        return super().keys()
+
+    def values(self):
+        self._materialize()
+        return super().values()
+
+    def items(self):
+        self._materialize()
+        return super().items()
+
+    def setdefault(self, k, default=None):
+        self._materialize()
+        return super().setdefault(k, default)
+
+    def __setitem__(self, k, v):
+        self._materialize()
+        super().__setitem__(k, v)
+
+    def pop(self, k, *default):
+        self._materialize()
+        return super().pop(k, *default)
+
+    def update(self, *a, **kw):
+        self._materialize()
+        super().update(*a, **kw)
+
+    def __eq__(self, other):
+        self._materialize()
+        return dict(self) == other
+
+    def __ne__(self, other):
+        return not self.__eq__(other)
+
+    __hash__ = None
+
+    def __reduce__(self):
+        self._materialize()
+        return (dict, (dict(self),))
+
+
 class LazyFiles(dict):
     """Dict facade over a FileKernel (see module docstring). The dict
     part stays EMPTY while the kernel is active; whole-collection reads

@@ -376,3 +376,48 @@ def test_vacuum_cleans_checkpoint_tmps(spark, tmp_table):
     assert {"000000000099.checkpoint.parquet.tmp",
             "000000000099.checkpoint.meta.json.tmp",
             "_last_checkpoint.tmp"} <= got
+
+
+def test_lazy_cube_state_overlay_semantics(tmp_path):
+    """LazyCubeState: replay merges land in the overlay without
+    loading; materialization equals the eager merge. min (weights) and
+    sum (domains) both covered, plus resetStats."""
+    from qbeast_spark_spark.sources.log import (
+        _read_cube_state_parquet, _write_cube_state_parquet)
+    from qbeast_spark_spark.sources.metadata import LazyCubeState
+
+    base_w = {1: {"0:0": 100, "1:1": 50}}
+    base_d = {1: {"0:0": 10.0, "1:1": 5.0}}
+    p = os.path.join(str(tmp_path), "s.parquet")
+    _write_cube_state_parquet(base_w, base_d, p)
+    loads = []
+
+    def loader_w():
+        loads.append("w")
+        return _read_cube_state_parquet(p)[0]
+
+    def loader_d():
+        loads.append("d")
+        return _read_cube_state_parquet(p)[1]
+
+    w = LazyCubeState(loader_w, "min")
+    d = LazyCubeState(loader_d, "sum")
+    # replay merges: no load happens
+    w.merge_pending(1, {"0:0": 80, "2:2": 70})    # min with base 100
+    w.merge_pending(1, {"0:0": 90})               # loses to 80
+    d.merge_pending(1, {"0:0": 2.0})
+    d.merge_pending(2, {"9:9": 1.0})
+    assert not loads, "merge_pending must not load the base"
+    assert bool(w) and bool(d)                    # overlay counts
+    assert not loads
+    # materialization == eager result
+    assert w[1] == {"0:0": 80, "1:1": 50, "2:2": 70}
+    assert d[1] == {"0:0": 12.0, "1:1": 5.0}
+    assert d[2] == {"9:9": 1.0}
+    assert loads == ["w", "d"]
+    # resetStats drops everything, later merges apply to empty state
+    w2 = LazyCubeState(loader_w, "min")
+    w2.merge_pending(1, {"0:0": 80})
+    w2.reset()
+    w2.merge_pending(1, {"5:5": 7})
+    assert dict(w2) == {1: {"5:5": 7}}
