@@ -212,6 +212,50 @@ class FileKernel:
         return int(self.rows[self.alive].sum()) \
             + sum(f.rows for f in self.tail.values())
 
+    # -- maintenance tallies (sources/maintenance.py policy checks) ---------
+    #
+    # auto_maintain runs on the streaming sink's hot path every
+    # ``maintain_every`` batches; at 10^6 files an object walk costs the
+    # full materialize_all price per policy check. Each tally is one
+    # vectorized pass over the base arrays plus an object walk of the
+    # (small, post-checkpoint) tail.
+
+    def staging_rows_sum(self, staging_id: int) -> int:
+        """Live rows across staging-revision files."""
+        m = self.alive & (self.revision_ids == staging_id)
+        base = int((self.rows[m] - self.dv_card[m]).sum())
+        return base + sum(f.live_rows for f in self.tail.values()
+                          if f.revision_id == staging_id)
+
+    def live_revision_ids(self, staging_id: int) -> List[int]:
+        """Sorted distinct non-staging revision ids with live files."""
+        revs = self.revision_ids[self.alive]
+        ids = {int(r) for r in np.unique(revs)} \
+            | {f.revision_id for f in self.tail.values()}
+        ids.discard(staging_id)
+        return sorted(ids)
+
+    def small_file_count(self, max_bytes: int) -> int:
+        """Live files strictly smaller than ``max_bytes``."""
+        return int((self.sizes[self.alive] < max_bytes).sum()) \
+            + sum(1 for f in self.tail.values() if f.size < max_bytes)
+
+    def paths_in_revision(self, rid: int) -> List[str]:
+        """Live file paths in one revision — array-level (no IndexFile
+        builds); paid only when a maintenance step actually triggers."""
+        m = self.alive & (self.revision_ids == rid)
+        return [str(p) for p in self.paths[m]] \
+            + [f.path for f in self.tail.values() if f.revision_id == rid]
+
+    def paths_excluding_revisions(self, excluded) -> List[str]:
+        """Live file paths whose revision is NOT in ``excluded``."""
+        ex = np.fromiter(excluded, dtype=np.int64)
+        m = self.alive & ~np.isin(self.revision_ids, ex)
+        exset = set(excluded)
+        return [str(p) for p in self.paths[m]] \
+            + [f.path for f in self.tail.values()
+               if f.revision_id not in exset]
+
     # -- parquet io --------------------------------------------------------
 
     @staticmethod
