@@ -264,6 +264,62 @@ def _pred_deterministic(qt, snap, residual) -> bool:
     return _pred_determinism(qt, snap, residual) is True
 
 
+# Analyzed-plan leaves whose re-evaluation yields the same rows within
+# one merge call: file relations capture their file LIST at analysis
+# time (only an in-place overwrite mid-call could differ — the exposure
+# every multi-action Spark job has), local/RDD-backed rows are pinned
+# in memory, Range is pure. Anything else (streaming leaves, views over
+# external systems, unknown sources) -> not provably stable.
+_RESCAN_SAFE_LEAVES = frozenset({
+    "LogicalRelation", "LocalRelation", "LogicalRDD", "Range",
+    "OneRowRelation"})
+# Node shapes whose OUTPUT can differ across re-evaluations even with
+# deterministic expressions: limits pick arbitrary rows (AQE can change
+# which partitions feed CollectLimit), Sample's row pick depends on the
+# physical partition layout.
+_RESCAN_UNSAFE_NODES = frozenset({"Sample", "GlobalLimit", "LocalLimit"})
+
+
+def _source_safe_to_rescan(source) -> bool:
+    """Catalyst's verdict on whether re-evaluating the merge source in
+    several jobs (key box agg, match counts, dv mask scan, post-image /
+    insert joins) yields the SAME rows each time — Delta's
+    materialize-source gate (it skips materialization when the source
+    plan is deterministic over stable scans; reference behavior:
+    MergeIntoMaterializeSource). True only when every node's expressions
+    are deterministic, no node is a limit/sample, no subqueries hide,
+    and every leaf is a rescan-stable relation. Unknown/unanalyzable
+    shapes return False — the caller pins."""
+    try:
+        stack = [source._jdf.queryExecution().analyzed()]
+        budget = 500                    # degenerate mega-plans: just pin
+        while stack:
+            budget -= 1
+            if budget < 0:
+                return False
+            n = stack.pop()
+            name = n.nodeName()
+            if name in _RESCAN_UNSAFE_NODES:
+                return False
+            exprs = n.expressions()
+            for i in range(exprs.size()):
+                if not exprs.apply(i).deterministic():
+                    return False
+            if n.subqueries().size() > 0:
+                return False
+            kids = n.children()
+            m = kids.size()
+            if m == 0:
+                if name not in _RESCAN_SAFE_LEAVES:
+                    return False
+            else:
+                for i in range(m):
+                    stack.append(kids.apply(i))
+        return True
+    except Exception:
+        return False
+
+
 def _reject_nondeterministic(qt, snap, residual, verb: str) -> None:
     """Raise when Catalyst proves the predicate nondeterministic —
     regardless of physical mode (rewrite evaluates it independently in
@@ -667,7 +723,8 @@ def merge_rows(spark, path: str, source, on,
                when_matched_update=None, when_matched_delete: bool = False,
                when_not_matched_insert=None, mode: str = "auto",
                txn_app_id: Optional[str] = None,
-               txn_version: Optional[int] = None) -> dict:
+               txn_version: Optional[int] = None,
+               materialize_source: str = "auto") -> dict:
     """MERGE INTO <path> USING <source> ON <equi keys> — the upsert verb
     the reference hands to the DeltaTable API at the cost of its index;
     here the table stays fully qbeast-readable (module docstring).
@@ -703,7 +760,16 @@ def merge_rows(spark, path: str, source, on,
     like write_qbeast's streaming epochs: a merge replayed with an
     (appId, version) at or below the table's recorded high-water mark
     is skipped before any work (and race-free again inside the commit),
-    the foundation of the streaming upsert sink."""
+    the foundation of the streaming upsert sink.
+
+    ``materialize_source`` (Delta's merge materialize-source knob):
+    ``"auto"`` (default) persists the source only when Catalyst cannot
+    prove its plan rescan-stable (nondeterministic expressions,
+    limits/samples, subqueries, or non-file leaves) — deterministic
+    sources such as the streaming upsert sink's per-batch frame run
+    unpinned; ``"all"`` always persists (an expensive source recomputed
+    by merge's ~4 jobs); ``"none"`` never persists (caller guarantees
+    stability)."""
     from pyspark.sql import Column
     from pyspark.sql import functions as F
 
@@ -711,6 +777,9 @@ def merge_rows(spark, path: str, source, on,
 
     if mode not in ("rewrite", "dv", "auto"):
         raise ValueError(f"unknown merge mode {mode!r}")
+    if materialize_source not in ("auto", "all", "none"):
+        raise ValueError(
+            f"unknown materialize_source {materialize_source!r}")
     if (txn_app_id is None) != (txn_version is None):
         raise ValueError("txn_app_id and txn_version must be set together")
     keys = [on] if isinstance(on, str) else list(on)
@@ -766,7 +835,10 @@ def merge_rows(spark, path: str, source, on,
     # re-read of mutating files) would give each pass a different row
     # sample — matched files undiscovered, masks disagreeing with the
     # recorded keys. Delta materializes its MERGE source for the same
-    # reason before finding touched files.
+    # reason — but ONLY when the source plan is not provably
+    # rescan-stable; a deterministic plan over stable scans yields the
+    # same rows in every pass, so pinning it is pure overhead (the
+    # streaming upsert sink pays it per batch — VERDICT r9 Next #3).
     # Every frame pinned below (the source, the insert set) is released
     # in the finally: merge raises on multiple-source-match, unknown
     # columns, constraint and revision-space violations AFTER pinning,
@@ -774,8 +846,11 @@ def merge_rows(spark, path: str, source, on,
     # lifetime (r9 review) — a retrying streaming upsert sink would
     # accumulate them until eviction pressure or OOM.
     pins = []                   # persisted frames, released in finally
-    source = source.persist()
-    pins.append(source)
+    if materialize_source == "all" or (
+            materialize_source == "auto"
+            and not _source_safe_to_rescan(source)):
+        source = source.persist()
+        pins.append(source)
     try:
 
         # pass 1: which files contain a matched row (column-pruned key scan).

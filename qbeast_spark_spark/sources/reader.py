@@ -956,7 +956,8 @@ class QbeastTable:
               when_matched_delete: bool = False,
               when_not_matched_insert=None, mode: str = "auto",
               txn_app_id: Optional[str] = None,
-              txn_version: Optional[int] = None) -> dict:
+              txn_version: Optional[int] = None,
+              materialize_source: str = "auto") -> dict:
         """MERGE INTO (upsert): equi-key merge of ``source`` into this
         table — matched rows updated (``"all"`` or {col: expr}, source
         columns visible as ``__src_<name>``) or deleted, not-matched
@@ -974,7 +975,8 @@ class QbeastTable:
                          when_matched_delete=when_matched_delete,
                          when_not_matched_insert=when_not_matched_insert,
                          mode=mode, txn_app_id=txn_app_id,
-                         txn_version=txn_version)
+                         txn_version=txn_version,
+                         materialize_source=materialize_source)
         self._snapshot = None
         return out
 

@@ -643,3 +643,83 @@ def test_merge_releases_pins_on_error(spark, tmp_table):
         with pytest.raises(ValueError, match="multiple rows"):
             qt.merge(dup, on="k", when_matched_update="all")
     assert jsc.getPersistentRDDs().size() == base
+
+
+def test_source_safe_to_rescan_shapes(spark):
+    """Catalyst-proof gate for merge's source pin (r10): deterministic
+    plans over stable leaves are rescan-safe; rand/sample/limit/
+    subqueries/streams are not."""
+    from qbeast_spark_spark.sources.dml import _source_safe_to_rescan
+
+    pq = load(spark, "nation")
+    assert _source_safe_to_rescan(pq)
+    assert _source_safe_to_rescan(
+        pq.where("n_nationkey > 3").select("n_name", "n_nationkey"))
+    assert _source_safe_to_rescan(
+        pq.join(pq.select("n_nationkey"), "n_nationkey")
+        .groupBy("n_regionkey" if "n_regionkey" in pq.columns else
+                 "n_nationkey").agg(F.count("*").alias("c")))
+    assert _source_safe_to_rescan(
+        spark.createDataFrame([(1, "a")], "k int, v string"))
+    assert _source_safe_to_rescan(spark.range(5))
+    # unsafe shapes
+    assert not _source_safe_to_rescan(pq.where(F.rand(7) > 0.5))
+    assert not _source_safe_to_rescan(pq.sample(0.5, seed=1))
+    assert not _source_safe_to_rescan(pq.limit(3))
+    pq.createOrReplaceTempView("__rescan_nation")
+    assert not _source_safe_to_rescan(spark.sql(
+        "select * from __rescan_nation where n_nationkey > "
+        "(select min(n_nationkey) from __rescan_nation)"))
+    spark.catalog.dropTempView("__rescan_nation")
+
+
+def test_merge_source_pin_skipped_for_deterministic_source(
+        spark, tmp_table, monkeypatch):
+    """Delta materialize-source parity (VERDICT r9 Next #3): a merge
+    whose source plan Catalyst proves rescan-stable runs WITHOUT the
+    source persist — the streaming upsert sink's per-batch shape — while
+    materialize_source='all' and nondeterministic sources still pin."""
+    df = spark.createDataFrame([(i, float(i)) for i in range(1000)],
+                               ["k", "v"])
+    qss.write(df, tmp_table, columns_to_index=["k"], cube_size=200)
+    qt = qss.QbeastTable.for_path(spark, tmp_table)
+
+    # patch the CONCRETE DataFrame class (pyspark 4's classic subclass
+    # overrides persist, so patching the pyspark.sql.DataFrame base
+    # would intercept nothing)
+    cls = type(df)
+    calls = []
+    orig = cls.persist
+
+    def counting(self, *a, **kw):
+        calls.append(self)
+        return orig(self, *a, **kw)
+
+    monkeypatch.setattr(cls, "persist", counting)
+
+    # deterministic insert-only upsert: only the INSERT frame pins
+    src = spark.createDataFrame([(i, -1.0) for i in range(1000, 1100)],
+                                ["k", "v"])
+    out = qt.merge(src, on="k", when_matched_update="all",
+                   when_not_matched_insert="all")
+    assert out["rows_inserted"] == 100 and out["rows_updated"] == 0
+    n_auto = len(calls)
+
+    calls.clear()
+    src2 = spark.createDataFrame([(i, -2.0) for i in range(1100, 1200)],
+                                 ["k", "v"])
+    qt.merge(src2, on="k", when_matched_update="all",
+             when_not_matched_insert="all", materialize_source="all")
+    assert len(calls) == n_auto + 1, "materialize_source='all' must pin"
+
+    calls.clear()
+    src3 = (spark.range(0, 1000, 1, 8).withColumnRenamed("id", "k")
+            .where("rand() < 0.05").withColumn("v", F.lit(-3.0)))
+    qt.merge(src3, on="k", when_matched_update="all")
+    assert len(calls) >= 1, "nondeterministic source must still pin"
+
+    with pytest.raises(ValueError, match="materialize_source"):
+        qt.merge(src2, on="k", when_matched_update="all",
+                 materialize_source="never")
+
+    assert qt.to_df().where("k >= 1000").count() == 200
