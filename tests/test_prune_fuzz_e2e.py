@@ -489,12 +489,14 @@ def test_qsql_multi_table_lift_lane_equals_plain_spark(spark,
 
 def test_qsql_left_join_lift_lane_equals_plain_spark(spark,
                                                      tmp_path_factory):
-    """r9: the random predicate grammar driven through the LEFT-JOIN
-    WHERE lift — the indexed table on the PRESERVED side, randomly
-    chained with a further inner join. Soundness contract identical to
-    the r8 inner-join lane: row-checksum equality with the plain-Spark
-    left join, qbeast input files a subset of the recomputed candidate
-    set, and a healthy pruned share."""
+    """r9 (+r10 RIGHT mirror): the random predicate grammar driven
+    through the outer-join WHERE lift — the indexed table on the
+    PRESERVED side of a LEFT JOIN (leading the chain) or of a RIGHT
+    JOIN (directly after it), randomly chained with a further inner
+    join. Soundness contract identical to the r8 inner-join lane:
+    row-checksum equality with the plain-Spark outer join, qbeast
+    input files a subset of the recomputed candidate set, and a
+    healthy pruned share."""
     import re as _re
 
     import qbeast_spark_spark as qss
@@ -527,10 +529,21 @@ def test_qsql_left_join_lift_lane_equals_plain_spark(spark,
         q = _tree(rng, 2)
         q_sql = col_rx.sub(r"t.\1", q) if rng.random() < 0.6 else q
         chain = rng.random() < 0.5
-        stmt = (f"SELECT {', '.join('t.' + c for c in cols)} FROM qli t "
-                f"LEFT JOIN odim o ON t.l_orderkey = o.o_orderkey ")
-        twin = base.join(orders, base.l_orderkey == orders.o_orderkey,
-                         "left")
+        sel = ", ".join("t." + c for c in cols)
+        if rng.random() < 0.5:
+            stmt = (f"SELECT {sel} FROM qli t "
+                    f"LEFT JOIN odim o ON t.l_orderkey = o.o_orderkey ")
+            twin = base.join(orders,
+                             base.l_orderkey == orders.o_orderkey,
+                             "left")
+        else:
+            # RIGHT mirror: qli directly after the RIGHT JOIN is the
+            # preserved side — same lift, symmetric shape
+            stmt = (f"SELECT {sel} FROM odim o "
+                    f"RIGHT JOIN qli t ON t.l_orderkey = o.o_orderkey ")
+            twin = orders.join(base,
+                               base.l_orderkey == orders.o_orderkey,
+                               "right")
         if chain:
             # a further INNER join after the LEFT: t stays preserved
             stmt += ("JOIN odim p ON t.l_orderkey = p.o_orderkey ")

@@ -1378,3 +1378,89 @@ def test_left_join_nullable_side_results_exact(spark, join_cat):
            .join(orders, li.l_orderkey == orders.o_orderkey, "left_anti")
            .count())
     assert got == exp
+
+
+def test_right_join_preserved_side_lifts(spark, join_cat):
+    """r10 (VERDICT r9 next #5): the table directly after a RIGHT JOIN
+    is its PRESERVED side — never null-extended, so its WHERE conjuncts
+    prune soundly. Files shrink, results exact vs plain Spark."""
+    cat = join_cat
+    li = load(spark, "lineitem")
+    orders = load(spark, "orders")
+    got = cat._join_table_predicate(
+        "SELECT * FROM plain_orders o RIGHT JOIN qli t "
+        "ON t.l_orderkey = o.o_orderkey WHERE t.l_orderkey < 200",
+        cat.tables())
+    assert "qli" in got and "l_orderkey < 200" in got["qli"][0]
+    full = cat.sql(
+        "SELECT t.l_orderkey FROM plain_orders o RIGHT JOIN qli t "
+        "ON t.l_orderkey = o.o_orderkey")
+    pruned = cat.sql(
+        "SELECT t.l_orderkey, o.o_custkey FROM plain_orders o "
+        "RIGHT JOIN qli t ON t.l_orderkey = o.o_orderkey "
+        "WHERE t.l_orderkey < 200")
+    qli_full = len([f for f in full.inputFiles() if "/qli/" in f])
+    qli_p = len([f for f in pruned.inputFiles() if "/qli/" in f])
+    assert 0 < qli_p < qli_full
+    exp = (orders.join(li.filter("l_orderkey < 200"),
+                       li.l_orderkey == orders.o_orderkey, "right")
+           .count())
+    assert pruned.count() == exp
+
+
+def test_right_join_chain_positions(spark, join_cat):
+    """RIGHT-chain shapes: an occurrence lifts iff no top-level RIGHT
+    JOIN comes AFTER it (a RIGHT JOIN null-extends the whole
+    accumulated left side) and it does not directly follow a LEFT."""
+    cat = join_cat
+    jp = cat._join_table_predicate
+    entries = cat.tables()
+    W = "WHERE t.l_orderkey < 50"
+    # qli after RIGHT [OUTER] JOIN -> preserved, lifts
+    for kw in ("RIGHT JOIN", "RIGHT OUTER JOIN"):
+        got = jp(f"SELECT * FROM plain_orders o {kw} qli t ON "
+                 f"t.l_orderkey = o.o_orderkey {W}", entries)
+        assert "qli" in got, kw
+    # a further INNER join after -> still preserved, lifts
+    got = jp("SELECT * FROM plain_orders o RIGHT JOIN qli t ON "
+             "t.l_orderkey = o.o_orderkey JOIN plain_orders p ON "
+             f"t.l_orderkey = p.o_orderkey {W}", entries)
+    assert "qli" in got
+    # qli BEFORE a top-level RIGHT JOIN -> whole left side
+    # null-extended, no lift
+    assert jp("SELECT * FROM qli t RIGHT JOIN plain_orders o ON "
+              f"t.l_orderkey = o.o_orderkey {W}", entries) == {}
+    assert jp("SELECT * FROM plain_orders o RIGHT JOIN qli t ON "
+              "t.l_orderkey = o.o_orderkey RIGHT JOIN plain_orders p "
+              f"ON t.l_orderkey = p.o_orderkey {W}", entries) == {}
+    # qli directly after LEFT JOIN stays rejected even in a RIGHT-free
+    # chain (regression: the LEFT rule is unchanged)
+    assert jp("SELECT * FROM plain_orders o LEFT JOIN qli t ON "
+              f"o.o_orderkey = t.l_orderkey {W}", entries) == {}
+    # a RIGHT JOIN inside a derived-table subquery AFTER qli is
+    # depth>0 — it cannot null-extend this level, qli still lifts
+    got = jp("SELECT * FROM qli t JOIN (SELECT a.o_orderkey FROM "
+             "plain_orders a RIGHT JOIN plain_orders b ON "
+             "a.o_orderkey = b.o_orderkey) p ON "
+             f"t.l_orderkey = p.o_orderkey {W}", entries)
+    assert "qli" in got
+    # FULL stays rejected wholesale
+    assert jp("SELECT * FROM plain_orders o FULL OUTER JOIN qli t ON "
+              f"o.o_orderkey = t.l_orderkey {W}", entries) == {}
+
+
+def test_right_join_nullable_side_results_exact(spark, join_cat):
+    """The left (null-extended) side's IS-NULL probe stays exact when
+    the RIGHT-preserved qbeast table's conjuncts are lifted."""
+    cat = join_cat
+    li = load(spark, "lineitem")
+    orders = load(spark, "orders")
+    got = cat.sql(
+        "SELECT COUNT(*) AS n FROM plain_orders o RIGHT JOIN qli t "
+        "ON t.l_orderkey = o.o_orderkey "
+        "WHERE t.l_orderkey < 300 AND o.o_orderkey IS NULL"
+    ).collect()[0].n
+    exp = (li.filter("l_orderkey < 300")
+           .join(orders, li.l_orderkey == orders.o_orderkey,
+                 "left_anti").count())
+    assert got == exp
