@@ -1089,6 +1089,30 @@ class QbeastTable:
 
     # -- introspection ------------------------------------------------------
 
+    def viz(self, out_dir: Optional[str] = None,
+            revision_id: Optional[int] = None,
+            fraction: float = 0.02) -> Dict[str, Any]:
+        """qviz parity (reference utils/visualizer/qviz/qviz.py:14-77):
+        per-revision cube tree with sampled-cube highlighting. Returns
+        the tree as plain data (functions/viz.cube_tree) and, when
+        ``out_dir`` is given, also writes ``index_tree.json`` (full
+        fidelity) and ``index_tree.html`` (self-contained static SVG —
+        no dash/server needed) there, adding their paths under
+        ``"json_path"``/``"html_path"``."""
+        from ..functions import viz as _viz
+
+        snap = self.snapshot(refresh=True)
+        tree = _viz.cube_tree(snap, revision_id, fraction)
+        if out_dir:
+            tree = dict(tree)
+            tree["json_path"] = _viz.export_json(
+                snap, os.path.join(out_dir, "index_tree.json"),
+                revision_id, fraction)
+            tree["html_path"] = _viz.export_html(
+                snap, os.path.join(out_dir, "index_tree.html"),
+                revision_id, fraction)
+        return tree
+
     def index_metrics(self) -> Dict[str, Any]:
         """O5 — IndexMetrics.scala:26-137 analogue over the block metadata."""
         snap = self.snapshot(refresh=True)
