@@ -542,11 +542,26 @@ class LazyCubeState(dict):
 
     ``kind`` is "min" (weights) or "sum" (domains)."""
 
-    def __init__(self, loader, kind: str):
+    def __init__(self, loader, kind: str, source_path: str = None):
         super().__init__()
         self._loader = loader       # () -> Dict[int, Dict[str, num]]
         self._kind = kind
         self._overlay: Dict[int, Dict] = {}
+        # state-parquet this base loads from, when known: lets the next
+        # checkpoint WRITE copy the base forward (plus a vectorized
+        # overlay merge) instead of materializing the dicts
+        self.source_path = source_path
+
+    @property
+    def is_lazy(self) -> bool:
+        """Base not yet materialized and not reset."""
+        return self._loader is not None
+
+    @property
+    def pending_overlay(self) -> Dict[int, Dict]:
+        """Replay merges accumulated since the seed (valid only while
+        ``is_lazy``; materialization folds and clears it)."""
+        return self._overlay
 
     def merge_pending(self, rid: int, items: Dict) -> None:
         """Replay-side merge of one commit's per-cube payload — never

@@ -487,3 +487,59 @@ def test_auto_maintain_noop_keeps_kernel_columnar(spark, tmp_table):
     # and the snapshot the policy check used really was kernel-backed
     assert getattr(CL(tmp_table).snapshot().files, "kernel", None) \
         is not None
+
+
+def test_checkpoint_state_copy_forward_equals_eager(spark, tmp_table):
+    """r10 (VERDICT r9 #7): a checkpoint written from a still-lazy
+    format-2 snapshot copies the previous state parquet forward (plus a
+    vectorized overlay merge) instead of materializing the cube dicts —
+    and the result must be byte-equivalent IN STATE to the eager
+    writer's output and to the full-JSON-replay truth."""
+    from qbeast_spark_spark.sources.log import (
+        _copy_forward_cube_state, _read_cube_state_parquet)
+
+    qt, li = _build_fmt2_table(spark, tmp_table)
+    # two more appends -> replay overlays on top of the checkpoint base
+    for _ in range(2):
+        qss.write(li.limit(150), tmp_table,
+                  columns_to_index=["l_orderkey", "l_extendedprice"],
+                  cube_size=500)
+    log = CommitLog(tmp_table)
+    snap = log.snapshot()
+    cw, cd = snap.cube_weights, snap.cube_domains
+    assert cw.is_lazy and cd.is_lazy
+    assert cw.pending_overlay, "expected replay overlays"
+
+    dst = os.path.join(tmp_table, "cf.state.parquet")
+    assert _copy_forward_cube_state(cw, cd, dst)
+    assert cw.is_lazy and cd.is_lazy, "copy-forward must not materialize"
+    got_w, got_d = _read_cube_state_parquet(dst)
+
+    # truth: the full JSON replay (what a legacy engine computes)
+    os.remove(os.path.join(tmp_table, "_qbeast_log", "_last_checkpoint"))
+    truth = CommitLog(tmp_table).snapshot()
+    assert got_w == {k: dict(v) for k, v in truth.cube_weights.items()}
+    assert sorted(got_d) == sorted(truth.cube_domains)
+    for rid, items in truth.cube_domains.items():
+        assert got_d[rid] == pytest.approx(dict(items))
+
+
+def test_checkpoint_write_keeps_lazy_state_and_reads_back(spark,
+                                                          tmp_table):
+    """End-to-end through _write_checkpoint: the no-overlay shape is a
+    pure file copy, laziness survives the write, and a snapshot seeded
+    from the NEW checkpoint equals one seeded from the old."""
+    qt, li = _build_fmt2_table(spark, tmp_table)
+    log = CommitLog(tmp_table)
+    snap = log.snapshot()
+    cw = snap.cube_weights
+    if not cw.pending_overlay:      # seed exactly at the checkpoint
+        assert cw.is_lazy
+    before = {k: dict(v) for k, v in log.snapshot().cube_weights.items()}
+    log._write_checkpoint(snap)
+    assert snap.cube_weights.is_lazy or not cw.pending_overlay
+    seeded = log._seed_from_checkpoint(snap.version)
+    assert {k: dict(v) for k, v in seeded.cube_weights.items()} == before
+    # and reads through the new checkpoint stay exact
+    assert qt.to_df().count() == \
+        sum(f.live_rows for f in seeded.files.values())
