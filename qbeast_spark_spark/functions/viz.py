@@ -19,10 +19,13 @@ a live server; this engine exports the same content dependency-free:
   JSON, and a self-contained SVG tree (no JS dependencies; sampled
   cubes highlighted, maxWeight labels, the sampling summary inlined).
 
-Everything is O(#cubes + #blocks) driver work over the snapshot — the
-same metadata-bounded shape as ``index_metrics``; no data is scanned.
-Parent links are derived arithmetically from the (depth, path-int)
-encoding instead of the reference's per-level O(n^2) prefix scan.
+Everything is metadata-bounded driver work over the snapshot — the
+same shape as ``index_metrics``; no data is scanned. On a format-2
+snapshot the block walk runs over the FileKernel arrays (one pandas
+groupby — the LazyFiles facade is never materialized, so the cached
+snapshot keeps its vectorized pruning path); parent links are derived
+arithmetically from the (depth, path-int) encoding instead of the
+reference's per-level O(n^2) prefix scan.
 """
 
 from __future__ import annotations
@@ -32,23 +35,81 @@ import json
 import os
 from typing import Any, Dict, List, Optional
 
-from ..core.weight import INT_MIN, RANGE
+import numpy as np
+
+from ..core.weight import INT_MIN, RANGE, weight_to_fraction
+from ..sources.metadata import _parse_cube
 
 __all__ = ["cube_tree", "sampling_info", "export_json", "export_html"]
 
 _ROOT = "0:0"
 
 
-def _normalize_weight(w: int) -> float:
+def _normalize_weight(w) -> float:
     """Weight -> NormalizedWeight, reference Block.normalize_weight
-    (block.py:39-49): fraction of the int32 range, clamped to [0, 1],
-    3 decimals."""
-    return round(max(0.0, min(1.0, (w - INT_MIN) / RANGE)), 3)
+    (block.py:39-49): core weight_to_fraction clamped to [0, 1], 3
+    decimals."""
+    return round(max(0.0, min(1.0, weight_to_fraction(w))), 3)
 
 
-def _parse_cube(s: str):
-    d, _, p = s.partition(":")
-    return int(d), int(p or "0", 16)
+def _norm_arr(w):
+    """Vectorized ``_normalize_weight`` over an int array."""
+    return np.round(np.clip((w - INT_MIN) / RANGE, 0.0, 1.0), 3)
+
+
+def _block_frame_from_kernel(kernel, revision_id: int):
+    """(block rows, file_meta) off the FileKernel arrays + its object
+    tail — no IndexFile materialization, no LazyFiles drop."""
+    import pandas as pd
+
+    m_file = kernel.alive & (kernel.revision_ids == revision_id)
+    m_blk = m_file[kernel.b_file]
+    cols = {
+        "cube": kernel.b_cube[m_blk],
+        "minw": kernel.b_minw[m_blk],
+        "maxw": kernel.b_maxw[m_blk],
+        "count": kernel.b_count[m_blk],
+        "path": kernel.paths[kernel.b_file[m_blk]],
+    }
+    file_meta = {p: (int(s), int(r)) for p, s, r in
+                 zip(kernel.paths[m_file], kernel.sizes[m_file],
+                     kernel.rows[m_file])}
+    tails = [[], [], [], [], []]
+    for f in kernel.tail.values():
+        if f.revision_id != revision_id:
+            continue
+        file_meta[f.path] = (f.size, f.rows)
+        for b in f.blocks:
+            tails[0].append(b.cube)
+            tails[1].append(b.min_weight)
+            tails[2].append(b.max_weight)
+            tails[3].append(b.count)
+            tails[4].append(f.path)
+    df = pd.DataFrame(cols)
+    if tails[0]:
+        df = pd.concat([df, pd.DataFrame(dict(zip(
+            ("cube", "minw", "maxw", "count", "path"), tails)))],
+            ignore_index=True)
+    return df, file_meta
+
+
+def _block_frame_from_objects(files, revision_id: int):
+    import pandas as pd  # noqa: F811 — lazy import in both frame builders
+
+    rows = [[], [], [], [], []]
+    file_meta = {}
+    for f in files:
+        if f.revision_id != revision_id:
+            continue
+        file_meta[f.path] = (f.size, f.rows)
+        for b in f.blocks:
+            rows[0].append(b.cube)
+            rows[1].append(b.min_weight)
+            rows[2].append(b.max_weight)
+            rows[3].append(b.count)
+            rows[4].append(f.path)
+    return pd.DataFrame(dict(zip(
+        ("cube", "minw", "maxw", "count", "path"), rows))), file_meta
 
 
 def cube_tree(snapshot, revision_id: Optional[int] = None,
@@ -74,33 +135,41 @@ def cube_tree(snapshot, revision_id: Optional[int] = None,
             f"no revision {revision_id}; available: {sorted(revs)}")
     dims = rev.dims
 
+    kernel = getattr(snapshot.files, "kernel", None)
+    if kernel is not None:
+        df, file_meta = _block_frame_from_kernel(kernel, revision_id)
+    else:
+        df, file_meta = _block_frame_from_objects(
+            snapshot.files.values(), revision_id)
+
     cubes: Dict[str, Dict[str, Any]] = {}
-    file_meta: Dict[str, tuple] = {}
-    for f in snapshot.files.values():
-        if f.revision_id != revision_id:
-            continue
-        file_meta[f.path] = (f.size, f.rows)
-        for b in f.blocks:
-            c = cubes.get(b.cube)
-            if c is None:
-                c = cubes[b.cube] = {
-                    "depth": _parse_cube(b.cube)[0],
-                    "parent": None, "children": [],
-                    "max_weight": 1.0, "min_weight": 1.0,
-                    "element_count": 0, "blocks": 0,
-                    "files": set(),
-                }
-            c["max_weight"] = min(c["max_weight"],
-                                  _normalize_weight(b.max_weight))
-            c["min_weight"] = min(c["min_weight"],
-                                  _normalize_weight(b.min_weight))
-            c["element_count"] += b.count
-            c["blocks"] += 1
-            c["files"].add(f.path)
+    if len(df):
+        df["minw_n"] = _norm_arr(df["minw"].to_numpy())
+        df["maxw_n"] = _norm_arr(df["maxw"].to_numpy())
+        g = df.groupby("cube", sort=False)
+        agg = g.agg(max_weight=("maxw_n", "min"),
+                    min_weight=("minw_n", "min"),
+                    element_count=("count", "sum"),
+                    blocks=("count", "size"))
+        files_of = (df.drop_duplicates(["cube", "path"])
+                    .groupby("cube", sort=False)["path"].agg(list))
+        for cid, row in agg.iterrows():
+            files = sorted(files_of[cid])
+            c = {
+                "depth": _parse_cube(cid)[0],
+                "parent": None,
+                "children": [],
+                "max_weight": float(row["max_weight"]),
+                "min_weight": float(row["min_weight"]),
+                "element_count": int(row["element_count"]),
+                "blocks": int(row["blocks"]),
+                "files": files,
+                "size_bytes": sum(file_meta[p][0] for p in files),
+            }
             if fraction is not None:
                 # block.is_sampled: normalized minWeight <= fraction
-                hit = _normalize_weight(b.min_weight) <= fraction
-                c["sampled"] = c.get("sampled", False) or hit
+                c["sampled"] = bool(row["min_weight"] <= fraction)
+            cubes[cid] = c
 
     # parent/child links, arithmetic over (depth, path-int): the parent
     # of (d, p) drops the last dims bits of the path
@@ -113,12 +182,8 @@ def cube_tree(snapshot, revision_id: Optional[int] = None,
         pc = cubes.get(parent)
         if pc is not None:
             pc["children"].append(cid)
-
     for c in cubes.values():
         c["children"].sort(key=_parse_cube)
-        files = sorted(c.pop("files"))
-        c["files"] = files
-        c["size_bytes"] = sum(file_meta[p][0] for p in files)
 
     out: Dict[str, Any] = {
         "revision_id": revision_id,
@@ -162,9 +227,12 @@ def sampling_info(cubes: Dict[str, Dict[str, Any]], file_meta,
 
 def export_json(snapshot, out_path: str,
                 revision_id: Optional[int] = None,
-                fraction: Optional[float] = None) -> str:
-    """Write ``cube_tree`` as JSON; returns the path."""
-    tree = cube_tree(snapshot, revision_id, fraction)
+                fraction: Optional[float] = None,
+                tree: Optional[Dict[str, Any]] = None) -> str:
+    """Write ``cube_tree`` as JSON; returns the path. Pass a prebuilt
+    ``tree`` to skip recomputing it."""
+    if tree is None:
+        tree = cube_tree(snapshot, revision_id, fraction)
     os.makedirs(os.path.dirname(os.path.abspath(out_path)), exist_ok=True)
     with open(out_path, "w") as fh:
         json.dump(tree, fh, indent=1, sort_keys=True)
@@ -207,13 +275,16 @@ def _layout(tree: Dict[str, Any]) -> Dict[str, tuple]:
 
 def export_html(snapshot, out_path: str,
                 revision_id: Optional[int] = None,
-                fraction: float = 0.02) -> str:
+                fraction: float = 0.02,
+                tree: Optional[Dict[str, Any]] = None) -> str:
     """Self-contained HTML/SVG view of the cube tree: one circle per
     cube labeled with its normalized maxWeight (the reference graph's
     node label, qviz.py:60-66), sampled cubes at ``fraction``
     highlighted, edges to children, SamplingInfo summary inlined.
-    Dependency-free static file; returns the path."""
-    tree = cube_tree(snapshot, revision_id, fraction)
+    Dependency-free static file; returns the path. Pass a prebuilt
+    ``tree`` to skip recomputing it."""
+    if tree is None:
+        tree = cube_tree(snapshot, revision_id, fraction)
     cubes = tree["cubes"]
     truncated = 0
     if len(cubes) > _MAX_SVG_CUBES:

@@ -265,19 +265,27 @@ def _pred_deterministic(qt, snap, residual) -> bool:
 
 
 # Analyzed-plan leaves whose re-evaluation yields the same rows within
-# one merge call: file relations capture their file LIST at analysis
-# time (only an in-place overwrite mid-call could differ — the exposure
-# every multi-action Spark job has), local/RDD-backed rows are pinned
-# in memory, Range is pure. Anything else (streaming leaves, views over
-# external systems, unknown sources) -> not provably stable.
+# one merge call: local/RDD-backed rows are pinned in memory, Range is
+# pure. "LogicalRelation" is safe ONLY over a HadoopFsRelation (file
+# scans capture their file LIST at analysis time; only an in-place
+# overwrite mid-call could differ — the exposure every multi-action
+# Spark job has). The same node name also fronts JDBC and other
+# external V1 relations whose rescans hit a LIVE external system — a
+# concurrent writer there would give each merge pass different rows, so
+# those pin (r10 review).
 _RESCAN_SAFE_LEAVES = frozenset({
-    "LogicalRelation", "LocalRelation", "LogicalRDD", "Range",
-    "OneRowRelation"})
-# Node shapes whose OUTPUT can differ across re-evaluations even with
-# deterministic expressions: limits pick arbitrary rows (AQE can change
-# which partitions feed CollectLimit), Sample's row pick depends on the
-# physical partition layout.
-_RESCAN_UNSAFE_NODES = frozenset({"Sample", "GlobalLimit", "LocalLimit"})
+    "LocalRelation", "LogicalRDD", "Range", "OneRowRelation"})
+# Inner-node WHITELIST: shapes whose output ROW SET is a deterministic
+# function of their (deterministic-expression) inputs. Everything not
+# listed pins — notably Sample and Global/LocalLimit/Offset (arbitrary
+# row picks that AQE / partition layout can change between runs) and
+# Window (rank/row_number over tied orderings can break ties
+# differently per shuffle execution — SPARK-23207 class).
+_RESCAN_SAFE_INNER = frozenset({
+    "Project", "Filter", "Join", "Aggregate", "SubqueryAlias",
+    "Deduplicate", "Distinct", "Union", "Sort", "Repartition",
+    "RepartitionByExpression", "ResolvedHint", "UnresolvedHint",
+    "Expand", "Generate", "Intersect", "Except"})
 
 
 def _source_safe_to_rescan(source) -> bool:
@@ -286,10 +294,11 @@ def _source_safe_to_rescan(source) -> bool:
     insert joins) yields the SAME rows each time — Delta's
     materialize-source gate (it skips materialization when the source
     plan is deterministic over stable scans; reference behavior:
-    MergeIntoMaterializeSource). True only when every node's expressions
-    are deterministic, no node is a limit/sample, no subqueries hide,
-    and every leaf is a rescan-stable relation. Unknown/unanalyzable
-    shapes return False — the caller pins."""
+    MergeIntoMaterializeSource). True only when every node is on the
+    rescan-stable whitelist with deterministic expressions, no
+    subqueries hide, and every leaf is a pinned/local relation or a
+    file scan. Unknown/unanalyzable shapes return False — the caller
+    pins."""
     try:
         stack = [source._jdf.queryExecution().analyzed()]
         budget = 500                    # degenerate mega-plans: just pin
@@ -299,8 +308,6 @@ def _source_safe_to_rescan(source) -> bool:
                 return False
             n = stack.pop()
             name = n.nodeName()
-            if name in _RESCAN_UNSAFE_NODES:
-                return False
             exprs = n.expressions()
             for i in range(exprs.size()):
                 if not exprs.apply(i).deterministic():
@@ -310,8 +317,14 @@ def _source_safe_to_rescan(source) -> bool:
             kids = n.children()
             m = kids.size()
             if m == 0:
-                if name not in _RESCAN_SAFE_LEAVES:
+                if name == "LogicalRelation":
+                    rel = n.relation().getClass().getSimpleName()
+                    if rel != "HadoopFsRelation":
+                        return False
+                elif name not in _RESCAN_SAFE_LEAVES:
                     return False
+            elif name not in _RESCAN_SAFE_INNER:
+                return False
             else:
                 for i in range(m):
                     stack.append(kids.apply(i))

@@ -1104,13 +1104,13 @@ class QbeastTable:
         snap = self.snapshot(refresh=True)
         tree = _viz.cube_tree(snap, revision_id, fraction)
         if out_dir:
-            tree = dict(tree)
-            tree["json_path"] = _viz.export_json(
+            json_path = _viz.export_json(
                 snap, os.path.join(out_dir, "index_tree.json"),
-                revision_id, fraction)
-            tree["html_path"] = _viz.export_html(
+                tree=tree)
+            html_path = _viz.export_html(
                 snap, os.path.join(out_dir, "index_tree.html"),
-                revision_id, fraction)
+                tree=tree)
+            tree = dict(tree, json_path=json_path, html_path=html_path)
         return tree
 
     def index_metrics(self) -> Dict[str, Any]:

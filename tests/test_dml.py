@@ -666,6 +666,14 @@ def test_source_safe_to_rescan_shapes(spark):
     assert not _source_safe_to_rescan(pq.where(F.rand(7) > 0.5))
     assert not _source_safe_to_rescan(pq.sample(0.5, seed=1))
     assert not _source_safe_to_rescan(pq.limit(3))
+    assert not _source_safe_to_rescan(pq.offset(3))
+    # Window: tied orderings can break differently per shuffle
+    # execution even with deterministic expressions (r10 review)
+    from pyspark.sql import Window
+    rn = F.row_number().over(
+        Window.partitionBy("n_regionkey").orderBy("n_name"))
+    assert not _source_safe_to_rescan(
+        pq.withColumn("rn", rn).where("rn = 1"))
     pq.createOrReplaceTempView("__rescan_nation")
     assert not _source_safe_to_rescan(spark.sql(
         "select * from __rescan_nation where n_nationkey > "

@@ -110,3 +110,32 @@ def test_viz_svg_truncation_cap(spark, tmp_table, monkeypatch):
         html = fh.read()
     assert html.count("<circle") == 4
     assert re.search(rf"{n - 4} truncated", html)
+
+
+def test_viz_kernel_path_equals_object_walk(spark, tmp_table):
+    """r10 review: on a format-2 snapshot cube_tree walks the
+    FileKernel arrays — identical output to the object walk, and the
+    cached snapshot keeps its kernel (no LazyFiles materialization)."""
+    from qbeast_spark_spark.sources.log import CommitLog
+
+    li = load(spark, "lineitem")
+    qss.write(li.limit(3000), tmp_table,
+              columns_to_index=["l_orderkey", "l_extendedprice"],
+              cube_size=400)
+    qt = qss.QbeastTable.for_path(spark, tmp_table)
+    qt.set_properties({"qbeast.checkpoint.format": "parquet"})
+    for _ in range(10):
+        qss.write(li.limit(200), tmp_table,
+                  columns_to_index=["l_orderkey", "l_extendedprice"],
+                  cube_size=400)
+    log = CommitLog(tmp_table)
+    ksnap = log.snapshot()
+    assert getattr(ksnap.files, "kernel", None) is not None
+    a = viz.cube_tree(ksnap, fraction=0.03)
+    assert getattr(ksnap.files, "kernel", None) is not None, \
+        "viz must not materialize the kernel snapshot"
+    osnap = log.snapshot()
+    list(osnap.files.values())
+    assert getattr(osnap.files, "kernel", None) is None
+    b = viz.cube_tree(osnap, fraction=0.03)
+    assert a == b
