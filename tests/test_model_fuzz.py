@@ -34,7 +34,10 @@ def _assert_equal(spark, qt, model: pd.DataFrame, step: str):
     # snapshots (LazyFiles mutation, columnar checkpoint round-trips,
     # DV + restore + optimize interactions with the tombstone/tail
     # state) — the interaction shake-out for sources/metadata.py
-    (0xC0FFEE, "parquet"), (31337, "parquet")])
+    (0xC0FFEE, "parquet"), (31337, "parquet"),
+    # r10: fresh seeds on the round-10 tree (state copy-forward +
+    # kernel maintenance tallies in play)
+    (424242, "auto"), (0xBEEF, "parquet")])
 def test_random_op_sequences_match_model(spark, tmp_table, seed,
                                          ckpt_fmt):
     import qbeast_spark_spark as qss
