@@ -240,6 +240,28 @@ class FileKernel:
         return int((self.sizes[self.alive] < max_bytes).sum()) \
             + sum(1 for f in self.tail.values() if f.size < max_bytes)
 
+    def detail_tallies(self, staging_id: int, small_bytes: int) -> Dict:
+        """DESCRIBE-DETAIL aggregates (reader.detail) in one pass over
+        the arrays + the small tail."""
+        a = self.alive
+        out = {
+            "numFiles": len(self),
+            "numRows": int((self.rows[a] - self.dv_card[a]).sum()),
+            "sizeInBytes": int(self.sizes[a].sum()),
+            "numSmallFiles": int((self.sizes[a] < small_bytes).sum()),
+            "numDV": int(np.not_equal(self.dv_json[a], None).sum()),
+            "numStaging": int((self.revision_ids[a] == staging_id).sum()),
+            "revisions": {int(r) for r in np.unique(self.revision_ids[a])},
+        }
+        for f in self.tail.values():
+            out["numRows"] += f.live_rows
+            out["sizeInBytes"] += f.size
+            out["numSmallFiles"] += f.size < small_bytes
+            out["numDV"] += bool(f.dv)
+            out["numStaging"] += f.revision_id == staging_id
+            out["revisions"].add(f.revision_id)
+        return out
+
     def paths_in_revision(self, rid: int) -> List[str]:
         """Live file paths in one revision — array-level (no IndexFile
         builds); paid only when a maintenance step actually triggers."""

@@ -319,20 +319,35 @@ class QbeastTable:
         from .constraints import constraints_of
 
         snap = self.snapshot(refresh=True)
-        files = list(snap.files.values())
+        small = 32 * 1024 * 1024
+        kernel = getattr(snap.files, "kernel", None)
+        if kernel is not None:
+            # format-2: one pass over the kernel arrays — detail() on a
+            # 10^6-file table must not materialize IndexFile objects
+            t = kernel.detail_tallies(STAGING_REVISION_ID, small)
+        else:
+            files = list(snap.files.values())
+            t = {
+                "numFiles": len(files),
+                "numRows": sum(f.live_rows for f in files),
+                "sizeInBytes": sum(f.size for f in files),
+                "numSmallFiles": sum(1 for f in files if f.size < small),
+                "numDV": sum(1 for f in files if f.dv),
+                "numStaging": sum(
+                    1 for f in files
+                    if f.revision_id == STAGING_REVISION_ID),
+                "revisions": {f.revision_id for f in files},
+            }
         return {
             "location": self.path,
             "version": snap.version,
-            "numFiles": len(files),
-            "numRows": sum(f.live_rows for f in files),
-            "sizeInBytes": sum(f.size for f in files),
-            "numSmallFiles(<32MB)": sum(
-                1 for f in files if f.size < 32 * 1024 * 1024),
-            "numFilesWithDeletionVectors": sum(1 for f in files if f.dv),
-            "numStagingFiles": sum(
-                1 for f in files
-                if f.revision_id == STAGING_REVISION_ID),
-            "revisions": sorted({f.revision_id for f in files}),
+            "numFiles": t["numFiles"],
+            "numRows": t["numRows"],
+            "sizeInBytes": t["sizeInBytes"],
+            "numSmallFiles(<32MB)": t["numSmallFiles"],
+            "numFilesWithDeletionVectors": t["numDV"],
+            "numStagingFiles": t["numStaging"],
+            "revisions": sorted(t["revisions"]),
             "constraints": sorted(constraints_of(snap.properties)),
             "properties": dict(snap.properties),
         }

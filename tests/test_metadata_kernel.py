@@ -543,3 +543,40 @@ def test_checkpoint_write_keeps_lazy_state_and_reads_back(spark,
     # and reads through the new checkpoint stay exact
     assert qt.to_df().count() == \
         sum(f.live_rows for f in seeded.files.values())
+
+
+def test_detail_kernel_equals_object_walk(spark, tmp_table):
+    """r10: DESCRIBE-DETAIL tallies off the kernel arrays == the object
+    walk, without materializing the snapshot (detail() is a dashboard
+    call a 10^6-file table answers from metadata)."""
+    qt, li = _build_fmt2_table(spark, tmp_table)
+    qt.append_staging(li.limit(100))
+    qt.delete([("l_orderkey", "<", 30)])        # some DVs or rewrites
+    qss.write(li.limit(60), tmp_table,
+              columns_to_index=["l_orderkey", "l_extendedprice"],
+              cube_size=500)
+
+    from qbeast_spark_spark.core.revision import STAGING_REVISION_ID
+
+    # detail() refreshes and must land on a kernel-backed snapshot
+    assert getattr(CommitLog(tmp_table).snapshot().files,
+                   "kernel", None) is not None
+    d_kernel = qt.detail()
+
+    # truth: the object walk over a materialized twin of the snapshot
+    osnap = CommitLog(tmp_table).snapshot()
+    files = list(osnap.files.values())
+    small = 32 * 1024 * 1024
+    assert d_kernel["numFiles"] == len(files)
+    assert d_kernel["numRows"] == sum(f.live_rows for f in files)
+    assert d_kernel["sizeInBytes"] == sum(f.size for f in files)
+    assert d_kernel["numSmallFiles(<32MB)"] == sum(
+        1 for f in files if f.size < small)
+    assert d_kernel["numFilesWithDeletionVectors"] == sum(
+        1 for f in files if f.dv)
+    assert d_kernel["numStagingFiles"] == sum(
+        1 for f in files
+        if f.revision_id == STAGING_REVISION_ID) >= 1
+    assert d_kernel["revisions"] == sorted({f.revision_id
+                                            for f in files})
+    assert d_kernel["numRows"] == qt.to_df().count()
