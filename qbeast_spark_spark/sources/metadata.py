@@ -262,6 +262,15 @@ class FileKernel:
             out["revisions"].add(f.revision_id)
         return out
 
+    def live_dvs(self) -> List[dict]:
+        """Parsed DV descriptors of live files — O(#DVs) JSON parses
+        after an array-level null filter (vacuum's sidecar-liveness
+        set, object-free)."""
+        a = self.dv_json[self.alive]
+        out = [json.loads(s) for s in a[np.not_equal(a, None)]]
+        out += [f.dv for f in self.tail.values() if f.dv]
+        return out
+
     def paths_in_revision(self, rid: int) -> List[str]:
         """Live file paths in one revision — array-level (no IndexFile
         builds); paid only when a maintenance step actually triggers."""

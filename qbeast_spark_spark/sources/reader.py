@@ -466,13 +466,15 @@ class QbeastTable:
         # superseded by later deletes or dropped by optimize rewrites go
         from .deletion_vectors import DVDescriptor, dv_abs_path
 
+        kernel = getattr(snap.files, "kernel", None)
+        dv_dicts = kernel.live_dvs() if kernel is not None \
+            else [f.dv for f in snap.files.values() if f.dv]
         live_dvs = set()
-        for f in snap.files.values():
-            if f.dv:
-                p = dv_abs_path(self.path, DVDescriptor.from_json(f.dv))
-                if p:
-                    live_dvs.add(os.path.relpath(os.path.abspath(p),
-                                                 os.path.abspath(self.path)))
+        for dv in dv_dicts:
+            p = dv_abs_path(self.path, DVDescriptor.from_json(dv))
+            if p:
+                live_dvs.add(os.path.relpath(os.path.abspath(p),
+                                             os.path.abspath(self.path)))
         cutoff = _time.time() - retention_hours * 3600.0
         victims = []
         for name in os.listdir(self.path):

@@ -580,3 +580,24 @@ def test_detail_kernel_equals_object_walk(spark, tmp_table):
     assert d_kernel["revisions"] == sorted({f.revision_id
                                             for f in files})
     assert d_kernel["numRows"] == qt.to_df().count()
+
+
+def test_vacuum_dv_liveness_on_kernel_snapshot(spark, tmp_table):
+    """r10: vacuum's DV-sidecar liveness set comes off the kernel's
+    dv_json array on format-2 snapshots — a live bitmap must survive a
+    zero-retention dry run, and reads stay exact afterwards."""
+    qt, li = _build_fmt2_table(spark, tmp_table)
+    before = qt.to_df().count()
+    out = qt.delete([("l_orderkey", "<", 80)], mode="dv")
+    assert out["rows_deleted"] > 0
+    snap = CommitLog(tmp_table).snapshot()
+    assert getattr(snap.files, "kernel", None) is not None
+    assert snap.files.kernel.live_dvs() or any(
+        f.dv for f in snap.files.values())
+    dv_files = [n for n in os.listdir(tmp_table)
+                if n.startswith("deletion_vector_")]
+    assert dv_files
+    victims = qt.vacuum(dry_run=True, retention_hours=0.0)
+    assert not (set(dv_files) & set(victims)), \
+        "vacuum would delete a live DV sidecar"
+    assert qt.to_df().count() == before - out["rows_deleted"]
