@@ -37,7 +37,7 @@ from typing import Any, Dict, List, Optional
 
 import numpy as np
 
-from ..core.weight import INT_MIN, RANGE, weight_to_fraction
+from ..core.weight import INT_MIN, RANGE
 from ..sources.metadata import _parse_cube
 
 __all__ = ["cube_tree", "sampling_info", "export_json", "export_html"]
@@ -45,15 +45,10 @@ __all__ = ["cube_tree", "sampling_info", "export_json", "export_html"]
 _ROOT = "0:0"
 
 
-def _normalize_weight(w) -> float:
-    """Weight -> NormalizedWeight, reference Block.normalize_weight
-    (block.py:39-49): core weight_to_fraction clamped to [0, 1], 3
-    decimals."""
-    return round(max(0.0, min(1.0, weight_to_fraction(w))), 3)
-
-
 def _norm_arr(w):
-    """Vectorized ``_normalize_weight`` over an int array."""
+    """Weight -> NormalizedWeight, vectorized — reference
+    Block.normalize_weight (block.py:39-49): core weight_to_fraction
+    ((w - INT_MIN) / RANGE) clamped to [0, 1], 3 decimals."""
     return np.round(np.clip((w - INT_MIN) / RANGE, 0.0, 1.0), 3)
 
 
@@ -74,22 +69,14 @@ def _block_frame_from_kernel(kernel, revision_id: int):
     file_meta = {p: (int(s), int(r)) for p, s, r in
                  zip(kernel.paths[m_file], kernel.sizes[m_file],
                      kernel.rows[m_file])}
-    tails = [[], [], [], [], []]
-    for f in kernel.tail.values():
-        if f.revision_id != revision_id:
-            continue
-        file_meta[f.path] = (f.size, f.rows)
-        for b in f.blocks:
-            tails[0].append(b.cube)
-            tails[1].append(b.min_weight)
-            tails[2].append(b.max_weight)
-            tails[3].append(b.count)
-            tails[4].append(f.path)
     df = pd.DataFrame(cols)
-    if tails[0]:
-        df = pd.concat([df, pd.DataFrame(dict(zip(
-            ("cube", "minw", "maxw", "count", "path"), tails)))],
-            ignore_index=True)
+    # the (small) post-checkpoint tail holds real IndexFile objects —
+    # reuse the object walk for it
+    tail_df, tail_meta = _block_frame_from_objects(
+        kernel.tail.values(), revision_id)
+    if len(tail_df):
+        df = pd.concat([df, tail_df], ignore_index=True)
+    file_meta.update(tail_meta)
     return df, file_meta
 
 
@@ -153,23 +140,23 @@ def cube_tree(snapshot, revision_id: Optional[int] = None,
                     blocks=("count", "size"))
         files_of = (df.drop_duplicates(["cube", "path"])
                     .groupby("cube", sort=False)["path"].agg(list))
-        for cid, row in agg.iterrows():
-            files = sorted(files_of[cid])
+        for t in agg.itertuples():       # iterrows costs 10-50x more
+            files = sorted(files_of[t.Index])
             c = {
-                "depth": _parse_cube(cid)[0],
+                "depth": _parse_cube(t.Index)[0],
                 "parent": None,
                 "children": [],
-                "max_weight": float(row["max_weight"]),
-                "min_weight": float(row["min_weight"]),
-                "element_count": int(row["element_count"]),
-                "blocks": int(row["blocks"]),
+                "max_weight": float(t.max_weight),
+                "min_weight": float(t.min_weight),
+                "element_count": int(t.element_count),
+                "blocks": int(t.blocks),
                 "files": files,
                 "size_bytes": sum(file_meta[p][0] for p in files),
             }
             if fraction is not None:
                 # block.is_sampled: normalized minWeight <= fraction
-                c["sampled"] = bool(row["min_weight"] <= fraction)
-            cubes[cid] = c
+                c["sampled"] = bool(t.min_weight <= fraction)
+            cubes[t.Index] = c
 
     # parent/child links, arithmetic over (depth, path-int): the parent
     # of (d, p) drops the last dims bits of the path

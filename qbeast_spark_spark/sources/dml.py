@@ -278,14 +278,39 @@ _RESCAN_SAFE_LEAVES = frozenset({
 # Inner-node WHITELIST: shapes whose output ROW SET is a deterministic
 # function of their (deterministic-expression) inputs. Everything not
 # listed pins — notably Sample and Global/LocalLimit/Offset (arbitrary
-# row picks that AQE / partition layout can change between runs) and
+# row picks that AQE / partition layout can change between runs),
 # Window (rank/row_number over tied orderings can break ties
-# differently per shuffle execution — SPARK-23207 class).
+# differently per shuffle execution — SPARK-23207 class), and
+# Deduplicate with a key SUBSET (dropDuplicates(subset) keeps an
+# arbitrary row per key — same class; whole-row dedup / df.distinct()
+# is set-deterministic and allowed by an arity check in the walk).
 _RESCAN_SAFE_INNER = frozenset({
     "Project", "Filter", "Join", "Aggregate", "SubqueryAlias",
-    "Deduplicate", "Distinct", "Union", "Sort", "Repartition",
+    "Deduplicate", "Union", "Sort", "Repartition",
     "RepartitionByExpression", "ResolvedHint", "UnresolvedHint",
     "Expand", "Generate", "Intersect", "Except"})
+# Aggregate functions Catalyst marks deterministic whose VALUE is
+# order-dependent (first/last/any_value): an Aggregate over them
+# yields different non-key values per re-execution, so they pin.
+_ORDER_DEPENDENT_EXPRS = frozenset({"First", "Last", "AnyValue"})
+
+
+def _exprs_order_dependent(node, budget: int = 2000) -> bool:
+    """Walk the node's expression trees for order-dependent aggregate
+    functions (budget-capped; exhaustion counts as order-dependent)."""
+    exprs = node.expressions()
+    stack = [exprs.apply(i) for i in range(exprs.size())]
+    while stack:
+        budget -= 1
+        if budget < 0:
+            return True
+        e = stack.pop()
+        if e.getClass().getSimpleName() in _ORDER_DEPENDENT_EXPRS:
+            return True
+        kids = e.children()
+        for i in range(kids.size()):
+            stack.append(kids.apply(i))
+    return False
 
 
 def _source_safe_to_rescan(source) -> bool:
@@ -311,6 +336,14 @@ def _source_safe_to_rescan(source) -> bool:
             exprs = n.expressions()
             for i in range(exprs.size()):
                 if not exprs.apply(i).deterministic():
+                    return False
+            if name == "Aggregate" and _exprs_order_dependent(n):
+                return False
+            if name == "Deduplicate":
+                # whole-row dedup (df.distinct(), dropDuplicates() with
+                # no subset) is set-deterministic; dropDuplicates(subset)
+                # keeps an ARBITRARY row per key — pin (r10 review)
+                if n.keys().size() != n.output().size():
                     return False
             if n.subqueries().size() > 0:
                 return False

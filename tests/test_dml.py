@@ -667,6 +667,16 @@ def test_source_safe_to_rescan_shapes(spark):
     assert not _source_safe_to_rescan(pq.sample(0.5, seed=1))
     assert not _source_safe_to_rescan(pq.limit(3))
     assert not _source_safe_to_rescan(pq.offset(3))
+    # r10 review: whole-row dedup is set-deterministic, subset dedup
+    # keeps an arbitrary row per key; first/last/any_value are
+    # order-dependent even though Catalyst calls them deterministic
+    assert _source_safe_to_rescan(pq.distinct())
+    assert _source_safe_to_rescan(pq.select("n_nationkey").distinct())
+    assert not _source_safe_to_rescan(pq.dropDuplicates(["n_regionkey"]))
+    assert not _source_safe_to_rescan(
+        pq.groupBy("n_regionkey").agg(F.first("n_name")))
+    assert not _source_safe_to_rescan(
+        pq.groupBy("n_regionkey").agg(F.any_value("n_name")))
     # Window: tied orderings can break differently per shuffle
     # execution even with deterministic expressions (r10 review)
     from pyspark.sql import Window
