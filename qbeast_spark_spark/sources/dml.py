@@ -290,14 +290,25 @@ _RESCAN_SAFE_INNER = frozenset({
     "RepartitionByExpression", "ResolvedHint", "UnresolvedHint",
     "Expand", "Generate", "Intersect", "Except"})
 # Aggregate functions Catalyst marks deterministic whose VALUE is
-# order-dependent (first/last/any_value): an Aggregate over them
-# yields different non-key values per re-execution, so they pin.
-_ORDER_DEPENDENT_EXPRS = frozenset({"First", "Last", "AnyValue"})
+# order-dependent (first/last/any_value, and collect_list/collect_set
+# whose ARRAY ORDERING tracks partition arrival order — SPARK-10712
+# class): an Aggregate over them yields different non-key values per
+# re-execution, so they pin (r11 review).
+_ORDER_DEPENDENT_EXPRS = frozenset({
+    "First", "Last", "AnyValue", "CollectList", "CollectSet"})
+# Expressions Catalyst calls deterministic but stamps ONCE PER
+# QueryExecution (ComputeCurrentTime): each of merge's derived frames
+# (key box, match counts, dv mask, post-image, insert) is its own
+# QueryExecution, so a time-window filter over these can select
+# different rows per pass — pin (r11 review).
+_PER_EXECUTION_EXPRS = frozenset({
+    "CurrentTimestamp", "CurrentDate", "Now", "LocalTimestamp",
+    "CurrentTimeZone"})
 
 
-def _exprs_order_dependent(node, budget: int = 2000) -> bool:
-    """Walk the node's expression trees for order-dependent aggregate
-    functions (budget-capped; exhaustion counts as order-dependent)."""
+def _exprs_contain(node, names: frozenset, budget: int = 2000) -> bool:
+    """Walk the node's expression trees for any class in ``names``
+    (budget-capped; exhaustion counts as a hit → caller pins)."""
     exprs = node.expressions()
     stack = [exprs.apply(i) for i in range(exprs.size())]
     while stack:
@@ -305,12 +316,30 @@ def _exprs_order_dependent(node, budget: int = 2000) -> bool:
         if budget < 0:
             return True
         e = stack.pop()
-        if e.getClass().getSimpleName() in _ORDER_DEPENDENT_EXPRS:
+        if e.getClass().getSimpleName() in names:
             return True
         kids = e.children()
         for i in range(kids.size()):
             stack.append(kids.apply(i))
     return False
+
+
+def _file_index_pinned(relation) -> bool:
+    """True when the HadoopFsRelation's FileIndex captured its file
+    list at analysis time (InMemoryFileIndex — what spark.read.parquet
+    builds). CatalogFileIndex and other listing-deferred indexes
+    re-list per query execution, so a concurrent append mid-merge would
+    give the passes different row sets — those pin (r11 review; Delta's
+    MergeIntoMaterializeSource only trusts snapshot-pinned indexes)."""
+    try:
+        cls = relation.location().getClass()
+        while cls is not None:
+            if cls.getSimpleName() == "InMemoryFileIndex":
+                return True
+            cls = cls.getSuperclass()
+        return False
+    except Exception:
+        return False
 
 
 def _source_safe_to_rescan(source) -> bool:
@@ -337,7 +366,10 @@ def _source_safe_to_rescan(source) -> bool:
             for i in range(exprs.size()):
                 if not exprs.apply(i).deterministic():
                     return False
-            if name == "Aggregate" and _exprs_order_dependent(n):
+            if name == "Aggregate" and _exprs_contain(
+                    n, _ORDER_DEPENDENT_EXPRS):
+                return False
+            if _exprs_contain(n, _PER_EXECUTION_EXPRS):
                 return False
             if name == "Deduplicate":
                 # whole-row dedup (df.distinct(), dropDuplicates() with
@@ -351,8 +383,10 @@ def _source_safe_to_rescan(source) -> bool:
             m = kids.size()
             if m == 0:
                 if name == "LogicalRelation":
-                    rel = n.relation().getClass().getSimpleName()
-                    if rel != "HadoopFsRelation":
+                    rel = n.relation()
+                    if rel.getClass().getSimpleName() != "HadoopFsRelation":
+                        return False
+                    if not _file_index_pinned(rel):
                         return False
                 elif name not in _RESCAN_SAFE_LEAVES:
                     return False

@@ -689,6 +689,52 @@ def test_source_safe_to_rescan_shapes(spark):
         "select * from __rescan_nation where n_nationkey > "
         "(select min(n_nationkey) from __rescan_nation)"))
     spark.catalog.dropTempView("__rescan_nation")
+    # r11 review: collect_list/collect_set array ORDERING tracks
+    # partition arrival order; current_timestamp/current_date are
+    # stamped per QueryExecution (ComputeCurrentTime), and each merge
+    # pass is its own QueryExecution — all pin
+    assert not _source_safe_to_rescan(
+        pq.groupBy("n_regionkey").agg(F.collect_list("n_name")))
+    assert not _source_safe_to_rescan(
+        pq.groupBy("n_regionkey").agg(F.collect_set("n_name")))
+    assert not _source_safe_to_rescan(
+        pq.where(F.col("n_nationkey") < F.unix_timestamp(
+            F.current_timestamp())))
+    assert not _source_safe_to_rescan(
+        pq.withColumn("d", F.current_date()))
+
+
+def test_source_rescan_requires_pinned_file_index(spark, tmp_path):
+    """r11 review (ADVICE medium): only InMemoryFileIndex-backed scans
+    (spark.read.parquet) capture their file list at analysis time; a
+    catalog table source (CatalogFileIndex) re-lists files per query
+    execution, so it must PIN even though the leaf is a
+    HadoopFsRelation."""
+    from qbeast_spark_spark.sources.dml import (
+        _source_safe_to_rescan, _file_index_pinned)
+
+    p = str(tmp_path / "cat_src")
+    spark.range(10).write.parquet(p)
+    direct = spark.read.parquet(p)
+    assert _source_safe_to_rescan(direct)
+    leaf = direct._jdf.queryExecution().analyzed()
+    assert _file_index_pinned(leaf.relation())
+
+    # a PARTITIONED catalog table defers its file listing to a
+    # CatalogFileIndex (non-partitioned ones list eagerly into an
+    # InMemoryFileIndex at resolution and are genuinely pinned)
+    p2 = str(tmp_path / "cat_src_part")
+    spark.range(10).withColumn("pt", F.col("id") % 2) \
+        .write.partitionBy("pt").parquet(p2)
+    spark.sql("DROP TABLE IF EXISTS __rescan_cat_tbl")
+    spark.sql(f"CREATE TABLE __rescan_cat_tbl (id bigint, pt bigint) "
+              f"USING parquet PARTITIONED BY (pt) LOCATION '{p2}'")
+    spark.sql("MSCK REPAIR TABLE __rescan_cat_tbl")
+    try:
+        cat = spark.table("__rescan_cat_tbl")
+        assert not _source_safe_to_rescan(cat)
+    finally:
+        spark.sql("DROP TABLE IF EXISTS __rescan_cat_tbl")
 
 
 def test_merge_source_pin_skipped_for_deterministic_source(
