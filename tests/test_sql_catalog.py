@@ -1043,6 +1043,141 @@ def test_multi_qbeast_join_or_predicate_never_narrows(spark, two_qb_cat):
     assert got.count() == exp
 
 
+# -- round-11: per-occurrence WHERE lift for SELF-joins ------------------------
+
+
+def test_self_join_lift_prunes_both_occurrences(spark, join_cat):
+    """r11 (VERDICT r10 Next #2): the same qbeast table joined to
+    itself under two aliases — each occurrence gets its own pruned view
+    from ITS alias-qualified conjuncts (the reference gets this free
+    from Catalyst: QuerySpecBuilder.scala:51-77 attributes filters per
+    relation). The time-range self-join shape."""
+    cat = join_cat
+    li = load(spark, "lineitem")
+    slots = cat._self_join_predicates(
+        "SELECT a.l_orderkey FROM qli a JOIN qli b "
+        "ON a.l_orderkey = b.l_orderkey "
+        "WHERE a.l_orderkey < 200 AND b.l_orderkey >= 100 "
+        "AND b.l_orderkey < 400", cat.tables())
+    assert "qli" in slots and len(slots["qli"]) == 2
+    (pa, ha), (pb, hb) = slots["qli"]
+    assert ha and hb
+    assert "l_orderkey < 200" in pa and "b.l_orderkey" in pa
+    assert "l_orderkey >= 100" in pb and "l_orderkey < 400" in pb \
+        and "a.l_orderkey" in pb
+    full = cat.sql("SELECT a.l_orderkey FROM qli a JOIN qli b "
+                   "ON a.l_orderkey = b.l_orderkey")
+    pruned = cat.sql(
+        "SELECT a.l_orderkey, b.l_extendedprice FROM qli a JOIN qli b "
+        "ON a.l_orderkey = b.l_orderkey "
+        "WHERE a.l_orderkey < 200 AND b.l_orderkey >= 100 "
+        "AND b.l_orderkey < 400")
+    assert 0 < len(pruned.inputFiles()) < len(full.inputFiles())
+    a = li.alias("a")
+    b = li.alias("b")
+    from pyspark.sql import functions as F
+    exp = (a.join(b, F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+           .where("a.l_orderkey < 200 AND b.l_orderkey >= 100 "
+                  "AND b.l_orderkey < 400").count())
+    assert pruned.count() == exp
+
+
+def test_self_join_lift_comma_shape_and_values(spark, join_cat):
+    """Comma self-join with a column-vs-column conjunct: the equality
+    (never a literal comparison) is dropped per occurrence, the range
+    conjuncts prune their own side, and VALUES match the DataFrame
+    plan exactly."""
+    cat = join_cat
+    li = load(spark, "lineitem")
+    from pyspark.sql import functions as F
+    got = cat.sql(
+        "SELECT x.l_orderkey AS k, y.l_quantity AS q "
+        "FROM qli x, qli y "
+        "WHERE x.l_orderkey = y.l_orderkey AND x.l_linenumber = 1 "
+        "AND x.l_orderkey < 150 AND y.l_quantity > 10 "
+        "ORDER BY k, q")
+    x, y = li.alias("x"), li.alias("y")
+    exp = (x.join(y, F.col("x.l_orderkey") == F.col("y.l_orderkey"))
+           .where("x.l_linenumber = 1 AND x.l_orderkey < 150 "
+                  "AND y.l_quantity > 10")
+           .select(F.col("x.l_orderkey").alias("k"),
+                   F.col("y.l_quantity").alias("q"))
+           .orderBy("k", "q"))
+    assert [tuple(r) for r in got.collect()] \
+        == [tuple(r) for r in exp.collect()]
+
+
+def test_self_join_lift_guards(spark, join_cat):
+    """Per-occurrence guards for the self-join lane, pinned one by
+    one: unaliased occurrence -> no lift for it; LEFT-JOIN right side
+    -> no lift; results stay exact on the mixed shape."""
+    cat = join_cat
+    entries = cat.tables()
+    sj = cat._self_join_predicates
+    # second occurrence unaliased -> only the first lifts
+    slots = sj("SELECT a.l_orderkey FROM qli a JOIN qli "
+               "ON a.l_orderkey = qli.l_orderkey "
+               "WHERE a.l_orderkey < 100 AND qli.l_orderkey < 100",
+               entries)
+    assert slots["qli"][0] is not None and slots["qli"][1] is None
+    # LEFT JOIN null-extends the right occurrence -> its slot is None
+    slots = sj("SELECT a.l_orderkey FROM qli a LEFT JOIN qli b "
+               "ON a.l_orderkey = b.l_orderkey "
+               "WHERE a.l_orderkey < 100 AND b.l_extendedprice > 0",
+               entries)
+    assert slots["qli"][0] is not None and slots["qli"][1] is None
+    # RIGHT JOIN after the first occurrence null-extends it
+    slots = sj("SELECT b.l_orderkey FROM qli a RIGHT JOIN qli b "
+               "ON a.l_orderkey = b.l_orderkey "
+               "WHERE b.l_orderkey < 100", entries)
+    assert slots["qli"][0] is None and slots["qli"][1] is not None
+    # set-op branch -> no lift at all
+    assert sj("SELECT a.l_orderkey FROM qli a JOIN qli b "
+              "ON a.l_orderkey = b.l_orderkey WHERE a.l_orderkey < 10 "
+              "UNION ALL SELECT l_orderkey FROM plain_orders",
+              entries) == {}
+    # mixed LEFT self-join end-to-end: IS NULL probe on the
+    # null-extended side must return exact anti-join semantics
+    li = load(spark, "lineitem")
+    got = cat.sql(
+        "SELECT COUNT(*) AS n FROM qli a LEFT JOIN qli b "
+        "ON a.l_orderkey = b.l_orderkey AND b.l_quantity > 45 "
+        "WHERE a.l_orderkey < 300 AND b.l_orderkey IS NULL"
+    ).collect()[0].n
+    from pyspark.sql import functions as F
+    a, b = li.alias("a"), li.alias("b")
+    exp = (a.join(b, (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+                  & (F.col("b.l_quantity") > 45), "left")
+           .where("a.l_orderkey < 300 AND b.l_orderkey IS NULL").count())
+    assert got == exp
+
+
+def test_self_join_with_second_table_lifts_all(spark, two_qb_cat):
+    """Self-joined qli + singly-referenced qord in one statement: the
+    self-join slots and the single-occurrence lift coexist, each from
+    its own conjuncts."""
+    cat = two_qb_cat
+    li, orders = load(spark, "lineitem"), load(spark, "orders")
+    pruned = cat.sql(
+        "SELECT a.l_orderkey FROM qli a JOIN qli b "
+        "ON a.l_orderkey = b.l_orderkey "
+        "JOIN qord o ON a.l_orderkey = o.o_orderkey "
+        "WHERE a.l_orderkey < 200 AND b.l_quantity > 5 "
+        "AND o.o_orderkey < 300")
+    from pyspark.sql import functions as F
+    a, b = li.alias("a"), li.alias("b")
+    exp = (a.join(b, F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+           .join(orders.alias("o"),
+                 F.col("a.l_orderkey") == F.col("o.o_orderkey"))
+           .where("a.l_orderkey < 200 AND b.l_quantity > 5 "
+                  "AND o.o_orderkey < 300").count())
+    assert pruned.count() == exp
+    qord_full = len([f for f in cat.sql("SELECT * FROM qord")
+                     .inputFiles() if "/qord/" in f])
+    qord_p = len([f for f in pruned.inputFiles() if "/qord/" in f])
+    assert 0 < qord_p < qord_full
+
+
 def test_join_lift_string_literals_not_confused(spark, join_cat):
     """A table name inside a string literal is not an occurrence; quoted
     text inside the WHERE is never alias-stripped."""
