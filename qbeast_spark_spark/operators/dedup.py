@@ -26,6 +26,7 @@ __all__ = [
     "MINHASH_PERMS", "MINHASH_PRIME", "LSH_BAND_ROWS", "SIMHASH_BITS",
     "dedup_exact", "shingles", "jaccard_pairs", "minhash_signatures",
     "lsh_candidate_pairs", "simhash", "simhash_pairs", "lsh_join", "lsh_join_sigs",
+    "paragraphs", "paragraph_dedup",
 ]
 
 MINHASH_PRIME = 2147483647  # 2^31 - 1 (Mersenne prime)
@@ -77,6 +78,75 @@ def dedup_exact(df, keys: List[str], id_col: str):
     from pyspark.sql import functions as F
 
     return df.groupBy(*keys).agg(F.min(id_col).alias(id_col))
+
+
+def paragraphs(docs, id_col: str = "doc_id", text_col: str = "text",
+               sep: str = r"\n{2,}", window: int = None):
+    """(id, paragraph) pairs — ONE JVM projection, no Python workers.
+
+    Two segmentation modes:
+
+    - default: split on blank lines (``sep``), the paragraph notion of
+      marked-up corpora;
+    - ``window=w``: fixed NON-overlapping w-token windows, the
+      paragraph proxy for corpora without structural markers (the
+      driver's synthetic ``documents`` table is single-line word soup).
+
+    Paragraphs are trimmed and empties dropped, so both modes behave
+    identically on trailing separators. Everything stays inside
+    whole-stage codegen (split / transform / slice / concat_ws)."""
+    from pyspark.sql import functions as F
+
+    if window is None:
+        paras = F.split(F.col(text_col), sep)
+    else:
+        toks = F.split(F.col(text_col), " ")
+        n_seg = F.greatest(
+            F.ceil(F.size(toks) / float(window)), F.lit(1)).cast("int")
+        paras = F.transform(
+            F.sequence(F.lit(0), n_seg - F.lit(1)),
+            lambda i: F.concat_ws(
+                " ", F.slice(toks, i * window + 1, window)))
+    return (docs.select(F.col(id_col), F.explode(paras).alias("paragraph"))
+            .withColumn("paragraph", F.trim("paragraph"))
+            .where(F.length("paragraph") > 0))
+
+
+def paragraph_dedup(docs, id_col: str = "doc_id", text_col: str = "text",
+                    sep: str = r"\n{2,}", window: int = None):
+    """Cross-corpus PARAGRAPH-level exact dedup (r11, VERDICT r10 Next
+    #3 — the Gopher repetition screens in operators/text.py:414 are
+    intra-document only; this measures duplication ACROSS documents at
+    sub-document granularity, the boilerplate/copy signal a training
+    pipeline filters on).
+
+    Per document: how many distinct paragraphs it holds, how many of
+    them appear in at least one OTHER document, the duplicate
+    fraction, and how many are FOREIGN (their canonical holder — the
+    smallest doc id containing the paragraph — is another document:
+    the "copied from" count used to pick which duplicate to keep).
+
+    100-TB shape: md5 the paragraph ONCE and never shuffle paragraph
+    text — the corpus-wide tally groups on the hash (map-side
+    combine), the join back is hash-distributed on the same key, and
+    the final rollup shuffles on ``id_col``. No window over the whole
+    corpus, no driver-side state, no O(n^2) pair space.
+    """
+    from pyspark.sql import functions as F
+
+    p = paragraphs(docs, id_col, text_col, sep, window)
+    dp = p.select(id_col, F.md5("paragraph").alias("h")).distinct()
+    g = dp.groupBy("h").agg(F.count("*").alias("n_docs"),
+                            F.min(id_col).alias("holder"))
+    dup = F.col("n_docs") >= 2
+    return (dp.join(g, "h")
+            .groupBy(id_col)
+            .agg(F.count("*").alias("n_paras"),
+                 F.sum(dup.cast("long")).alias("n_dup_paras"),
+                 F.sum((dup & (F.col("holder") != F.col(id_col)))
+                       .cast("long")).alias("n_foreign_paras"))
+            .withColumn("para_dup_frac",
+                        F.col("n_dup_paras") / F.col("n_paras")))
 
 
 def shingles(docs, n: int = 3, id_col: str = "doc_id"):

@@ -204,3 +204,73 @@ def test_leakage_safe_split_keeps_clusters_together(spark):
     # (d) all three splits are populated at this corpus size
     assert {r.split for r in split.select("split").distinct().collect()} \
         == {"train", "val", "test"}
+
+
+# -- round-11: paragraph-level cross-corpus exact dedup -----------------------
+
+
+def test_paragraphs_blank_line_mode(spark):
+    """Default mode splits on blank lines, trims, drops empties."""
+    from qbeast_spark_spark.operators.dedup import paragraphs
+
+    df = spark.createDataFrame(
+        [(1, "alpha beta\n\ngamma delta\n\n\n  \n\nepsilon"),
+         (2, "single paragraph"),
+         (3, "  \n\n  ")],
+        ["doc_id", "text"])
+    got = {(r.doc_id, r.paragraph)
+           for r in paragraphs(df).collect()}
+    assert got == {(1, "alpha beta"), (1, "gamma delta"),
+                   (1, "epsilon"), (2, "single paragraph")}
+
+
+def test_paragraph_dedup_cross_corpus_semantics(spark):
+    """Hand-built corpus: doc 1 is the canonical holder of a shared
+    paragraph; doc 2 copies it plus a unique one; doc 3 is all unique.
+    A paragraph repeated WITHIN one doc is not a cross-corpus dup."""
+    from qbeast_spark_spark.operators.dedup import paragraph_dedup
+
+    df = spark.createDataFrame(
+        [(1, "shared para\n\nown one"),
+         (2, "shared para\n\nunique two"),
+         (3, "solo a\n\nsolo b\n\nsolo a")],
+        ["doc_id", "text"])
+    rows = {r.doc_id: r for r in paragraph_dedup(df).collect()}
+    assert rows[1].n_paras == 2 and rows[1].n_dup_paras == 1 \
+        and rows[1].n_foreign_paras == 0
+    assert rows[2].n_paras == 2 and rows[2].n_dup_paras == 1 \
+        and rows[2].n_foreign_paras == 1 \
+        and rows[2].para_dup_frac == 0.5
+    # within-doc repetition only: distinct paras = 2, none shared
+    assert rows[3].n_paras == 2 and rows[3].n_dup_paras == 0
+
+
+def test_paragraph_dedup_window_mode_duckdb_parity(spark):
+    """Token-window mode on the real documents table must match the
+    DuckDB twin row for row (the registry's dedup_exact branch)."""
+    from qbeast_spark_spark.operators.dedup import paragraph_dedup
+
+    docs = load(spark, "documents").limit(200)
+    got = {(r.doc_id, r.n_paras, r.n_dup_paras, r.n_foreign_paras)
+           for r in paragraph_dedup(docs, window=6).collect()}
+    pdf = docs.select("doc_id", "text").toPandas()
+    con = duckdb.connect()
+    con.register("documents", pdf)
+    want = set(map(tuple, con.execute("""
+        WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t
+                      FROM documents),
+        paras AS (SELECT doc_id,
+                         trim(array_to_string(t[(i*6+1):(i*6+6)], ' ')) AS p
+                  FROM toks, UNNEST(range(0,
+                      GREATEST(CAST(CEIL(len(t)/6.0) AS BIGINT), 1))) AS u(i)),
+        dp AS (SELECT DISTINCT doc_id, md5(p) AS h
+               FROM paras WHERE length(p) > 0),
+        g AS (SELECT h, COUNT(*) AS n_docs, MIN(doc_id) AS holder
+              FROM dp GROUP BY h)
+        SELECT dp.doc_id, COUNT(*),
+               CAST(SUM(CASE WHEN g.n_docs >= 2 THEN 1 ELSE 0 END) AS BIGINT),
+               CAST(SUM(CASE WHEN g.n_docs >= 2 AND g.holder <> dp.doc_id
+                             THEN 1 ELSE 0 END) AS BIGINT)
+        FROM dp JOIN g USING (h) GROUP BY dp.doc_id
+    """).fetchall()))
+    assert got == want and len(got) == 200
