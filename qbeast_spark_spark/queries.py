@@ -428,7 +428,21 @@ def qb_sql_view(spark, sf_dir):
         FROM qss_li WHERE l_orderkey >= 5000 AND l_orderkey < 7000
         GROUP BY l_returnflag
     """)
-    return full.unionByName(sliced)
+    # r11: SELF-join branch — the same table under two aliases, each
+    # occurrence pruned from ITS alias-qualified conjuncts
+    # (catalog._self_join_predicates; reference behavior
+    # QuerySpecBuilder.scala:51-77 attributes filters per relation)
+    selfjoin = cat.sql("""
+        SELECT 'selfjoin' AS src, a.l_returnflag,
+               COUNT(*) AS n,
+               SUM(CAST(ROUND(b.l_extendedprice*100, 0) AS BIGINT)) AS price_cents
+        FROM qss_li a JOIN qss_li b ON a.l_orderkey = b.l_orderkey
+        WHERE a.l_orderkey >= 5000 AND a.l_orderkey < 6000
+          AND b.l_orderkey >= 5000 AND b.l_orderkey < 6000
+          AND a.l_linenumber < b.l_linenumber
+        GROUP BY a.l_returnflag
+    """)
+    return full.unionByName(sliced).unionByName(selfjoin)
 
 
 QB_SQL_VIEW_SQL = """
@@ -440,6 +454,14 @@ SELECT 'slice' AS src, l_returnflag, COUNT(*) AS n,
        CAST(SUM(CAST(ROUND(l_extendedprice*100, 0) AS BIGINT)) AS BIGINT) AS price_cents
 FROM lineitem WHERE l_orderkey >= 5000 AND l_orderkey < 7000
 GROUP BY l_returnflag
+UNION ALL
+SELECT 'selfjoin' AS src, a.l_returnflag, COUNT(*) AS n,
+       CAST(SUM(CAST(ROUND(b.l_extendedprice*100, 0) AS BIGINT)) AS BIGINT) AS price_cents
+FROM lineitem a JOIN lineitem b ON a.l_orderkey = b.l_orderkey
+WHERE a.l_orderkey >= 5000 AND a.l_orderkey < 6000
+  AND b.l_orderkey >= 5000 AND b.l_orderkey < 6000
+  AND a.l_linenumber < b.l_linenumber
+GROUP BY a.l_returnflag
 """
 
 

@@ -1346,7 +1346,9 @@ class QbeastSqlCatalog:
             or self._cte_table_predicate(stmt, entries)
         # r11: tables referenced several times under distinct aliases
         # (self-joins) get a slot per occurrence, consumed in scan order
-        multi_pred = self._self_join_predicates(stmt, entries)
+        # — at the top level or confined to one CTE body
+        multi_pred = self._self_join_predicates(stmt, entries) \
+            or self._cte_self_join_predicates(stmt, entries)
         out = stmt
         # longest names first so `orders_big` is never matched as `orders`
         for name in sorted(entries, key=len, reverse=True):
@@ -1747,6 +1749,44 @@ class QbeastSqlCatalog:
             for name, v in lifts.items():
                 if _name_occurrences(name, stmt, smasked) == 1:
                     out[name] = v
+            nxt = re.match(r"\s*,", masked[end:])
+            if not nxt:
+                break
+            i = end + nxt.end()
+        return out
+
+    def _cte_self_join_predicates(
+            self, stmt: str, entries) -> Dict[str, list]:
+        """Self-join per-occurrence slots INSIDE a CTE body (r11): a
+        table self-joined within ONE body, referenced nowhere else in
+        the statement, gets the same per-alias attribution as a
+        top-level self-join. The all-references-in-this-body rule
+        (whole-statement count == body slot count) is what keeps the
+        rewrite scan's occurrence ordinals aligned with the body's —
+        there are no occurrences outside the body to shift them."""
+        masked = _mask_quotes(stmt)
+        m = re.match(r"(?i)^\s*WITH\s+", masked)
+        if not m or re.match(r"(?i)^\s*WITH\s+RECURSIVE\b", masked):
+            return {}
+        out: Dict[str, list] = {}
+        smasked = _mask_quotes(stmt, keep_backticks=True)
+        i = m.end()
+        while True:
+            hm = re.match(
+                rf"(?:\s*)(?:{_IDENT})(?:\s*\([^)]*\))?\s+AS\s*\(",
+                masked[i:], re.IGNORECASE)
+            if not hm:
+                break
+            start = i + hm.end() - 1        # the '('
+            try:
+                end = _balanced_paren(stmt, start)
+            except ValueError:
+                return {}
+            body = stmt[start + 1:end - 1].strip()
+            for name, slots in self._self_join_predicates(
+                    body, entries).items():
+                if _name_occurrences(name, stmt, smasked) == len(slots):
+                    out[name] = slots
             nxt = re.match(r"\s*,", masked[end:])
             if not nxt:
                 break

@@ -1152,6 +1152,47 @@ def test_self_join_lift_guards(spark, join_cat):
     assert got == exp
 
 
+def test_cte_self_join_lift(spark, join_cat):
+    """r11: a self-join confined to ONE CTE body gets per-occurrence
+    slots; a second reference outside the body disables them."""
+    cat = join_cat
+    li = load(spark, "lineitem")
+    from pyspark.sql import functions as F
+    stmt = ("WITH pairs AS (SELECT a.l_orderkey AS k, b.l_quantity AS q "
+            "FROM qli a JOIN qli b ON a.l_orderkey = b.l_orderkey "
+            "WHERE a.l_orderkey < 250 AND b.l_quantity > 10) "
+            "SELECT k, COUNT(*) AS n, SUM(q) AS sq FROM pairs "
+            "GROUP BY k ORDER BY k")
+    slots = cat._cte_self_join_predicates(stmt, cat.tables())
+    assert "qli" in slots and all(s is not None for s in slots["qli"])
+    got = cat.sql(stmt)
+    a, b = li.alias("a"), li.alias("b")
+    exp = (a.join(b, F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+           .where("a.l_orderkey < 250 AND b.l_quantity > 10")
+           .select(F.col("a.l_orderkey").alias("k"),
+                   F.col("b.l_quantity").alias("q"))
+           .groupBy("k").agg(F.count("*").alias("n"),
+                             F.sum("q").alias("sq"))
+           .orderBy("k"))
+    assert [tuple(r) for r in got.collect()] \
+        == [tuple(r) for r in exp.collect()]
+    # a third reference OUTSIDE the body keeps occurrence ordinals
+    # unalignable -> no slots for that table
+    stmt2 = ("WITH pairs AS (SELECT a.l_orderkey AS k FROM qli a "
+             "JOIN qli b ON a.l_orderkey = b.l_orderkey "
+             "WHERE a.l_orderkey < 250) "
+             "SELECT p.k FROM pairs p JOIN qli c ON p.k = c.l_orderkey")
+    assert cat._cte_self_join_predicates(stmt2, cat.tables()) == {}
+    # ... and the statement still returns exact rows via the bare view
+    got2 = cat.sql(stmt2).count()
+    pairs = (a.join(b, F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+             .where("a.l_orderkey < 250")
+             .select(F.col("a.l_orderkey").alias("k")))
+    exp2 = pairs.join(li.alias("c"),
+                      F.col("k") == F.col("c.l_orderkey")).count()
+    assert got2 == exp2
+
+
 def test_self_join_with_second_table_lifts_all(spark, two_qb_cat):
     """Self-joined qli + singly-referenced qord in one statement: the
     self-join slots and the single-occurrence lift coexist, each from

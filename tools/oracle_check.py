@@ -82,10 +82,22 @@ def main() -> int:
 
     from pyspark.sql import SparkSession
 
-    spark = (SparkSession.builder.master("local[8]")
+    # sized for the sf1 sweep (r11): full-result collects reach ~6M rows
+    # (qb_roundtrip returns the whole table), which OOMs a default-sized
+    # driver. Arrow transfer stays OFF by default — it collects object
+    # cells as numpy arrays, which the comparator (calibrated to the
+    # driver's non-Arrow hash) can't equality-test; opt in for sweeps
+    # whose entries are all scalar-columned. Knobs are env-tunable.
+    cpus = os.environ.get("ORACLE_CHECK_CPUS", "8")
+    mem = os.environ.get("ORACLE_CHECK_DRIVER_MEM", "12g")
+    arrow = os.environ.get("ORACLE_CHECK_ARROW", "0") == "1"
+    spark = (SparkSession.builder.master(f"local[{cpus}]")
              .appName("oracle-check")
-             .config("spark.sql.shuffle.partitions", "16")
+             .config("spark.sql.shuffle.partitions", str(2 * int(cpus)))
              .config("spark.sql.session.timeZone", "UTC")
+             .config("spark.driver.memory", mem)
+             .config("spark.sql.execution.arrow.pyspark.enabled",
+                     "true" if arrow else "false")
              .config("spark.ui.enabled", "false")
              .config("spark.ui.showConsoleProgress", "false")
              .getOrCreate())
