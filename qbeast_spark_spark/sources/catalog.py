@@ -1344,11 +1344,18 @@ class QbeastSqlCatalog:
         single_pred = self._single_table_predicate(stmt, entries) \
             or self._join_table_predicate(stmt, entries) \
             or self._cte_table_predicate(stmt, entries)
-        # r11: tables referenced several times under distinct aliases
-        # (self-joins) get a slot per occurrence, consumed in scan order
-        # — at the top level or confined to one CTE body
-        multi_pred = self._self_join_predicates(stmt, entries) \
-            or self._cte_self_join_predicates(stmt, entries)
+        # r11: per-occurrence slot lanes, merged per NAME (disjoint by
+        # construction — each lane's acceptance rule pins all of a
+        # name's references to its own shape): self-joins at the top
+        # level, self-joins confined to one CTE body, and subquery
+        # bodies (derived tables / IN / EXISTS)
+        multi_pred: Dict[str, list] = {}
+        for lane in (self._self_join_predicates,
+                     self._cte_self_join_predicates,
+                     self._subquery_predicates):
+            for n, s in lane(stmt, entries).items():
+                if n not in single_pred and n not in multi_pred:
+                    multi_pred[n] = s
         out = stmt
         # longest names first so `orders_big` is never matched as `orders`
         for name in sorted(entries, key=len, reverse=True):
@@ -1596,6 +1603,59 @@ class QbeastSqlCatalog:
         return {n: s for n, s in per.items()
                 if len(s) > 1 and any(x is not None for x in s)}
 
+    def _subquery_predicates(
+            self, stmt: str, entries) -> Dict[str, list]:
+        """WHERE lift INSIDE parenthesized subqueries (r11): derived
+        tables in FROM, IN (SELECT ...), EXISTS (...) — any balanced
+        ``( SELECT ... )`` span, at any depth. The body is a
+        self-contained SELECT, so its OWN WHERE is truth about every
+        row the body produces no matter how the outer query uses the
+        result (unlike the outer-WHERE join lift, there is no
+        null-extension hazard: the body's filter applies before any
+        outer join does). Correlated references to outer columns are
+        either dotted (outer alias) or bare names the inner table
+        lacks — both unknown to the DNF translator, both only WIDEN;
+        a bare name the inner table HAS resolves to the inner scope in
+        SQL, so pruning with it is sound.
+
+        The reference prunes these shapes through its file index on
+        every plan (DefaultFileIndex.scala:47-57 — Catalyst pushes the
+        subquery's filters to its own relation). Acceptance rule per
+        table: ALL of its references live in the one span (whole-
+        statement count == span slot count), which also keeps the
+        rewrite scan's occurrence ordinals aligned. A table referenced
+        from two sibling subqueries falls back to the full view."""
+        masked = _mask_quotes(stmt)
+        if "(" not in masked:
+            return {}
+        smasked = _mask_quotes(stmt, keep_backticks=True)
+        out: Dict[str, list] = {}
+        opens: List[int] = []
+        bodies: List[Tuple[int, int]] = []
+        for i, c in enumerate(masked):
+            if c == "(":
+                opens.append(i)
+            elif c == ")":
+                if not opens:
+                    return {}    # sliced text: never attribute
+                s = opens.pop()
+                if re.match(r"(?i)\s*SELECT\b", masked[s + 1:i]):
+                    bodies.append((s + 1, i))
+        for s, t in bodies:
+            body = stmt[s:t].strip()
+            lifts = self._single_table_predicate(body, entries) \
+                or self._join_table_predicate(body, entries)
+            per: Dict[str, list] = {n: [v] for n, v in lifts.items()}
+            for n, sl in self._self_join_predicates(
+                    body, entries).items():
+                per.setdefault(n, sl)
+            for name, slots in per.items():
+                if name in out:
+                    continue
+                if _name_occurrences(name, stmt, smasked) == len(slots):
+                    out[name] = slots
+        return out
+
     def _join_occurrence_lifts(
             self, stmt: str, entries) -> Dict[str, list]:
         """Shared core of the join-shape lifts: statement-level shape
@@ -1712,24 +1772,17 @@ class QbeastSqlCatalog:
             return None
         return (pred, alias is not None)
 
-    def _cte_table_predicate(
-            self, stmt: str, entries) -> Dict[str, Tuple[str, bool]]:
-        """WHERE lift inside WITH (CTE) statements (r8). Each CTE body is
-        a self-contained SELECT, so the single-table / join lift logic
-        applies to the BODY text verbatim: a body's WHERE belongs to the
-        one table occurrence inside that body. The exactly-once rule is
-        enforced twice — by the body-level lift AND over the WHOLE
-        statement (a second reference anywhere, including the main query
-        or another CTE, disables that table's lift, because
-        _register_referenced rewrites by occurrence). Recursive CTEs are
-        skipped outright (a self-referencing body's predicate is not
-        global truth across iterations)."""
+    def _cte_bodies(self, stmt: str):
+        """Decompose a WITH statement into its CTE body texts plus the
+        MAIN query text, or None when the statement is not a liftable
+        WITH (not a WITH at all, WITH RECURSIVE — a self-referencing
+        body's predicate is not global truth across iterations — or
+        unbalanced parens)."""
         masked = _mask_quotes(stmt)
         m = re.match(r"(?i)^\s*WITH\s+", masked)
         if not m or re.match(r"(?i)^\s*WITH\s+RECURSIVE\b", masked):
-            return {}
-        out: Dict[str, Tuple[str, bool]] = {}
-        smasked = _mask_quotes(stmt, keep_backticks=True)
+            return None
+        bodies = []
         i = m.end()
         while True:
             hm = re.match(
@@ -1741,56 +1794,66 @@ class QbeastSqlCatalog:
             try:
                 end = _balanced_paren(stmt, start)
             except ValueError:
-                return {}
+                return None
             # strip: the single-table lift regex anchors at ^SELECT
-            body = stmt[start + 1:end - 1].strip()
-            lifts = self._single_table_predicate(body, entries) \
-                or self._join_table_predicate(body, entries)
-            for name, v in lifts.items():
-                if _name_occurrences(name, stmt, smasked) == 1:
-                    out[name] = v
+            bodies.append(stmt[start + 1:end - 1].strip())
+            i = end
             nxt = re.match(r"\s*,", masked[end:])
             if not nxt:
                 break
             i = end + nxt.end()
+        return bodies, stmt[i:].strip()
+
+    def _cte_table_predicate(
+            self, stmt: str, entries) -> Dict[str, Tuple[str, bool]]:
+        """WHERE lift inside WITH (CTE) statements (r8; main-query leg
+        r11). Each CTE body — and the MAIN query after the CTE list —
+        is a self-contained SELECT, so the single-table / join lift
+        logic applies to the BODY text verbatim: a body's WHERE belongs
+        to the one table occurrence inside that body. The exactly-once
+        rule is enforced twice — by the body-level lift AND over the
+        WHOLE statement (a second reference anywhere, including
+        another CTE, disables that table's lift, because
+        _register_referenced rewrites by occurrence). Recursive CTEs
+        are skipped outright."""
+        parts = self._cte_bodies(stmt)
+        if parts is None:
+            return {}
+        bodies, main = parts
+        out: Dict[str, Tuple[str, bool]] = {}
+        smasked = _mask_quotes(stmt, keep_backticks=True)
+        for body in bodies + [main]:
+            lifts = self._single_table_predicate(body, entries) \
+                or self._join_table_predicate(body, entries)
+            for name, v in lifts.items():
+                if name not in out \
+                        and _name_occurrences(name, stmt, smasked) == 1:
+                    out[name] = v
         return out
 
     def _cte_self_join_predicates(
             self, stmt: str, entries) -> Dict[str, list]:
-        """Self-join per-occurrence slots INSIDE a CTE body (r11): a
-        table self-joined within ONE body, referenced nowhere else in
-        the statement, gets the same per-alias attribution as a
-        top-level self-join. The all-references-in-this-body rule
-        (whole-statement count == body slot count) is what keeps the
-        rewrite scan's occurrence ordinals aligned with the body's —
-        there are no occurrences outside the body to shift them."""
-        masked = _mask_quotes(stmt)
-        m = re.match(r"(?i)^\s*WITH\s+", masked)
-        if not m or re.match(r"(?i)^\s*WITH\s+RECURSIVE\b", masked):
+        """Self-join per-occurrence slots INSIDE a CTE body or the
+        MAIN query of a WITH statement (r11): a table self-joined
+        within ONE body, referenced nowhere else in the statement,
+        gets the same per-alias attribution as a top-level self-join.
+        The all-references-in-this-body rule (whole-statement count ==
+        body slot count) is what keeps the rewrite scan's occurrence
+        ordinals aligned with the body's — there are no occurrences
+        outside the body to shift them."""
+        parts = self._cte_bodies(stmt)
+        if parts is None:
             return {}
+        bodies, main = parts
         out: Dict[str, list] = {}
         smasked = _mask_quotes(stmt, keep_backticks=True)
-        i = m.end()
-        while True:
-            hm = re.match(
-                rf"(?:\s*)(?:{_IDENT})(?:\s*\([^)]*\))?\s+AS\s*\(",
-                masked[i:], re.IGNORECASE)
-            if not hm:
-                break
-            start = i + hm.end() - 1        # the '('
-            try:
-                end = _balanced_paren(stmt, start)
-            except ValueError:
-                return {}
-            body = stmt[start + 1:end - 1].strip()
+        for body in bodies + [main]:
             for name, slots in self._self_join_predicates(
                     body, entries).items():
-                if _name_occurrences(name, stmt, smasked) == len(slots):
+                if name not in out \
+                        and _name_occurrences(name, stmt,
+                                              smasked) == len(slots):
                     out[name] = slots
-            nxt = re.match(r"\s*,", masked[end:])
-            if not nxt:
-                break
-            i = end + nxt.end()
         return out
 
     # -- helpers ---------------------------------------------------------------------

@@ -646,3 +646,100 @@ def test_qsql_self_join_lift_lane_equals_plain_spark(spark,
             pruned += 1
     assert parsed >= n_cases * 0.3, (parsed, n_cases)
     assert pruned >= parsed * 0.1, (pruned, parsed)
+
+
+def test_qsql_subquery_lift_lane_equals_plain_spark(spark,
+                                                   tmp_path_factory):
+    """r11: the random predicate grammar driven through the SUBQUERY
+    WHERE lift — the indexed table referenced from IN (...) / EXISTS
+    (...) / a derived table in FROM, each body drawing a random
+    predicate tree. Soundness contract: row-for-row equality with the
+    plain-Spark twin; the statement's qbeast input files stay inside
+    the recomputed candidate set; a tally asserts real pruning."""
+    import re as _re
+
+    import qbeast_spark_spark as qss
+    from qbeast_spark_spark.sources.catalog import QbeastSqlCatalog
+    from qbeast_spark_spark.sources.predicates import to_dnf_filters
+    from qbeast_spark_spark.sources.reader import prune_files
+
+    base = _base_frame(spark)
+    wh = tmp_path_factory.mktemp("e2e_qsql_subq")
+    path = str(wh / "qli")
+    qss.write(base, path,
+              columns_to_index=["l_orderkey", "l_extendedprice"],
+              cube_size=400)
+    qt = qss.QbeastTable.for_path(spark, path)
+    snap = qt.snapshot(refresh=True)
+    n_files = len(snap.files)
+    assert n_files > 1
+    cat = QbeastSqlCatalog(spark, str(wh / "warehouse"))
+    cat.sql(f"CREATE TABLE qli USING qbeast LOCATION '{path}'")
+    orders = load(spark, "orders")
+    orders.createOrReplaceTempView("odim")
+    cols = sorted(base.columns)
+    col_rx = _re.compile(r"\b(" + "|".join(sorted(cols, key=len,
+                                                  reverse=True)) + r")\b")
+    rng = random.Random(20260818)
+    n_cases = max(30, N_CASES // 10)
+    parsed = pruned = 0
+    for i in range(n_cases):
+        q = _tree(rng, 2)
+        shape = rng.choice(["in", "exists", "derived"])
+        if shape == "in":
+            stmt = (f"SELECT COUNT(*) AS n, "
+                    f"COALESCE(SUM(o_custkey), 0) AS s FROM odim "
+                    f"WHERE o_orderkey IN "
+                    f"(SELECT l_orderkey FROM qli WHERE {q})")
+            keys = (base.where(q).select("l_orderkey")
+                    .where(F.col("l_orderkey").isNotNull()).distinct())
+            twin = orders.join(keys,
+                               orders.o_orderkey == keys.l_orderkey,
+                               "left_semi")
+            want_df = twin.agg(F.count(F.lit(1)).alias("n"),
+                               F.coalesce(F.sum("o_custkey"),
+                                          F.lit(0)).alias("s"))
+        elif shape == "exists":
+            qq = col_rx.sub(r"t.\1", q)
+            stmt = (f"SELECT COUNT(*) AS n, "
+                    f"COALESCE(SUM(o_custkey), 0) AS s FROM odim o "
+                    f"WHERE EXISTS (SELECT 1 FROM qli t WHERE ({qq}) "
+                    f"AND t.l_orderkey = o.o_orderkey)")
+            keys = base.where(q).select("l_orderkey").distinct()
+            twin = orders.join(keys,
+                               orders.o_orderkey == keys.l_orderkey,
+                               "left_semi")
+            want_df = twin.agg(F.count(F.lit(1)).alias("n"),
+                               F.coalesce(F.sum("o_custkey"),
+                                          F.lit(0)).alias("s"))
+        else:
+            stmt = (f"SELECT COUNT(*) AS n, "
+                    f"COALESCE(SUM(d.l_orderkey), 0) AS s FROM "
+                    f"(SELECT l_orderkey FROM qli WHERE {q}) d "
+                    f"JOIN odim ON d.l_orderkey = odim.o_orderkey")
+            twin = (base.where(q).select("l_orderkey")
+                    .join(orders,
+                          F.col("l_orderkey") == orders.o_orderkey))
+            want_df = twin.agg(F.count(F.lit(1)).alias("n"),
+                               F.coalesce(F.sum("l_orderkey"),
+                                          F.lit(0)).alias("s"))
+        got_df = cat.sql(stmt)
+        got = got_df.collect()[0]
+        want = want_df.collect()[0]
+        assert (got.n, got.s) == (want.n, want.s), \
+            f"[qsql_subq seed=20260818 case={i} shape={shape}] {stmt}"
+        qb_inputs = {os.path.basename(f) for f in got_df.inputFiles()
+                     if "/qli/" in f}
+        dnf = to_dnf_filters(q)
+        if dnf is None:
+            continue
+        parsed += 1
+        selected = set()
+        for conj in dnf:
+            selected.update(prune_files(snap, conj))
+        assert qb_inputs <= {os.path.basename(p) for p in selected}, \
+            (sorted(qb_inputs), stmt)
+        if len(qb_inputs) < n_files:
+            pruned += 1
+    assert parsed >= n_cases * 0.4, (parsed, n_cases)
+    assert pruned >= parsed * 0.1, (pruned, parsed)

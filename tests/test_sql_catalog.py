@@ -1219,6 +1219,168 @@ def test_self_join_with_second_table_lifts_all(spark, two_qb_cat):
     assert 0 < qord_p < qord_full
 
 
+# -- round-11: WHERE lift inside subqueries (EXISTS / IN / derived) ------------
+
+
+def test_cte_main_query_lift(spark, join_cat):
+    """r11: the MAIN query after a CTE list lifts like a standalone
+    SELECT — single-table, join, and self-join shapes."""
+    cat = join_cat
+    li = load(spark, "lineitem")
+    from pyspark.sql import functions as F
+    full_n = len(cat.sql("SELECT * FROM qli").inputFiles())
+    # single-table main query
+    got_df = cat.sql(
+        "WITH lim AS (SELECT 150 AS v) "
+        "SELECT COUNT(*) AS n FROM qli WHERE l_orderkey < 150")
+    qli_files = [f for f in got_df.inputFiles() if "/qli/" in f]
+    assert 0 < len(qli_files) < full_n
+    assert got_df.collect()[0].n \
+        == li.filter("l_orderkey < 150").count()
+    # self-join main query
+    stmt = ("WITH lim AS (SELECT 1 AS v) "
+            "SELECT COUNT(*) AS n FROM qli a JOIN qli b "
+            "ON a.l_orderkey = b.l_orderkey "
+            "WHERE a.l_orderkey < 180 AND b.l_quantity > 10")
+    slots = cat._cte_self_join_predicates(stmt, cat.tables())
+    assert "qli" in slots and all(s is not None for s in slots["qli"])
+    a, b = li.alias("a"), li.alias("b")
+    exp = (a.join(b, F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+           .where("a.l_orderkey < 180 AND b.l_quantity > 10").count())
+    assert cat.sql(stmt).collect()[0].n == exp
+    # a reference in BOTH a CTE body and the main query -> no lift,
+    # exact rows via the bare view
+    stmt2 = ("WITH top AS (SELECT l_orderkey FROM qli "
+             "WHERE l_orderkey < 120) "
+             "SELECT COUNT(*) AS n FROM qli q JOIN top t "
+             "ON q.l_orderkey = t.l_orderkey WHERE q.l_quantity > 5")
+    assert cat._cte_table_predicate(stmt2, cat.tables()) == {}
+    keys = li.filter("l_orderkey < 120").select("l_orderkey")
+    exp2 = (li.alias("q").join(keys.alias("t"),
+                               F.col("q.l_orderkey")
+                               == F.col("t.l_orderkey"))
+            .where("q.l_quantity > 5").count())
+    assert cat.sql(stmt2).collect()[0].n == exp2
+
+
+def test_subquery_lift_exists_correlated(spark, join_cat):
+    """EXISTS body with a correlated conjunct: the range conjunct
+    prunes the subquery's scan, the correlated one (dotted outer
+    alias) only widens; results equal the plain-Spark semi-join."""
+    cat = join_cat
+    li, orders = load(spark, "lineitem"), load(spark, "orders")
+    slots = cat._subquery_predicates(
+        "SELECT o.o_orderkey FROM plain_orders o WHERE EXISTS ("
+        "SELECT 1 FROM qli t WHERE t.l_orderkey = o.o_orderkey "
+        "AND t.l_orderkey < 200)", cat.tables())
+    assert "qli" in slots and slots["qli"][0] is not None
+    pred = slots["qli"][0][0]
+    assert "l_orderkey < 200" in pred
+    full_n = len(cat.sql("SELECT * FROM qli").inputFiles())
+    got_df = cat.sql(
+        "SELECT o.o_orderkey FROM plain_orders o WHERE EXISTS ("
+        "SELECT 1 FROM qli t WHERE t.l_orderkey = o.o_orderkey "
+        "AND t.l_orderkey < 200)")
+    qli_files = [f for f in got_df.inputFiles() if "/qli/" in f]
+    assert 0 < len(qli_files) < full_n
+    exp = (orders.join(li.filter("l_orderkey < 200"),
+                       orders.o_orderkey == li.l_orderkey, "left_semi")
+           .count())
+    assert got_df.count() == exp
+
+
+def test_subquery_lift_in_and_not_in(spark, join_cat):
+    """IN / NOT IN subquery bodies prune their own scan; NOT IN keeps
+    exact complement semantics (the body's result SET is unchanged by
+    file pruning)."""
+    cat = join_cat
+    li, orders = load(spark, "lineitem"), load(spark, "orders")
+    got = cat.sql(
+        "SELECT COUNT(*) AS n FROM plain_orders WHERE o_orderkey IN "
+        "(SELECT l_orderkey FROM qli WHERE l_orderkey < 150)"
+    ).collect()[0].n
+    keys = {r.l_orderkey
+            for r in li.filter("l_orderkey < 150")
+            .select("l_orderkey").distinct().collect()}
+    exp = orders.where(orders.o_orderkey.isin(keys)).count()
+    assert got == exp
+    got2 = cat.sql(
+        "SELECT COUNT(*) AS n FROM plain_orders WHERE o_orderkey NOT IN "
+        "(SELECT l_orderkey FROM qli WHERE l_orderkey < 150)"
+    ).collect()[0].n
+    exp2 = orders.where(~orders.o_orderkey.isin(keys)).count()
+    assert got2 == exp2
+
+
+def test_subquery_lift_derived_table(spark, join_cat):
+    """A derived table in FROM gets its body's WHERE pruned — the
+    subquery output joins a dimension exactly."""
+    from pyspark.sql import functions as F
+
+    cat = join_cat
+    li, orders = load(spark, "lineitem"), load(spark, "orders")
+    full_n = len(cat.sql("SELECT * FROM qli").inputFiles())
+    got_df = cat.sql(
+        "SELECT t.k, o.o_custkey FROM "
+        "(SELECT l_orderkey AS k FROM qli WHERE l_orderkey < 250) t "
+        "JOIN plain_orders o ON t.k = o.o_orderkey")
+    qli_files = [f for f in got_df.inputFiles() if "/qli/" in f]
+    assert 0 < len(qli_files) < full_n
+    exp = (li.filter("l_orderkey < 250")
+           .select(li.l_orderkey.alias("k"))
+           .join(orders, F.col("k") == orders.o_orderkey).count())
+    assert got_df.count() == exp
+    # scalar subquery in the SELECT list prunes too and stays exact
+    got_m = cat.sql(
+        "SELECT (SELECT MAX(l_extendedprice) FROM qli "
+        "WHERE l_orderkey < 100) AS m").collect()[0].m
+    exp_m = li.filter("l_orderkey < 100") \
+        .agg(F.max("l_extendedprice")).collect()[0][0]
+    assert got_m == exp_m
+
+
+def test_subquery_lift_sibling_spans_fall_back(spark, join_cat):
+    """The same table referenced from TWO sibling subqueries is not
+    attributable (occurrence ordinals can't align) — no lift, exact
+    rows via the bare view."""
+    cat = join_cat
+    li, orders = load(spark, "lineitem"), load(spark, "orders")
+    stmt = ("SELECT COUNT(*) AS n FROM plain_orders WHERE "
+            "o_orderkey IN (SELECT l_orderkey FROM qli "
+            "WHERE l_orderkey < 100) "
+            "OR o_orderkey IN (SELECT l_orderkey FROM qli "
+            "WHERE l_orderkey >= 9000)")
+    assert cat._subquery_predicates(stmt, cat.tables()) == {}
+    got = cat.sql(stmt).collect()[0].n
+    k1 = {r.l_orderkey for r in li.filter("l_orderkey < 100")
+          .select("l_orderkey").distinct().collect()}
+    k2 = {r.l_orderkey for r in li.filter("l_orderkey >= 9000")
+          .select("l_orderkey").distinct().collect()}
+    exp = orders.where(orders.o_orderkey.isin(k1 | k2)).count()
+    assert got == exp
+
+
+def test_subquery_lift_self_join_in_derived(spark, join_cat):
+    """A self-join INSIDE a derived table gets per-occurrence slots
+    through the subquery lane."""
+    from pyspark.sql import functions as F
+
+    cat = join_cat
+    li = load(spark, "lineitem")
+    stmt = ("SELECT AVG(q) AS aq FROM (SELECT b.l_quantity AS q "
+            "FROM qli a JOIN qli b ON a.l_orderkey = b.l_orderkey "
+            "WHERE a.l_orderkey < 220 AND b.l_quantity > 8) s")
+    slots = cat._subquery_predicates(stmt, cat.tables())
+    assert "qli" in slots and len(slots["qli"]) == 2 \
+        and all(x is not None for x in slots["qli"])
+    got = cat.sql(stmt).collect()[0].aq
+    a, b = li.alias("a"), li.alias("b")
+    exp = (a.join(b, F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+           .where("a.l_orderkey < 220 AND b.l_quantity > 8")
+           .agg(F.avg(F.col("b.l_quantity"))).collect()[0][0])
+    assert abs(got - exp) < 1e-9
+
+
 def test_join_lift_string_literals_not_confused(spark, join_cat):
     """A table name inside a string literal is not an occurrence; quoted
     text inside the WHERE is never alias-stripped."""
