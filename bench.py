@@ -104,7 +104,10 @@ def _wait_for_idle() -> dict:
         budget = max(budget, 300.0)
     for a in sys.argv[1:]:
         if a.startswith("--wait-for-idle="):
-            budget = float(a.split("=", 1)[1])
+            try:
+                budget = float(a.split("=", 1)[1])
+            except ValueError:
+                pass             # malformed flag: keep the env/default
     waited = 0.0
     polls = 0
     while True:
@@ -114,8 +117,9 @@ def _wait_for_idle() -> dict:
             return {"waited_sec": round(waited, 1), "polls": polls,
                     "budget_sec": budget,
                     "wait_exhausted": load1 > _ISOLATION_LOAD_MAX}
-        time.sleep(min(_WAIT_POLL_SEC, budget - waited))
-        waited += _WAIT_POLL_SEC
+        step = min(_WAIT_POLL_SEC, budget - waited)
+        time.sleep(step)
+        waited += step
 
 
 def main() -> None:

@@ -55,6 +55,7 @@ CATALOG_LOCK = "_qbeast_catalog.lock"
 # synthesized temp-view names get a process-wide sequence number so two
 # threads sharing one SparkSession can never clobber each other's
 # pruned/sampled/time-travel view between registration and spark.sql
+_UNSET = object()   # 'compute it yourself' sentinel for the CTE lanes
 _VIEW_SEQ = itertools.count()
 
 _IDENT = r"(?:`[^`]+`|[A-Za-z_][A-Za-z0-9_]*)"
@@ -1341,19 +1342,25 @@ class QbeastSqlCatalog:
         def outside_quotes(pos: int) -> bool:
             return not any(a <= pos < b for a, b in spans)
 
+        cte_parts = self._cte_bodies(stmt)    # parsed once, fed to
         single_pred = self._single_table_predicate(stmt, entries) \
             or self._join_table_predicate(stmt, entries) \
-            or self._cte_table_predicate(stmt, entries)
+            or self._cte_table_predicate(stmt, entries, parts=cte_parts)
         # r11: per-occurrence slot lanes, merged per NAME (disjoint by
         # construction — each lane's acceptance rule pins all of a
         # name's references to its own shape): self-joins at the top
         # level, self-joins confined to one CTE body, and subquery
-        # bodies (derived tables / IN / EXISTS)
+        # bodies (derived tables / IN / EXISTS; CTE body spans skipped
+        # — the CTE lanes already lift them)
+        cte_texts = frozenset(cte_parts[0]) if cte_parts else frozenset()
         multi_pred: Dict[str, list] = {}
-        for lane in (self._self_join_predicates,
-                     self._cte_self_join_predicates,
-                     self._subquery_predicates):
-            for n, s in lane(stmt, entries).items():
+        for lane in (
+                lambda: self._self_join_predicates(stmt, entries),
+                lambda: self._cte_self_join_predicates(
+                    stmt, entries, parts=cte_parts),
+                lambda: self._subquery_predicates(
+                    stmt, entries, skip_bodies=cte_texts)):
+            for n, s in lane().items():
                 if n not in single_pred and n not in multi_pred:
                     multi_pred[n] = s
         out = stmt
@@ -1604,7 +1611,8 @@ class QbeastSqlCatalog:
                 if len(s) > 1 and any(x is not None for x in s)}
 
     def _subquery_predicates(
-            self, stmt: str, entries) -> Dict[str, list]:
+            self, stmt: str, entries,
+            skip_bodies=()) -> Dict[str, list]:
         """WHERE lift INSIDE parenthesized subqueries (r11): derived
         tables in FROM, IN (SELECT ...), EXISTS (...) — any balanced
         ``( SELECT ... )`` span, at any depth. The body is a
@@ -1643,6 +1651,11 @@ class QbeastSqlCatalog:
                     bodies.append((s + 1, i))
         for s, t in bodies:
             body = stmt[s:t].strip()
+            # CTE body spans are the CTE lanes' territory — re-lifting
+            # them here is dead work (r11 review; the per-name merge in
+            # _register_referenced would discard the duplicates anyway)
+            if body in skip_bodies:
+                continue
             lifts = self._single_table_predicate(body, entries) \
                 or self._join_table_predicate(body, entries)
             per: Dict[str, list] = {n: [v] for n, v in lifts.items()}
@@ -1805,7 +1818,8 @@ class QbeastSqlCatalog:
         return bodies, stmt[i:].strip()
 
     def _cte_table_predicate(
-            self, stmt: str, entries) -> Dict[str, Tuple[str, bool]]:
+            self, stmt: str, entries,
+            parts=_UNSET) -> Dict[str, Tuple[str, bool]]:
         """WHERE lift inside WITH (CTE) statements (r8; main-query leg
         r11). Each CTE body — and the MAIN query after the CTE list —
         is a self-contained SELECT, so the single-table / join lift
@@ -1816,7 +1830,8 @@ class QbeastSqlCatalog:
         another CTE, disables that table's lift, because
         _register_referenced rewrites by occurrence). Recursive CTEs
         are skipped outright."""
-        parts = self._cte_bodies(stmt)
+        if parts is _UNSET:
+            parts = self._cte_bodies(stmt)
         if parts is None:
             return {}
         bodies, main = parts
@@ -1832,7 +1847,7 @@ class QbeastSqlCatalog:
         return out
 
     def _cte_self_join_predicates(
-            self, stmt: str, entries) -> Dict[str, list]:
+            self, stmt: str, entries, parts=_UNSET) -> Dict[str, list]:
         """Self-join per-occurrence slots INSIDE a CTE body or the
         MAIN query of a WITH statement (r11): a table self-joined
         within ONE body, referenced nowhere else in the statement,
@@ -1841,7 +1856,8 @@ class QbeastSqlCatalog:
         body slot count) is what keeps the rewrite scan's occurrence
         ordinals aligned with the body's — there are no occurrences
         outside the body to shift them."""
-        parts = self._cte_bodies(stmt)
+        if parts is _UNSET:
+            parts = self._cte_bodies(stmt)
         if parts is None:
             return {}
         bodies, main = parts

@@ -290,12 +290,15 @@ _RESCAN_SAFE_INNER = frozenset({
     "RepartitionByExpression", "ResolvedHint", "UnresolvedHint",
     "Expand", "Generate", "Intersect", "Except"})
 # Aggregate functions Catalyst marks deterministic whose VALUE is
-# order-dependent (first/last/any_value, and collect_list/collect_set
-# whose ARRAY ORDERING tracks partition arrival order — SPARK-10712
-# class): an Aggregate over them yields different non-key values per
-# re-execution, so they pin (r11 review).
+# order-dependent (first/last/any_value; collect_list/collect_set whose
+# ARRAY ORDERING tracks partition arrival order — SPARK-10712 class;
+# and the sketch/tie-broken aggregates whose result depends on merge
+# order: percentile_approx's GK sketch, mode's arbitrary tie pick,
+# histogram_numeric's bin merging): an Aggregate over them yields
+# different non-key values per re-execution, so they pin (r11 review).
 _ORDER_DEPENDENT_EXPRS = frozenset({
-    "First", "Last", "AnyValue", "CollectList", "CollectSet"})
+    "First", "Last", "AnyValue", "CollectList", "CollectSet",
+    "ApproximatePercentile", "Mode", "HistogramNumeric"})
 # Expressions Catalyst calls deterministic but stamps ONCE PER
 # QueryExecution (ComputeCurrentTime): each of merge's derived frames
 # (key box, match counts, dv mask, post-image, insert) is its own
@@ -304,6 +307,9 @@ _ORDER_DEPENDENT_EXPRS = frozenset({
 _PER_EXECUTION_EXPRS = frozenset({
     "CurrentTimestamp", "CurrentDate", "Now", "LocalTimestamp",
     "CurrentTimeZone"})
+# one expression walk per node: Aggregates check both sets (r11 review
+# — separate walks doubled the py4j traversals in the merge hot path)
+_AGG_UNSAFE_EXPRS = _PER_EXECUTION_EXPRS | _ORDER_DEPENDENT_EXPRS
 
 
 def _exprs_contain(node, names: frozenset, budget: int = 2000) -> bool:
@@ -366,10 +372,9 @@ def _source_safe_to_rescan(source) -> bool:
             for i in range(exprs.size()):
                 if not exprs.apply(i).deterministic():
                     return False
-            if name == "Aggregate" and _exprs_contain(
-                    n, _ORDER_DEPENDENT_EXPRS):
-                return False
-            if _exprs_contain(n, _PER_EXECUTION_EXPRS):
+            if _exprs_contain(n, _AGG_UNSAFE_EXPRS
+                              if name == "Aggregate"
+                              else _PER_EXECUTION_EXPRS):
                 return False
             if name == "Deduplicate":
                 # whole-row dedup (df.distinct(), dropDuplicates() with

@@ -702,6 +702,13 @@ def test_source_safe_to_rescan_shapes(spark):
             F.current_timestamp())))
     assert not _source_safe_to_rescan(
         pq.withColumn("d", F.current_date()))
+    # sketch/tie-broken aggregates: result depends on merge order even
+    # though Catalyst marks them deterministic (r11 review)
+    assert not _source_safe_to_rescan(
+        pq.groupBy("n_regionkey").agg(
+            F.percentile_approx("n_nationkey", 0.5)))
+    assert not _source_safe_to_rescan(
+        pq.groupBy("n_regionkey").agg(F.mode("n_name")))
 
 
 def test_source_rescan_requires_pinned_file_index(spark, tmp_path):

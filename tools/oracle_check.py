@@ -91,9 +91,10 @@ def main() -> int:
     cpus = os.environ.get("ORACLE_CHECK_CPUS", "8")
     mem = os.environ.get("ORACLE_CHECK_DRIVER_MEM", "12g")
     arrow = os.environ.get("ORACLE_CHECK_ARROW", "0") == "1"
+    n_cpus = int(cpus) if cpus.isdigit() else (os.cpu_count() or 8)
     spark = (SparkSession.builder.master(f"local[{cpus}]")
              .appName("oracle-check")
-             .config("spark.sql.shuffle.partitions", str(2 * int(cpus)))
+             .config("spark.sql.shuffle.partitions", str(2 * n_cpus))
              .config("spark.sql.session.timeZone", "UTC")
              .config("spark.driver.memory", mem)
              .config("spark.sql.execution.arrow.pyspark.enabled",
