@@ -173,6 +173,12 @@ def jaccard_pairs(docs, n: int = 3, threshold: float = 0.5,
     join against the tiny per-doc size table. Deliberately NOT cached: the
     exploded shingle table is ~n x tokens rows (memory-hostile at scale) and
     recomputing the cheap tokenize+explode twice beats materializing it.
+
+    (r11 A/B note: carrying the per-doc size through the exploded self-join
+    instead of the two broadcast size-lookups removes 2 corpus scans but
+    measured 20% SLOWER at sf0.1 — widening every row of the join's heavy
+    exploded sides costs more than the two cheap scans+broadcasts save.
+    Kept in this measured form.)
     """
     from pyspark.sql import functions as F
 
@@ -319,8 +325,47 @@ def simhash_pairs(docs, max_hamming: int = 3, n_bands: int = 4,
             .where(F.col("hamming") <= max_hamming))
 
 
+# connected_components collapses to a driver-side union-find when the
+# (materialized) edge list is at most this many directed rows: below it
+# the iterative join rounds are pure fixed overhead (4+ jobs per round),
+# above it position sets stay distributed. 1M directed edges = 500k
+# pairs ~ tens of MB on the driver — the same bounded-collect idiom as
+# sources/dml._SMALL_DV_MAX_POSITIONS (256k) and the broadcast query
+# matrices. Tune via the function arg; 0 disables the fast path.
+DRIVER_CC_MAX_EDGES = 1_000_000
+
+
+def _driver_union_find(rows, a_col: str = "a", b_col: str = "b"):
+    """Union-find with min-label resolution over collected edge rows —
+    exactly the fixpoint the distributed loop converges to: canonical =
+    min id in the node's component (Python min on int/str orders like
+    Spark's min on long/UTF8 string for these id domains)."""
+    parent: dict = {}
+    nodes: set = set()
+
+    def find(x):
+        root = x
+        while parent.get(root, root) != root:
+            root = parent[root]
+        while parent.get(x, x) != root:        # path compression
+            parent[x], x = root, parent[x]
+        return root
+
+    for r in rows:
+        a, b = r[a_col], r[b_col]
+        nodes.add(a)
+        nodes.add(b)
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            # union by min so the root IS the canonical label
+            lo, hi = (ra, rb) if ra < rb else (rb, ra)
+            parent[hi] = lo
+    return [(n, find(n)) for n in nodes]
+
+
 def connected_components(pairs, id1: str = "id1", id2: str = "id2",
-                         max_iter: int = 20):
+                         max_iter: int = 20,
+                         driver_max_edges: int = DRIVER_CC_MAX_EDGES):
     """Near-dup cluster labels from a candidate-pair list: iterative
     min-label propagation (the GraphX/GraphFrames connected-components
     pattern as plain DataFrame ops). Each round is one shuffle-join; dup
@@ -330,6 +375,14 @@ def connected_components(pairs, id1: str = "id1", id2: str = "id2",
     Returns (node, canonical) where canonical = min id in the node's
     component. Only nodes appearing in ``pairs`` are labeled (singletons
     are their own canonical by definition and need no row at scale).
+
+    Small edge lists (<= ``driver_max_edges`` directed rows, counted on
+    the already-materialized checkpoint) skip the loop entirely: a
+    driver-side union-find computes the identical fixpoint in one
+    bounded collect — duplicate-cluster edge lists are typically a tiny
+    fraction of the corpus, and each distributed round costs 4+ jobs of
+    fixed overhead that dwarf microscopic data (guide §1.2: fix the
+    algorithm for the regime, keep the distributed path for scale).
     """
     from pyspark.sql import functions as F
 
@@ -346,6 +399,18 @@ def connected_components(pairs, id1: str = "id1", id2: str = "id2",
              .unionAll(pairs.select(F.col(id2).alias("a"),
                                     F.col(id1).alias("b")))
              .localCheckpoint(eager=True))
+    if driver_max_edges:
+        # counting the materialized checkpoint is O(#partitions) — no
+        # recompute of the candidate pipeline
+        n_edges = edges.count()
+        if n_edges <= driver_max_edges:
+            labeled = _driver_union_find(edges.collect())
+            from pyspark.sql import types as T
+
+            node_type = edges.schema["a"].dataType
+            schema = T.StructType([T.StructField("node", node_type),
+                                   T.StructField("canonical", node_type)])
+            return edges.sparkSession.createDataFrame(labeled, schema)
     # seed with round 0 fused into the node extraction: label = min(self,
     # min neighbor) straight off the edge list (every node occurs as "a"
     # in the bidirectional edges), saving one join+checkpoint round
