@@ -32,11 +32,16 @@ def rows_at_ranks(df, order_cols: Sequence[str],
     column being unique, as with any deterministic rank).
 
     Returns one dict per requested position, in ``positions`` order.
+
+    ``positions`` may also be a callable: it receives the exact total row
+    count (a by-product of the per-bucket counting job) and returns the
+    rank list — rank-from-count callers (exact_ntile_cuts) then need NO
+    separate count() pass over the data (r11: one full scan removed).
     """
     from pyspark.sql import Window
     from pyspark.sql import functions as F
 
-    if not positions:
+    if not callable(positions) and not positions:
         return []
     proj = (df.select(*order_cols)
             .repartitionByRange(num_buckets, *[F.col(c) for c in order_cols])
@@ -54,6 +59,10 @@ def rows_at_ranks(df, order_cols: Sequence[str],
         for pid in pids:
             total += counts[pid]
             cum.append(total)
+        if callable(positions):
+            positions = positions(total)
+            if not positions:
+                return []
         by_pid: Dict[int, List[int]] = {}
         for pos in positions:
             if not 1 <= pos <= total:
@@ -91,9 +100,18 @@ def rows_at_ranks(df, order_cols: Sequence[str],
 def exact_ntile_cuts(df, order_cols: Sequence[str], n: int,
                      num_buckets: int = 64):
     """The n-1 cut rows of an exact global NTILE(n): cut i is the LAST row
-    of tile i (rank i*base + min(i, rem)). Returns (total_count, cuts)."""
-    total = df.count()
-    base, rem = divmod(total, n)
-    cuts_pos = [i * base + min(i, rem) for i in range(1, n)]
-    cuts_pos = [p for p in cuts_pos if p >= 1]
-    return total, rows_at_ranks(df, order_cols, cuts_pos, num_buckets)
+    of tile i (rank i*base + min(i, rem)). Returns (total_count, cuts).
+
+    The total row count is a by-product of rows_at_ranks' per-bucket
+    counting job (positions passed as a callable of it), so this costs
+    NO separate count() scan of ``df`` (r11: was one extra full pass)."""
+    seen = {}
+
+    def _positions(total: int) -> List[int]:
+        seen["total"] = total
+        base, rem = divmod(total, n)
+        cuts_pos = [i * base + min(i, rem) for i in range(1, n)]
+        return [p for p in cuts_pos if p >= 1]
+
+    cuts = rows_at_ranks(df, order_cols, _positions, num_buckets)
+    return seen.get("total", 0), cuts

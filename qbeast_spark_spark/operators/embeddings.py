@@ -94,10 +94,95 @@ def quantized_topk(vectors, queries, k: int = 5,
                    vec_col: str = "embedding", id_col: str = "vec_id",
                    q_id_col: str = "q_id", q_vec_col: str = "q_embedding"):
     """Top-k by cosine computed entirely on int8-quantized vectors — the
-    4x-memory serving path. Same plan shape as similarity.cosine_topk
-    (broadcast quantized queries, per-query top-k window); the float
-    vectors never travel through the join."""
+    4x-memory serving path. The query side is driver-bounded by the ANN
+    serving contract (same as otree_prefilter_topk); the vector side
+    streams through ONE mapInArrow whose per-batch kernel quantizes and
+    computes every query's integer dot products in NumPy (guide §4.2 —
+    the r10 shape evaluated ~3M interpreted zip_with/aggregate lambda
+    steps per call), then Spark rounds and ranks. Values are
+    bit-identical to the expression form: the int64 dot/norm sums are
+    order-independent EXACT integers, and every float step (widen,
+    amax, /127 scale, floor-quantize, sqrt, the ((dot*sa)*sb) /
+    ((sqrt(ii)*sa)*(sqrt(jj)*sb)) association) is the same IEEE-double
+    op sequence NumPy applies elementwise. Ragged query dims or an
+    empty query set fall back to the expression plan."""
     from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from ..functions.partitioning import spread
+
+    q_rows = queries.select(q_id_col, q_vec_col).collect()
+    dims = {len(r[q_vec_col]) for r in q_rows
+            if r[q_vec_col] is not None}
+    ids_ok = all(isinstance(r[q_id_col], int) and r[q_vec_col] is not None
+                 for r in q_rows)
+    if not q_rows or len(dims) != 1 or not ids_ok:
+        joined = _quantized_pairs_exprs(vectors, queries, vec_col, id_col,
+                                        q_id_col, q_vec_col)
+    else:
+        import numpy as np
+        import pyarrow as pa
+
+        qmat = np.array([r[q_vec_col] for r in q_rows], dtype=np.float64)
+        qids = np.array([r[q_id_col] for r in q_rows], dtype=np.int64)
+        qamax = np.abs(qmat).max(axis=1)
+        qs = qamax / float(Q_LEVELS)
+        qq8 = np.zeros_like(qmat, dtype=np.int64)
+        nz = qs > 0
+        qq8[nz] = np.floor(qmat[nz] / qs[nz, None] + 0.5).astype(np.int64)
+        qn = np.sqrt((qq8 * qq8).sum(axis=1).astype(np.float64)) * qs
+
+        id_type = vectors.schema[id_col].dataType.simpleString()
+        out_schema = f"{q_id_col} long, {id_col} {id_type}, cos double"
+
+        def kernel(batches):
+            for batch in batches:
+                tbl = pa.Table.from_batches([batch])
+                n = tbl.num_rows
+                if n == 0:
+                    continue
+                ids_arr = tbl.column(id_col).combine_chunks()
+                emb_arr = tbl.column(vec_col).combine_chunks()
+                lens = np.diff(emb_arr.offsets.to_numpy())
+                if emb_arr.null_count or (lens != lens[0]).any():
+                    raise ValueError(
+                        "quantized_topk needs non-null fixed-dimension "
+                        "embeddings")
+                flat = emb_arr.flatten().to_numpy(zero_copy_only=False) \
+                    .astype(np.float64)
+                mat = flat.reshape(n, -1)
+                amax = np.abs(mat).max(axis=1)
+                s = amax / float(Q_LEVELS)
+                v8 = np.zeros_like(mat, dtype=np.int64)
+                m = s > 0
+                v8[m] = np.floor(mat[m] / s[m, None] + 0.5) \
+                    .astype(np.int64)
+                vn = np.sqrt((v8 * v8).sum(axis=1).astype(np.float64)) * s
+                dot = v8 @ qq8.T                       # exact int64
+                cos = ((dot.astype(np.float64) * s[:, None]) * qs[None, :]) \
+                    / ((vn[:, None]) * (qn[None, :]))
+                kq = len(qids)
+                yield pa.RecordBatch.from_arrays(
+                    [pa.array(np.repeat(qids, n)),
+                     pa.concat_arrays([ids_arr] * kq),
+                     pa.array(cos.T.reshape(-1))],
+                    names=[q_id_col, id_col, "cos"])
+
+        joined = (spread(vectors).select(id_col, vec_col)
+                  .mapInArrow(kernel, out_schema)
+                  .select(F.col(q_id_col), F.col(id_col),
+                          F.round(F.col("cos"), 6).alias("cos")))
+    w = Window.partitionBy(q_id_col).orderBy(
+        F.col("cos").desc(), F.col(id_col).asc())
+    return (joined
+            .withColumn("rank", F.row_number().over(w))
+            .where(F.col("rank") <= k))
+
+
+def _quantized_pairs_exprs(vectors, queries, vec_col, id_col,
+                           q_id_col, q_vec_col):
+    """The all-expression (q_id, id, rounded cos) pair frame — fallback
+    for empty/ragged query sets; arithmetic per quantized_cosine_col."""
     from pyspark.sql import functions as F
 
     from ..functions.partitioning import spread
@@ -131,11 +216,5 @@ def quantized_topk(vectors, queries, k: int = 5,
     cos = (_idot(F.col("embedding_q8"), F.col("_qq8")).cast("double")
            * F.col("q8_scale") * F.col("_qs")
            / (F.col("_vn") * F.col("_qn")))
-    w = Window.partitionBy(q_id_col).orderBy(
-        F.col("cos").desc(), F.col(id_col).asc())
-    return (
-        joined.select(F.col(q_id_col), F.col(id_col),
-                      F.round(cos, 6).alias("cos"))
-        .withColumn("rank", F.row_number().over(w))
-        .where(F.col("rank") <= k)
-    )
+    return joined.select(F.col(q_id_col), F.col(id_col),
+                         F.round(cos, 6).alias("cos"))

@@ -161,6 +161,31 @@ def ivf_topk(vectors, queries, centroids, k: int = 5,
         joined = prepped.crossJoin(F.broadcast(cents))
         cos = _dot(F.col(d_col), F.col("_cd")) \
             / (F.col(n_col) * F.col("_cn"))
+        from pyspark.sql import types as T
+
+        c_id_numeric = isinstance(cents.schema[c_id_col].dataType,
+                                  T.NumericType)
+        if n_best == 1 and c_id_numeric:
+            # argmax as an aggregate, not a window: the broadcast cross
+            # join emits K rows per vector INSIDE the map task, so a
+            # hash aggregate's partial (map-side) pass collapses them to
+            # one row per vector before the exchange — the shuffle
+            # carries |vectors| rows instead of |vectors| x K (guide
+            # §2.3 "aggregate before you shuffle"; the window shape
+            # shuffled the whole cross product to sort it). max over
+            # the (cos, -c_id) struct is a TOTAL order realizing
+            # exactly the window's ORDER BY cos DESC, c_id ASC rank-1
+            # pick (Spark and the oracle both order NaN greatest); the
+            # tie-break negation needs a numeric centroid id — other id
+            # types keep the window shape below.
+            best = F.max(F.struct(
+                cos.alias("_c"), (-F.col(c_id_col)).alias("_negid"),
+                F.col(d_col).alias("_d"), F.col(n_col).alias("_n")))
+            agg = joined.groupBy(idc).agg(best.alias("_b"))
+            return agg.select(
+                F.col(idc), F.col("_b._d").alias(d_col),
+                F.col("_b._n").alias(n_col),
+                (-F.col("_b._negid")).alias(c_id_col))
         w = Window.partitionBy(idc).orderBy(
             F.col("_ccos").desc(), F.col(c_id_col).asc())
         return (

@@ -457,3 +457,35 @@ def test_repetition_flags_most_frequent_not_largest_mass(spark):
     # most frequent bigram is 'aa bb' (10x, but note 'bb aa' occurs 9x):
     # expected mass = 10 * 4
     assert abs(row.top2gram_char_frac - 40 / total) < 1e-3
+
+
+def test_quantized_topk_numpy_lane_matches_expression_lane(spark, emb):
+    """r11: quantized_topk's NumPy mapInArrow kernel must be
+    BIT-identical to the all-expression plan (int64 dots are exact in
+    any order; every float step keeps the same IEEE association)."""
+    from pyspark.sql import Window
+
+    from qbeast_spark_spark.operators.embeddings import (
+        _quantized_pairs_exprs, quantized_topk)
+
+    q = (emb.where(F.col("vec_id") < 3)
+         .select(F.col("vec_id").alias("q_id"),
+                 F.col("embedding").alias("q_embedding")))
+    body = emb.where(F.col("vec_id") >= 3)
+    new = quantized_topk(body, q, k=4).collect()
+    pairs = _quantized_pairs_exprs(body, q, "embedding", "vec_id",
+                                   "q_id", "q_embedding")
+    w = Window.partitionBy("q_id").orderBy(
+        F.col("cos").desc(), F.col("vec_id").asc())
+    old = (pairs.withColumn("rank", F.row_number().over(w))
+           .where(F.col("rank") <= 4)).collect()
+    assert sorted(map(tuple, new)) == sorted(map(tuple, old))
+
+
+def test_quantized_topk_empty_queries_falls_back(spark, emb):
+    q = (emb.where(F.lit(False))
+         .select(F.col("vec_id").alias("q_id"),
+                 F.col("embedding").alias("q_embedding")))
+    from qbeast_spark_spark.operators.embeddings import quantized_topk
+
+    assert quantized_topk(emb, q, k=3).count() == 0
