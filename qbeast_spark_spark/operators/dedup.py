@@ -182,8 +182,21 @@ def jaccard_pairs(docs, n: int = 3, threshold: float = 0.5,
     """
     from pyspark.sql import functions as F
 
+    from ..functions.partitioning import spread
+
     sh = shingles(docs, n, id_col)
-    sizes = sh.groupBy(id_col).agg(F.count("*").alias("sz"))
+    # per-doc distinct-shingle count WITHOUT the explode + count shuffle:
+    # size(array_distinct(...)) in the same projection that builds the
+    # array — a map-only subtree per broadcast side (r11; the exploded
+    # groupBy form re-ran the explode and an aggregation per side).
+    # Identical values: a doc with zero shingles emits no exploded rows
+    # AND cannot appear in `inter`, so the sz=0 rows here are inert.
+    sizes = spread(docs).select(
+        F.col(id_col),
+        F.regexp_extract_all(F.lower(F.col("text")), F.lit(TOKEN_RE), 0)
+        .alias("_toks")).select(
+        F.col(id_col),
+        F.size(F.array_distinct(_shingle_expr(n))).alias("sz"))
     a = sh.alias("a")
     b = sh.alias("b")
     inter = (
