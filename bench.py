@@ -576,12 +576,17 @@ def main() -> None:
         "verdict": "SUSPECT" if start_load1 > _ISOLATION_LOAD_MAX
         else "CLEAN",
     }
-    # compact separators (no spaces) keep the single JSON line as short
-    # as possible — BENCH_r07 was head-truncated by the driver's
-    # tail-bounded capture, losing the entries emitted first. Belt and
-    # braces: the full result is ALSO written to BENCH_LAST.json next to
-    # this script, so a truncated capture never loses the record.
-    out = json.dumps({
+    # The FULL record (per-lane mins, submetrics, isolation samples,
+    # sampling demo) goes to BENCH_LAST.json; stdout gets a COMPACT
+    # one-line JSON. r10's round-over-round comparison was destroyed
+    # because the full 43-entry + submetrics line overflowed the
+    # driver's 2000-char tail-bounded capture, cutting off the JSON
+    # head (VERDICT r11 "What's wrong #2"). The compact line (metric,
+    # value, unit, queries medians, isolation verdict, sf — ~1.2k
+    # chars) always fits the tail buffer; nothing is removed from the
+    # record, only relocated to the file the contract tests already
+    # read.
+    full = json.dumps({
         "metric": "headline_queries_total",
         "value": total,
         "unit": "sec",
@@ -597,10 +602,20 @@ def main() -> None:
         "sampling_demo": sampling,
         "sf": sf_val,
     }, separators=(",", ":"))
+    out = json.dumps({
+        "metric": "headline_queries_total",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "minrule": "per-lane",
+        "isolation": isolation["verdict"],
+        "detail": "BENCH_LAST.json",
+        "sf": sf_val,
+    }, separators=(",", ":"))
     try:
         with open(os.path.join(os.path.dirname(os.path.abspath(__file__)),
                                "BENCH_LAST.json"), "w") as fh:
-            fh.write(out + "\n")
+            fh.write(full + "\n")
     except OSError:
         pass  # read-only checkout: stdout is still the record
     print(out)
