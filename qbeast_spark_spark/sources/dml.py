@@ -82,6 +82,31 @@ def _match_counts(qt, candidates: Sequence[str], residual
     return {_rel_path(qt, r["_f"]): int(r["count"]) for r in rows}
 
 
+def _match_hits(qt, snap, candidates: Sequence[str], residual):
+    """Live ``(fp, ri)`` positions of the rows matching ``residual`` over
+    the candidate files — the FUSED source for both the per-file match
+    counts and the DV mask build (r12, VERDICT r11 Next #1): the count
+    pass and the raw position scan evaluated the same predicate over the
+    same files as two separate jobs. Callers persist the returned frame
+    (narrow: one string + one long per matched row), derive counts with
+    a cheap ``groupBy("fp").count()`` over it, decide the dv/rewrite
+    mode, and in dv mode feed the SAME frame to ``_dv_mask_adds`` — one
+    scan instead of two.
+
+    Unlike ``_raw_positions`` this scan APPLIES existing deletion
+    vectors, which is both cheaper and equivalent: an already-masked
+    position is already in its file's bitmap, so re-surfacing it was a
+    union no-op that never changed the descriptor or the new-mask
+    count."""
+    from pyspark.sql import functions as F
+
+    sel = qt._df_for_files(candidates, snap=snap, file_col="_f",
+                           pos_col="_ri")
+    if residual is not None:
+        sel = sel.where(residual)
+    return sel.select(F.col("_f").alias("fp"), F.col("_ri").alias("ri"))
+
+
 def _cdc_of(qt, snap, frames) -> Optional[List[Dict[str, Any]]]:
     """When the table has CDF enabled, persist the given
     (DataFrame, change_type) pairs as one change-file set and return the
@@ -483,60 +508,80 @@ def delete_rows(spark, path: str, filters=None,
                                 read_version=snap.version)
         return {"version": version, "rows_deleted": int(rows),
                 "files_rewritten": 0, "files_scanned": 0}
-    per_file = _match_counts(qt, candidates, residual)
-    if not per_file:
-        version = None
-        if txn is not None:
-            # a no-op verb with a txn identity still advances the
-            # epoch high-water mark (same contract as merge)
-            version = qt.log.commit(
-                add=[], remove=[], schema_json=snap.schema_json,
-                data_change=False, operation="DELETE", txn=txn,
-                read_version=snap.version)
-        return {"version": version, "rows_deleted": 0,
-                "files_rewritten": 0,
+    # Fused pass (r12): when dv mode is possible, ONE scan yields both
+    # the per-file match counts and the mask positions — the count job
+    # materializes the persisted (fp, ri) frame, the auto-mode decision
+    # moves after it, and the dv path reuses the frame instead of
+    # rescanning the matched files. An explicit mode="rewrite" keeps the
+    # count-only job (positions are never needed). Trade-off: a bulk
+    # delete that routes to rewrite persisted its matched positions for
+    # nothing — O(matched rows) narrow rows vs the O(matched bytes)
+    # rewrite it proceeds to pay, and the frame is released immediately.
+    hits = None
+    try:
+        if mode == "rewrite" or not candidates:
+            per_file = _match_counts(qt, candidates, residual)
+        else:
+            hits = _match_hits(qt, snap, candidates, residual).persist()
+            per_file = {
+                _rel_path(qt, r["fp"]): int(r["count"])
+                for r in hits.groupBy("fp").count().collect()}
+        if not per_file:
+            version = None
+            if txn is not None:
+                # a no-op verb with a txn identity still advances the
+                # epoch high-water mark (same contract as merge)
+                version = qt.log.commit(
+                    add=[], remove=[], schema_json=snap.schema_json,
+                    data_change=False, operation="DELETE", txn=txn,
+                    read_version=snap.version)
+            return {"version": version, "rows_deleted": 0,
+                    "files_rewritten": 0,
+                    "files_scanned": len(candidates)}
+        matched = sorted(per_file)
+        if mode == "auto":
+            live = sum(snap.files[rel].live_rows for rel in matched)
+            mode = "dv" if sum(per_file.values()) \
+                < DV_DELETE_MAX_FRACTION * max(live, 1) \
+                and _pred_deterministic(qt, snap, residual) else "rewrite"
+        elif mode == "dv" and not _pred_deterministic(qt, snap, residual):
+            raise ValueError(
+                "dv delete requires a deterministic predicate: the match "
+                "count, the mask scan, and the CDC frame evaluate it "
+                "independently, so a nondeterministic one would mask a "
+                "different sample of rows than it reports — use "
+                "mode='rewrite'")
+        cdc = _cdc_of(qt, snap, [
+            (qt._df_for_files(matched, snap=snap).where(residual),
+             "delete")])
+        if mode == "dv":
+            out = _delete_with_dvs(qt, snap, matched, hits, cdc=cdc,
+                                   txn=txn)
+            out["files_scanned"] = len(candidates)
+            return out
+        survivors = qt._df_for_files(matched, snap=snap).where(
+            ~F.coalesce(residual, F.lit(False)))
+        version = _rewrite(qt, snap, matched, survivors,
+                           operation="DELETE", cdc=cdc, txn=txn)
+        return {"version": version,
+                "rows_deleted": int(sum(per_file.values())),
+                "files_rewritten": len(matched),
                 "files_scanned": len(candidates)}
-    matched = sorted(per_file)
-    if mode == "auto":
-        live = sum(snap.files[rel].live_rows for rel in matched)
-        mode = "dv" if sum(per_file.values()) \
-            < DV_DELETE_MAX_FRACTION * max(live, 1) \
-            and _pred_deterministic(qt, snap, residual) else "rewrite"
-    elif mode == "dv" and not _pred_deterministic(qt, snap, residual):
-        raise ValueError(
-            "dv delete requires a deterministic predicate: the match "
-            "count, the mask scan, and the CDC frame evaluate it "
-            "independently, so a nondeterministic one would mask a "
-            "different sample of rows than it reports — use "
-            "mode='rewrite'")
-    cdc = _cdc_of(qt, snap, [
-        (qt._df_for_files(matched, snap=snap).where(residual), "delete")])
-    if mode == "dv":
-        out = _delete_with_dvs(qt, snap, matched, residual, cdc=cdc,
-                               txn=txn)
-        out["files_scanned"] = len(candidates)
-        return out
-    survivors = qt._df_for_files(matched, snap=snap).where(
-        ~F.coalesce(residual, F.lit(False)))
-    version = _rewrite(qt, snap, matched, survivors, operation="DELETE",
-                       cdc=cdc, txn=txn)
-    return {"version": version,
-            "rows_deleted": int(sum(per_file.values())),
-            "files_rewritten": len(matched),
-            "files_scanned": len(candidates)}
+    finally:
+        if hits is not None:
+            hits.unpersist()
 
 
-def _delete_with_dvs(qt, snap, matched: List[str], residual,
+def _delete_with_dvs(qt, snap, matched: List[str], hits,
                      cdc=None, txn=None) -> dict:
     """Metadata-only delete: per matched file, union the newly matched
     row positions into its deletion vector and commit re-adds carrying
-    the new descriptors. Position sets never touch the driver — each
-    file's bitmap is built and written by one executor task
-    (applyInPandas over ``_metadata.row_index`` groups), and the driver
-    collects only O(#matched files) descriptor rows."""
-    from pyspark.sql import functions as F
-
-    hits = _hit_positions(_raw_positions(qt, matched).where(residual))
+    the new descriptors. ``hits`` is the PERSISTED (fp, ri) frame the
+    count pass already materialized (r12 fusion — no second scan of the
+    matched files). Position sets never touch the driver — each file's
+    bitmap is built and written by one executor task (applyInPandas
+    over row-position groups), and the driver collects only
+    O(#matched files) descriptor rows."""
     add, total_new = _dv_mask_adds(qt, snap, matched, hits)
     version = qt.log.commit(add=add, remove=[],
                             schema_json=snap.schema_json,
@@ -735,73 +780,93 @@ def update_rows(spark, path: str, assignments: Dict[str, Any],
                              f"(table has {sorted(by_name)})")
     candidates, residual = qt._candidates_and_residual(filters, snap)
     _reject_nondeterministic(qt, snap, residual, "UPDATE")
-    if residual is None:
-        per_file = {rel: snap.files[rel].live_rows for rel in candidates}
-    else:
-        per_file = _match_counts(qt, candidates, residual)
-    if not per_file:
-        version = None
-        if txn is not None:
-            version = qt.log.commit(
-                add=[], remove=[], schema_json=snap.schema_json,
-                data_change=False, operation="UPDATE", txn=txn,
-                read_version=snap.version)
-        return {"version": version, "rows_updated": 0,
-                "files_rewritten": 0,
-                "files_scanned": len(candidates)}
-    matched = sorted(per_file)
-    n_upd = int(sum(per_file.values()))
-    live = sum(snap.files[rel].live_rows for rel in matched)
-    if mode == "auto":
-        mode = "dv" if n_upd < DV_UPDATE_MAX_FRACTION * max(live, 1) \
-            and _pred_deterministic(qt, snap, residual) else "rewrite"
-    elif mode == "dv" and not _pred_deterministic(qt, snap, residual):
-        raise ValueError(
-            "dv update requires a deterministic predicate: the mask "
-            "scan and the post-image write evaluate it independently, "
-            "so a nondeterministic one would lose or duplicate rows — "
-            "use mode='rewrite'")
-    df = qt._df_for_files(matched)
-    pred = (F.coalesce(residual, F.lit(False))
-            if residual is not None else F.lit(True))
-    pre = qt._df_for_files(matched, snap=snap).where(pred)
-    post = pre
-    for cname, expr in assignments.items():
-        e = F.expr(expr) if isinstance(expr, str) else expr
-        if not isinstance(e, Column):
-            e = F.lit(expr)
-        if by_name:
-            e = e.cast(by_name[cname].dataType)
-        df = df.withColumn(cname, F.when(pred, e)
-                           .otherwise(F.col(cname)))
-        # CDF post-image: the assignment applied unconditionally to the
-        # PRE rows (evaluating pred against df would see updated values)
-        post = post.withColumn(cname, e)
-    # DV mode only ever writes the post rows — checking them (vs the full
-    # rewrite frame) is equivalent: unchanged rows are in space already
-    _check_revision_space(qt, snap, post if mode == "dv" else df,
-                          set(assignments))
-    from .constraints import constraints_of, validate_constraints
+    # Fused pass (r12, same shape as delete_rows): when dv mode is
+    # possible and there is a residual to evaluate, one persisted
+    # (fp, ri) scan feeds both the per-file counts and the dv mask
+    # build. residual=None keeps the metadata-only counts (no scan at
+    # all); explicit rewrite keeps the count-only job.
+    hits = None
+    try:
+        if residual is None:
+            per_file = {rel: snap.files[rel].live_rows
+                        for rel in candidates}
+        elif mode == "rewrite" or not candidates:
+            per_file = _match_counts(qt, candidates, residual)
+        else:
+            hits = _match_hits(qt, snap, candidates, residual).persist()
+            per_file = {
+                _rel_path(qt, r["fp"]): int(r["count"])
+                for r in hits.groupBy("fp").count().collect()}
+        if not per_file:
+            version = None
+            if txn is not None:
+                version = qt.log.commit(
+                    add=[], remove=[], schema_json=snap.schema_json,
+                    data_change=False, operation="UPDATE", txn=txn,
+                    read_version=snap.version)
+            return {"version": version, "rows_updated": 0,
+                    "files_rewritten": 0,
+                    "files_scanned": len(candidates)}
+        matched = sorted(per_file)
+        n_upd = int(sum(per_file.values()))
+        live = sum(snap.files[rel].live_rows for rel in matched)
+        if mode == "auto":
+            mode = "dv" if n_upd < DV_UPDATE_MAX_FRACTION * max(live, 1) \
+                and _pred_deterministic(qt, snap, residual) else "rewrite"
+        elif mode == "dv" and not _pred_deterministic(qt, snap, residual):
+            raise ValueError(
+                "dv update requires a deterministic predicate: the mask "
+                "scan and the post-image write evaluate it independently, "
+                "so a nondeterministic one would lose or duplicate rows — "
+                "use mode='rewrite'")
+        df = qt._df_for_files(matched)
+        pred = (F.coalesce(residual, F.lit(False))
+                if residual is not None else F.lit(True))
+        pre = qt._df_for_files(matched, snap=snap).where(pred)
+        post = pre
+        for cname, expr in assignments.items():
+            e = F.expr(expr) if isinstance(expr, str) else expr
+            if not isinstance(e, Column):
+                e = F.lit(expr)
+            if by_name:
+                e = e.cast(by_name[cname].dataType)
+            df = df.withColumn(cname, F.when(pred, e)
+                               .otherwise(F.col(cname)))
+            # CDF post-image: the assignment applied unconditionally to
+            # the PRE rows (evaluating pred against df would see updated
+            # values)
+            post = post.withColumn(cname, e)
+        # DV mode only ever writes the post rows — checking them (vs the
+        # full rewrite frame) is equivalent: unchanged rows are in space
+        # already
+        _check_revision_space(qt, snap, post if mode == "dv" else df,
+                              set(assignments))
+        from .constraints import constraints_of, validate_constraints
 
-    validate_constraints(post if mode == "dv" else df,
-                         constraints_of(snap.properties),
-                         context="UPDATE")
-    cdc = _cdc_of(qt, snap, [(pre, "update_preimage"),
-                             (post, "update_postimage")])
-    if mode == "dv":
-        hits = _hit_positions(_raw_positions(qt, matched).where(pred))
-        version = _mor_commit(qt, snap, matched, hits, post, "UPDATE",
-                              cdc=cdc, scale=n_upd / max(live, 1),
-                              txn=txn)
-        return {"version": version, "rows_updated": n_upd,
-                "files_rewritten": 0, "files_dv": len(matched),
+        validate_constraints(post if mode == "dv" else df,
+                             constraints_of(snap.properties),
+                             context="UPDATE")
+        cdc = _cdc_of(qt, snap, [(pre, "update_preimage"),
+                                 (post, "update_postimage")])
+        if mode == "dv":
+            if hits is None:        # residual None: all live positions
+                hits = _hit_positions(
+                    _raw_positions(qt, matched).where(pred))
+            version = _mor_commit(qt, snap, matched, hits, post, "UPDATE",
+                                  cdc=cdc, scale=n_upd / max(live, 1),
+                                  txn=txn)
+            return {"version": version, "rows_updated": n_upd,
+                    "files_rewritten": 0, "files_dv": len(matched),
+                    "files_scanned": len(candidates)}
+        version = _rewrite(qt, snap, matched, df, operation="UPDATE",
+                           cdc=cdc, txn=txn)
+        return {"version": version,
+                "rows_updated": n_upd,
+                "files_rewritten": len(matched),
                 "files_scanned": len(candidates)}
-    version = _rewrite(qt, snap, matched, df, operation="UPDATE",
-                       cdc=cdc, txn=txn)
-    return {"version": version,
-            "rows_updated": n_upd,
-            "files_rewritten": len(matched),
-            "files_scanned": len(candidates)}
+    finally:
+        if hits is not None and hits.is_cached:
+            hits.unpersist()
 
 
 def merge_rows(spark, path: str, source, on,
@@ -969,23 +1034,35 @@ def merge_rows(spark, path: str, source, on,
             if box is not None:
                 box_cands = qt._candidates_and_residual(box or None, snap)
         n_scanned = 0
+        hits_all = None         # fused (fp, ri) match positions (r12)
         if has_matched and snap.files and box_cands is not None and \
                 box_cands[0]:
             candidates, residual = box_cands
             n_scanned = len(candidates)
-            # ONE job yields both the per-file match counts and Delta's
-            # multiple-source-match guard: the target key scan inner-joins
-            # the key-GROUPED source (unique per key, so target row
-            # multiplicity is preserved — counts equal the former semi-join)
-            # while carrying each key's source row count; any matched key
-            # with >1 source rows raises before anything is planned further.
+            # ONE job yields the per-file match counts, Delta's
+            # multiple-source-match guard, AND the dv mask positions
+            # (r12 fusion — the mask pass used to rescan the matched
+            # files): the target key scan (carrying the captured file
+            # URI and row position) inner-joins the key-GROUPED source
+            # (unique per key, so target row multiplicity is preserved
+            # — counts equal the former semi-join) while carrying each
+            # key's source row count; any matched key with >1 source
+            # rows raises before anything is planned further. The
+            # persisted frame is narrow (uri, position, count) and
+            # bounded by the matched rows; released in the finally.
             srcg = source.groupBy(*keys).agg(
                 F.count(F.lit(1)).alias("__src_n"))
-            sel = qt._df_for_files(candidates, file_col="_f")
+            sel = qt._df_for_files(candidates, snap=snap, file_col="_f",
+                                   pos_col="_ri")
             if residual is not None:
                 sel = sel.where(residual)
-            rows = (sel.select("_f", *keys).join(srcg, keys, "inner")
-                    .groupBy("_f")
+            hits_all = (sel.select("_f", "_ri", *keys)
+                        .join(srcg, keys, "inner")
+                        .select(F.col("_f").alias("fp"),
+                                F.col("_ri").alias("ri"), "__src_n")
+                        .persist())
+            pins.append(hits_all)
+            rows = (hits_all.groupBy("fp")
                     .agg(F.count(F.lit(1)).alias("__n"),
                          F.max("__src_n").alias("__mx")).collect())
             if any(r["__mx"] > 1 for r in rows):
@@ -993,7 +1070,7 @@ def merge_rows(spark, path: str, source, on,
                     "merge source has multiple rows for a matched key; "
                     "aggregate the source to one row per key first")
             for r in rows:
-                per_file[_rel_path(qt, r["_f"])] = int(r["__n"])
+                per_file[_rel_path(qt, r["fp"])] = int(r["__n"])
         matched = sorted(per_file)
         n_matched = int(sum(per_file.values()))
         live = sum(snap.files[rel].live_rows for rel in matched)
@@ -1042,7 +1119,19 @@ def merge_rows(spark, path: str, source, on,
                     exprs.setdefault(k, F.col(k))
             inserts = _to_target_schema(anti, exprs).persist()
             pins.append(inserts)
-            n_ins = inserts.count()
+            # ONE agg job yields the insert count AND the revision-space
+            # bounds (r12: the count and the later _space_violation each
+            # ran their own job over the persisted insert frame)
+            rev_ins = snap.latest_revision()
+            ins_checks = _space_checks(
+                rev_ins, set(rev_ins.column_names)) \
+                if rev_ins is not None else []
+            ins_row = inserts.agg(
+                F.count(F.lit(1)).alias("__n_ins"),
+                *_space_min_max_aggs(ins_checks)).first()
+            n_ins = int(ins_row["__n_ins"])
+            ins_violation = _space_violation_of_row(ins_checks, ins_row) \
+                if n_ins else None
 
         # pass 2: new contents of the matched files (rewrite mode) / the
         # changed rows only (dv mode — the full-contents frame is never
@@ -1065,10 +1154,6 @@ def merge_rows(spark, path: str, source, on,
                 src = source.select(
                     *keys, *[F.col(c).alias(f"__src_{c}")
                              for c in source.columns if c not in keys])
-                if mode == "dv":
-                    # projections of the pinned source: the mask scan's key
-                    # set and the post-image join see the SAME source rows
-                    skeys = src.select(*keys).distinct()
                 joined = cur.join(
                     src.withColumn("__src__m", F.lit(True)), keys, "left")
                 hit = F.col("__src__m").isNotNull()
@@ -1132,8 +1217,7 @@ def merge_rows(spark, path: str, source, on,
         replacement, staged = changed, None
         if inserts is not None and n_ins:
             rev = snap.latest_revision()
-            if rev is not None and _space_violation(
-                    rev, inserts, set(rev.column_names)) is not None:
+            if rev is not None and ins_violation is not None:
                 staged = inserts
             else:
                 replacement = inserts if replacement is None \
@@ -1155,13 +1239,14 @@ def merge_rows(spark, path: str, source, on,
             cdc_frames.append((inserts, "insert"))
         cdc = _cdc_of(qt, snap, cdc_frames)
         if mode == "dv":
-            # matched rows are masked where they sit (raw positions —
-            # already-masked re-hits are union no-ops); replacement carries
-            # only the changed rows + in-space inserts. skeys derives from
-            # the source PINNED before pass 1, so file discovery, the mask
-            # scan, and the post-image join agree on the matched key set.
-            hits = _hit_positions(
-                _raw_positions(qt, matched).join(skeys, keys, "left_semi"))
+            # matched rows are masked where they sit; the mask positions
+            # come from the SAME persisted pass-1 frame that produced the
+            # match counts (r12 fusion — the former raw-position rescan +
+            # source semi-join is gone), so file discovery, the mask, and
+            # the post-image join agree on the matched key set by
+            # construction. replacement carries only the changed rows +
+            # in-space inserts.
+            hits = hits_all.select("fp", "ri")
             version = _mor_commit(qt, snap, matched, hits, replacement,
                                   "MERGE", cdc=cdc, staged=staged,
                                   read_files=list(snap.files.keys()),
@@ -1186,22 +1271,19 @@ def merge_rows(spark, path: str, source, on,
             p.unpersist()
 
 
-def _space_violation(rev, df, cols: set):
-    """None if every linear-indexed column in ``cols`` stays inside the
-    revision space over ``df``, else a description of the first breach.
-    One tiny agg over the (already pruned) rewrite set."""
-    from pyspark.sql import functions as F
-
-    checks = [
+def _space_checks(rev, cols: set):
+    """The (column, LinearTransformation) pairs whose bounds need
+    checking for the given assigned/inserted columns."""
+    return [
         (name, t) for name, t in zip(rev.column_names, rev.transformations)
         if name in cols and isinstance(t, LinearTransformation)]
-    if not checks:
-        return None
-    aggs = []
-    for name, _t in checks:
-        aggs += [F.min(name).alias(f"mn_{name}"),
-                 F.max(name).alias(f"mx_{name}")]
-    row = df.agg(*aggs).first()
+
+
+def _space_violation_of_row(checks, row):
+    """Evaluate the bounds check against an already-collected agg row
+    carrying ``mn_<col>``/``mx_<col>`` — lets callers fuse the min/max
+    agg into a job they are running anyway (merge fuses it with the
+    insert count, r12)."""
     for name, t in checks:
         mn, mx = row[f"mn_{name}"], row[f"mx_{name}"]
         if mn is None:
@@ -1211,6 +1293,27 @@ def _space_violation(rev, df, cols: set):
                     f"[{t.min_value}, {t.max_value}] "
                     f"(new range [{mn}, {mx}])")
     return None
+
+
+def _space_min_max_aggs(checks):
+    from pyspark.sql import functions as F
+
+    aggs = []
+    for name, _t in checks:
+        aggs += [F.min(name).alias(f"mn_{name}"),
+                 F.max(name).alias(f"mx_{name}")]
+    return aggs
+
+
+def _space_violation(rev, df, cols: set):
+    """None if every linear-indexed column in ``cols`` stays inside the
+    revision space over ``df``, else a description of the first breach.
+    One tiny agg over the (already pruned) rewrite set."""
+    checks = _space_checks(rev, cols)
+    if not checks:
+        return None
+    row = df.agg(*_space_min_max_aggs(checks)).first()
+    return _space_violation_of_row(checks, row)
 
 
 def _check_revision_space(qt, snap, df, assigned: set) -> None:

@@ -130,12 +130,16 @@ class QbeastTable:
     # -- reads --------------------------------------------------------------
 
     def _df_for_files(self, rel_paths: Sequence[str], snap=None,
-                      file_col: Optional[str] = None):
+                      file_col: Optional[str] = None,
+                      pos_col: Optional[str] = None):
         """Scan the given files. ``file_col`` materializes the source file
         URI (``_metadata.file_path``) as a visible column CAPTURED AT THE
         SCAN — callers that need per-file attribution (DML match counts)
         must use this instead of ``input_file_name()``, which goes blank
-        if the deletion-vector anti-join below shuffles."""
+        if the deletion-vector anti-join below shuffles. ``pos_col``
+        likewise captures ``_metadata.row_index`` — the DML verbs' fused
+        match-count + DV-mask scan needs both (r12: one pass instead of
+        a count pass plus a separate raw position scan)."""
         from pyspark.sql import functions as F
         from pyspark.sql import types as T
 
@@ -148,7 +152,11 @@ class QbeastTable:
         schema = T.StructType.fromJson(json.loads(sj)) if sj else None
         if not rel_paths:
             df = self.spark.createDataFrame([], schema)
-            return df.withColumn(file_col, F.lit("")) if file_col else df
+            if file_col:
+                df = df.withColumn(file_col, F.lit(""))
+            if pos_col:
+                df = df.withColumn(pos_col, F.lit(0).cast("long"))
+            return df
         paths = [os.path.join(self.path, p) for p in rel_paths]
         reader = self.spark.read
         if schema is not None:
@@ -156,6 +164,8 @@ class QbeastTable:
         df = reader.parquet(*paths)
         if file_col:
             df = df.withColumn(file_col, F.col("_metadata.file_path"))
+        if pos_col:
+            df = df.withColumn(pos_col, F.col("_metadata.row_index"))
         # logical deletes: anti-join away DV'd positions (no-op plan change
         # when no listed file carries a deletion vector — the common case)
         dv_entries = []
