@@ -179,6 +179,13 @@ def jaccard_pairs(docs, n: int = 3, threshold: float = 0.5,
     measured 20% SLOWER at sf0.1 — widening every row of the join's heavy
     exploded sides costs more than the two cheap scans+broadcasts save.
     Kept in this measured form.)
+
+    Assumes ``id_col`` uniquely identifies a document — the same contract
+    the pair-count self-join already relies on (duplicate ids would merge
+    two documents' shingle sets). Under that contract the map-only sizes
+    frame is one row per doc; a duplicated id would instead fan out the
+    size joins (the pre-r11 groupBy collapsed such rows by accident, it
+    never defined semantics for them).
     """
     from pyspark.sql import functions as F
 

@@ -489,3 +489,155 @@ def test_quantized_topk_empty_queries_falls_back(spark, emb):
     from qbeast_spark_spark.operators.embeddings import quantized_topk
 
     assert quantized_topk(emb, q, k=3).count() == 0
+
+
+def test_quantized_topk_batch_pushdown_exact_across_batches(spark, emb):
+    """r12: the kernel emits only per-batch top-k candidates; forcing
+    many tiny Arrow batches must not change the result vs the
+    expression lane (global top-k of per-batch top-k's is exact under
+    the _TOPK_ROUND_GUARD argument)."""
+    from pyspark.sql import Window
+
+    from qbeast_spark_spark.operators.embeddings import (
+        _quantized_pairs_exprs, quantized_topk)
+
+    q = (emb.where(F.col("vec_id") < 3)
+         .select(F.col("vec_id").alias("q_id"),
+                 F.col("embedding").alias("q_embedding")))
+    body = emb.where(F.col("vec_id") >= 3)
+    key = "spark.sql.execution.arrow.maxRecordsPerBatch"
+    prev = spark.conf.get(key, None)
+    try:
+        spark.conf.set(key, "7")     # ~200 rows -> dozens of batches
+        new = quantized_topk(body, q, k=4).collect()
+    finally:
+        if prev is None:
+            spark.conf.unset(key)
+        else:
+            spark.conf.set(key, prev)
+    pairs = _quantized_pairs_exprs(body, q, "embedding", "vec_id",
+                                   "q_id", "q_embedding")
+    w = Window.partitionBy("q_id").orderBy(
+        F.col("cos").desc(), F.col("vec_id").asc())
+    old = (pairs.withColumn("rank", F.row_number().over(w))
+           .where(F.col("rank") <= 4)).collect()
+    assert sorted(map(tuple, new)) == sorted(map(tuple, old))
+
+
+def test_quantized_topk_ties_across_batches_break_by_id(spark):
+    """Exact cosine ties spread across Arrow batches: the global window
+    must still pick the smallest ids, so each batch has to forward ALL
+    rows tied at the k-th value (the guard keeps equal values)."""
+    from qbeast_spark_spark.operators.embeddings import quantized_topk
+
+    v = [0.6, 0.8]
+    rows = [(i, v) for i in [50, 51, 52, 1, 2, 3, 20, 21, 22]]
+    vecs = spark.createDataFrame(rows,
+                                 "vec_id long, embedding array<double>")
+    q = spark.createDataFrame([(0, v)],
+                              "q_id long, q_embedding array<double>")
+    key = "spark.sql.execution.arrow.maxRecordsPerBatch"
+    prev = spark.conf.get(key, None)
+    try:
+        spark.conf.set(key, "3")
+        got = quantized_topk(vecs, q, k=4).collect()
+    finally:
+        if prev is None:
+            spark.conf.unset(key)
+        else:
+            spark.conf.set(key, prev)
+    assert [r["vec_id"] for r in
+            sorted(got, key=lambda r: r["rank"])] == [1, 2, 3, 20]
+    assert all(r["cos"] == 1.0 for r in got)
+
+
+def test_quantized_topk_zero_norm_ranks_last_both_lanes(spark):
+    """ADVICE r11: a zero vector's cosine must be NULL from the kernel
+    (ranked last), not 0/0 = NaN (NaN sorts ABOVE every double,
+    fabricating a spurious top-1). Under non-ANSI Divide semantics the
+    expression lane yields the same NULLs — lanes must agree row for
+    row; under Spark 4's default ANSI mode the expression lane raises
+    DIVIDE_BY_ZERO outright, so the kernel's NULL is the graceful
+    superset behavior."""
+    from pyspark.sql import Window
+
+    from qbeast_spark_spark.operators.embeddings import (
+        _quantized_pairs_exprs, quantized_topk)
+
+    rows = [(1, [1.0, 0.0]), (2, [0.0, 0.0]), (3, [0.8, 0.6]),
+            (4, [0.0, 0.0]), (5, [0.0, 1.0])]
+    vecs = spark.createDataFrame(rows,
+                                 "vec_id long, embedding array<double>")
+    q = spark.createDataFrame([(0, [1.0, 0.0]), (9, [0.0, 0.0])],
+                              "q_id long, q_embedding array<double>")
+    # kernel lane under the session's default (ANSI) settings: zero-norm
+    # rows are NULL-ranked-last, never a fabricated top-1
+    new = quantized_topk(vecs, q, k=4).collect()
+    top1 = [r for r in new if r["q_id"] == 0 and r["rank"] == 1][0]
+    assert top1["vec_id"] == 1
+    assert all(r["cos"] is None for r in new if r["q_id"] == 9)
+    prev = spark.conf.get("spark.sql.ansi.enabled", None)
+    try:
+        spark.conf.set("spark.sql.ansi.enabled", "false")
+        pairs = _quantized_pairs_exprs(vecs, q, "embedding", "vec_id",
+                                       "q_id", "q_embedding")
+        w = Window.partitionBy("q_id").orderBy(
+            F.col("cos").desc(), F.col("vec_id").asc())
+        old = (pairs.withColumn("rank", F.row_number().over(w))
+               .where(F.col("rank") <= 4)).collect()
+        new2 = quantized_topk(vecs, q, k=4).collect()
+    finally:
+        if prev is None:
+            spark.conf.unset("spark.sql.ansi.enabled")
+        else:
+            spark.conf.set("spark.sql.ansi.enabled", prev)
+    assert sorted(map(tuple, new2)) == sorted(map(tuple, old))
+
+
+def test_quantized_topk_oversized_query_side_falls_back(spark, emb,
+                                                        monkeypatch):
+    """VERDICT r11 #3: the query-side collect is bounded — past the cap
+    the operator must route to the expression plan (no driver blow-up),
+    with identical results."""
+    import qbeast_spark_spark.operators.embeddings as E
+
+    q = (emb.where(F.col("vec_id") < 5)
+         .select(F.col("vec_id").alias("q_id"),
+                 F.col("embedding").alias("q_embedding")))
+    body = emb.where(F.col("vec_id") >= 5)
+    fast = E.quantized_topk(body, q, k=3).collect()
+    assert fast
+    monkeypatch.setattr(E, "DRIVER_MAX_QUERY_ROWS", 2)
+    slow_df = E.quantized_topk(body, q, k=3)
+    # the fallback is the expression plan: no Arrow kernel node in it
+    assert "MapInArrow" not in slow_df._jdf.queryExecution().toString()
+    assert sorted(map(tuple, slow_df.collect())) == sorted(map(tuple, fast))
+
+
+def test_quantized_topk_preserves_q_id_dtype(spark):
+    """ADVICE r11: the fast lane must emit q_id with the SOURCE dtype
+    (int stays int), like the expression lane does."""
+    from qbeast_spark_spark.operators.embeddings import quantized_topk
+
+    vecs = spark.createDataFrame([(1, [1.0, 0.0]), (2, [0.0, 1.0])],
+                                 "vec_id long, embedding array<double>")
+    q = spark.createDataFrame([(7, [1.0, 0.0])],
+                              "q_id int, q_embedding array<double>")
+    out = quantized_topk(vecs, q, k=1)
+    assert dict(out.dtypes)["q_id"] == "int"
+    assert [(r["q_id"], r["vec_id"]) for r in out.collect()] == [(7, 1)]
+
+
+def test_quantized_topk_dim_mismatch_raises_descriptive(spark):
+    """ADVICE r11: a body/query dimension mismatch raises the named
+    error, not an opaque NumPy matmul shape failure."""
+    import pytest as _pytest
+
+    from qbeast_spark_spark.operators.embeddings import quantized_topk
+
+    vecs = spark.createDataFrame([(1, [1.0, 0.0, 0.0])],
+                                 "vec_id long, embedding array<double>")
+    q = spark.createDataFrame([(0, [1.0, 0.0])],
+                              "q_id long, q_embedding array<double>")
+    with _pytest.raises(Exception, match="dimension mismatch"):
+        quantized_topk(vecs, q, k=1).collect()
