@@ -1370,6 +1370,14 @@ def q2_9_11_16_20_partsupp(spark, sf_dir):
            .groupBy("ps_partkey")
            .agg(F.sum(_cents(F.col("ps_supplycost")
                              * F.col("ps_availqty"))).alias("value_cents")))
+    # r12: `val` feeds BOTH the scalar threshold and the filtered output
+    # side; without materialization Catalyst plans the whole subtree
+    # (partsupp scan -> broadcast join -> partkey exchange -> agg) twice
+    # and runtime exchange reuse never fires across the crossJoin
+    # boundary (verified: 0 ReusedExchange in the executed plan).
+    # localCheckpoint runs it once — val is dimension-sized (one row per
+    # part), so pinning it is bounded at any corpus scale (guide §3.3).
+    val = val.localCheckpoint(eager=True)
     # scale-stable threshold: 2x the average per-part value (a fixed
     # fraction of the total empties as |part| grows, TPC-H scales its
     # 0.0001 by 1/SF — this is the SF-free equivalent)

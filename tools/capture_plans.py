@@ -1,4 +1,4 @@
-"""Capture .explain('formatted') for registered queries into plans/r11/.
+"""Capture .explain('formatted') for registered queries into plans/r12/.
 
 Usage: python tools/capture_plans.py <suffix> [sf_dir] [query ...]
 
@@ -7,7 +7,7 @@ SHAPE is scale-free; the driver cannot run Spark and only reads the files).
 Queries that execute eager work when invoked (qb_dml, qb_sample,
 qb_time_cdf) still produce their FINAL DataFrame's plan — that is the plan
 the bench's noop sink times last, and the submetric-level evidence for
-their internal jobs lives in the code + OPTIMIZATION_r11.md.
+their internal jobs lives in the code + OPTIMIZATION_r12.md.
 """
 
 from __future__ import annotations
@@ -40,7 +40,7 @@ def main() -> None:
     from qbeast_spark_spark.queries import QUERIES
 
     names = sys.argv[3:] or list(QUERIES)
-    out_dir = os.path.join(HERE, "plans", "r11")
+    out_dir = os.path.join(HERE, "plans", "r12")
     os.makedirs(out_dir, exist_ok=True)
     for name in names:
         fn, _sql = QUERIES[name]
