@@ -295,7 +295,8 @@ _IN_CHUNK = 256
 _MAX_SCOPE_KEYS = 16_384
 
 
-def _scoped_source(qt, version: int, group_cols, affected):
+def _scoped_source(qt, version: int, group_cols, affected,
+                   affected_rows=None):
     """Source rows AS OF ``version`` restricted (at file level, best
     effort) to the ``affected`` group keys. EVERY group column present
     in ``affected`` (matched by name) contributes: its distinct
@@ -310,7 +311,12 @@ def _scoped_source(qt, version: int, group_cols, affected):
     column's key list to contribute an affected row — conjunction
     semantics, the same soundness prune_files itself provides).
     Row-level scoping is ALWAYS applied afterwards by the caller's
-    semi-join, so over-fetch here costs time, never correctness."""
+    semi-join, so over-fetch here costs time, never correctness.
+
+    ``affected_rows`` (r12): the caller's already-collected distinct
+    key tuples (its emptiness probe materializes them anyway when they
+    fit the cap) — per-column key sets derive driver-side from them,
+    skipping one collect job per group column."""
     snap = qt.log.snapshot(at_version=version)
     per_col_cands = []
     for col in group_cols:
@@ -320,9 +326,14 @@ def _scoped_source(qt, version: int, group_cols, affected):
         # lacking the column simply contributes no filter
         if col not in affected.columns:
             continue
-        keys = [r[0] for r in
-                affected.select(col).distinct()
-                .limit(_MAX_SCOPE_KEYS + 1).collect()]
+        if affected_rows is not None:
+            # distinct tuples are bounded by the cap, so each column's
+            # distinct value set is too — no job needed
+            keys = list(dict.fromkeys(r[col] for r in affected_rows))
+        else:
+            keys = [r[0] for r in
+                    affected.select(col).distinct()
+                    .limit(_MAX_SCOPE_KEYS + 1).collect()]
         if len(keys) > _MAX_SCOPE_KEYS or any(k is None for k in keys):
             # NULL group keys have no IN form (IN never matches NULL),
             # and an over-wide key set is cheaper to re-scan than to
@@ -380,6 +391,7 @@ def refresh_continuous_agg(spark, view_path: str, *,
         needs_scan = scan_any or any(
             fn in _SCAN_ON_DELETE for fn, _ in aggs.values())
         affected = None
+        affected_rows = None
         # every persist is released in the finally below — a refresh
         # that raises mid-way (e.g. a destroyed state snapshot, which
         # auto_maintain tolerates per-view) must not leak cached CDF
@@ -402,17 +414,29 @@ def refresh_continuous_agg(spark, view_path: str, *,
                 affected = touched.select(*group_cols).distinct() \
                     .persist()
                 persisted.append(affected)
-                if affected.limit(1).count() == 0:
+                # ONE bounded collect doubles as the emptiness probe
+                # AND _scoped_source's per-column key source (r12 —
+                # the probe used to be a separate limit(1).count() and
+                # the keys one more collect per group column); past the
+                # cap only the key fast-path is lost, never pruning
+                # soundness
+                affected_rows = affected \
+                    .limit(_MAX_SCOPE_KEYS + 1).collect()
+                if not affected_rows:
                     affected = None
+                    affected_rows = None
+                elif len(affected_rows) > _MAX_SCOPE_KEYS:
+                    affected_rows = None
             return _refresh_body(spark, view_path, meta, qt, snap, aggs,
-                                 group_cols, changes, affected)
+                                 group_cols, changes, affected,
+                                 affected_rows)
         finally:
             for df in persisted:
                 df.unpersist()
 
 
 def _refresh_body(spark, view_path, meta, qt, snap, aggs, group_cols,
-                  changes, affected) -> dict:
+                  changes, affected, affected_rows=None) -> dict:
     """The locked refresh's merge + write + GC (caller holds the lock
     and owns persist/unpersist of ``changes``/``affected``)."""
     from pyspark.sql import functions as F
@@ -477,7 +501,8 @@ def _refresh_body(spark, view_path, meta, qt, snap, aggs, group_cols,
         # groups from the source AS OF the refresh watermark (NOT
         # latest — a commit landing mid-refresh must replay next
         # time, not bake in twice), then swap them in wholesale
-        src = _scoped_source(qt, snap.version, group_cols, affected)
+        src = _scoped_source(qt, snap.version, group_cols, affected,
+                             affected_rows)
         recomputed = _delta_frame(
             src.withColumn("_change_type", F.lit("insert")),
             group_cols, aggs)
