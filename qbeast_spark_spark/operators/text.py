@@ -300,9 +300,26 @@ def decontaminate(docs, eval_docs, n: int = 13, id_col: str = "doc_id",
     corpus = grams_of(docs, id_col, text_col, "doc_id")
     ev = grams_of(eval_docs, eval_id_col, eval_text_col,
                   "eval_id").distinct()
-    joined = corpus.join(broadcast(ev), "gram")
+    # r12: the broadcast side is pre-aggregated to ONE row per gram —
+    # the former per-(gram, eval_id) side duplicated every corpus match
+    # k-fold for a gram present in k eval docs, inflating the join
+    # output and the count_distinct shuffle. exclude_self only needs
+    # "does some eval doc OTHER than this one carry the gram", which
+    # (#eval docs, one representative id) answers exactly: a match is
+    # self-only iff the gram's eval count is 1 and that one id is the
+    # corpus doc. NULL eval ids contributed nothing before (NULL != d
+    # is never true) and are dropped up front here.
     if exclude_self:
-        joined = joined.where(F.col("doc_id") != F.col("eval_id"))
+        evg = (ev.where(F.col("eval_id").isNotNull())
+               .groupBy("gram")
+               .agg(F.count(F.lit(1)).alias("_n_ev"),
+                    F.min("eval_id").alias("_one_ev")))
+        joined = (corpus.join(broadcast(evg), "gram")
+                  .where(~((F.col("_n_ev") == 1)
+                           & (F.col("_one_ev") == F.col("doc_id")))))
+    else:
+        joined = corpus.join(broadcast(ev.select("gram").distinct()),
+                             "gram")
     return (joined.groupBy("doc_id")
             .agg(F.count_distinct("gram").alias("contam_hits")))
 
