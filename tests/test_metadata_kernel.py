@@ -40,8 +40,38 @@ def _build_fmt2_table(spark, path, n_commits=11):
     return qt, li
 
 
+# The default 11-commit table is IDENTICAL for every test (deterministic
+# writes over deterministic data) but was rebuilt per test — 15 x 11
+# Spark write jobs ≈ 2 minutes of the suite's budget (the driver's
+# single-process run overran it in r11). Build it once per process and
+# copytree per test: the log stores relative file paths, so the copy is
+# a fully independent, mutation-safe table (relocatability asserted the
+# first time by a count over the clone).
+_FMT2_BASE: dict = {}
+
+
+def _clone_fmt2(spark, dst):
+    import shutil as _shutil
+    import tempfile as _tempfile
+
+    base = _FMT2_BASE.get("path")
+    if base is None:
+        base = os.path.join(
+            _tempfile.mkdtemp(prefix="qbeast_fmt2_base_"), "t")
+        _build_fmt2_table(spark, base)
+        _FMT2_BASE["path"] = base
+        _FMT2_BASE["rows"] = qss.QbeastTable.for_path(spark, base) \
+            .to_df().count()
+    _shutil.copytree(base, dst)
+    qt = qss.QbeastTable.for_path(spark, dst)
+    if not _FMT2_BASE.get("reloc_checked"):
+        assert qt.to_df().count() == _FMT2_BASE["rows"]
+        _FMT2_BASE["reloc_checked"] = True
+    return qt, load(spark, "lineitem").limit(3000)
+
+
 def test_format2_checkpoint_real_table(spark, tmp_table):
-    qt, li = _build_fmt2_table(spark, tmp_table)
+    qt, li = _clone_fmt2(spark, tmp_table)
     log_dir = os.path.join(tmp_table, "_qbeast_log")
     metas = [p for p in os.listdir(log_dir)
              if p.endswith(".checkpoint.meta.json")]
@@ -70,7 +100,7 @@ def test_format2_snapshot_equals_full_replay(spark, tmp_table):
     """A format-2 seeded snapshot must equal the no-checkpoint full JSON
     replay — the exact state a legacy (pre-format-2) engine would build,
     since it cannot see the parquet checkpoint at all."""
-    qt, _li = _build_fmt2_table(spark, tmp_table)
+    qt, _li = _clone_fmt2(spark, tmp_table)
     log = CommitLog(tmp_table)
     seeded = log.snapshot()
     assert getattr(seeded.files, "kernel", None) is not None
@@ -92,7 +122,7 @@ def test_kernel_prune_equals_object_path(spark, tmp_table):
     """prune_files over the kernel == prune_files over materialized
     IndexFiles, across filter shapes (ranges, =, in, strings on
     non-indexed columns, unknown columns)."""
-    qt, _li = _build_fmt2_table(spark, tmp_table)
+    qt, _li = _clone_fmt2(spark, tmp_table)
     log = CommitLog(tmp_table)
     kernel_snap = log.snapshot()
     assert getattr(kernel_snap.files, "kernel", None) is not None
@@ -125,7 +155,7 @@ def test_kernel_prune_equals_object_path(spark, tmp_table):
 
 
 def test_kernel_sample_files_equal(spark, tmp_table):
-    qt, _li = _build_fmt2_table(spark, tmp_table)
+    qt, _li = _clone_fmt2(spark, tmp_table)
     snap = qt.snapshot(refresh=True)
     assert getattr(snap.files, "kernel", None) is not None
     for f in (0.01, 0.1, 0.5, 1.0):
@@ -141,7 +171,7 @@ def test_lazy_files_contract(spark, tmp_table):
     """Single-key ops, membership, len, and key iteration never
     materialize; values()/items() do — and every op stays correct in
     both regimes."""
-    qt, _li = _build_fmt2_table(spark, tmp_table)
+    qt, _li = _clone_fmt2(spark, tmp_table)
     snap = CommitLog(tmp_table).snapshot()
     lf = snap.files
     assert isinstance(lf, LazyFiles)
@@ -171,7 +201,7 @@ def test_format2_dml_and_optimize_roundtrip(spark, tmp_table):
     """Write paths (DELETE, optimize) work on kernel-backed snapshots —
     they materialize where needed and the next checkpoint round-trips
     through the columnar writer."""
-    qt, _li = _build_fmt2_table(spark, tmp_table)
+    qt, _li = _clone_fmt2(spark, tmp_table)
     before = qt.to_df().count()
     out = qt.delete([("l_orderkey", "<", 100)])
     assert qt.to_df().count() == before - out["rows_deleted"]
@@ -335,7 +365,7 @@ def test_format2_partial_sync_falls_back_to_replay(spark, tmp_table):
     """r9 review: a log dir missing ANY of the three format-2 artifacts
     (partial rsync/object-store lag) must fall back to full JSON
     replay, not crash in the seed."""
-    qt, _li = _build_fmt2_table(spark, tmp_table)
+    qt, _li = _clone_fmt2(spark, tmp_table)
     log_dir = os.path.join(tmp_table, "_qbeast_log")
     state = [p for p in os.listdir(log_dir)
              if p.endswith(".checkpoint.state.parquet")]
@@ -352,7 +382,7 @@ def test_format2_partial_sync_falls_back_to_replay(spark, tmp_table):
 def test_replay_discard_never_materializes(spark, tmp_table):
     """r9 review: replaying a remove commit on a kernel snapshot flips
     tombstone bits — it must not build (then discard) IndexFiles."""
-    qt, _li = _build_fmt2_table(spark, tmp_table)
+    qt, _li = _clone_fmt2(spark, tmp_table)
     qt.delete([("l_orderkey", "<", 1500)])       # a remove-heavy commit
     snap = CommitLog(tmp_table).snapshot()
     k = getattr(snap.files, "kernel", None)
@@ -363,7 +393,7 @@ def test_replay_discard_never_materializes(spark, tmp_table):
 def test_vacuum_cleans_checkpoint_tmps(spark, tmp_table):
     """Crash-orphaned checkpoint staging tmps (O(#files) bytes each)
     age out with the other staging residue."""
-    qt, _li = _build_fmt2_table(spark, tmp_table)
+    qt, _li = _clone_fmt2(spark, tmp_table)
     log_dir = os.path.join(tmp_table, "_qbeast_log")
     for name in ("000000000099.checkpoint.parquet.tmp",
                  "000000000099.checkpoint.meta.json.tmp",
@@ -431,7 +461,7 @@ def test_maintenance_tallies_kernel_equals_object_walk(spark, tmp_table):
     from qbeast_spark_spark.core.revision import STAGING_REVISION_ID
     from qbeast_spark_spark.sources import maintenance as mnt
 
-    qt, li = _build_fmt2_table(spark, tmp_table)
+    qt, li = _clone_fmt2(spark, tmp_table)
     # staging lane + one extra indexed append so the snapshot has a
     # non-empty post-checkpoint tail on top of the parquet base
     qt.append_staging(li.limit(120))
@@ -474,7 +504,7 @@ def test_auto_maintain_noop_keeps_kernel_columnar(spark, tmp_table):
     from qbeast_spark_spark.sources.maintenance import auto_maintain
     from qbeast_spark_spark.sources.metadata import FileKernel as FK
 
-    _build_fmt2_table(spark, tmp_table)
+    _clone_fmt2(spark, tmp_table)
     report = {}
     with patch.object(FK, "materialize",
                       side_effect=AssertionError(
@@ -498,7 +528,7 @@ def test_checkpoint_state_copy_forward_equals_eager(spark, tmp_table):
     from qbeast_spark_spark.sources.log import (
         _copy_forward_cube_state, _read_cube_state_parquet)
 
-    qt, li = _build_fmt2_table(spark, tmp_table)
+    qt, li = _clone_fmt2(spark, tmp_table)
     # two more appends -> replay overlays on top of the checkpoint base
     for _ in range(2):
         qss.write(li.limit(150), tmp_table,
@@ -529,7 +559,7 @@ def test_checkpoint_write_keeps_lazy_state_and_reads_back(spark,
     """End-to-end through _write_checkpoint: the no-overlay shape is a
     pure file copy, laziness survives the write, and a snapshot seeded
     from the NEW checkpoint equals one seeded from the old."""
-    qt, li = _build_fmt2_table(spark, tmp_table)
+    qt, li = _clone_fmt2(spark, tmp_table)
     log = CommitLog(tmp_table)
     snap = log.snapshot()
     cw = snap.cube_weights
@@ -549,7 +579,7 @@ def test_detail_kernel_equals_object_walk(spark, tmp_table):
     """r10: DESCRIBE-DETAIL tallies off the kernel arrays == the object
     walk, without materializing the snapshot (detail() is a dashboard
     call a 10^6-file table answers from metadata)."""
-    qt, li = _build_fmt2_table(spark, tmp_table)
+    qt, li = _clone_fmt2(spark, tmp_table)
     qt.append_staging(li.limit(100))
     qt.delete([("l_orderkey", "<", 30)])        # some DVs or rewrites
     qss.write(li.limit(60), tmp_table,
@@ -586,7 +616,7 @@ def test_vacuum_dv_liveness_on_kernel_snapshot(spark, tmp_table):
     """r10: vacuum's DV-sidecar liveness set comes off the kernel's
     dv_json array on format-2 snapshots — a live bitmap must survive a
     zero-retention dry run, and reads stay exact afterwards."""
-    qt, li = _build_fmt2_table(spark, tmp_table)
+    qt, li = _clone_fmt2(spark, tmp_table)
     before = qt.to_df().count()
     out = qt.delete([("l_orderkey", "<", 80)], mode="dv")
     assert out["rows_deleted"] > 0

@@ -15,9 +15,15 @@ set (unparseable leaves degrade to residual-only) but must never drop a
 matching row. A pruning-rate tally guards against the degenerate pass
 where nothing ever parses and every read is a full scan.
 
-Case count: 3 configs x QBEAST_FUZZ_CASES (default 350) >= 1,050 cases.
+Case count: 3 configs x QBEAST_FUZZ_CASES (default 100) = 300 cases per
+run of the main soundness test, plus the derived lanes' scaled counts.
 Seeds are fixed per config and every failure message carries the
-predicate text, so any found bug replays deterministically.
+predicate text, so any found bug replays deterministically. The default
+was 350 through r11; the driver's single-process suite run overran its
+budget and was cut off mid-suite (VERDICT r11 "What's wrong #1"), and
+this file alone was 27% of the suite's 41 minutes. 100 keeps every
+predicate shape exercised per config each run; deep sweeps set
+QBEAST_FUZZ_CASES=350 (or higher) explicitly.
 """
 
 import os
@@ -28,7 +34,7 @@ from pyspark.sql import functions as F
 
 from conftest import load
 
-N_CASES = int(os.environ.get("QBEAST_FUZZ_CASES", "350"))
+N_CASES = int(os.environ.get("QBEAST_FUZZ_CASES", "100"))
 
 # (name, cube_size, columns_to_index, seed, two_revisions)
 CONFIGS = [
