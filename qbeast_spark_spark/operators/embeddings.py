@@ -142,6 +142,9 @@ def quantized_topk(vectors, queries, k: int = 5,
 
     from ..functions.partitioning import spread
 
+    # rank <= k with k <= 0 selects nothing; normalizing here keeps the
+    # kernel's k-th-best partition index and [:k] slices well-defined
+    k = max(int(k), 0)
     q_rows = queries.select(q_id_col, q_vec_col) \
         .limit(DRIVER_MAX_QUERY_ROWS + 1).collect()
     dims = {len(r[q_vec_col]) for r in q_rows
@@ -230,7 +233,7 @@ def quantized_topk(vectors, queries, k: int = 5,
                         nul = np.ones(idx.size, dtype=bool)
                     else:
                         vals_v = cos[valid, j]
-                        if vals_v.size > k:
+                        if vals_v.size > k > 0:
                             kth = np.partition(
                                 vals_v, vals_v.size - k)[vals_v.size - k]
                             keep = vals_v >= kth - _TOPK_ROUND_GUARD
