@@ -219,10 +219,14 @@ def quantized_topk(vectors, queries, k: int = 5,
                 valid = np.flatnonzero(~vzero)
                 nulls_by_id = None
                 if vzero.any() or (qn == 0.0).any():
-                    # candidate null rows, smallest ids first — the
-                    # window's id-asc tie-break among equal (null) keys
-                    order = np.asarray(pc.sort_indices(ids_arr),
-                                       dtype=np.int64)
+                    # candidate null rows in the window's id-asc
+                    # tie-break order among equal (NULL-cos) keys:
+                    # Spark's asc is NULLS FIRST, so null ids must sort
+                    # ahead of every value (Arrow defaults to at_end)
+                    order = np.asarray(
+                        pc.sort_indices(ids_arr,
+                                        null_placement="at_start"),
+                        dtype=np.int64)
                     nulls_by_id = order[vzero[order]][:k]
                     all_by_id = order[:k]
                 sel_idx, sel_vals, sel_null, counts = [], [], [], []

@@ -628,6 +628,54 @@ def test_quantized_topk_preserves_q_id_dtype(spark):
     assert [(r["q_id"], r["vec_id"]) for r in out.collect()] == [(7, 1)]
 
 
+def test_quantized_topk_null_ids_null_cos_tiebreak_matches_expression(spark):
+    """The kernel's NULL-cosine forwarding (zero-norm rows / zero-norm
+    query columns) picks candidates in id order; Spark's id-asc window
+    tie-break is NULLS FIRST, so null ids must sort AHEAD of every
+    value (Arrow's sort default is nulls-at-end — r12 parity fix).
+
+    Every vector is zero-norm and null/value ids alternate, so EVERY
+    batch holds more null-cos candidates than k and must drop rows:
+    dropping the null ids (the old at_end order) loses the true global
+    top-k for both forwarding paths — the short-column padding (q 0,
+    non-zero query) and the all-NULL column (q 9, zero-norm query)."""
+    from collections import Counter
+
+    from pyspark.sql import Window
+
+    from qbeast_spark_spark.operators.embeddings import (
+        _quantized_pairs_exprs, quantized_topk)
+
+    z = [0.0, 0.0]
+    rows = []
+    for i in range(1, 17):          # None, 1, None, 2, ... None, 16
+        rows += [(None, z), (i, z)]
+    vecs = spark.createDataFrame(rows,
+                                 "vec_id long, embedding array<double>")
+    q = spark.createDataFrame([(0, [1.0, 0.0]), (9, z)],
+                              "q_id long, q_embedding array<double>")
+    new = quantized_topk(vecs, q, k=3).collect()
+    prev_ansi = spark.conf.get("spark.sql.ansi.enabled", None)
+    try:
+        spark.conf.set("spark.sql.ansi.enabled", "false")
+        pairs = _quantized_pairs_exprs(vecs, q, "embedding", "vec_id",
+                                       "q_id", "q_embedding")
+        w = Window.partitionBy("q_id").orderBy(
+            F.col("cos").desc(), F.col("vec_id").asc())
+        old = (pairs.withColumn("rank", F.row_number().over(w))
+               .where(F.col("rank") <= 3)).collect()
+    finally:
+        if prev_ansi is None:
+            spark.conf.unset("spark.sql.ansi.enabled")
+        else:
+            spark.conf.set("spark.sql.ansi.enabled", prev_ansi)
+    assert Counter(map(tuple, new)) == Counter(map(tuple, old))
+    # all 32 cosines are NULL for both queries: top-3 = null ids first
+    for qid in (0, 9):
+        got = [r["vec_id"] for r in new if r["q_id"] == qid]
+        assert got == [None, None, None], f"q {qid}: {got}"
+
+
 def test_quantized_topk_dim_mismatch_raises_descriptive(spark):
     """ADVICE r11: a body/query dimension mismatch raises the named
     error, not an opaque NumPy matmul shape failure."""
