@@ -307,16 +307,19 @@ def decontaminate(docs, eval_docs, n: int = 13, id_col: str = "doc_id",
     # "does some eval doc OTHER than this one carry the gram", which
     # (#eval docs, one representative id) answers exactly: a match is
     # self-only iff the gram's eval count is 1 and that one id is the
-    # corpus doc. NULL eval ids contributed nothing before (NULL != d
-    # is never true) and are dropped up front here.
+    # corpus doc. NULL ids keep their pre-r12 three-valued-logic fate:
+    # NULL eval ids contributed nothing (NULL != d is never true) and
+    # are dropped up front; a NULL corpus doc_id never passed
+    # `doc_id != eval_id` either, so it is filtered explicitly here.
     if exclude_self:
         evg = (ev.where(F.col("eval_id").isNotNull())
                .groupBy("gram")
                .agg(F.count(F.lit(1)).alias("_n_ev"),
                     F.min("eval_id").alias("_one_ev")))
         joined = (corpus.join(broadcast(evg), "gram")
-                  .where(~((F.col("_n_ev") == 1)
-                           & (F.col("_one_ev") == F.col("doc_id")))))
+                  .where(F.col("doc_id").isNotNull()
+                         & ~((F.col("_n_ev") == 1)
+                             & (F.col("_one_ev") == F.col("doc_id")))))
     else:
         joined = corpus.join(broadcast(ev.select("gram").distinct()),
                              "gram")

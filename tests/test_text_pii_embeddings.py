@@ -262,6 +262,34 @@ def test_decontaminate_excludes_self_and_short_docs(spark):
     assert {r.doc_id for r in hits} == {1}
 
 
+def test_decontaminate_null_ids_match_pre_aggregation_semantics(spark):
+    """r12 parity fix for the pre-aggregated eval side: under
+    exclude_self the old row-per-(gram, eval_id) filter was
+    `doc_id != eval_id`, whose three-valued logic silently dropped
+    NULL corpus doc_ids (NULL != x is never TRUE) — the one-row-per-gram
+    rewrite must keep doing so, and NULL eval ids must keep
+    contributing nothing."""
+    from qbeast_spark_spark.operators.text import decontaminate
+
+    leak = ("one two three four five six seven eight nine ten eleven "
+            "twelve thirteen")
+    docs = spark.createDataFrame([(None, leak), (1, leak)],
+                                 "doc_id int, text string")
+    evals = spark.createDataFrame([(10, leak), (11, leak)],
+                                  "doc_id int, text string")
+    got = decontaminate(docs, evals, n=13, exclude_self=True).collect()
+    assert {r.doc_id for r in got} == {1}     # NULL corpus id dropped
+    # NULL-only eval coverage of a gram contributes nothing either way
+    evals_null = spark.createDataFrame([(None, leak)],
+                                       "doc_id int, text string")
+    assert decontaminate(docs, evals_null, n=13,
+                         exclude_self=True).count() == 0
+    # without exclude_self the NULL corpus doc still counts (plain join
+    # on gram — unchanged semantics)
+    got_all = decontaminate(docs, evals, n=13, exclude_self=False)
+    assert {r.doc_id for r in got_all.collect()} == {None, 1}
+
+
 def test_decontaminate_broadcasts_eval_side(spark):
     from qbeast_spark_spark.operators.text import decontaminate
 
