@@ -134,9 +134,12 @@ def quantized_topk(vectors, queries, k: int = 5,
     zero-norm vectors/queries yield NULL cosines (non-ANSI Divide
     semantics: ranked last, never a NaN that would sort as a spurious
     top-1; under Spark 4's default ANSI mode the expression lane raises
-    DIVIDE_BY_ZERO on such inputs instead). Ragged query dims, an
-    empty query set, non-integer ids, or an over-large query side fall
-    back to the expression plan."""
+    DIVIDE_BY_ZERO on such inputs instead), and NaN embedding values —
+    which poison the float chain to NaN cosines in BOTH lanes and which
+    Spark ranks ABOVE every double — are forwarded as unconditional
+    top-k candidates in window id order, so the lanes agree on them
+    too. Ragged query dims, an empty query set, non-integer ids, or an
+    over-large query side fall back to the expression plan."""
     from pyspark.sql import Window
     from pyspark.sql import functions as F
 
@@ -217,10 +220,13 @@ def quantized_topk(vectors, queries, k: int = 5,
                 # Spark would rank ABOVE every real cosine
                 vzero = vn == 0.0
                 valid = np.flatnonzero(~vzero)
+                has_nan = bool(np.isnan(cos[valid, :]).any()) \
+                    if valid.size else False
                 nulls_by_id = None
-                if vzero.any() or (qn == 0.0).any():
-                    # candidate null rows in the window's id-asc
-                    # tie-break order among equal (NULL-cos) keys:
+                order = None
+                if vzero.any() or (qn == 0.0).any() or has_nan:
+                    # candidate rows in the window's id-asc tie-break
+                    # order among equal (NULL-cos or NaN-cos) keys:
                     # Spark's asc is NULLS FIRST, so null ids must sort
                     # ahead of every value (Arrow defaults to at_end)
                     order = np.asarray(
@@ -237,16 +243,40 @@ def quantized_topk(vectors, queries, k: int = 5,
                         nul = np.ones(idx.size, dtype=bool)
                     else:
                         vals_v = cos[valid, j]
+                        # NaN cosines (NaN embedding values poison the
+                        # float chain in BOTH lanes) sort ABOVE every
+                        # double in Spark: they are unconditional top-k
+                        # candidates, forwarded in window id order —
+                        # `>= kth - guard` is False for NaN, so the
+                        # value selection below would silently drop
+                        # rows the global window ranks FIRST
+                        nan_keep = None
+                        nanm = np.isnan(vals_v)
+                        if nanm.any():
+                            nan_full = np.zeros(n, dtype=bool)
+                            nan_full[valid[nanm]] = True
+                            nan_keep = order[nan_full[order]][:k]
+                            valid_j = valid[~nanm]
+                            vals_v = vals_v[~nanm]
+                        else:
+                            valid_j = valid
                         if vals_v.size > k > 0:
                             kth = np.partition(
                                 vals_v, vals_v.size - k)[vals_v.size - k]
                             keep = vals_v >= kth - _TOPK_ROUND_GUARD
-                            idx = valid[keep]
+                            idx = valid_j[keep]
                             vals = vals_v[keep]
                         else:
-                            idx = valid
+                            idx = valid_j
                             vals = vals_v
                         nul = np.zeros(idx.size, dtype=bool)
+                        if nan_keep is not None and nan_keep.size:
+                            idx = np.concatenate([nan_keep, idx])
+                            vals = np.concatenate(
+                                [np.full(nan_keep.size, np.nan), vals])
+                            nul = np.concatenate(
+                                [np.zeros(nan_keep.size, dtype=bool),
+                                 nul])
                         if idx.size < k and nulls_by_id is not None \
                                 and nulls_by_id.size:
                             # short column: NULL rows can reach the

@@ -704,6 +704,62 @@ def test_quantized_topk_null_ids_null_cos_tiebreak_matches_expression(spark):
         assert got == [None, None, None], f"q {qid}: {got}"
 
 
+def test_quantized_topk_nan_embeddings_rank_first_both_lanes(spark):
+    """r12: NaN embedding values yield NaN cosines in BOTH lanes, and
+    Spark ranks NaN ABOVE every double — so NaN rows are unconditional
+    top-k candidates the per-batch selection must forward (the
+    `>= kth - guard` value test is False for NaN and would silently
+    drop the rows the global window ranks FIRST). Small batches force
+    the selection to actually drop rows; ANSI stays at the session
+    default (both lanes run: NaN denominators never divide by zero)."""
+    import math
+
+    from pyspark.sql import Window
+
+    from qbeast_spark_spark.operators.embeddings import (
+        _quantized_pairs_exprs, quantized_topk)
+
+    nan = float("nan")
+    rows = [(i, [1.0, i / 10.0]) for i in range(1, 9)] + \
+           [(100, [nan, 1.0]), (101, [nan, 2.0]), (102, [nan, 3.0])]
+    vecs = spark.createDataFrame(rows,
+                                 "vec_id long, embedding array<double>")
+    q = spark.createDataFrame([(0, [1.0, 0.5]), (9, [nan, 1.0])],
+                              "q_id long, q_embedding array<double>")
+    key = "spark.sql.execution.arrow.maxRecordsPerBatch"
+    prev = spark.conf.get(key, None)
+    try:
+        spark.conf.set(key, "3")
+        new = quantized_topk(vecs, q, k=2).collect()
+    finally:
+        if prev is None:
+            spark.conf.unset(key)
+        else:
+            spark.conf.set(key, prev)
+    pairs = _quantized_pairs_exprs(vecs, q, "embedding", "vec_id",
+                                   "q_id", "q_embedding")
+    w = Window.partitionBy("q_id").orderBy(
+        F.col("cos").desc(), F.col("vec_id").asc())
+    old = (pairs.withColumn("rank", F.row_number().over(w))
+           .where(F.col("rank") <= 2)).collect()
+
+    def norm(r):            # NaN != NaN: map to a comparable sentinel
+        c = r["cos"]
+        c = "NaN" if isinstance(c, float) and math.isnan(c) else c
+        return (r["q_id"], r["vec_id"], c, r["rank"])
+
+    assert sorted(map(norm, new)) == sorted(map(norm, old))
+    # q 0 (real query): only the NaN-embedding rows are NaN and they
+    # outrank every real cosine; q 9 (NaN query): EVERY cosine is NaN,
+    # so the id-asc tie-break picks the smallest ids overall
+    got0 = [r["vec_id"] for r in sorted(
+        (r for r in new if r["q_id"] == 0), key=lambda r: r["rank"])]
+    assert got0 == [100, 101], got0
+    got9 = [r["vec_id"] for r in sorted(
+        (r for r in new if r["q_id"] == 9), key=lambda r: r["rank"])]
+    assert got9 == [1, 2], got9
+
+
 def test_quantized_topk_dim_mismatch_raises_descriptive(spark):
     """ADVICE r11: a body/query dimension mismatch raises the named
     error, not an opaque NumPy matmul shape failure."""
